@@ -1,0 +1,11 @@
+from .codec import (  # noqa: F401
+    Colormap,
+    decode_png,
+    decode_band,
+    decode_rgba,
+    encode_grayscale8,
+    encode_paletted,
+    encode_rgb,
+    rgb_from_u32,
+    select_bit_depth,
+)

@@ -1,0 +1,93 @@
+"""PNG codec roundtrip + reference-behavior tests.
+
+Bit-depth selection table per /root/reference/src/png/colormap.rs:96-101
+and README.md:84-89; tRNS layouts per grayscale.rs:41-42, rgb.rs:42-49,
+color.rs:112-115; hex parse per color.rs:122-133.
+"""
+
+import numpy as np
+import pytest
+
+from rastertiler_rs_spark.png import (
+    Colormap,
+    decode_band,
+    decode_png,
+    decode_rgba,
+    encode_grayscale8,
+    encode_paletted,
+    encode_rgb,
+    rgb_from_u32,
+    select_bit_depth,
+)
+
+
+def test_hex_parse():
+    cm = Colormap.parse("1:#FF00FF", nodata=0)
+    assert cm.colors == [0, 0, 0, 255, 0, 255]
+    assert cm.values == {0: 0, 1: 1}
+
+
+def test_colormap_get_indices_missing_is_zero():
+    cm = Colormap.parse("1:#686868,2:#38A800,3:#859B6C", nodata=255)
+    arr = np.array([[1, 2], [3, 99]], dtype=np.uint8)
+    assert cm.get_indices(arr).tolist() == [[1, 2], [3, 0]]
+
+
+@pytest.mark.parametrize("n,depth", [(1, 1), (2, 1), (3, 2), (4, 2), (5, 4), (16, 4), (17, 8), (256, 8)])
+def test_bit_depth_selection(n, depth):
+    assert select_bit_depth(n) == depth
+
+
+def test_grayscale_roundtrip():
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    png = encode_grayscale8(arr, nodata=0)
+    d = decode_png(png)
+    assert d["color_type"] == 0 and d["bit_depth"] == 8
+    assert d["trns"] == b"\x00\x00"
+    assert np.array_equal(d["pixels"], arr)
+
+
+@pytest.mark.parametrize("ncolors", [1, 3, 9, 100])
+def test_paletted_roundtrip(ncolors):
+    cm = Colormap(nodata=0)
+    for v in range(1, ncolors + 1):
+        cm.add_color(v, (v % 256, (v * 7) % 256, (v * 13) % 256))
+    rng = np.random.default_rng(ncolors)
+    arr = rng.integers(0, ncolors + 1, (32, 48), dtype=np.uint8)  # non-multiple-of-8 width
+    png = encode_paletted(arr, cm)
+    d = decode_png(png)
+    assert d["color_type"] == 3
+    assert d["bit_depth"] == select_bit_depth(len(cm))
+    assert d["trns"] == b"\x00"
+    # decoded indices == colormap indices of the values
+    assert np.array_equal(d["pixels"], cm.get_indices(arr))
+    # palette reproduces the colors
+    assert np.array_equal(d["palette"].ravel(), np.array(cm.colors, dtype=np.uint8))
+
+
+def test_rgb_roundtrip_and_u32_unpack():
+    values = np.array([[0xFF00FF, 0x123456], [0, 0xFFFFFF]], dtype=np.uint32)
+    rgb = rgb_from_u32(values)
+    assert rgb[0, 0].tolist() == [255, 0, 255]
+    assert rgb[0, 1].tolist() == [0x12, 0x34, 0x56]
+    png = encode_rgb(rgb, nodata_value=0)
+    d = decode_png(png)
+    assert d["color_type"] == 2
+    assert d["trns"] == bytes([0, 0, 0, 0, 0, 0])
+    assert np.array_equal(d["pixels"], rgb)
+
+
+def test_decode_band_u8_and_u32():
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(decode_band(encode_grayscale8(arr, 0), "png;u8"), arr)
+    vals = (np.arange(64, dtype=np.uint32) * 99991 % (1 << 24)).reshape(8, 8)
+    png = encode_rgb(rgb_from_u32(vals), nodata_value=0)
+    assert np.array_equal(decode_band(png, "png;u32"), vals)
+
+
+def test_decode_rgba_transparency():
+    arr = np.array([[5, 0], [7, 5]], dtype=np.uint8)
+    rgba = decode_rgba(encode_grayscale8(arr, nodata=0))
+    assert rgba[0, 1, 3] == 0 and rgba[0, 0, 3] == 255
+    assert rgba[0, 0, 0] == 5

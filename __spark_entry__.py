@@ -1,38 +1,658 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship render; ``queries()`` exposes one
+entry per implemented operator from SURVEY.md §2 over the driver's
+TPC-H-ish parquet tables; ``oracle_sql()`` gives the DuckDB twin for
+every SQL-expressible query (rows-only checks otherwise).
+
+Cross-engine float discipline: every derived coordinate uses identical
+IEEE-754 expression text on both sides (constants embedded via repr of
+the python double), aggregates that cross engines are integer-valued,
+and displayed doubles are rounded with floor(v*scale+0.5)/scale in both
+engines.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+ORIGIN = 6378137.0 * math.pi
+CE = 2.0 * ORIGIN
+CELL = CE / 64.0  # zoom-6 cell size
+
+_O = repr(ORIGIN)
+_CE = repr(CE)
+_CELL = repr(CELL)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _rnd(col, scale: float):
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def _sql_rnd(expr: str, scale: str) -> str:
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+# ---- derived geometry (same expression text in Spark and SQL) ----
+
+def _part_boxes(spark, sf_dir, limit_key=500):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= limit_key)
+    minx = F.lit(-ORIGIN) + ((F.col("p_partkey") % 47) + F.lit(0.3)) * F.lit(CELL)
+    miny = F.lit(-ORIGIN) + ((F.col("p_partkey") % 31) + F.lit(0.2)) * F.lit(CELL)
+    return p.select(
+        "p_partkey",
+        minx.alias("minx"),
+        miny.alias("miny"),
+        (minx + (F.lit(0.4) + (F.col("p_partkey") % 3)) * F.lit(CELL)).alias("maxx"),
+        (miny + (F.lit(0.3) + (F.col("p_partkey") % 5)) * F.lit(CELL)).alias("maxy"),
+    )
+
+
+_PART_BOXES_SQL = f"""
+    SELECT p_partkey,
+           (-{_O}) + ((p_partkey % 47) + 0.3) * {_CELL} AS minx,
+           (-{_O}) + ((p_partkey % 31) + 0.2) * {_CELL} AS miny,
+           ((-{_O}) + ((p_partkey % 47) + 0.3) * {_CELL}) + (0.4 + (p_partkey % 3)) * {_CELL} AS maxx,
+           ((-{_O}) + ((p_partkey % 31) + 0.2) * {_CELL}) + (0.3 + (p_partkey % 5)) * {_CELL} AS maxy
+    FROM part WHERE p_partkey <= {{limit}}
+"""
+
+
+def _supplier_boxes(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    minx = F.lit(-ORIGIN) + ((F.col("s_suppkey") % 53) + F.lit(0.1)) * F.lit(CELL)
+    miny = F.lit(-ORIGIN) + ((F.col("s_suppkey") % 37) + F.lit(0.4)) * F.lit(CELL)
+    return s.select(
+        "s_suppkey",
+        minx.alias("r_minx"),
+        miny.alias("r_miny"),
+        (minx + (F.lit(0.5) + (F.col("s_suppkey") % 4)) * F.lit(CELL)).alias("r_maxx"),
+        (miny + (F.lit(0.6) + (F.col("s_suppkey") % 2)) * F.lit(CELL)).alias("r_maxy"),
+    )
+
+
+_SUPPLIER_BOXES_SQL = f"""
+    SELECT s_suppkey,
+           (-{_O}) + ((s_suppkey % 53) + 0.1) * {_CELL} AS minx,
+           (-{_O}) + ((s_suppkey % 37) + 0.4) * {_CELL} AS miny,
+           ((-{_O}) + ((s_suppkey % 53) + 0.1) * {_CELL}) + (0.5 + (s_suppkey % 4)) * {_CELL} AS maxx,
+           ((-{_O}) + ((s_suppkey % 37) + 0.4) * {_CELL}) + (0.6 + (s_suppkey % 2)) * {_CELL} AS maxy
+    FROM supplier
+"""
+
+
+def _nation_tiles(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        (F.col("n_nationkey") % 7).cast("int").alias("zoom"),
+        F.expr("n_nationkey % shiftleft(1L, cast(n_nationkey % 7 as int))").alias("x"),
+        F.expr("(n_nationkey * 3) % shiftleft(1L, cast(n_nationkey % 7 as int))").alias("y"),
+    )
+
+
+_NATION_TILES_SQL = """
+    SELECT n_nationkey,
+           CAST(n_nationkey % 7 AS INT) AS zoom,
+           n_nationkey % (1::BIGINT << (n_nationkey % 7)) AS x,
+           (n_nationkey * 3) % (1::BIGINT << (n_nationkey % 7)) AS y
+    FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3+G5: per-box zoom-6 tile cover via the render pipeline's
+    tile_range_cols + sequence explode (the tile-manifest generator)."""
+    from rastertiler_rs_spark.operators.render import tile_range_cols
+
+    boxes = _part_boxes(spark, sf_dir, 300).withColumn("zoom", F.lit(6))
+    return (
+        tile_range_cols(boxes)
+        .withColumn("x", F.explode(F.sequence("txmin", "txmax")))
+        .withColumn("y", F.explode(F.sequence("tymin", "tymax")))
+        .select("p_partkey", "x", "y")
+    )
+
+
+def q_mercator_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: tile → EPSG:3857 box as column exprs (rounded 1e-6)."""
+    t = _nation_tiles(spark, sf_dir)
+    z = F.expr("cast(shiftleft(1L, zoom) as double)")
+    ts = F.lit(CE) / z
+    xmin = F.col("x") * ts - F.lit(ORIGIN)
+    ymax = F.lit(ORIGIN) - F.col("y") * ts
+    return t.select(
+        "n_nationkey",
+        _rnd(xmin, 1e6).alias("xmin"),
+        _rnd(ymax - ts, 1e6).alias("ymin"),
+        _rnd(xmin + ts, 1e6).alias("xmax"),
+        _rnd(ymax, 1e6).alias("ymax"),
+    )
+
+
+def q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: tile → lon/lat box (sinh via explicit exp formula, rounded 1e-6)."""
+    t = _nation_tiles(spark, sf_dir)
+    z = F.expr("cast(shiftleft(1L, zoom) as double)")
+    rad2deg = F.lit(180.0 / math.pi)
+
+    def lat_of(yy):
+        a = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * (yy / z))
+        return F.atan((F.exp(a) - F.exp(-a)) / F.lit(2.0)) * rad2deg
+
+    return t.select(
+        "n_nationkey",
+        _rnd(F.col("x") / z * 360.0 - 180.0, 1e6).alias("xmin"),
+        _rnd(lat_of(F.col("y") + 1.0), 1e6).alias("ymin"),
+        _rnd((F.col("x") + 1.0) / z * 360.0 - 180.0, 1e6).alias("xmax"),
+        _rnd(lat_of(F.col("y").cast("double")), 1e6).alias("ymax"),
+    )
+
+
+def q_geo_to_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: clamped spherical-mercator forward transform (rounded 1e-3)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    lon = (F.col("c_custkey") % 3600) / F.lit(10.0) - F.lit(180.0) + F.lit(0.05)
+    lat = (F.col("c_custkey") % 1700) / F.lit(10.0) - F.lit(85.0) + F.lit(0.05)
+    lon_c = F.greatest(F.lit(-180.0), F.least(F.lit(180.0), lon))
+    lat_c = F.greatest(F.lit(-85.051129), F.least(F.lit(85.051129), lat))
+    x = lon_c * F.lit(ORIGIN / 180.0)
+    y = F.lit(6378137.0) * F.log(F.tan(F.lit(math.pi * 0.25) + F.lit(0.5 * math.pi / 180.0) * lat_c))
+    return c.select("c_custkey", _rnd(x, 1e3).alias("mx"), _rnd(y, 1e3).alias("my"))
+
+
+def q_tms_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: TMS y-flip y' = 2^z - 1 - y (integer exact)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 15).cast("int").alias("zoom"),
+        F.expr("o_orderkey % shiftleft(1L, cast(o_orderkey % 15 as int))").alias("y"),
+        F.expr(
+            "shiftleft(1L, cast(o_orderkey % 15 as int)) - 1 - "
+            "(o_orderkey % shiftleft(1L, cast(o_orderkey % 15 as int)))"
+        ).alias("tile_row"),
+    )
+
+
+def q_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 component: quadkey cell pack (z<<58|x<<29|y) + parent cell."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    zoom = (F.col("l_linenumber") % 15).cast("int")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            zoom.alias("zoom"),
+            F.expr("l_orderkey % shiftleft(1L, cast(l_linenumber % 15 as int))").alias("x"),
+            F.expr("l_partkey % shiftleft(1L, cast(l_linenumber % 15 as int))").alias("y"),
+        )
+        .withColumn("cell_id", F.expr("shiftleft(cast(zoom as bigint), 58) | shiftleft(x, 29) | y"))
+        .withColumn("parent_x", F.expr("shiftright(x, 2)"))
+        .withColumn("parent_y", F.expr("shiftright(y, 2)"))
+    )
+
+
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4: box-overlap join executed as cell equi-join + residual."""
+    from rastertiler_rs_spark.operators.spatial_join import bbox_join
+
+    return bbox_join(
+        _part_boxes(spark, sf_dir, 500),
+        _supplier_boxes(spark, sf_dir),
+        cell_size=CELL,
+        left_keys=["p_partkey"],
+        right_keys=["s_suppkey"],
+        broadcast_right=True,
+    )
+
+
+def q_merge_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: tileset merge semantics — left wins, right-only appended."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter((F.col("o_orderkey") % 2) == 0).select(
+        F.col("o_orderkey").alias("tid"), (F.col("o_orderkey") % 15).alias("zoom"),
+        F.lit("L").alias("src"))
+    right = o.filter((F.col("o_orderkey") % 3) == 0).select(
+        F.col("o_orderkey").alias("tid"), (F.col("o_orderkey") % 15).alias("zoom"),
+        F.lit("R").alias("src"))
+    return left.unionByName(right.join(left.select("tid"), "tid", "left_anti"))
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: value → count histogram."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_quantity").cast("int").alias("value")).agg(
+        F.count("*").alias("n"))
+
+
+def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: dataset envelope aggregate (rounded 1e-6)."""
+    b = _part_boxes(spark, sf_dir, 2000)
+    return b.agg(
+        _rnd(F.min("minx"), 1e6).alias("xmin"),
+        _rnd(F.min("miny"), 1e6).alias("ymin"),
+        _rnd(F.max("maxx"), 1e6).alias("xmax"),
+        _rnd(F.max("maxy"), 1e6).alias("ymax"),
+    )
+
+
+def q_zoom_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: min/max zoom across merged metadata."""
+    merged = q_merge_anti(spark, sf_dir)
+    return merged.agg(F.min("zoom").alias("minzoom"), F.max("zoom").alias("maxzoom"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 / training-data exact dedup: content-hash groups."""
+    from rastertiler_rs_spark.operators.text import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute window aggregate over the events stream table
+    (integer-valued cross-engine sums)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 60).alias("minute_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v100"),
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: kNN via cell-ring expansion (exact, verified vs brute force)."""
+    from rastertiler_rs_spark.operators.knn import knn_join
+
+    points = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 13) % 100 + F.lit(0.7)).alias("px"),
+        ((F.col("c_custkey") * 29) % 100 + F.lit(0.1)).alias("py"),
+    )
+    queries = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qid"),
+        ((F.col("n_nationkey") * 37) % 100 + F.lit(0.5)).alias("qx"),
+        ((F.col("n_nationkey") * 53) % 100 + F.lit(0.5)).alias("qy"),
+    )
+    return knn_join(points, queries, k=5, cell_size=10.0).select("qid", "pid", "rank")
+
+
+def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: point-in-polygon via broadcast prepared-geometry ray casting."""
+    from rastertiler_rs_spark.operators.pip import pip_join
+
+    points = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 13) % 100 + F.lit(0.7)).alias("px"),
+        ((F.col("c_custkey") * 29) % 100 + F.lit(0.1)).alias("py"),
+    )
+    regions = _t(spark, sf_dir, "region").select("r_regionkey").collect()
+    polys = []
+    for r in regions:
+        k = r["r_regionkey"]
+        x0, y0 = 10.0 * k + 2.5, 7.0 * k + 1.5
+        polys.append((k, [(x0, y0), (x0 + 15.5, y0), (x0 + 15.5, y0 + 20.25), (x0, y0 + 20.25)]))
+    return pip_join(points, polys)
+
+
+def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.text import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.text import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.text import lang_scores
+
+    return lang_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.text import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return ngram_jaccard_pairs(docs, n=3, threshold_pct=20)
+
+
+def q_embedding_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.embedding import dot_topk_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    return dot_topk_int(emb.select("vec_id", "embedding"), queries, k=10).select(
+        "qid", "vec_id", "dot", "rank")
+
+
+# ---- rows-only queries (not SQL-expressible / engine-hash-dependent) ----
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.text import lsh_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return lsh_candidate_pairs(docs, num_perms=16, band_size=4)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.text import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return simhash_near_pairs(docs, max_hamming=16)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.text import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.embedding import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    return cosine_topk(emb.select("vec_id", "embedding"), queries, k=10).select(
+        "qid", "vec_id", "rank")
+
+
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.embedding import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    return lsh_topk(emb.select("vec_id", "embedding"), queries, k=5).select(
+        "qid", "vec_id", "rank")
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: decode opaque binary image column, check
+    declared vs actual dims (synthesized input-table shape)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.multimodal import image_metadata
+
+    images = spark.read.parquet(images_parquet(64, "u8"))
+    return image_metadata(images)
+
+
+def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship render (kernel K1 + encoders E1 — not SQL-expressible;
+    golden-tested against the numpy oracle in tests/)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+
+    images = spark.read.parquet(images_parquet(64, "u8"))
+    fused = render(images, 0, 8, tile_size=128, dtype_tag="u8")
+    return fused.select("zoom", "x", "tile_row", "tile_hash")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: render the synthesized image+caption table into the z/x/y
+    tile pyramid; reads /root/testdata/sf0.001 for the smoke-check side."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+
+    _ = spark.read.parquet("/root/testdata/sf0.001/region.parquet").count()
+    images = spark.read.parquet(images_parquet(96, "u8"))
+    fused = render(images, 0, 8, tile_size=128, dtype_tag="u8")
+    return fused.select("zoom", "x", "tile_row", "tile_hash")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_cover": q_tile_cover,
+        "mercator_bounds": q_mercator_bounds,
+        "geo_bounds": q_geo_bounds,
+        "geo_to_mercator": q_geo_to_mercator,
+        "tms_flip": q_tms_flip,
+        "cell_pack": q_cell_pack,
+        "bbox_join": q_bbox_join,
+        "merge_anti": q_merge_anti,
+        "histogram": q_histogram,
+        "envelope": q_envelope,
+        "zoom_minmax": q_zoom_minmax,
+        "dedup_exact": q_dedup_exact,
+        "window_agg": q_window_agg,
+        "knn": q_knn,
+        "pip": q_pip,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk_int": q_embedding_topk_int,
+        # rows-only (no oracle_sql entry):
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_cosine": q_embedding_cosine,
+        "embedding_lsh": q_embedding_lsh,
+        "image_meta": q_image_meta,
+        "render_tiles": q_render_tiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    part_boxes_300 = _PART_BOXES_SQL.format(limit=300)
+    part_boxes_500 = _PART_BOXES_SQL.format(limit=500)
+    part_boxes_2000 = _PART_BOXES_SQL.format(limit=2000)
+    return {
+        "tile_cover": f"""
+            WITH boxes AS ({part_boxes_300}),
+            rng AS (
+              SELECT p_partkey,
+                GREATEST(0, LEAST(63, CAST(FLOOR(((minx - (-{_O})) / {_CE}) * 64.0) AS BIGINT))) AS txmin,
+                GREATEST(0, LEAST(63, CAST(FLOOR((1.0 - ((maxy - (-{_O})) / {_CE})) * 64.0) AS BIGINT))) AS tymin,
+                GREATEST(0, LEAST(63, CAST(FLOOR((((maxx - (-{_O})) / {_CE}) - 1e-11) * 64.0) AS BIGINT))) AS txmax,
+                GREATEST(0, LEAST(63, CAST(FLOOR((1.0 - (((miny - (-{_O})) / {_CE}) + 1e-11)) * 64.0) AS BIGINT))) AS tymax
+              FROM boxes)
+            SELECT p_partkey, xs.x AS x, ys.y AS y
+            FROM (SELECT p_partkey, tymin, tymax,
+                         UNNEST(generate_series(txmin, txmax)) AS x FROM rng) xs(p_partkey, tymin, tymax, x),
+                 LATERAL (SELECT UNNEST(generate_series(xs.tymin, xs.tymax))) ys(y)
+        """,
+        "mercator_bounds": f"""
+            WITH t AS ({_NATION_TILES_SQL})
+            SELECT n_nationkey,
+              {_sql_rnd(f"x * ({_CE} / CAST(1::BIGINT << zoom AS DOUBLE)) - {_O}", "1e6")} AS xmin,
+              {_sql_rnd(f"({_O} - y * ({_CE} / CAST(1::BIGINT << zoom AS DOUBLE))) - ({_CE} / CAST(1::BIGINT << zoom AS DOUBLE))", "1e6")} AS ymin,
+              {_sql_rnd(f"(x * ({_CE} / CAST(1::BIGINT << zoom AS DOUBLE)) - {_O}) + ({_CE} / CAST(1::BIGINT << zoom AS DOUBLE))", "1e6")} AS xmax,
+              {_sql_rnd(f"{_O} - y * ({_CE} / CAST(1::BIGINT << zoom AS DOUBLE))", "1e6")} AS ymax
+            FROM t
+        """,
+        "geo_bounds": f"""
+            WITH t AS ({_NATION_TILES_SQL})
+            SELECT n_nationkey,
+              {_sql_rnd("x / CAST(1::BIGINT << zoom AS DOUBLE) * 360.0 - 180.0", "1e6")} AS xmin,
+              {_sql_rnd(f"atan((exp(pi() * (1.0 - 2.0 * ((y + 1.0) / CAST(1::BIGINT << zoom AS DOUBLE)))) - exp(-(pi() * (1.0 - 2.0 * ((y + 1.0) / CAST(1::BIGINT << zoom AS DOUBLE)))))) / 2.0) * {180.0 / math.pi!r}", "1e6")} AS ymin,
+              {_sql_rnd("(x + 1.0) / CAST(1::BIGINT << zoom AS DOUBLE) * 360.0 - 180.0", "1e6")} AS xmax,
+              {_sql_rnd(f"atan((exp(pi() * (1.0 - 2.0 * (CAST(y AS DOUBLE) / CAST(1::BIGINT << zoom AS DOUBLE)))) - exp(-(pi() * (1.0 - 2.0 * (CAST(y AS DOUBLE) / CAST(1::BIGINT << zoom AS DOUBLE)))))) / 2.0) * {180.0 / math.pi!r}", "1e6")} AS ymax
+            FROM t
+        """,
+        "geo_to_mercator": f"""
+            WITH pts AS (
+              SELECT c_custkey,
+                GREATEST(-180.0, LEAST(180.0, (c_custkey % 3600) / 10.0 - 180.0 + 0.05)) AS lon,
+                GREATEST(-85.051129, LEAST(85.051129, (c_custkey % 1700) / 10.0 - 85.0 + 0.05)) AS lat
+              FROM customer WHERE c_custkey <= 600)
+            SELECT c_custkey,
+              {_sql_rnd(f"lon * {ORIGIN / 180.0!r}", "1e3")} AS mx,
+              {_sql_rnd(f"6378137.0 * ln(tan({math.pi * 0.25!r} + {0.5 * math.pi / 180.0!r} * lat))", "1e3")} AS my
+            FROM pts
+        """,
+        "tms_flip": """
+            SELECT o_orderkey,
+                   CAST(o_orderkey % 15 AS INT) AS zoom,
+                   o_orderkey % (1::BIGINT << (o_orderkey % 15)) AS y,
+                   (1::BIGINT << (o_orderkey % 15)) - 1 - (o_orderkey % (1::BIGINT << (o_orderkey % 15))) AS tile_row
+            FROM orders WHERE o_orderkey <= 2000
+        """,
+        "cell_pack": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_linenumber % 15 AS INT) AS zoom,
+                   l_orderkey % (1::BIGINT << (l_linenumber % 15)) AS x,
+                   l_partkey % (1::BIGINT << (l_linenumber % 15)) AS y,
+                   (CAST(l_linenumber % 15 AS BIGINT) << 58)
+                     | ((l_orderkey % (1::BIGINT << (l_linenumber % 15))) << 29)
+                     | (l_partkey % (1::BIGINT << (l_linenumber % 15))) AS cell_id,
+                   (l_orderkey % (1::BIGINT << (l_linenumber % 15))) >> 2 AS parent_x,
+                   (l_partkey % (1::BIGINT << (l_linenumber % 15))) >> 2 AS parent_y
+            FROM lineitem WHERE l_orderkey % 100 = 0
+        """,
+        "bbox_join": f"""
+            WITH a AS ({part_boxes_500}), b AS ({_SUPPLIER_BOXES_SQL})
+            SELECT a.p_partkey, b.s_suppkey
+            FROM a, b
+            WHERE a.minx < b.maxx AND a.maxx > b.minx
+              AND a.miny < b.maxy AND a.maxy > b.miny
+        """,
+        "merge_anti": """
+            WITH l AS (SELECT o_orderkey AS tid, o_orderkey % 15 AS zoom, 'L' AS src
+                       FROM orders WHERE o_orderkey % 2 = 0),
+                 r AS (SELECT o_orderkey AS tid, o_orderkey % 15 AS zoom, 'R' AS src
+                       FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT * FROM l
+            UNION ALL
+            SELECT * FROM r WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.tid = r.tid)
+        """,
+        "histogram": """
+            SELECT CAST(l_quantity AS INT) AS value, COUNT(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "envelope": f"""
+            WITH b AS ({part_boxes_2000})
+            SELECT {_sql_rnd("MIN(minx)", "1e6")} AS xmin, {_sql_rnd("MIN(miny)", "1e6")} AS ymin,
+                   {_sql_rnd("MAX(maxx)", "1e6")} AS xmax, {_sql_rnd("MAX(maxy)", "1e6")} AS ymax
+            FROM b
+        """,
+        "zoom_minmax": """
+            WITH l AS (SELECT o_orderkey AS tid, o_orderkey % 15 AS zoom
+                       FROM orders WHERE o_orderkey % 2 = 0),
+                 r AS (SELECT o_orderkey AS tid, o_orderkey % 15 AS zoom
+                       FROM orders WHERE o_orderkey % 3 = 0),
+                 m AS (SELECT * FROM l UNION ALL
+                       SELECT * FROM r WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.tid = r.tid))
+            SELECT MIN(zoom) AS minzoom, MAX(zoom) AS maxzoom FROM m
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "window_agg": """
+            SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 60) AS BIGINT) AS minute_bucket,
+                   event_type, COUNT(*) AS n,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v100
+            FROM events GROUP BY 1, 2
+        """,
+        "knn": """
+            WITH pts AS (SELECT c_custkey AS pid,
+                                CAST((c_custkey * 13) % 100 AS DOUBLE) + 0.7 AS px,
+                                CAST((c_custkey * 29) % 100 AS DOUBLE) + 0.1 AS py FROM customer),
+                 qs AS (SELECT n_nationkey AS qid,
+                               CAST((n_nationkey * 37) % 100 AS DOUBLE) + 0.5 AS qx,
+                               CAST((n_nationkey * 53) % 100 AS DOUBLE) + 0.5 AS qy FROM nation),
+                 scored AS (
+                   SELECT qid, pid,
+                          (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2
+                   FROM qs, pts)
+            SELECT qid, pid, rank FROM (
+              SELECT qid, pid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, pid) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "pip": """
+            SELECT c.c_custkey AS pid, r.r_regionkey AS poly_id
+            FROM customer c, region r
+            WHERE CAST((c.c_custkey * 13) % 100 AS DOUBLE) + 0.7 > 10.0 * r.r_regionkey + 2.5
+              AND CAST((c.c_custkey * 13) % 100 AS DOUBLE) + 0.7 < 10.0 * r.r_regionkey + 18.0
+              AND CAST((c.c_custkey * 29) % 100 AS DOUBLE) + 0.1 > 7.0 * r.r_regionkey + 1.5
+              AND CAST((c.c_custkey * 29) % 100 AS DOUBLE) + 0.1 < 7.0 * r.r_regionkey + 21.75
+        """,
+        "doc_tokens": r"""
+            SELECT doc_id, LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_m,
+                   LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                   LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_space,
+                   CAST(FLOOR((LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))) * 100
+                        / LEN(regexp_split_to_array(TRIM(text), '\s+'))) AS BIGINT) AS mean_wordlen_x100
+            FROM documents
+        """,
+        "lang_id": """
+            WITH t AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS tt FROM documents),
+            s AS (SELECT doc_id,
+              CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' the ', ''))) / 5
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' and ', ''))) / 5
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' of ', ''))) / 4 AS BIGINT) AS score_en,
+              CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' le ', ''))) / 4
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' la ', ''))) / 4
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' et ', ''))) / 4 AS BIGINT) AS score_fr,
+              CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' der ', ''))) / 5
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' und ', ''))) / 5
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' die ', ''))) / 5 AS BIGINT) AS score_de
+              FROM t)
+            SELECT doc_id, score_en, score_fr, score_de,
+                   CASE WHEN GREATEST(score_en, score_fr, score_de) = 0 THEN 'und'
+                        WHEN score_en = GREATEST(score_en, score_fr, score_de) THEN 'en'
+                        WHEN score_fr = GREATEST(score_en, score_fr, score_de) THEN 'fr'
+                        ELSE 'de' END AS lang_guess
+            FROM s
+        """,
+        "ngram_jaccard": """
+            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+            sh AS (SELECT DISTINCT doc_id, SUBSTR(text, CAST(pos AS INT), 3) AS shingle
+                   FROM (SELECT doc_id, text,
+                                UNNEST(generate_series(1, GREATEST(LENGTH(text) - 2, 1))) AS pos
+                         FROM docs)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE 100 * i.inter >= 20 * (sa.sz + sb.sz - i.inter)
+        """,
+        "embedding_topk_int": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qemb
+                       FROM embeddings WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     CAST(list_sum(list_transform(list_zip(e.embedding, q.qemb),
+                          z -> CAST(FLOOR(CAST(z[1] AS DOUBLE) * 1024) AS BIGINT)
+                             * CAST(FLOOR(CAST(z[2] AS DOUBLE) * 1024) AS BIGINT))) AS BIGINT) AS dot
+              FROM embeddings e, q)
+            SELECT qid, vec_id, dot, rank FROM (
+              SELECT qid, vec_id, dot,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 10
+        """,
+    }

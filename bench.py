@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "tiles": N, "tiles_per_sec": T, "cpus": C}
+
+The flagship is the z0-z14 render pyramid over the synthesized
+image+caption table (BASELINE.json metric: tiles/sec); the remaining
+queries exercise the operator inventory at the sf dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RENDER_N = int(os.environ.get("SPARK_GRAFT_RENDER_N", "2048"))
+RENDER_MAXZOOM = int(os.environ.get("SPARK_GRAFT_RENDER_MAXZOOM", "14"))
+RENDER_TILESIZE = int(os.environ.get("SPARK_GRAFT_RENDER_TILESIZE", "256"))
+
+
+def _force(df) -> int:
+    """Run the full plan; return row count (noop-style sink)."""
+    return df.count()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+    from rastertiler_rs_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # pre-generate fixture outside the timed region
+    img_path = images_parquet(RENDER_N, "u8")
+    spark.read.parquet(img_path).count()  # warm FS cache + JVM
+
+    # warmup: spin up python UDF workers + JIT before any timed region
+    warm_path = images_parquet(64, "u8")
+    _force(render(spark.read.parquet(warm_path), 0, 6, tile_size=64, dtype_tag="u8"))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    fused = render(spark.read.parquet(img_path), 0, RENDER_MAXZOOM,
+                   tile_size=RENDER_TILESIZE, dtype_tag="u8")
+    n_tiles = _force(fused.select("zoom", "x", "tile_row", "tile_hash"))
+    dt = time.time() - t0
+    timings["render_pyramid_z0_14"] = round(dt, 3)
+    extras["tiles"] = n_tiles
+    extras["tiles_per_sec"] = round(n_tiles / dt, 1)
+
+    qs = entrymod.queries()
+    for name in ["bbox_join", "knn", "dedup_exact", "window_agg", "histogram",
+                 "minhash_lsh", "ngram_jaccard", "embedding_topk_int",
+                 "embedding_cosine", "doc_quality", "tile_cover"]:
+        t0 = time.time()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total wall sec (render z0-14 pyramid + operator suite); tiles/sec in extras",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "render_n_images": RENDER_N,
+        "render_tilesize": RENDER_TILESIZE,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Deterministic synthetic images table + footprint rule (FIXTURES.md §A).
+
+The engine's native input is an Iceberg/parquet table with columns
+(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64) per BASELINE.json input_hint. Everything
+here derives purely from the row index i through splitmix64, so goldens
+are reproducible on any machine with no external data.
+
+The FOOTPRINT RULE is part of the engine contract: each image is placed
+on the EPSG:3857 plane as a function of its id. It is evaluated in
+three places that must agree bit-for-bit — this module (generator), the
+numpy oracle, and the Spark pipeline's footprint UDF — so it lives here
+once and is imported everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import tilemath as tm
+from .functions.hashing import splitmix64
+from .png import encode_grayscale8, encode_rgb, rgb_from_u32
+
+# world grid zoom for image placement: 2^ZBASE x 2^ZBASE cells. At
+# ZBASE=12 an image spans 0.5-2 cells, i.e. <= ~81 tiles at z14 — the
+# fan-out stays bounded for a z0-z14 pyramid (SURVEY.md §4 "cell-cover
+# explode sizing").
+ZBASE = 12
+NODATA = 0
+
+_W_CYCLE = np.array([64, 128, 256, 512], dtype=np.int32)
+_H_CYCLE = np.array([64, 128, 192, 512], dtype=np.int32)
+
+_WORDS = [
+    "alpine", "basalt", "cirrus", "delta", "eddy", "fjord", "glacier",
+    "harbor", "isthmus", "jetty", "karst", "lagoon", "mesa", "nadir",
+]
+
+
+def image_index(image_id):
+    """Parse 'img%08d' → i. Vectorized over numpy/pandas string arrays."""
+    if isinstance(image_id, str):
+        return int(image_id[3:])
+    import pandas as pd
+
+    return pd.Series(image_id).str.slice(3).astype(np.int64).to_numpy()
+
+
+def footprint_from_index(i):
+    """THE footprint rule: row index → (minx, miny, maxx, maxy) in
+    EPSG:3857. Vectorized. Deterministic via splitmix64(i)."""
+    i = np.asarray(i, dtype=np.uint64)
+    g = splitmix64(i)
+    n = np.uint64(1 << ZBASE)
+    cx = np.minimum(g & (n - np.uint64(1)), n - np.uint64(3)).astype(np.float64)
+    cy = np.minimum((g >> np.uint64(13)) & (n - np.uint64(1)), n - np.uint64(3)).astype(np.float64)
+    ox = ((g >> np.uint64(26)) & np.uint64(3)).astype(np.float64) * 0.25
+    oy = ((g >> np.uint64(28)) & np.uint64(3)).astype(np.float64) * 0.25
+    span = 0.5 + 0.5 * ((g >> np.uint64(30)) & np.uint64(3)).astype(np.float64)
+    cs = tm.CE / float(1 << ZBASE)
+    minx = -tm.ORIGIN + (cx + ox) * cs
+    maxy = tm.ORIGIN - (cy + oy) * cs
+    return minx, maxy - span * cs, minx + span * cs, maxy
+
+
+def pixel_band(i: int, w: int, h: int, dtype_tag: str) -> np.ndarray:
+    """Deterministic pixel content with nodata holes.
+
+    u8: values 1..255; u32: 24-bit values (1/3 of images low-cardinality
+    to exercise the paletted path, else high-cardinality → RGB path).
+    Hole rule from hash bits: 1/8 of images have no hole, 1/8 are
+    entirely nodata (dropped-tile path), the rest get a rectangular hole
+    (partial-nodata path, /root/reference/src/dataset.rs:163-193).
+    """
+    g = int(splitmix64(np.uint64(i)))
+    phash_low = g & 0xFF
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    if dtype_tag == "u8":
+        band = ((r * 31 + c * 17 + phash_low) % 255 + 1).astype(np.uint8)
+    elif dtype_tag == "u32":
+        if i % 3 == 0:
+            band = ((r * 7 + c * 3 + phash_low) % 13 + 1).astype(np.uint32)
+        else:
+            band = ((r * 131071 + c * 8191 + (g & 0xFFFFF)) % ((1 << 24) - 1) + 1).astype(np.uint32)
+    else:
+        raise ValueError(dtype_tag)
+
+    hole = (g >> 34) & 7
+    if hole == 7:
+        band[:, :] = NODATA
+    elif hole != 0:
+        p = min((g >> 37) & 7, 5)
+        q = min((g >> 40) & 7, 5)
+        band[h * q // 8 : h * (q + 3) // 8, w * p // 8 : w * (p + 3) // 8] = NODATA
+    return band
+
+
+def caption_for_index(i: int) -> str:
+    g = int(splitmix64(np.uint64(i + 1_000_003)))
+    words = " ".join(_WORDS[(g >> (k * 4)) % len(_WORDS)] for k in range(4))
+    return f"caption for img{i:08d}: {words}"
+
+
+def encode_image(i: int, dtype_tag: str) -> tuple[bytes, int, int]:
+    w = int(_W_CYCLE[i % 4])
+    h = int(_H_CYCLE[i % 4])
+    band = pixel_band(i, w, h, dtype_tag)
+    if dtype_tag == "u8":
+        data = encode_grayscale8(band, NODATA)
+    else:
+        data = encode_rgb(rgb_from_u32(band), NODATA)
+    return data, w, h
+
+
+def generate_images(n: int, dtype_tag: str = "u8"):
+    """Build the images table as a pyarrow Table (schema = input_hint)."""
+    import pyarrow as pa
+
+    idx = np.arange(n, dtype=np.uint64)
+    phash = splitmix64(idx).astype(np.int64)
+    ids, blobs, ws, hs, caps = [], [], [], [], []
+    for i in range(n):
+        data, w, h = encode_image(i, dtype_tag)
+        ids.append(f"img{i:08d}")
+        blobs.append(data)
+        ws.append(w)
+        hs.append(h)
+        caps.append(caption_for_index(i))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array([f"png;{dtype_tag}"] * n, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(phash, pa.int64()),
+        }
+    )
+
+
+def images_parquet(n: int, dtype_tag: str = "u8", cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    """Generate (or reuse) the images table at a cached parquet path."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"images_{dtype_tag}_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_images(n, dtype_tag), path)
+    return path

@@ -1,0 +1,83 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-side F.aggregate/F.zip_with dot products
+  (no Python in the hot path) — the correctness baseline;
+- integer-scaled variant: embeddings quantized to int64 before the dot
+  product, so scores are associativity-proof and bit-comparable across
+  engines (used for the DuckDB oracle contract);
+- LSH-bucketed variant (random-hyperplane signs): the scale path — each
+  query probes only its bucket (+ optional multi-probe), turning the
+  O(N*Q) scan into a bucket equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm2(a):
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """vectors(vec_id, embedding) x queries(qid, qemb) → top-k by cosine.
+    (qid, vec_id, score, rank); ties broken by vec_id."""
+    ve = F.col("embedding").cast("array<double>")
+    qe = F.col("qemb").cast("array<double>")
+    scored = vectors.crossJoin(queries).select(
+        "qid", "vec_id",
+        (_dot(ve, qe) / F.sqrt(_norm2(ve) * _norm2(qe))).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def dot_topk_int(vectors: DataFrame, queries: DataFrame, k: int, scale: int = 1024) -> DataFrame:
+    """Deterministic integer-quantized dot-product top-k: embeddings →
+    floor(x*scale) int64, dot = integer sum (associative ⇒ engine-
+    independent). (qid, vec_id, dot, rank)."""
+    q = lambda col: F.transform(col, lambda x: F.floor(x.cast("double") * scale).cast("long"))  # noqa: E731
+    scored = vectors.withColumn("vi", q(F.col("embedding"))).crossJoin(
+        queries.withColumn("qi", q(F.col("qemb")))
+    ).select(
+        "qid", "vec_id",
+        F.aggregate(F.zip_with("vi", "qi", lambda x, y: x * y), F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("dot"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_bucket(emb_col, n_planes: int = 8, dim: int = 64, seed: int = 42):
+    """Random-hyperplane LSH bucket id (column expr): sign pattern of
+    ``n_planes`` deterministic pseudo-random hyperplanes. Plane p,
+    dim d weight = ((xxhash64(seed,p,d) % 1000)/500 - 1)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.lit(0.0)
+        for d in range(dim):
+            w = (F.xxhash64(F.lit(seed), F.lit(p), F.lit(d)) % 1000).cast("double") / 500.0 - 1.0
+            dot = dot + F.element_at(emb_col, d + 1).cast("double") * w
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, n_planes: int = 6,
+             dim: int = 64) -> DataFrame:
+    """ANN top-k: cosine ranking within the query's hyperplane bucket.
+    Approximate (standard LSH recall tradeoff) — the 100 TB scan path;
+    brute-force cosine_topk is the small/exact path."""
+    vb = vectors.withColumn("bucket", hyperplane_bucket(F.col("embedding"), n_planes, dim))
+    qb = queries.withColumn("bucket", hyperplane_bucket(F.col("qemb"), n_planes, dim))
+    ve = F.col("embedding").cast("array<double>")
+    qe = F.col("qemb").cast("array<double>")
+    scored = vb.join(qb, "bucket").select(
+        "qid", "vec_id",
+        (_dot(ve, qe) / F.sqrt(_norm2(ve) * _norm2(qe))).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

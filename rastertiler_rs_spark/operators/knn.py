@@ -1,0 +1,83 @@
+"""kNN via cell-ring expansion (north-star J6; SURVEY.md §2.4).
+
+Distributed plan: points are bucketed on a grid; each query probes an
+expanding Chebyshev box of cells (the quadkey k-ring generalization)
+until it holds >= k candidates, then a FINAL exact pass widens the box
+to ceil(kth_distance / cell_size) so no closer point in an unexplored
+cell can exist — the result is exactly the true kNN (verified against
+the brute-force SQL oracle). Driver only steers ring radii; all data
+movement is cell equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _candidates(queries: DataFrame, cells: DataFrame, r_col) -> DataFrame:
+    """Join queries to all points within Chebyshev radius r (cells)."""
+    q = (
+        queries.withColumn("_r", r_col.cast("long"))
+        .withColumn("probe_x", F.explode(F.sequence(F.col("qcx") - F.col("_r"), F.col("qcx") + F.col("_r"))))
+        .withColumn("probe_y", F.explode(F.sequence(F.col("qcy") - F.col("_r"), F.col("qcy") + F.col("_r"))))
+    )
+    return q.join(cells, (q.probe_x == cells.cell_x) & (q.probe_y == cells.cell_y), "inner")
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cell_size: float,
+    point_id: str = "pid",
+    query_id: str = "qid",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """points(pid, px, py) x queries(qid, qx, qy) → (qid, pid, d2, rank),
+    rank 1..k by squared distance (ties broken by pid — deterministic).
+    """
+    cs = float(cell_size)
+    cells = points.withColumn("cell_x", F.floor(F.col("px") / cs)).withColumn(
+        "cell_y", F.floor(F.col("py") / cs))
+    q = queries.withColumn("qcx", F.floor(F.col("qx") / cs)).withColumn(
+        "qcy", F.floor(F.col("qy") / cs))
+
+    # explicit multiplication (not pow) so the value is bit-identical to
+    # SQL oracles computing (px-qx)*(px-qx)+...
+    d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
+        F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
+    w = Window.partitionBy(query_id).orderBy("d2", point_id)
+
+    # phase 1: expand r (doubling) until every query sees >= k candidates
+    pending = q
+    found = None
+    r = 1
+    for _ in range(max_rounds):
+        cand = _candidates(pending, cells, F.lit(r))
+        counts = cand.groupBy(query_id).agg(F.count("*").alias("n"))
+        done_ids = counts.filter(F.col("n") >= k).select(query_id)
+        kth = (
+            cand.join(done_ids, query_id)
+            .withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == k)
+            .select(query_id, F.sqrt("d2").alias("kth_dist"))
+        )
+        done_q = pending.join(kth, query_id)
+        found = done_q if found is None else found.unionByName(done_q)
+        pending = pending.join(done_ids, query_id, "left_anti")
+        if pending.isEmpty():
+            break
+        r *= 2
+    else:
+        raise ValueError(f"kNN did not converge in {max_rounds} rounds (k too large?)")
+
+    # phase 2: exact pass with radius guaranteeing no closer unexplored cell
+    final_r = F.ceil(F.col("kth_dist") / F.lit(cs)) + 1
+    cand = _candidates(found, cells, final_r)
+    return (
+        cand.withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "d2", "rank")
+    )

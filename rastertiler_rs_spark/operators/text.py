@@ -1,0 +1,189 @@
+"""Training-data text operators: dedup, similarity, quality, language ID,
+token counting, fingerprinting. All JVM-side column expressions or
+cell-style equi-joins — the hot paths never enter Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: (content_md5, n_docs, keep_doc_id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def char_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct character n-gram shingles per doc: (doc_id, shingle)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select("doc_id", F.expr(f"substr({text_col}, pos, {n})").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold_pct: int = 30) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b,
+    100*|∩| >= threshold_pct*|∪| — integer arithmetic end to end)."""
+    sh = char_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .filter(F.lit(100) * F.col("inter") >= F.lit(threshold_pct) * (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_perms: int = 16, n: int = 3) -> DataFrame:
+    """MinHash signatures: perm k's hash = xxhash64(shingle, k); min per
+    doc per perm. Wide layout: (doc_id, h0..h{P-1})."""
+    sh = char_shingles(docs, n)
+    aggs = [F.min(F.xxhash64("shingle", F.lit(k))).alias(f"h{k}") for k in range(num_perms)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, num_perms: int = 16, band_size: int = 4,
+                        n: int = 3) -> DataFrame:
+    """Banded-LSH near-dup candidates: docs sharing any band bucket.
+    (doc_a < doc_b, n_bands_shared)."""
+    sig = minhash_signatures(docs, num_perms, n)
+    bands = []
+    for b in range(num_perms // band_size):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select("doc_id", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")))
+    buckets = bands[0]
+    for extra in bands[1:]:
+        buckets = buckets.unionByName(extra)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: sign of per-bit vote of
+    token hashes. (doc_id, simhash). Pure column expressions: for each
+    bit position, sum(+1/-1 by token bit) > 0 → bit set."""
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*votes)
+    expr = " + ".join(f"(case when v{i} > 0 then shiftleft(1L, {i}) else 0L end)" for i in range(64))
+    return agg.select("doc_id", F.expr(expr).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Candidate blocking: 4 x 16-bit chunks (pigeonhole guarantees recall
+    for distance <= 3; wider distances are best-effort, standard LSH
+    tradeoff). (doc_a, doc_b, hamming)."""
+    sig = simhash64(docs)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.expr(f"(simhash >> {16 * i}) & 65535").alias("val"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens): whitespace tokenization, JVM-side."""
+    return docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality features (cross-engine deterministic): length,
+    punctuation count, digit count, space count, mean word length x100."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(t, " ", ""))
+    n_tok = F.size(F.split(F.trim(t), r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        F.floor((n_chars - n_space) * 100 / n_tok).cast("long").alias("mean_wordlen_x100"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " und ", " die "],
+}
+
+
+def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language scores (n-gram heuristic): occurrence count
+    of per-language stopword markers, plus argmax guess (ties → 'und')."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit("")))) / len(m)
+            score = c if score is None else score + c
+        cols.append(score.cast("long").alias(f"score_{lang}"))
+    scored = docs.select("doc_id", *cols)
+    best = F.greatest(*[F.col(f"score_{l}") for l in _LANG_MARKERS])
+    guess = (
+        F.when(best == 0, F.lit("und"))
+        .when(F.col("score_en") == best, "en")
+        .when(F.col("score_fr") == best, "fr")
+        .otherwise("de")
+    )
+    return scored.withColumn("lang_guess", guess)
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: min xxhash64 over each
+    ``window``-gram (winnowing-style single fingerprint per doc)."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (window - 1), F.lit(1)))).alias("pos"),
+        F.col(text_col),
+    ).select("doc_id", F.xxhash64(F.expr(f"substr({text_col}, pos, {window})")).alias("gh"))
+    return grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))

@@ -1,0 +1,85 @@
+"""End-to-end parity: Spark render pipeline vs the single-process numpy
+oracle — tile-ID sets bit-for-bit, PNG bytes identical (lossless ⇒
+PSNR=∞), per FIXTURES.md golden checks."""
+
+import numpy as np
+import pytest
+
+from rastertiler_rs_spark.fixtures import generate_images
+from rastertiler_rs_spark.operators.render import render
+from rastertiler_rs_spark.oracle import render_oracle
+from rastertiler_rs_spark.png import decode_rgba
+
+
+def _spark_images(spark, n, tag="u8"):
+    tbl = generate_images(n, tag)
+    return spark.createDataFrame(tbl.to_pandas())
+
+
+def _collect_fused(df):
+    rows = df.collect()
+    tiles = {(r["zoom"], r["x"], r["tile_row"]): (r["tile_hash"], bytes(r["png"])) for r in rows}
+    assert len(tiles) == len(rows), "duplicate (zoom,x,tile_row) in spark output"
+    return tiles
+
+
+def _oracle(n, minz, maxz, ts, tag="u8", colormap=None):
+    rows = generate_images(n, tag).to_pylist()
+    tiles, blobs = render_oracle(rows, minz, maxz, ts, colormap)
+    return {(z, x, y): (h, blobs[h]) for z, x, y, h in tiles}
+
+
+@pytest.mark.parametrize("minz,maxz,ts", [(0, 8, 128), (11, 13, 64)])
+def test_u8_grayscale_parity(spark, minz, maxz, ts):
+    n = 48
+    got = _collect_fused(render(_spark_images(spark, n), minz, maxz, ts, "u8"))
+    want = _oracle(n, minz, maxz, ts)
+    assert set(got) == set(want), (
+        f"tile-ID mismatch: extra={list(set(got)-set(want))[:5]} "
+        f"missing={list(set(want)-set(got))[:5]}")
+    for k in want:
+        assert got[k][0] == want[k][0], f"hash mismatch at {k}"
+        assert got[k][1] == want[k][1], f"png bytes mismatch at {k}"
+
+
+def test_u8_colormap_parity(spark):
+    n, cmap = 24, "1:#686868,2:#38A800,3:#859B6C,4:#3B7D46,5:#FF00FF"
+    got = _collect_fused(render(_spark_images(spark, n), 3, 7, 64, "u8", cmap))
+    want = _oracle(n, 3, 7, 64, "u8", cmap)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]
+
+
+def test_u32_adaptive_parity(spark):
+    n = 24
+    got = _collect_fused(render(_spark_images(spark, n, "u32"), 11, 13, 64, "u32"))
+    want = _oracle(n, 11, 13, 64, "u32")
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]
+
+
+def test_decoded_pixels_allclose_psnr(spark):
+    """The BASELINE gate phrased as PSNR: lossless PNG ⇒ identical RGBA
+    ⇒ PSNR = ∞ ≥ 40 dB."""
+    n = 16
+    got = _collect_fused(render(_spark_images(spark, n), 4, 6, 64, "u8"))
+    want = _oracle(n, 4, 6, 64)
+    for k in want:
+        a = decode_rgba(got[k][1]).astype(np.float64)
+        b = decode_rgba(want[k][1]).astype(np.float64)
+        mse = float(np.mean((a - b) ** 2))
+        assert mse == 0.0, f"nonzero MSE at {k}"
+
+
+def test_render_validation_errors(spark):
+    imgs = _spark_images(spark, 4)
+    with pytest.raises(ValueError, match="colormap"):
+        render(imgs, 0, 2, 64, "u32", "1:#FFFFFF")
+    with pytest.raises(ValueError, match="not supported"):
+        render(imgs, 0, 2, 64, "u16")
+    with pytest.raises(ValueError, match="minzoom"):
+        render(imgs, 5, 2, 64)
+    with pytest.raises(ValueError, match="24"):
+        render(imgs, 0, 25, 64)

@@ -25,11 +25,13 @@ def ray_cast(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> 
     j = n - 1
     for i in range(n):
         x1, y1, x2, y2 = xs[j], ys[j], xs[i], ys[i]
+        j = i
+        if y1 == y2:  # horizontal edge can never satisfy (y1>py) != (y2>py)
+            continue
         crosses = ((y1 > py) != (y2 > py)) & (
             px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
         )
         inside ^= crosses
-        j = i
     return inside
 
 

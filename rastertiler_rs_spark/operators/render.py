@@ -24,8 +24,10 @@ Design notes for 100 TB scale:
   executor-locally (≙ per-worker dataset handles,
   /root/reference/src/render.rs:166-171).
 - AQE handles partial-tile skew; for pathological overlap (thousands of
-  images on one tile) see two_phase in render() — salted partial
-  mosaics merged by image-id order.
+  images on one tile) pass salt_buckets to render() — salted partial
+  mosaics (pixelwise img_ord-argmax summaries) merged in a second tiny
+  aggregate. For low zooms at scale use the overview cascade
+  (operators/overview.py), which bounds every group at 4 rows.
 """
 
 from __future__ import annotations
@@ -94,7 +96,7 @@ def tile_manifest(images_fp: DataFrame, minzoom: int, maxzoom: int) -> DataFrame
 
 
 _KERNEL_SCHEMA = (
-    "zoom int, x long, y long, image_id string, left int, top int, "
+    "zoom int, x long, y long, image_id string, img_ord long, left int, top int, "
     "bw int, bh int, block binary"
 )
 
@@ -113,9 +115,10 @@ def _kernel_all_zooms_fn(minzoom: int, maxzoom: int, tile_size: int):
 
         for pdf in batches:
             out = {k: [] for k in
-                   ("zoom", "x", "y", "image_id", "left", "top", "bw", "bh", "block")}
+                   ("zoom", "x", "y", "image_id", "img_ord", "left", "top", "bw", "bh", "block")}
             for row in pdf.itertuples(index=False):
                 band = decode_band(bytes(row.bytes), row.fmt)
+                img_ord = int(image_index(row.image_id))
                 for zoom in range(minzoom, maxzoom + 1):
                     r = tm.tile_range(zoom, row.minx, row.miny, row.maxx, row.maxy)
                     for _, tx, ty in tm.tile_range_iter(zoom, *r):
@@ -130,6 +133,7 @@ def _kernel_all_zooms_fn(minzoom: int, maxzoom: int, tile_size: int):
                         out["x"].append(tx)
                         out["y"].append(ty)
                         out["image_id"].append(row.image_id)
+                        out["img_ord"].append(img_ord)
                         out["left"].append(left)
                         out["top"].append(top)
                         out["bw"].append(bw)
@@ -169,6 +173,70 @@ def _encode_batch_fn(tile_size: int, dtype_tag: str, colormap_str: str | None):
     return fn
 
 
+def _partial_mosaic_fn(tile_size: int, np_dtype):
+    """Phase 1 of the salted mosaic: fold one salt-bucket's contributions
+    into (canvas, winner) where winner[p] = img_ord of the contributor
+    that owns pixel p (-1 = nodata). Pasting ascending by img_ord makes
+    winner[p] the MAX img_ord with data at p — an associative,
+    commutative summary, so partials merge exactly (img_ord order ==
+    image_id order for the fixed-width id scheme)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "y": [], "canvas": [], "winner": []}
+            for row in pdf.itertuples(index=False):
+                canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
+                winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
+                contribs = sorted(row.contribs, key=lambda c: int(c["img_ord"]))
+                for c in contribs:
+                    left, top = int(c["left"]), int(c["top"])
+                    bw, bh = int(c["bw"]), int(c["bh"])
+                    block = np.frombuffer(c["block"], dtype=np_dtype).reshape(bh, bw)
+                    mask = block != NODATA
+                    if not mask.any():
+                        continue
+                    canvas[top : top + bh, left : left + bw][mask] = block[mask]
+                    winner[top : top + bh, left : left + bw][mask] = int(c["img_ord"])
+                if (winner == -1).all():
+                    continue
+                out["zoom"].append(int(row.zoom))
+                out["x"].append(int(row.x))
+                out["y"].append(int(row.y))
+                out["canvas"].append(canvas.tobytes())
+                out["winner"].append(winner.tobytes())
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _merge_encode_fn(tile_size: int, dtype_tag: str, colormap_str: str | None):
+    """Phase 2: pixelwise argmax-merge of salt partials, then encode."""
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        colormap = Colormap.parse(colormap_str, NODATA) if colormap_str else None
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "y": [], "png": []}
+            for row in pdf.itertuples(index=False):
+                canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
+                winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
+                for p in row.partials:
+                    c = np.frombuffer(p["canvas"], dtype=np_dtype).reshape(tile_size, tile_size)
+                    w = np.frombuffer(p["winner"], dtype=np.int64).reshape(tile_size, tile_size)
+                    take = w > winner
+                    canvas[take] = c[take]
+                    winner[take] = w[take]
+                if (winner == -1).all():
+                    continue
+                out["zoom"].append(int(row.zoom))
+                out["x"].append(int(row.x))
+                out["y"].append(int(row.y))
+                out["png"].append(encode_tile(canvas, dtype_tag, NODATA, colormap))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 def render(
     images: DataFrame,
     minzoom: int,
@@ -176,6 +244,7 @@ def render(
     tile_size: int = 512,
     dtype_tag: str = "u8",
     colormap_str: str | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """images table → fused tile table
     (zoom int, x long, y long, tile_row long, tile_hash long, png binary)
@@ -202,15 +271,41 @@ def render(
     blocks = src.mapInPandas(_kernel_all_zooms_fn(minzoom, maxzoom, tile_size),
                              _KERNEL_SCHEMA)
 
-    grouped = blocks.groupBy("zoom", "x", "y").agg(
-        F.collect_list(
-            F.struct("image_id", "left", "top", "bw", "bh", "block")
-        ).alias("contribs")
-    )
-    tiles = grouped.mapInPandas(
-        _encode_batch_fn(tile_size, dtype_tag, colormap_str),
-        "zoom int, x long, y long, png binary",
-    )
+    if salt_buckets and salt_buckets > 1:
+        # Skew path (north-star: salted repartition by (zoom, cell)):
+        # a dense tile key — worst case z0 receiving every image — first
+        # folds into <= salt_buckets bounded partials in parallel, then a
+        # tiny second aggregate merges them. Both aggregates are the same
+        # shuffle key family (zoom, x, y [, salt]) so AQE can split
+        # residual skew further.
+        np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+        salted = blocks.withColumn(
+            "salt", F.pmod(F.col("img_ord"), F.lit(salt_buckets))
+        )
+        partials = salted.groupBy("zoom", "x", "y", "salt").agg(
+            F.collect_list(
+                F.struct("img_ord", "left", "top", "bw", "bh", "block")
+            ).alias("contribs")
+        ).mapInPandas(
+            _partial_mosaic_fn(tile_size, np_dtype),
+            "zoom int, x long, y long, canvas binary, winner binary",
+        )
+        tiles = partials.groupBy("zoom", "x", "y").agg(
+            F.collect_list(F.struct("canvas", "winner")).alias("partials")
+        ).mapInPandas(
+            _merge_encode_fn(tile_size, dtype_tag, colormap_str),
+            "zoom int, x long, y long, png binary",
+        )
+    else:
+        grouped = blocks.groupBy("zoom", "x", "y").agg(
+            F.collect_list(
+                F.struct("image_id", "left", "top", "bw", "bh", "block")
+            ).alias("contribs")
+        )
+        tiles = grouped.mapInPandas(
+            _encode_batch_fn(tile_size, dtype_tag, colormap_str),
+            "zoom int, x long, y long, png binary",
+        )
     flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
     return (
         tiles.withColumn("tile_row", flip)

@@ -395,6 +395,19 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_metadata(images)
 
 
+def q_render_pyramid_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: overview cascade — zooms below the threshold built from the
+    zoom above by 2x2 nearest decimation (not SQL-expressible; PSNR-
+    gated vs direct render in tests/test_overview_salt.py)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.overview import render_pyramid
+
+    images = spark.read.parquet(images_parquet(64, "u8"))
+    fused = render_pyramid(images, 2, 8, tile_size=128, dtype_tag="u8",
+                           overview_below=7)
+    return fused.select("zoom", "x", "tile_row", "tile_hash")
+
+
 def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship render (kernel K1 + encoders E1 — not SQL-expressible;
     golden-tested against the numpy oracle in tests/)."""
@@ -452,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": q_embedding_lsh,
         "image_meta": q_image_meta,
         "render_tiles": q_render_tiles,
+        "render_pyramid_overview": q_render_pyramid_overview,
     }
 
 

@@ -60,6 +60,20 @@ def main() -> None:
     extras["tiles"] = n_tiles
     extras["tiles_per_sec"] = round(n_tiles / dt, 1)
 
+    # production configuration: overview cascade below z8 (the 100 TB
+    # shape — no low-zoom skew; ≙ the reference's default overview mode)
+    from rastertiler_rs_spark.operators.overview import render_pyramid
+
+    t0 = time.time()
+    fused_p = render_pyramid(spark.read.parquet(img_path), 0, RENDER_MAXZOOM,
+                             tile_size=RENDER_TILESIZE, dtype_tag="u8",
+                             overview_below=8)
+    n_tiles_p = _force(fused_p.select("zoom", "x", "tile_row", "tile_hash"))
+    dt_p = time.time() - t0
+    timings["render_pyramid_overviews"] = round(dt_p, 3)
+    extras["tiles_production"] = n_tiles_p
+    extras["tiles_per_sec_production"] = round(n_tiles_p / dt_p, 1)
+
     qs = entrymod.queries()
     for name in ["bbox_join", "knn", "dedup_exact", "window_agg", "histogram",
                  "minhash_lsh", "ngram_jaccard", "embedding_topk_int",

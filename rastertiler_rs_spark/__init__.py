@@ -6,10 +6,13 @@ Architecture (Spark-first, NOT a port):
 
 - tile / affine / window math is a pure-numpy + Spark-column-expression
   library (``tilemath``, ``functions.columns``) — values, not classes;
-- the render pipeline is declarative DataFrame ops: tile-manifest
-  generation by per-image tile-range explode (map-side, zero-shuffle),
-  ONE shuffle to co-locate per-tile contributions, then a vectorized
-  ``applyInPandas`` mosaic + PNG-encode kernel;
+- the render pipeline is declarative DataFrame ops with exactly one
+  shuffle per zoom band: high zooms explode images to covering quadkey
+  cells and stream sorted cell groups through a vectorized mapInPandas
+  decode→window-read→mosaic→encode kernel (the shuffle ships compressed
+  source bytes, not pixels); low zooms shuffle per-(image,tile)
+  resampled blocks to a groupBy mosaic (optionally salted), or are
+  built by the 2x2 overview cascade (``operators.overview``);
 - PNG encode/decode is pure numpy + zlib (``png`` package);
 - sinks are parquet tables ``tiles(zoom,x,y,tile_hash)`` +
   ``blobs(tile_hash,png)`` (MBTiles map/images shape,

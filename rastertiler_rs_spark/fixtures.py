@@ -147,7 +147,10 @@ def images_parquet(n: int, dtype_tag: str = "u8", cache_dir: str = "/root/repo/.
     import pyarrow.parquet as pq
 
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"images_{dtype_tag}_{n}.parquet")
+    path = os.path.join(cache_dir, f"images_{dtype_tag}_{n}_rg256.parquet")
     if not os.path.exists(path):
-        pq.write_table(generate_images(n, dtype_tag), path)
+        # small row groups so Spark's scan splits the file across tasks
+        # (a 10^12-row table arrives as many files/row-groups naturally;
+        # a single-row-group fixture would serialize every source scan)
+        pq.write_table(generate_images(n, dtype_tag), path, row_group_size=256)
     return path

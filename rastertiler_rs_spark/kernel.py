@@ -123,9 +123,18 @@ def mosaic(contributions, tile_size: int, nodata, dtype) -> np.ndarray | None:
     nodata backfill). Returns None when the result is all nodata
     (tile dropped, /root/reference/src/dataset.rs:180-182).
     """
+    contributions = sorted(contributions, key=lambda c: c[0])
+    if len(contributions) == 1:
+        _img_id, left, top, width, height, block = contributions[0]
+        if left == 0 and top == 0 and width == tile_size and height == tile_size:
+            # single full-coverage contribution: the block IS the canvas
+            # (read_tile_block already dropped all-nodata blocks) — skip
+            # the fill+mask+copy pass, which dominates memory traffic on
+            # dense pyramids
+            return np.ascontiguousarray(block, dtype=dtype)
     canvas = np.full((tile_size, tile_size), nodata, dtype=dtype)
     any_data = False
-    for _img_id, left, top, width, height, block in sorted(contributions, key=lambda c: c[0]):
+    for _img_id, left, top, width, height, block in contributions:
         region = canvas[top : top + height, left : left + width]
         mask = block != nodata
         if mask.any():

@@ -110,7 +110,11 @@ def build_overview_level(
         (F.col("y").bitwiseAND(1)).cast("int").alias("qy"),
         "png",
     )
-    grouped = children.groupBy("zoom", "x", "y").agg(
+    # explicit repartition: AQE bytes-based coalescing would serialize
+    # this decode+encode-heavy stage (shuffle bytes are tiny PNGs)
+    n_parts = max(fused_level.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    grouped = children.repartition(n_parts, "zoom", "x", "y").groupBy(
+        "zoom", "x", "y").agg(
         F.collect_list(F.struct("qx", "qy", "png")).alias("children")
     )
     parents = grouped.mapInPandas(
@@ -120,6 +124,135 @@ def build_overview_level(
     flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
     return (
         parents.withColumn("tile_row", flip)
+        .withColumn("tile_hash", F.xxhash64("png"))
+        .select("zoom", "x", "y", "tile_row", "tile_hash", "png")
+    )
+
+
+def _subtree_cascade_fn(z_from: int, z_to: int, tile_size: int,
+                        dtype_tag: str, colormap_str: str | None,
+                        nodata: int, flush_rows: int = 1024):
+    """Sorted-stream mapInPandas over groups keyed by the zoom-``z_to``
+    ancestor: each group holds one subtree's zoom-``z_from`` tiles
+    (<= 4^(z_from-z_to) of them) and cascades ALL levels z_from-1..z_to
+    in-process, decoding each child PNG once and carrying raw canvases
+    between levels. One Python stage per (z_from - z_to) zoom levels —
+    the per-stage scheduling/Arrow floor (~0.7 s at local[32]) made a
+    stage-per-level cascade slower at 32 cores than at 8.
+    """
+    half = tile_size // 2
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+    span = z_from - z_to
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        colormap = Colormap.parse(colormap_str, nodata) if colormap_str else None
+        out = {"zoom": [], "x": [], "y": [], "png": []}
+        pending: pd.DataFrame | None = None
+
+        def do_group(g: pd.DataFrame) -> None:
+            canvases = {
+                (int(x), int(y)): decode_canvas(bytes(p), dtype_tag, colormap, nodata)
+                for x, y, p in zip(g["x"], g["y"], g["png"])
+            }
+            z = z_from
+            while z > z_to:
+                parents: dict[tuple[int, int], np.ndarray] = {}
+                for (x, y), child in canvases.items():
+                    pk = (x >> 1, y >> 1)
+                    canvas = parents.get(pk)
+                    if canvas is None:
+                        canvas = np.full((tile_size, tile_size), nodata, dtype=np_dtype)
+                        parents[pk] = canvas
+                    qy, qx = y & 1, x & 1
+                    canvas[qy * half : (qy + 1) * half,
+                           qx * half : (qx + 1) * half] = child[1::2, 1::2]
+                z -= 1
+                canvases = {}
+                for (px, py), canvas in parents.items():
+                    if (canvas == nodata).all():
+                        continue
+                    canvases[(px, py)] = canvas
+                    out["zoom"].append(z)
+                    out["x"].append(px)
+                    out["y"].append(py)
+                    out["png"].append(encode_tile(canvas, dtype_tag, nodata, colormap))
+
+        def flush():
+            df = pd.DataFrame(out)
+            for k in out:
+                out[k] = []
+            return df
+
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            key = (pdf["x"].to_numpy() >> span) * (1 << 32) + (pdf["y"].to_numpy() >> span)
+            cuts = np.flatnonzero(key[1:] != key[:-1]) + 1
+            starts = np.concatenate(([0], cuts))
+            for s, e in zip(starts[:-1], starts[1:]):
+                do_group(pdf.iloc[s:e])
+                if len(out["zoom"]) >= flush_rows:
+                    yield flush()
+            pending = pdf.iloc[starts[-1]:].copy()
+        if pending is not None and len(pending):
+            do_group(pending)
+        if out["zoom"]:
+            yield flush()
+
+    return fn
+
+
+def cascade_down(
+    fused_top: DataFrame,
+    minzoom: int,
+    tile_size: int,
+    dtype_tag: str = "u8",
+    colormap_str: str | None = None,
+    span: int = 4,
+    top_zoom: int | None = None,
+) -> DataFrame:
+    """Cascade a single-zoom fused tile level down to ``minzoom``,
+    ``span`` zoom levels per Python stage (subtree groups of <= 4^span
+    children bound task memory at ~4^span * tile_size^2 bytes). Returns
+    the union of all levels BELOW the input level. Each stage's output
+    is persisted: it feeds both the result union and the next stage.
+    """
+    spark = fused_top.sparkSession
+    if top_zoom is None:
+        top_zoom = fused_top.select(F.max("zoom")).collect()[0][0]
+    if top_zoom is None or top_zoom <= minzoom:
+        return fused_top.filter(F.lit(False))  # empty, same schema
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    outputs = []
+    prev = fused_top
+    z = top_zoom
+    while z > minzoom:
+        z_to = max(z - span, minzoom)
+        s = z - z_to
+        keyed = prev.select(
+            "zoom", "x", "y", "png",
+            F.shiftright("x", s).alias("kx"), F.shiftright("y", s).alias("ky"),
+        )
+        stage = (
+            keyed.repartition(n_parts, "kx", "ky")
+            .sortWithinPartitions("kx", "ky")
+            .mapInPandas(
+                _subtree_cascade_fn(z, z_to, tile_size, dtype_tag,
+                                    colormap_str, NODATA),
+                "zoom int, x long, y long, png binary",
+            )
+            .persist()
+        )
+        outputs.append(stage)
+        prev = stage.filter(F.col("zoom") == z_to)
+        z = z_to
+    out = outputs[0]
+    for lv in outputs[1:]:
+        out = out.unionByName(lv)
+    flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
+    return (
+        out.withColumn("tile_row", flip)
         .withColumn("tile_hash", F.xxhash64("png"))
         .select("zoom", "x", "y", "tile_row", "tile_hash", "png")
     )
@@ -151,15 +284,19 @@ def render_pyramid(
         return render(images, minzoom, maxzoom, tile_size, dtype_tag,
                       colormap_str, salt_buckets=salt_buckets)
     base = max(overview_below, minzoom)
-    direct = render(images, base, maxzoom, tile_size, dtype_tag,
-                    colormap_str, salt_buckets=salt_buckets)
-    levels = [direct]
-    prev = direct.filter(F.col("zoom") == base).persist()
-    for _z in range(base - 1, minzoom - 1, -1):
-        prev = build_overview_level(prev, tile_size, dtype_tag,
-                                    colormap_str, NODATA).persist()
-        levels.append(prev)
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
+    # The base level renders as its OWN small job and only IT is
+    # persisted (~tile count at z=base, tiny): the cascade and the union
+    # both consume it, and persisting the full direct render instead
+    # would materialize every high-zoom PNG (measured +25s on 1.1M tiles
+    # — disk-bound, doesn't scale). The extra source pass for the base
+    # level costs one decode sweep, which is parallel python work.
+    base_level = render(images, base, base, tile_size, dtype_tag,
+                        colormap_str, salt_buckets=salt_buckets).persist()
+    low = cascade_down(base_level, minzoom, tile_size, dtype_tag,
+                       colormap_str, top_zoom=base)
+    out = base_level.unionByName(low)
+    if maxzoom > base:
+        direct = render(images, base + 1, maxzoom, tile_size, dtype_tag,
+                        colormap_str, salt_buckets=salt_buckets)
+        out = direct.unionByName(out)
     return out

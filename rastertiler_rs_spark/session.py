@@ -30,6 +30,10 @@ def get_spark(app: str = "rastertiler_rs_spark", cpus: int | None = None,
         # tile rows carry pixel blocks (up to ~tilesize^2 bytes each):
         # keep Arrow batches memory-bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # image tables are binary-heavy with expensive per-row UDF work:
+        # split scans much finer than the 128m default so the decode +
+        # footprint stage parallelizes even over few large files
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         # wrapping 64-bit hash arithmetic must not throw (Spark 4 ANSI default)
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

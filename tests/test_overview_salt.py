@@ -116,6 +116,26 @@ def test_overview_level_psnr_vs_direct(spark):
     assert np.mean(psnrs) >= 40.0, f"mean PSNR {np.mean(psnrs):.1f} < 40 dB"
 
 
+def test_cascade_down_equals_level_by_level(spark):
+    """The staged multi-level cascade (span>1, one python stage per
+    span zooms) must be byte-identical to chaining build_overview_level
+    one zoom at a time."""
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.overview import cascade_down
+
+    imgs = _spark_images(spark, 32)
+    ts = 64
+    base = render(imgs, 7, 7, ts, "u8")
+    got = _fused_map(cascade_down(base, 1, ts, "u8", span=3, top_zoom=7))
+    want = {}
+    prev = base
+    for _z in range(6, 0, -1):
+        prev = build_overview_level(prev, ts, "u8")
+        want.update(_fused_map(prev))
+    assert got == want
+
+
 def test_render_pyramid_cascade_structure(spark):
     """Pyramid with overviews below z6: direct zooms byte-match the
     direct render; cascaded zooms exist for every direct-parent chain."""

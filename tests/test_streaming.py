@@ -1,0 +1,51 @@
+"""Structured Streaming incremental render: two file drops → the final
+tile table equals a batch render over the union of all images, and the
+lineage manifest records every committed batch."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from rastertiler_rs_spark.fixtures import generate_images
+from rastertiler_rs_spark.operators.render import render
+from rastertiler_rs_spark.streaming.ingest import stream_render
+
+
+def _fused_map(df):
+    return {(r["zoom"], r["x"], r["tile_row"]): (r["tile_hash"], bytes(r["png"]))
+            for r in df.collect()}
+
+
+def test_stream_render_incremental(spark, tmp_path):
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+
+    all_imgs = generate_images(24, "u8")
+    pq.write_table(all_imgs.slice(0, 12), str(inp / "part0.parquet"))
+
+    q = stream_render(spark, str(inp), str(out), 3, 7, tile_size=64,
+                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    # second drop: 12 more images arrive; restart the availableNow stream
+    pq.write_table(all_imgs.slice(12, 12), str(inp / "part1.parquet"))
+    q = stream_render(spark, str(inp), str(out), 3, 7, tile_size=64,
+                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = _fused_map(spark.read.parquet(str(out / "tiles")))
+
+    # batches arrived in image_id order, so the incremental mosaic-over
+    # upsert must be BYTE-IDENTICAL to one batch render over the union
+    images_df = spark.createDataFrame(all_imgs.to_pandas())
+    want = _fused_map(render(images_df, 3, 7, tile_size=64))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], f"streamed tile differs from batch at {k}"
+
+    manifests = sorted(os.listdir(out / "manifest"))
+    assert len(manifests) == 2
+    rows = [json.load(open(out / "manifest" / m)) for m in manifests]
+    assert rows[-1]["rows"] == len(got)

@@ -127,69 +127,64 @@ def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mercator_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2: tile → EPSG:3857 box as column exprs (rounded 1e-6)."""
+    from rastertiler_rs_spark.functions.columns import tile_mercator_bounds_cols
+
     t = _nation_tiles(spark, sf_dir)
-    z = F.expr("cast(shiftleft(1L, zoom) as double)")
-    ts = F.lit(CE) / z
-    xmin = F.col("x") * ts - F.lit(ORIGIN)
-    ymax = F.lit(ORIGIN) - F.col("y") * ts
+    xmin, ymin, xmax, ymax = tile_mercator_bounds_cols("zoom", "x", "y")
     return t.select(
         "n_nationkey",
         _rnd(xmin, 1e6).alias("xmin"),
-        _rnd(ymax - ts, 1e6).alias("ymin"),
-        _rnd(xmin + ts, 1e6).alias("xmax"),
+        _rnd(ymin, 1e6).alias("ymin"),
+        _rnd(xmax, 1e6).alias("xmax"),
         _rnd(ymax, 1e6).alias("ymax"),
     )
 
 
 def q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: tile → lon/lat box (sinh via explicit exp formula, rounded 1e-6)."""
+    from rastertiler_rs_spark.functions.columns import tile_geo_bounds_cols
+
     t = _nation_tiles(spark, sf_dir)
-    z = F.expr("cast(shiftleft(1L, zoom) as double)")
-    rad2deg = F.lit(180.0 / math.pi)
-
-    def lat_of(yy):
-        a = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * (yy / z))
-        return F.atan((F.exp(a) - F.exp(-a)) / F.lit(2.0)) * rad2deg
-
+    xmin, ymin, xmax, ymax = tile_geo_bounds_cols("zoom", "x", "y")
     return t.select(
         "n_nationkey",
-        _rnd(F.col("x") / z * 360.0 - 180.0, 1e6).alias("xmin"),
-        _rnd(lat_of(F.col("y") + 1.0), 1e6).alias("ymin"),
-        _rnd((F.col("x") + 1.0) / z * 360.0 - 180.0, 1e6).alias("xmax"),
-        _rnd(lat_of(F.col("y").cast("double")), 1e6).alias("ymax"),
+        _rnd(xmin, 1e6).alias("xmin"),
+        _rnd(ymin, 1e6).alias("ymin"),
+        _rnd(xmax, 1e6).alias("xmax"),
+        _rnd(ymax, 1e6).alias("ymax"),
     )
 
 
 def q_geo_to_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: clamped spherical-mercator forward transform (rounded 1e-3)."""
+    from rastertiler_rs_spark.functions.columns import geo_to_mercator_cols
+
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
     lon = (F.col("c_custkey") % 3600) / F.lit(10.0) - F.lit(180.0) + F.lit(0.05)
     lat = (F.col("c_custkey") % 1700) / F.lit(10.0) - F.lit(85.0) + F.lit(0.05)
-    lon_c = F.greatest(F.lit(-180.0), F.least(F.lit(180.0), lon))
-    lat_c = F.greatest(F.lit(-85.051129), F.least(F.lit(85.051129), lat))
-    x = lon_c * F.lit(ORIGIN / 180.0)
-    y = F.lit(6378137.0) * F.log(F.tan(F.lit(math.pi * 0.25) + F.lit(0.5 * math.pi / 180.0) * lat_c))
+    x, y = geo_to_mercator_cols(lon, lat)
     return c.select("c_custkey", _rnd(x, 1e3).alias("mx"), _rnd(y, 1e3).alias("my"))
 
 
 def q_tms_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9: TMS y-flip y' = 2^z - 1 - y (integer exact)."""
+    from rastertiler_rs_spark.functions.columns import tms_flip_col
+
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     return o.select(
         "o_orderkey",
         (F.col("o_orderkey") % 15).cast("int").alias("zoom"),
         F.expr("o_orderkey % shiftleft(1L, cast(o_orderkey % 15 as int))").alias("y"),
-        F.expr(
-            "shiftleft(1L, cast(o_orderkey % 15 as int)) - 1 - "
-            "(o_orderkey % shiftleft(1L, cast(o_orderkey % 15 as int)))"
-        ).alias("tile_row"),
-    )
+    ).withColumn("tile_row", tms_flip_col("zoom", "y"))
 
 
 def q_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 component: quadkey cell pack (z<<58|x<<29|y) + parent cell."""
+    from rastertiler_rs_spark.functions.columns import cell_id_col, cell_parent_cols
+
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
     zoom = (F.col("l_linenumber") % 15).cast("int")
+    px, py = cell_parent_cols("x", "y", 2)
     return (
         li.select(
             "l_orderkey", "l_linenumber",
@@ -197,9 +192,9 @@ def q_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("l_orderkey % shiftleft(1L, cast(l_linenumber % 15 as int))").alias("x"),
             F.expr("l_partkey % shiftleft(1L, cast(l_linenumber % 15 as int))").alias("y"),
         )
-        .withColumn("cell_id", F.expr("shiftleft(cast(zoom as bigint), 58) | shiftleft(x, 29) | y"))
-        .withColumn("parent_x", F.expr("shiftright(x, 2)"))
-        .withColumn("parent_y", F.expr("shiftright(y, 2)"))
+        .withColumn("cell_id", cell_id_col("zoom", "x", "y"))
+        .withColumn("parent_x", px)
+        .withColumn("parent_y", py)
     )
 
 

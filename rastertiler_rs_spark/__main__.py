@@ -1,0 +1,147 @@
+"""CLI with the reference's surface: ``render`` and ``merge``.
+
+Mirrors `rastertiler-rs` (/root/reference/src/main.rs:20-94) so a user
+of the reference can run the same two commands here — the raster input
+is the engine's images parquet table instead of a GeoTIFF, the sink is
+the same MBTiles layout (/root/reference/src/mbtiles.rs:13-30), and the
+flags map one-to-one:
+
+  python -m rastertiler_rs_spark render IN.parquet OUT.mbtiles \
+      --minzoom 0 --maxzoom 4 --tilesize 512 --workers 4 \
+      [--colormap "v:#rrggbb,..."] [--name N] [--description D] \
+      [--attribution A] [--disable-overviews]
+
+  python -m rastertiler_rs_spark merge LEFT.mbtiles RIGHT.mbtiles OUT.mbtiles
+
+``--workers`` sets local[] parallelism here (the reference's worker
+threads, /root/reference/src/main.rs:73-75); on a cluster, submit with
+spark-submit and the flag is ignored. ``--disable-overviews`` forces
+the exact all-direct render (/root/reference/src/main.rs:82-85); the
+default uses the overview cascade below z8 for low zooms, matching the
+reference's default overview acceleration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sqlite3
+import sys
+
+
+def _zoom(v: str) -> int:
+    z = int(v)
+    if not 0 <= z <= 24:  # /root/reference/src/main.rs:146-154
+        raise argparse.ArgumentTypeError("zoom must be no greater than 24")
+    return z
+
+
+def cmd_render(args) -> None:
+    from .operators.mbtiles_sink import materialize_mbtiles
+    from .operators.overview import render_pyramid
+    from .operators.render import metadata_table, render
+    from .session import get_spark
+
+    if args.minzoom > args.maxzoom:
+        sys.exit("ERROR: minzoom must be less than or equal to maxzoom")
+    if not os.path.exists(args.src):
+        sys.exit(f"ERROR: input does not exist: {args.src}")
+
+    spark = get_spark("rastertiler-render", cpus=args.workers)
+    spark.sparkContext.setLogLevel("ERROR")
+    images = spark.read.parquet(args.src)
+    tag = images.select("fmt").first()["fmt"].split(";")[1]
+    if args.colormap and tag != "u8":
+        sys.exit("ERROR: colormap can only be provided for uint8 data")
+
+    if args.disable_overviews:
+        fused = render(images, args.minzoom, args.maxzoom, args.tilesize,
+                       tag, args.colormap)
+    else:
+        fused = render_pyramid(images, args.minzoom, args.maxzoom,
+                               args.tilesize, tag, args.colormap,
+                               overview_below=8)
+    name = args.name or os.path.splitext(os.path.basename(args.src))[0]
+    meta = metadata_table(spark, images, args.minzoom, args.maxzoom, name)
+    if args.description or args.attribution:
+        extra = [("description", args.description or ""),
+                 ("attribution", args.attribution or "")]
+        extra = [(k, v) for k, v in extra if v]
+        meta = meta.unionByName(spark.createDataFrame(extra, meta.schema))
+    materialize_mbtiles(fused, meta, args.out)
+    print(f"wrote {args.out}")
+
+
+def _read_mbtiles(path: str):
+    conn = sqlite3.connect(path)
+    tiles = conn.execute(
+        "SELECT zoom_level, tile_column, tile_row, tile_id FROM map").fetchall()
+    blobs = dict(conn.execute("SELECT tile_id, tile_data FROM images").fetchall())
+    meta = conn.execute("SELECT name, value FROM metadata").fetchall()
+    conn.close()
+    return tiles, blobs, meta
+
+
+def cmd_merge(args) -> None:
+    from .operators.merge import merge_metadata, merge_tables
+    from .oracle import write_mbtiles
+    from .session import get_spark
+
+    for p in (args.left, args.right):
+        if not os.path.exists(p):
+            sys.exit(f"ERROR: input does not exist: {p}")
+    spark = get_spark("rastertiler-merge", cpus=args.workers)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    map_schema = "zoom_level int, tile_column long, tile_row long, tile_id long"
+    img_schema = "tile_id long, tile_data binary"
+    lt, lb, lm = _read_mbtiles(args.left)
+    rt, rb, rm = _read_mbtiles(args.right)
+    lmap = spark.createDataFrame(lt, map_schema)
+    rmap = spark.createDataFrame(rt, map_schema)
+    limg = spark.createDataFrame(list(lb.items()), img_schema)
+    rimg = spark.createDataFrame(list(rb.items()), img_schema)
+    meta_schema = "name string, value string"
+    merged_map, merged_img = merge_tables(lmap, limg, rmap, rimg)
+    merged_meta = merge_metadata(spark.createDataFrame(lm, meta_schema),
+                                 spark.createDataFrame(rm, meta_schema))
+
+    tiles = [(r["zoom_level"], r["tile_column"], r["tile_row"], r["tile_id"])
+             for r in merged_map.collect()]
+    blobs = {r["tile_id"]: bytes(r["tile_data"]) for r in merged_img.collect()}
+    meta = [(r["name"], r["value"]) for r in merged_meta.collect()]
+    write_mbtiles(args.out, sorted(tiles), blobs, meta)
+    print(f"wrote {args.out}")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="rastertiler_rs_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render images table to an MBTiles pyramid")
+    r.add_argument("src")
+    r.add_argument("out")
+    r.add_argument("--minzoom", type=_zoom, default=0)
+    r.add_argument("--maxzoom", type=_zoom, default=4)
+    r.add_argument("--tilesize", type=int, default=512)
+    r.add_argument("--workers", type=int, default=4)
+    r.add_argument("--colormap", default=None)
+    r.add_argument("--name", default=None)
+    r.add_argument("--description", default=None)
+    r.add_argument("--attribution", default=None)
+    r.add_argument("--disable-overviews", action="store_true")
+    r.set_defaults(fn=cmd_render)
+
+    m = sub.add_parser("merge", help="merge two MBTiles files")
+    m.add_argument("left")
+    m.add_argument("right")
+    m.add_argument("out")
+    m.add_argument("--workers", type=int, default=4)
+    m.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -380,6 +380,16 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "vec_id", "rank")
 
 
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rastertiler_rs_spark.operators.embedding import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    return ivf_topk(emb.select("vec_id", "embedding"), queries, k=5).select(
+        "qid", "vec_id", "rank")
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: decode opaque binary image column, check
     declared vs actual dims (synthesized input-table shape)."""
@@ -458,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_cosine": q_embedding_cosine,
         "embedding_lsh": q_embedding_lsh,
+        "embedding_ivf": q_embedding_ivf,
         "image_meta": q_image_meta,
         "render_tiles": q_render_tiles,
         "render_pyramid_overview": q_render_pyramid_overview,

@@ -66,6 +66,46 @@ def hyperplane_bucket(emb_col, n_planes: int = 8, dim: int = 64, seed: int = 42)
     return bucket
 
 
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
+             n_lists: int = 16, nprobe: int = 2) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer of ``n_lists`` centroids
+    partitions vectors into inverted lists; each query probes its
+    ``nprobe`` nearest lists and ranks exactly (cosine) within them.
+    The 100 TB path: the N x Q scan becomes a list-id equi-join where
+    each query touches ~nprobe/n_lists of the data; centroids are a
+    broadcast-sized side. Centroids here are the first ``n_lists``
+    vectors by vec_id (deterministic; production swaps in k-means
+    without touching the dataflow).
+    """
+    cents = (vectors.orderBy("vec_id").limit(n_lists)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cemb")))
+    ce = F.col("cemb").cast("array<double>")
+
+    def assign(df, emb_name, keep, n_best):
+        e = F.col(emb_name).cast("array<double>")
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            *keep, "cent_id",
+            (_dot(e, ce) / F.sqrt(_norm2(e) * _norm2(ce))).alias("_cs"),
+        )
+        w = Window.partitionBy(*keep).orderBy(F.col("_cs").desc(), "cent_id")
+        return (scored.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= n_best)
+                .select(*keep, F.col("cent_id").alias("list_id")))
+
+    v_lists = assign(vectors, "embedding", ["vec_id"], 1).join(vectors, "vec_id")
+    q_probes = assign(queries, "qemb", ["qid"], nprobe).join(queries, "qid")
+
+    ve = F.col("embedding").cast("array<double>")
+    qe = F.col("qemb").cast("array<double>")
+    scored = v_lists.join(q_probes, "list_id").select(
+        "qid", "vec_id",
+        (_dot(ve, qe) / F.sqrt(_norm2(ve) * _norm2(qe))).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, n_planes: int = 6,
              dim: int = 64) -> DataFrame:
     """ANN top-k: cosine ranking within the query's hyperplane bucket.

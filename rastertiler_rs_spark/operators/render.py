@@ -63,7 +63,13 @@ _FOOTPRINT_SCHEMA = "minx double, miny double, maxx double, maxy double"
 def with_footprints(images: DataFrame) -> DataFrame:
     """Attach the engine footprint rule (fixtures.py) as columns via an
     Arrow-vectorized pandas UDF (wrapping uint64 hash arithmetic stays in
-    numpy — Spark 4 ANSI mode would throw on JVM-side overflow)."""
+    numpy — Spark 4 ANSI mode would throw on JVM-side overflow).
+
+    Tables that already carry georeferencing (minx/miny/maxx/maxy in
+    EPSG:3857) pass through untouched — the derivation rule is only the
+    default for the bare input_hint schema."""
+    if {"minx", "miny", "maxx", "maxy"} <= set(images.columns):
+        return images
 
     @F.pandas_udf(_FOOTPRINT_SCHEMA)
     def fp(image_id: pd.Series) -> pd.DataFrame:
@@ -357,6 +363,7 @@ def render(
     colormap_str: str | None = None,
     salt_buckets: int | None = None,
     partition_zoom: int | None | str = "auto",
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """images table → fused tile table
     (zoom int, x long, y long, tile_row long, tile_hash long, png binary)
@@ -441,6 +448,7 @@ def render(
     blocks = src.repartition(n_parts, "image_id").mapInPandas(
         _kernel_all_zooms_fn(minzoom, maxzoom, tile_size), _KERNEL_SCHEMA)
 
+    cold_tiles = None
     if salt_buckets and salt_buckets > 1:
         # Skew path (north-star: salted repartition by (zoom, cell)):
         # a dense tile key — worst case z0 receiving every image — first
@@ -448,7 +456,29 @@ def render(
         # tiny second aggregate merges them. Both aggregates are the same
         # shuffle key family (zoom, x, y [, salt]) so AQE can split
         # residual skew further.
+        #
+        # With salt_threshold set, salting is ROUTED: blocks are cached,
+        # per-key contribution counts identify hot tiles, and only those
+        # take the two-phase path (winner-array partials cost ~9x the
+        # canvas bytes — pure overhead on the long tail of 1-2
+        # contribution tiles). Cold keys run the plain mosaic.
         np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+        if salt_threshold is not None:
+            blocks = blocks.persist()
+            hot = (blocks.groupBy("zoom", "x", "y").count()
+                   .filter(F.col("count") >= salt_threshold)
+                   .select("zoom", "x", "y"))
+            cold = blocks.join(F.broadcast(hot), ["zoom", "x", "y"], "left_anti")
+            cold_tiles = cold.repartition(n_parts, "zoom", "x", "y").groupBy(
+                "zoom", "x", "y").agg(
+                F.collect_list(
+                    F.struct("image_id", "left", "top", "bw", "bh", "block")
+                ).alias("contribs")
+            ).mapInPandas(
+                _encode_batch_fn(tile_size, dtype_tag, colormap_str),
+                "zoom int, x long, y long, png binary",
+            )
+            blocks = blocks.join(F.broadcast(hot), ["zoom", "x", "y"], "left_semi")
         salted = blocks.withColumn(
             "salt", F.pmod(F.col("img_ord"), F.lit(salt_buckets))
         )
@@ -479,6 +509,8 @@ def render(
             _encode_batch_fn(tile_size, dtype_tag, colormap_str),
             "zoom int, x long, y long, png binary",
         )
+    if cold_tiles is not None:
+        tiles = tiles.unionByName(cold_tiles)
     if cell_tiles is not None:
         tiles = tiles.unionByName(cell_tiles)
     return _finish(tiles)

@@ -1,0 +1,50 @@
+"""ANN paths vs the exact brute-force baseline: IVF and LSH recall on
+the driver-provided embeddings table (deterministic, seed=42)."""
+
+from pyspark.sql import functions as F
+
+from rastertiler_rs_spark.operators.embedding import (cosine_topk, ivf_topk,
+                                                      lsh_topk)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["qid"], set()).add(r["vec_id"])
+    return out
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vectors = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    exact = _sets(cosine_topk(vectors, queries, k=5))
+    approx = _sets(ivf_topk(vectors, queries, k=5, n_lists=8, nprobe=3))
+    hits = total = 0
+    for qid, want in exact.items():
+        got = approx.get(qid, set())
+        assert len(got) == 5  # probed lists always hold >= k candidates here
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    # every query's own vector sits in its top list, so recall is well
+    # above random; exact floor pinned empirically on the seeded fixture
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_lsh_topk_subset_of_bucket_and_self_hit(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vectors = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    got = lsh_topk(vectors, queries, k=5)
+    rows = got.collect()
+    # a query's own vector shares its bucket and has cosine 1.0 → rank 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], {})[r["rank"]] = r["vec_id"]
+    for qid, ranks in by_q.items():
+        assert ranks[1] == qid

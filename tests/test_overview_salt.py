@@ -27,15 +27,17 @@ def _fused_map(df):
     return out
 
 
-@pytest.mark.parametrize("tag,minz,maxz,ts,cmap", [
-    ("u8", 0, 7, 64, None),
-    ("u8", 4, 6, 64, "1:#686868,2:#38A800,3:#859B6C,4:#3B7D46,5:#FF00FF"),
-    ("u32", 5, 7, 64, None),
+@pytest.mark.parametrize("tag,minz,maxz,ts,cmap,thresh", [
+    ("u8", 0, 7, 64, None, None),
+    ("u8", 0, 7, 64, None, 3),   # routed: only dense keys take two-phase
+    ("u8", 4, 6, 64, "1:#686868,2:#38A800,3:#859B6C,4:#3B7D46,5:#FF00FF", None),
+    ("u32", 5, 7, 64, None, 2),
 ])
-def test_salted_equals_single_phase(spark, tag, minz, maxz, ts, cmap):
+def test_salted_equals_single_phase(spark, tag, minz, maxz, ts, cmap, thresh):
     imgs = _spark_images(spark, 40, tag)
     single = _fused_map(render(imgs, minz, maxz, ts, tag, cmap))
-    salted = _fused_map(render(imgs, minz, maxz, ts, tag, cmap, salt_buckets=7))
+    salted = _fused_map(render(imgs, minz, maxz, ts, tag, cmap, salt_buckets=7,
+                               salt_threshold=thresh))
     assert single == salted
 
 

@@ -83,3 +83,35 @@ def test_render_validation_errors(spark):
         render(imgs, 5, 2, 64)
     with pytest.raises(ValueError, match="24"):
         render(imgs, 0, 25, 64)
+
+
+def test_tile_assignment_preserves_captions(spark):
+    """North-star per-row invariant: the tile<->image assignment carries
+    caption data through unchanged (caption equality per joined row vs
+    the generator rule + the oracle's tile enumeration)."""
+    from rastertiler_rs_spark import tilemath as tm
+    from rastertiler_rs_spark.fixtures import (caption_for_index,
+                                               footprint_from_index,
+                                               image_index)
+    from rastertiler_rs_spark.operators.render import (tile_manifest,
+                                                       with_footprints)
+
+    n, minz, maxz = 32, 4, 8
+    manifest = tile_manifest(
+        with_footprints(_spark_images(spark, n)).select(
+            "image_id", "caption", "minx", "miny", "maxx", "maxy"),
+        minz, maxz,
+    ).select("zoom", "tx", "ty", "image_id", "caption").collect()
+
+    got = {(r["zoom"], r["tx"], r["ty"], r["image_id"]): r["caption"]
+           for r in manifest}
+    assert len(got) == len(manifest)
+
+    want = {}
+    for i in range(n):
+        fp = [float(v) for v in footprint_from_index(image_index(f"img{i:08d}"))]
+        cap = caption_for_index(i)
+        for z in range(minz, maxz + 1):
+            for _, tx, ty in tm.tile_range_iter(z, *tm.tile_range(z, *fp)):
+                want[(z, tx, ty, f"img{i:08d}")] = cap
+    assert got == want

@@ -303,6 +303,30 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(points, polys)
 
 
+def q_point_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→tile assignment for points: lon/lat → mercator → owning
+    z10 tile (x, y, TMS row, packed cell id) — the point half of the
+    raster↔vector assignment (tile_cover is the box half)."""
+    from rastertiler_rs_spark.functions.columns import (cell_id_col,
+                                                        geo_to_mercator_cols,
+                                                        tms_flip_col)
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 800)
+    lon = (F.col("c_custkey") % 3600) / F.lit(10.0) - F.lit(180.0) + F.lit(0.05)
+    lat = (F.col("c_custkey") % 1700) / F.lit(10.0) - F.lit(85.0) + F.lit(0.05)
+    mx, my = geo_to_mercator_cols(lon, lat)
+    n = F.lit(1024.0)
+    clampi = lambda col: F.greatest(F.lit(0).cast("long"), F.least(F.lit(1023).cast("long"), col.cast("long")))  # noqa: E731
+    out = c.select(
+        "c_custkey",
+        F.lit(10).alias("zoom"),
+        clampi(F.floor((mx + F.lit(ORIGIN)) / F.lit(CE) * n)).alias("x"),
+        clampi(F.floor((F.lit(ORIGIN) - my) / F.lit(CE) * n)).alias("y"),
+    )
+    return out.withColumn("tile_row", tms_flip_col("zoom", "y")).withColumn(
+        "cell_id", cell_id_col("zoom", "x", "y"))
+
+
 def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rastertiler_rs_spark.operators.text import token_counts
 
@@ -390,6 +414,42 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "vec_id", "rank")
 
 
+def q_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidates by perceptual hash: band the int64
+    phash into 4x16-bit keys, bucket self-join, verify hamming <= 16 via
+    bit_count(a XOR b) — simhash-style banding over the input table's
+    own phash column (rows-only: images fixture isn't an oracle view)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+
+    base = spark.read.parquet(images_parquet(64, "u8")).select("image_id", "phash")
+    # plant near-duplicates: every 3rd image gets a re-encode variant
+    # whose phash differs in 3 bits (hamming 3) — the operator must
+    # recover exactly these pairs from the banding buckets
+    variants = base.filter(F.col("phash") % 3 == 0).select(
+        F.concat(F.col("image_id"), F.lit("_v2")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(0b10100001)).alias("phash"))
+    img = base.unionByName(variants)
+    bands = img.select(
+        "image_id", "phash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("image_id", "phash", "b.band", "b.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.image_id") < F.col("b.image_id")))
+        .select(F.col("a.image_id").alias("id_a"), F.col("b.image_id").alias("id_b"),
+                F.col("a.phash").alias("ph_a"), F.col("b.phash").alias("ph_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    ).filter(F.col("hamming") <= 16).select("id_a", "id_b", "hamming")
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: decode opaque binary image column, check
     declared vs actual dims (synthesized input-table shape)."""
@@ -454,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope": q_envelope,
         "zoom_minmax": q_zoom_minmax,
         "dedup_exact": q_dedup_exact,
+        "point_tiles": q_point_tiles,
         "window_agg": q_window_agg,
         "knn": q_knn,
         "pip": q_pip,
@@ -469,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine": q_embedding_cosine,
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
+        "phash_near": q_phash_near,
         "image_meta": q_image_meta,
         "render_tiles": q_render_tiles,
         "render_pyramid_overview": q_render_pyramid_overview,
@@ -548,6 +610,27 @@ def oracle_sql() -> dict[str, str]:
             FROM a, b
             WHERE a.minx < b.maxx AND a.maxx > b.minx
               AND a.miny < b.maxy AND a.maxy > b.miny
+        """,
+        "point_tiles": f"""
+            WITH pts AS (
+              SELECT c_custkey,
+                GREATEST(-180.0, LEAST(180.0, (c_custkey % 3600) / 10.0 - 180.0 + 0.05)) AS lon,
+                GREATEST(-85.051129, LEAST(85.051129, (c_custkey % 1700) / 10.0 - 85.0 + 0.05)) AS lat
+              FROM customer WHERE c_custkey <= 800),
+            merc AS (
+              SELECT c_custkey,
+                lon * {ORIGIN / 180.0!r} AS mx,
+                6378137.0 * ln(tan({math.pi * 0.25!r} + {0.5 * math.pi / 180.0!r} * lat)) AS my
+              FROM pts),
+            t AS (
+              SELECT c_custkey, 10 AS zoom,
+                GREATEST(0, LEAST(1023, CAST(FLOOR((mx + {_O}) / {_CE} * 1024.0) AS BIGINT))) AS x,
+                GREATEST(0, LEAST(1023, CAST(FLOOR(({_O} - my) / {_CE} * 1024.0) AS BIGINT))) AS y
+              FROM merc)
+            SELECT c_custkey, zoom, x, y,
+                   (1::BIGINT << 10) - 1 - y AS tile_row,
+                   (10::BIGINT << 58) | (x << 29) | y AS cell_id
+            FROM t
         """,
         "merge_anti": """
             WITH l AS (SELECT o_orderkey AS tid, o_orderkey % 15 AS zoom, 'L' AS src

@@ -126,9 +126,10 @@ def _kernel_all_zooms_fn(minzoom: int, maxzoom: int, tile_size: int):
     the Arrow boundary ONCE, decode happens once, and the per-zoom tile
     ranges are enumerated in-process (same tile_range math as the
     declarative tile_manifest — pinned by the shared tilemath module).
-    This is the hot path; the declarative explode remains for planning
-    queries (q_tile_cover) where Catalyst-visibility matters more than
-    byte movement."""
+    Serves the low-zoom BLOCKS path (zooms below partition_zoom, where
+    per-tile blocks are tiny); high zooms take the cell path. The
+    declarative explode remains for planning queries (q_tile_cover)
+    where Catalyst-visibility matters more than byte movement."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .. import tilemath as tm

@@ -113,6 +113,112 @@ def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
     os.replace(tmp, os.path.join(manifest_dir, f"batch={batch_id}.json"))
 
 
+def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
+                          maxzoom: int, overview_below: int, tile_size: int,
+                          dtype_tag: str, batch_id: int) -> None:
+    """Streamed pyramid maintenance: the batch renders and mosaic-over
+    upserts ONLY the direct zooms [base..maxzoom]; the low zooms are
+    then rebuilt by the overview cascade FROM THE MATERIALIZED BASE
+    LEVEL — source images are never re-read for overviews, and each
+    batch's low-zoom work is bounded by the base tile count (shrinking
+    4x per level), not by the image count.
+
+    The direct-zoom upsert is materialized (staged parquet) before the
+    cascade reads it: a fully-lazy formulation that self-joined the
+    merged frame re-executed the batch render once per cascade level
+    (combinatorial recompute) and produced inconsistent merges —
+    materialized boundaries are also what the checkpointed production
+    pipeline does per batch."""
+    from ..operators.overview import cascade_down
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+    base = max(overview_below, minzoom)
+    fused = render(batch_df, base, maxzoom, tile_size=tile_size,
+                   dtype_tag=dtype_tag)
+    new = fused.select("zoom", "x", "y", "tile_row", "tile_hash", "png")
+
+    tiles_path = os.path.join(out_dir, "tiles")
+    key = ["zoom", "x", "y"]
+    if os.path.isdir(tiles_path) and any(
+        f.endswith(".parquet") for f in os.listdir(tiles_path)
+    ):
+        old = spark.read.parquet(tiles_path).filter(F.col("zoom") >= base)
+        old_only = old.join(new.select(*key), key, "left_anti")
+        new_only = new.join(old.select(*key), key, "left_anti")
+        both = (
+            old.select(*key, F.col("png").alias("old_png"))
+            .join(new.select(*key, F.col("png").alias("new_png")), key, "inner")
+        )
+        combined = both.mapInPandas(_combine_fn(tile_size, dtype_tag),
+                                    "zoom int, x long, y long, png binary")
+        flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
+        combined = (
+            combined.withColumn("tile_row", flip)
+            .withColumn("tile_hash", F.xxhash64("png"))
+            .select("zoom", "x", "y", "tile_row", "tile_hash", "png")
+        )
+        merged = old_only.unionByName(new_only).unionByName(combined)
+    else:
+        merged = new
+
+    # materialize the direct zooms, then cascade from the written base
+    staged = tiles_path + ".staged"
+    merged.write.mode("overwrite").parquet(staged)
+    direct = spark.read.parquet(staged)
+    if minzoom < base:
+        low = cascade_down(direct.filter(F.col("zoom") == base), minzoom,
+                           tile_size, dtype_tag, top_zoom=base)
+        final = direct.unionByName(low)
+    else:
+        final = direct
+    staged2 = tiles_path + ".staged2"
+    final.write.mode("overwrite").parquet(staged2)
+    n = spark.read.parquet(staged2).count()
+    if os.path.isdir(tiles_path):
+        os.rename(tiles_path, tiles_path + f".old{batch_id}")
+    os.rename(staged2, tiles_path)
+
+    manifest_dir = os.path.join(out_dir, "manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+    tmp = os.path.join(manifest_dir, f".batch={batch_id}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, "rows": n,
+                   "committed_at": time.time()}, f)
+    os.replace(tmp, os.path.join(manifest_dir, f"batch={batch_id}.json"))
+
+
+def stream_render_pyramid(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    minzoom: int,
+    maxzoom: int,
+    overview_below: int = 8,
+    tile_size: int = 256,
+    dtype_tag: str = "u8",
+    max_files_per_trigger: int = 8,
+):
+    """Continuously-maintained full pyramid: direct zooms upsert per
+    batch, low zooms rebuild incrementally via dirty-ancestor
+    invalidation. Same output layout as stream_render."""
+    stream = (
+        spark.readStream.schema(_INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream
+        .foreachBatch(lambda df, bid: _upsert_pyramid_batch(
+            df, out_dir, minzoom, maxzoom, overview_below, tile_size,
+            dtype_tag, bid))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_render(
     spark: SparkSession,
     input_dir: str,

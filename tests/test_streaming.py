@@ -49,3 +49,35 @@ def test_stream_render_incremental(spark, tmp_path):
     assert len(manifests) == 2
     rows = [json.load(open(out / "manifest" / m)) for m in manifests]
     assert rows[-1]["rows"] == len(got)
+
+
+def test_stream_pyramid_incremental_overviews(spark, tmp_path):
+    """Incrementally-maintained pyramid: after two drops, the streamed
+    tile table must equal render_pyramid over the union — direct zooms
+    byte-for-byte (id-ordered arrivals), cascaded zooms byte-for-byte
+    (same decimation from the same merged base)."""
+    from rastertiler_rs_spark.operators.overview import render_pyramid
+    from rastertiler_rs_spark.streaming.ingest import stream_render_pyramid
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    all_imgs = generate_images(24, "u8")
+    pq.write_table(all_imgs.slice(0, 12), str(inp / "part0.parquet"))
+    q = stream_render_pyramid(spark, str(inp), str(out), 2, 8,
+                              overview_below=6, tile_size=64,
+                              max_files_per_trigger=1)
+    q.awaitTermination(180)
+    pq.write_table(all_imgs.slice(12, 12), str(inp / "part1.parquet"))
+    q = stream_render_pyramid(spark, str(inp), str(out), 2, 8,
+                              overview_below=6, tile_size=64,
+                              max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = _fused_map(spark.read.parquet(str(out / "tiles")))
+    images_df = spark.createDataFrame(all_imgs.to_pandas())
+    want = _fused_map(render_pyramid(images_df, 2, 8, tile_size=64,
+                                     dtype_tag="u8", overview_below=6))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], f"streamed pyramid differs at {k}"

@@ -315,6 +315,10 @@ def q_point_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lon = (F.col("c_custkey") % 3600) / F.lit(10.0) - F.lit(180.0) + F.lit(0.05)
     lat = (F.col("c_custkey") % 1700) / F.lit(10.0) - F.lit(85.0) + F.lit(0.05)
     mx, my = geo_to_mercator_cols(lon, lat)
+    # cross-engine float rule: Spark (java.lang.Math) and DuckDB (libm)
+    # tan/ln can differ by a ULP — round to 1e-6 m on BOTH sides before
+    # the discretizing floor so a boundary ULP can't flip the tile index.
+    mx, my = _rnd(mx, 1e6), _rnd(my, 1e6)
     n = F.lit(1024.0)
     clampi = lambda col: F.greatest(F.lit(0).cast("long"), F.least(F.lit(1023).cast("long"), col.cast("long")))  # noqa: E731
     out = c.select(
@@ -619,8 +623,8 @@ def oracle_sql() -> dict[str, str]:
               FROM customer WHERE c_custkey <= 800),
             merc AS (
               SELECT c_custkey,
-                lon * {ORIGIN / 180.0!r} AS mx,
-                6378137.0 * ln(tan({math.pi * 0.25!r} + {0.5 * math.pi / 180.0!r} * lat)) AS my
+                {_sql_rnd(f"lon * {ORIGIN / 180.0!r}", "1e6")} AS mx,
+                {_sql_rnd(f"6378137.0 * ln(tan({math.pi * 0.25!r} + {0.5 * math.pi / 180.0!r} * lat))", "1e6")} AS my
               FROM pts),
             t AS (
               SELECT c_custkey, 10 AS zoom,
@@ -667,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "window_agg": """
             SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 60) AS BIGINT) AS minute_bucket,
                    event_type, COUNT(*) AS n,
-                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v100
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v100
             FROM events GROUP BY 1, 2
         """,
         "knn": """

@@ -126,12 +126,16 @@ def mosaic(contributions, tile_size: int, nodata, dtype) -> np.ndarray | None:
     contributions = sorted(contributions, key=lambda c: c[0])
     if len(contributions) == 1:
         _img_id, left, top, width, height, block = contributions[0]
-        if left == 0 and top == 0 and width == tile_size and height == tile_size:
-            # single full-coverage contribution: the block IS the canvas
-            # (read_tile_block already dropped all-nodata blocks) — skip
-            # the fill+mask+copy pass, which dominates memory traffic on
-            # dense pyramids
-            return np.ascontiguousarray(block, dtype=dtype)
+        if (left == 0 and top == 0 and width == tile_size
+                and height == tile_size and (block != nodata).any()):
+            # single full-coverage contribution with data: the block IS
+            # the canvas — skip the fill+mask pass, which dominates
+            # memory traffic on dense pyramids. Explicit copy: the block
+            # may be a read-only np.frombuffer-backed view on the Spark
+            # path, and callers get a fresh writable canvas on every
+            # other path. The any() guard preserves None-on-all-nodata
+            # for callers that don't pre-filter via read_tile_block.
+            return np.array(block, dtype=dtype, copy=True, order="C")
     canvas = np.full((tile_size, tile_size), nodata, dtype=dtype)
     any_data = False
     for _img_id, left, top, width, height, block in contributions:

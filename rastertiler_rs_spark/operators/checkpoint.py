@@ -28,7 +28,27 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .render import render
+from .render import render, tile_range_cols, with_footprints
+
+
+def prune_images_to_block(images_fp: DataFrame, zoom: int, xblock: int,
+                          bits: int) -> DataFrame:
+    """Keep only images whose zoom-``zoom`` tile range intersects the
+    batch's tile-column block [xblock << bits, (xblock+1) << bits).
+
+    This must happen BEFORE render: the tile x column is produced by the
+    kernel UDF, so a post-render x filter cannot push below the kernel —
+    every batch would decode and render the whole zoom and discard
+    (nblocks-1)/nblocks of the work. The range test reuses the exact
+    tile_range column math (ε/clamp identical to the kernel), so pruning
+    can never drop a contributing image."""
+    blo = xblock << bits
+    bhi = ((xblock + 1) << bits) - 1
+    ranged = tile_range_cols(images_fp.withColumn("zoom", F.lit(zoom)))
+    return (
+        ranged.filter((F.col("txmin") <= bhi) & (F.col("txmax") >= blo))
+        .drop("zoom", "txmin", "txmax", "tymin", "tymax")
+    )
 
 
 def _manifest_path(out_dir: str, zoom: int, xblock: int) -> str:
@@ -91,13 +111,20 @@ def render_checkpointed(
     """
     done = committed_batches(out_dir)
     committed_now: list[tuple[int, int]] = []
+    images_fp = with_footprints(images)
     for zoom, xblock, bits in plan_batches(minzoom, maxzoom, split_zoom):
         if (zoom, xblock) in done:
             continue
         if fail_after_batches is not None and len(committed_now) >= fail_after_batches:
             raise RuntimeError("injected failure for resume test")
-        fused = render(images, zoom, zoom, tile_size, dtype_tag, colormap_str)
         if bits < 64:
+            batch_images = prune_images_to_block(images_fp, zoom, xblock, bits)
+        else:
+            batch_images = images_fp
+        fused = render(batch_images, zoom, zoom, tile_size, dtype_tag, colormap_str)
+        if bits < 64:
+            # exact block membership: a pruned image can still emit tiles
+            # outside the block (its range straddles the boundary)
             fused = fused.filter(F.expr(f"shiftright(x, {bits})") == xblock)
         path = os.path.join(out_dir, "data", f"zoom={zoom}", f"xblock={xblock}")
         fused.write.mode("overwrite").parquet(path)

@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -103,6 +105,135 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
         (_dot(ve, qe) / F.sqrt(_norm2(ve) * _norm2(qe))).alias("score"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def plane_weights_int(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-500, 499]: a pure
+    modular-arithmetic formula (no engine hash), so the SAME constants
+    are derivable in any engine — the cross-engine-verifiable analog of
+    hyperplane_bucket's xxhash64 weights."""
+    return [[((1 + (p * dim + d) * 2654435761) % 1000) - 500
+             for d in range(dim)] for p in range(n_planes)]
+
+
+def _quant(col, scale: int):
+    return F.transform(col, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def lsh_topk_int(vectors: DataFrame, queries: DataFrame, k: int,
+                 n_planes: int = 6, dim: int = 64, scale: int = 1024) -> DataFrame:
+    """Hyperplane-LSH ANN with integer-only math end to end: quantized
+    embeddings, integer plane weights, integer dots — every intermediate
+    is a BIGINT, so bucket assignment and ranking are bit-identical
+    across engines (this is the DuckDB-oracle-checkable twin of
+    lsh_topk). Same scale shape: bucket equi-join, no all-pairs."""
+    weights = plane_weights_int(n_planes, dim)
+
+    def bucket(emb_int):
+        b = F.lit(0).cast("long")
+        for p, w in enumerate(weights):
+            warr = F.array(*[F.lit(v).cast("long") for v in w])
+            dot = F.aggregate(F.zip_with(emb_int, warr, lambda x, y: x * y),
+                              F.lit(0).cast("long"), lambda acc, v: acc + v)
+            b = b + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        return b
+
+    vb = vectors.withColumn("vi", _quant(F.col("embedding"), scale)).withColumn(
+        "bucket", bucket(F.col("vi")))
+    qb = queries.withColumn("qi", _quant(F.col("qemb"), scale)).withColumn(
+        "bucket", bucket(F.col("qi")))
+    scored = vb.join(qb, "bucket").select(
+        "qid", "vec_id",
+        F.aggregate(F.zip_with("vi", "qi", lambda x, y: x * y),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v).alias("dot"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_int(vectors: DataFrame, n_lists: int, iters: int = 2,
+               scale: int = 1024, dim: int = 64) -> list[list[int]]:
+    """Lloyd's k-means on integer-quantized embeddings, fully
+    deterministic: init = the ``n_lists`` lowest vec_ids' vectors,
+    assignment = integer squared-L2 argmin (ties → lower centroid id),
+    update = per-dim floor(sum/count). Centroids are a driver-side list
+    (broadcast-sized: n_lists*dim ints); the per-iteration work is one
+    assignment scan + one groupBy — the standard distributed k-means
+    shape. Returns the final centroid matrix."""
+    vi = vectors.select("vec_id", _quant(F.col("embedding"), scale).alias("vi"))
+    cents = [list(r["vi"]) for r in vi.orderBy("vec_id").limit(n_lists).collect()]
+    for _ in range(iters):
+        assigned = vi.withColumn("list_id", _argmin_dist(F.col("vi"), cents))
+        sums = (
+            assigned.select("list_id", F.posexplode("vi").alias("pos", "v"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = (r["s"], r["n"])
+        new_cents = []
+        for cid in range(n_lists):
+            if cid in by_list:
+                d = by_list[cid]
+                # floor(sum/count) via float: |sum| <= scale*N, exact in
+                # double; quotient never within 2^-40 of an integer
+                # unless exactly integral — same expression in the oracle
+                new_cents.append([int(math.floor(d[p][0] * 1.0 / d[p][1]))
+                                  for p in range(dim)])
+            else:  # empty cluster keeps its previous centroid
+                new_cents.append(cents[cid])
+        cents = new_cents
+    return cents
+
+
+def _argmin_dist(vi_col, cents: list[list[int]]):
+    """Index of the nearest centroid by integer squared L2; ties break
+    to the lower index via struct ordering of (dist, idx)."""
+    alts = []
+    for idx, c in enumerate(cents):
+        carr = F.array(*[F.lit(v).cast("long") for v in c])
+        d2 = F.aggregate(F.zip_with(vi_col, carr, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0).cast("long"), lambda acc, v: acc + v)
+        alts.append(F.struct(d2.alias("d2"), F.lit(idx).alias("idx")))
+    return F.array_min(F.array(*alts))["idx"]
+
+
+def _argmin_ranks(vi_col, cents: list[list[int]], n_best: int):
+    """The n_best nearest centroid ids, ascending by (dist, idx)."""
+    alts = []
+    for idx, c in enumerate(cents):
+        carr = F.array(*[F.lit(v).cast("long") for v in c])
+        d2 = F.aggregate(F.zip_with(vi_col, carr, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0).cast("long"), lambda acc, v: acc + v)
+        alts.append(F.struct(d2.alias("d2"), F.lit(idx).alias("idx")))
+    ordered = F.array_sort(F.array(*alts))
+    return F.slice(F.transform(ordered, lambda s: s["idx"]), 1, n_best)
+
+
+def ivf_topk_int(vectors: DataFrame, queries: DataFrame, k: int,
+                 n_lists: int = 8, nprobe: int = 2, iters: int = 2,
+                 scale: int = 1024, dim: int = 64) -> DataFrame:
+    """IVF ANN with a real (Lloyd's) coarse quantizer, integer math end
+    to end: k-means centroids from kmeans_int, vectors assigned to their
+    nearest list, queries probe ``nprobe`` lists, exact integer-dot
+    ranking within the probed lists. Every value BIGINT ⇒ bit-identical
+    across engines. 100 TB shape: centroids broadcast (literal arrays),
+    candidate generation is a list_id equi-join touching ~nprobe/n_lists
+    of the data."""
+    cents = kmeans_int(vectors, n_lists, iters, scale, dim)
+    vb = vectors.withColumn("vi", _quant(F.col("embedding"), scale)).withColumn(
+        "list_id", _argmin_dist(F.col("vi"), cents))
+    qb = queries.withColumn("qi", _quant(F.col("qemb"), scale)).withColumn(
+        "list_id", F.explode(_argmin_ranks(F.col("qi"), cents, nprobe)))
+    scored = vb.join(qb, "list_id").select(
+        "qid", "vec_id",
+        F.aggregate(F.zip_with("vi", "qi", lambda x, y: x * y),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v).alias("dot"),
+    ).groupBy("qid", "vec_id").agg(F.max("dot").alias("dot"))  # dedup multi-probe hits
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "vec_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 

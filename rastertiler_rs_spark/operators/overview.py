@@ -211,12 +211,18 @@ def cascade_down(
     colormap_str: str | None = None,
     span: int = 4,
     top_zoom: int | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Cascade a single-zoom fused tile level down to ``minzoom``,
     ``span`` zoom levels per Python stage (subtree groups of <= 4^span
     children bound task memory at ~4^span * tile_size^2 bytes). Returns
     the union of all levels BELOW the input level. Each stage's output
     is persisted: it feeds both the result union and the next stage.
+
+    Pass ``persisted`` (a list) to receive the cached stage DataFrames:
+    long-running callers (the streaming pyramid runs this per
+    micro-batch) must unpersist them after materializing the result, or
+    the executor cache leaks one stage set per batch.
     """
     spark = fused_top.sparkSession
     if top_zoom is None:
@@ -244,6 +250,8 @@ def cascade_down(
             )
             .persist()
         )
+        if persisted is not None:
+            persisted.append(stage)
         outputs.append(stage)
         prev = stage.filter(F.col("zoom") == z_to)
         z = z_to
@@ -267,6 +275,7 @@ def render_pyramid(
     colormap_str: str | None = None,
     overview_below: int | None = None,
     salt_buckets: int | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Full pyramid with the overview cascade below ``overview_below``:
     zooms in [overview_below, maxzoom] render directly from source
@@ -283,7 +292,11 @@ def render_pyramid(
     if overview_below is None or overview_below <= minzoom:
         return render(images, minzoom, maxzoom, tile_size, dtype_tag,
                       colormap_str, salt_buckets=salt_buckets)
-    base = max(overview_below, minzoom)
+    # Clamp to the requested range: the reference renders exactly
+    # minzoom..maxzoom (src/main.rs zoom validation) — with the CLI's
+    # default overview_below above a small --maxzoom, an unclamped base
+    # would render and emit zooms beyond maxzoom.
+    base = min(max(overview_below, minzoom), maxzoom)
     # The base level renders as its OWN small job and only IT is
     # persisted (~tile count at z=base, tiny): the cascade and the union
     # both consume it, and persisting the full direct render instead
@@ -292,8 +305,10 @@ def render_pyramid(
     # level costs one decode sweep, which is parallel python work.
     base_level = render(images, base, base, tile_size, dtype_tag,
                         colormap_str, salt_buckets=salt_buckets).persist()
+    if persisted is not None:
+        persisted.append(base_level)
     low = cascade_down(base_level, minzoom, tile_size, dtype_tag,
-                       colormap_str, top_zoom=base)
+                       colormap_str, top_zoom=base, persisted=persisted)
     out = base_level.unionByName(low)
     if maxzoom > base:
         direct = render(images, base + 1, maxzoom, tile_size, dtype_tag,

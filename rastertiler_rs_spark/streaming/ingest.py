@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Iterator
 
@@ -33,6 +34,58 @@ from ..fixtures import NODATA
 from ..kernel import encode_tile
 from ..operators.overview import decode_canvas
 from ..operators.render import render
+
+# The tiles table is hive-partitioned as tiles/zoom=Z/xb=B where
+# xb = x >> max(0, zoom - XB_BITS) (<= 2^XB_BITS x-blocks per zoom).
+# A micro-batch rewrites ONLY the (zoom, xb) partitions its footprint
+# touches — the plain-parquet realization of Iceberg copy-on-write
+# MERGE INTO; untouched partition directories are never re-written.
+XB_BITS = 4
+
+
+def _xb_col():
+    return F.expr(
+        f"shiftright(x, greatest(0, cast(zoom as int) - {XB_BITS}))"
+    ).alias("xb")
+
+
+def _tiles_exists(tiles_path: str) -> bool:
+    return os.path.isdir(tiles_path) and any(
+        e.startswith("zoom=") for e in os.listdir(tiles_path))
+
+
+def _partition_dirs(root: str) -> list[str]:
+    """Relative zoom=Z/xb=B partition dirs under a written table root."""
+    out = []
+    for zdir in sorted(os.listdir(root)):
+        if not zdir.startswith("zoom="):
+            continue
+        for bdir in sorted(os.listdir(os.path.join(root, zdir))):
+            if bdir.startswith("xb="):
+                out.append(os.path.join(zdir, bdir))
+    return out
+
+
+def _swap_partitions(staged: str, tiles_path: str) -> None:
+    """Atomically (per directory) replace each staged partition in the
+    live table; clean replaced dirs and the staging area afterwards so a
+    long-running stream's disk usage stays bounded at one live copy."""
+    os.makedirs(tiles_path, exist_ok=True)
+    try:
+        for rel in _partition_dirs(staged):
+            src = os.path.join(staged, rel)
+            dst = os.path.join(tiles_path, rel)
+            old = dst + ".old"
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.isdir(old):  # leftover from a crashed swap
+                shutil.rmtree(old)
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 def _combine_fn(tile_size: int, dtype_tag: str):
@@ -62,6 +115,58 @@ _INPUT_SCHEMA = (
 )
 
 
+_TILE_COLS = ["zoom", "x", "y", "tile_row", "tile_hash", "png"]
+
+
+def _merge_into_touched(new: DataFrame, tiles_path: str, tile_size: int,
+                        dtype_tag: str) -> DataFrame:
+    """Copy-on-write merge scoped to the batch's partitions: read ONLY
+    the (zoom, xb) partitions `new` touches, mosaic-over combine on key
+    collisions, and return the full replacement content for exactly
+    those partitions (old-only rows included — they must survive the
+    directory swap). Rows in untouched partitions are never read."""
+    spark = new.sparkSession
+    key = ["zoom", "x", "y"]
+    touched = [(r["zoom"], r["xb"]) for r in
+               new.select("zoom", _xb_col()).distinct().collect()]
+    pred = F.lit(False)
+    for z, b in touched:
+        pred = pred | ((F.col("zoom") == z) & (F.col("xb") == b))
+    # zoom/xb are hive partition columns: this disjunction prunes to the
+    # touched directories at scan planning, no data files elsewhere open
+    old = spark.read.parquet(tiles_path).filter(pred).select(*_TILE_COLS)
+    old_only = old.join(new.select(*key), key, "left_anti")
+    new_only = new.join(old.select(*key), key, "left_anti")
+    both = (
+        old.select(*key, F.col("png").alias("old_png"))
+        .join(new.select(*key, F.col("png").alias("new_png")), key, "inner")
+    )
+    combined = both.mapInPandas(_combine_fn(tile_size, dtype_tag),
+                                "zoom int, x long, y long, png binary")
+    flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
+    combined = (
+        combined.withColumn("tile_row", flip)
+        .withColumn("tile_hash", F.xxhash64("png"))
+        .select(*_TILE_COLS)
+    )
+    return old_only.unionByName(new_only).unionByName(combined)
+
+
+def _write_staged(df: DataFrame, staged: str) -> None:
+    df.withColumn("xb", _xb_col()).write.partitionBy("zoom", "xb").mode(
+        "overwrite").parquet(staged)
+
+
+def _write_manifest(out_dir: str, batch_id: int, rows: int) -> None:
+    manifest_dir = os.path.join(out_dir, "manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+    tmp = os.path.join(manifest_dir, f".batch={batch_id}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, "rows": rows,
+                   "committed_at": time.time()}, f)
+    os.replace(tmp, os.path.join(manifest_dir, f"batch={batch_id}.json"))
+
+
 def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
                   tile_size: int, dtype_tag: str, batch_id: int) -> None:
     spark = batch_df.sparkSession
@@ -69,48 +174,23 @@ def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
         return
     fused = render(batch_df, minzoom, maxzoom, tile_size=tile_size,
                    dtype_tag=dtype_tag)
-    new = fused.select("zoom", "x", "y", "tile_row", "tile_hash", "png")
-
+    # persist: consumed twice (touched-partition discovery + staged write)
+    new = fused.select(*_TILE_COLS).persist()
     tiles_path = os.path.join(out_dir, "tiles")
-    key = ["zoom", "x", "y"]
-    if os.path.isdir(tiles_path) and any(
-        f.endswith(".parquet") for f in os.listdir(tiles_path)
-    ):
-        old = spark.read.parquet(tiles_path)
-        old_only = old.join(new.select(*key), key, "left_anti")
-        new_only = new.join(old.select(*key), key, "left_anti")
-        both = (
-            old.select(*key, F.col("png").alias("old_png"))
-            .join(new.select(*key, F.col("png").alias("new_png")), key, "inner")
-        )
-        combined = both.mapInPandas(_combine_fn(tile_size, dtype_tag),
-                                    "zoom int, x long, y long, png binary")
-        flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
-        combined = (
-            combined.withColumn("tile_row", flip)
-            .withColumn("tile_hash", F.xxhash64("png"))
-            .select("zoom", "x", "y", "tile_row", "tile_hash", "png")
-        )
-        merged = old_only.unionByName(new_only).unionByName(combined)
-    else:
-        merged = new
-    # rewrite-on-merge: at production scale this is an Iceberg MERGE INTO
-    # (copy-on-write on the (zoom, x) partition); plain parquet needs the
-    # staged rewrite + atomic swap below
     staged = tiles_path + ".staged"
-    merged.write.mode("overwrite").parquet(staged)
-    n = spark.read.parquet(staged).count()
-    if os.path.isdir(tiles_path):
-        os.rename(tiles_path, tiles_path + f".old{batch_id}")
-    os.rename(staged, tiles_path)
-
-    manifest_dir = os.path.join(out_dir, "manifest")
-    os.makedirs(manifest_dir, exist_ok=True)
-    tmp = os.path.join(manifest_dir, f".batch={batch_id}.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"batch_id": batch_id, "rows": n,
-                   "committed_at": time.time()}, f)
-    os.replace(tmp, os.path.join(manifest_dir, f"batch={batch_id}.json"))
+    try:
+        if _tiles_exists(tiles_path):
+            merged = _merge_into_touched(new, tiles_path, tile_size, dtype_tag)
+        else:
+            merged = new
+        _write_staged(merged, staged)
+        _swap_partitions(staged, tiles_path)
+    finally:
+        new.unpersist()
+        shutil.rmtree(staged, ignore_errors=True)
+    # metadata-only count over parquet footers (no data read)
+    n = spark.read.parquet(tiles_path).count()
+    _write_manifest(out_dir, batch_id, n)
 
 
 def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
@@ -134,59 +214,48 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
-    base = max(overview_below, minzoom)
+    base = min(max(overview_below, minzoom), maxzoom)
     fused = render(batch_df, base, maxzoom, tile_size=tile_size,
                    dtype_tag=dtype_tag)
-    new = fused.select("zoom", "x", "y", "tile_row", "tile_hash", "png")
-
+    new = fused.select(*_TILE_COLS).persist()
     tiles_path = os.path.join(out_dir, "tiles")
-    key = ["zoom", "x", "y"]
-    if os.path.isdir(tiles_path) and any(
-        f.endswith(".parquet") for f in os.listdir(tiles_path)
-    ):
-        old = spark.read.parquet(tiles_path).filter(F.col("zoom") >= base)
-        old_only = old.join(new.select(*key), key, "left_anti")
-        new_only = new.join(old.select(*key), key, "left_anti")
-        both = (
-            old.select(*key, F.col("png").alias("old_png"))
-            .join(new.select(*key, F.col("png").alias("new_png")), key, "inner")
-        )
-        combined = both.mapInPandas(_combine_fn(tile_size, dtype_tag),
-                                    "zoom int, x long, y long, png binary")
-        flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
-        combined = (
-            combined.withColumn("tile_row", flip)
-            .withColumn("tile_hash", F.xxhash64("png"))
-            .select("zoom", "x", "y", "tile_row", "tile_hash", "png")
-        )
-        merged = old_only.unionByName(new_only).unionByName(combined)
-    else:
-        merged = new
-
-    # materialize the direct zooms, then cascade from the written base
     staged = tiles_path + ".staged"
-    merged.write.mode("overwrite").parquet(staged)
-    direct = spark.read.parquet(staged)
-    if minzoom < base:
-        low = cascade_down(direct.filter(F.col("zoom") == base), minzoom,
-                           tile_size, dtype_tag, top_zoom=base)
-        final = direct.unionByName(low)
-    else:
-        final = direct
-    staged2 = tiles_path + ".staged2"
-    final.write.mode("overwrite").parquet(staged2)
-    n = spark.read.parquet(staged2).count()
-    if os.path.isdir(tiles_path):
-        os.rename(tiles_path, tiles_path + f".old{batch_id}")
-    os.rename(staged2, tiles_path)
 
-    manifest_dir = os.path.join(out_dir, "manifest")
-    os.makedirs(manifest_dir, exist_ok=True)
-    tmp = os.path.join(manifest_dir, f".batch={batch_id}.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"batch_id": batch_id, "rows": n,
-                   "committed_at": time.time()}, f)
-    os.replace(tmp, os.path.join(manifest_dir, f"batch={batch_id}.json"))
+    # phase 1: partition-scoped upsert of the direct zooms [base..maxzoom]
+    try:
+        if _tiles_exists(tiles_path):
+            merged = _merge_into_touched(new, tiles_path, tile_size, dtype_tag)
+        else:
+            merged = new
+        _write_staged(merged, staged)
+        _swap_partitions(staged, tiles_path)
+    finally:
+        new.unpersist()
+        shutil.rmtree(staged, ignore_errors=True)
+
+    # phase 2: rebuild the cascaded zooms [minzoom, base) from the LIVE
+    # merged base level (materialized boundary: a lazy formulation
+    # re-executed the batch render per cascade level and merged
+    # inconsistently). The cascade is a pure function of the base level,
+    # so its partitions are simply replaced; its work is bounded by base
+    # tile count, not image count.
+    if minzoom < base:
+        staged2 = tiles_path + ".staged2"
+        cascade_cached: list[DataFrame] = []
+        try:
+            live_base = spark.read.parquet(tiles_path).filter(
+                F.col("zoom") == base).select(*_TILE_COLS)
+            low = cascade_down(live_base, minzoom, tile_size, dtype_tag,
+                               top_zoom=base, persisted=cascade_cached)
+            _write_staged(low, staged2)
+            _swap_partitions(staged2, tiles_path)
+        finally:
+            for df in cascade_cached:  # per-batch cache leak guard
+                df.unpersist()
+            shutil.rmtree(staged2, ignore_errors=True)
+
+    n = spark.read.parquet(tiles_path).count()
+    _write_manifest(out_dir, batch_id, n)
 
 
 def stream_render_pyramid(

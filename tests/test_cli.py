@@ -63,6 +63,28 @@ def test_cli_render_and_merge(spark, tmp_path):
         assert h in bm
 
 
+def test_cli_default_overviews_respects_maxzoom(spark, tmp_path):
+    """The default (overviews-enabled) path with the default --maxzoom 4,
+    which sits BELOW the overview threshold (8): the output must contain
+    exactly zooms minzoom..maxzoom — no overshoot past maxzoom — and the
+    metadata must agree with the tiles."""
+    tbl = generate_images(16, "u8")
+    src = str(tmp_path / "imgs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "ov.mbtiles")
+    main(["render", src, out, "--minzoom", "1", "--tilesize", "64"])
+    tiles, blobs, meta = _mb(out)
+    zooms = sorted({z for z, _, _ in tiles})
+    # no overshoot past maxzoom (the unclamped bug rendered z..8), and
+    # the base level itself must be present; inner levels may drop
+    # legitimately when decimation leaves a tile all-nodata
+    assert max(zooms) == 4 and min(zooms) >= 1
+    assert all(1 <= z <= 4 for z in zooms)
+    assert meta["minzoom"] == "1" and meta["maxzoom"] == "4"
+    for h in tiles.values():
+        assert h in blobs
+
+
 def test_cli_validation(tmp_path):
     with pytest.raises(SystemExit):
         main(["render", "/nonexistent.parquet", str(tmp_path / "o.mbtiles")])

@@ -83,3 +83,35 @@ def test_checkpoint_high_zoom_xblock_batches(spark, tmp_path):
     tiles, blobs = render_oracle(rows, 11, 12, 64)
     want = {(z, x, y): (h, blobs[h]) for z, x, y, h in tiles}
     assert got == want  # x-block split loses/duplicates nothing
+
+
+def test_checkpoint_block_pruning_shrinks_render_input(spark):
+    """Each xblock batch must feed the kernel ONLY images whose tile
+    range can intersect the block — the per-batch render input shrinks
+    with block count instead of re-rendering the whole zoom — while the
+    union of pruned sets keeps every contributing image."""
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.checkpoint import (plan_batches,
+                                                           prune_images_to_block)
+    from rastertiler_rs_spark.operators.render import (tile_range_cols,
+                                                       with_footprints)
+
+    imgs = with_footprints(_spark_images(spark, 0, 48))
+    total = imgs.count()
+    batches = [b for b in plan_batches(12, 12, split_zoom=10) if b[0] == 12]
+    assert len(batches) == 4
+    per_block = []
+    kept_ids = set()
+    for zoom, xblock, bits in batches:
+        pruned = prune_images_to_block(imgs, zoom, xblock, bits)
+        n = pruned.count()
+        per_block.append(n)
+        kept_ids |= {r["image_id"] for r in pruned.select("image_id").collect()}
+    # scattered footprints: every block sees a strict subset of images
+    assert all(n < total for n in per_block)
+    assert sum(per_block) < 4 * total  # strictly less than whole-zoom x4
+    # no contributing image lost: every image's z12 range hits >= 1 block
+    ranged = tile_range_cols(imgs.withColumn("zoom", F.lit(12)))
+    want_ids = {r["image_id"] for r in ranged.select("image_id").collect()}
+    assert kept_ids == want_ids

@@ -138,6 +138,23 @@ def test_cascade_down_equals_level_by_level(spark):
     assert got == want
 
 
+def test_render_pyramid_clamps_base_to_maxzoom(spark):
+    """maxzoom below overview_below (the CLI default shape: --maxzoom 4,
+    overview threshold 8) must NOT render or emit zooms past maxzoom:
+    the base clamps to maxzoom and everything below cascades — exactly
+    the reference's minzoom..maxzoom contract."""
+    from rastertiler_rs_spark.operators.overview import cascade_down
+
+    imgs = _spark_images(spark, 24)
+    ts = 64
+    pyr = _fused_map(render_pyramid(imgs, 2, 4, ts, "u8", overview_below=6))
+    assert sorted({k[0] for k in pyr}) == [2, 3, 4]
+    base = render(imgs, 4, 4, ts, "u8")
+    want = _fused_map(base)
+    want.update(_fused_map(cascade_down(base, 2, ts, "u8", top_zoom=4)))
+    assert pyr == want
+
+
 def test_render_pyramid_cascade_structure(spark):
     """Pyramid with overviews below z6: direct zooms byte-match the
     direct render; cascaded zooms exist for every direct-parent chain."""

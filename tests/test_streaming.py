@@ -29,11 +29,50 @@ def test_stream_render_incremental(spark, tmp_path):
                       max_files_per_trigger=1)
     q.awaitTermination(120)
 
+    # snapshot every data file before the second drop: partition-scoped
+    # copy-on-write must leave partitions outside the new batch's
+    # footprint bit-for-bit untouched on disk
+    def _snap():
+        files = {}
+        for root, _, names in os.walk(out / "tiles"):
+            for nm in names:
+                p = os.path.join(root, nm)
+                st = os.stat(p)
+                files[os.path.relpath(p, out / "tiles")] = (st.st_mtime_ns, st.st_size)
+        return files
+
+    before = _snap()
+
     # second drop: 12 more images arrive; restart the availableNow stream
     pq.write_table(all_imgs.slice(12, 12), str(inp / "part1.parquet"))
     q = stream_render(spark, str(inp), str(out), 3, 7, tile_size=64,
                       max_files_per_trigger=1)
     q.awaitTermination(120)
+
+    # the exact touched set: partitions covered by drop 2's own render
+    from pyspark.sql import functions as F
+    from rastertiler_rs_spark.streaming.ingest import _xb_col
+    drop2 = spark.createDataFrame(all_imgs.slice(12, 12).to_pandas())
+    touched = {(r["zoom"], r["xb"]) for r in
+               render(drop2, 3, 7, tile_size=64)
+               .select("zoom", _xb_col()).distinct().collect()}
+    after = _snap()
+
+    def _part(rel):
+        z, b = rel.split(os.sep)[:2]
+        return int(z.split("=")[1]), int(b.split("=")[1])
+
+    untouched_before = {rel: v for rel, v in before.items()
+                        if rel.count(os.sep) >= 2 and _part(rel) not in touched}
+    assert untouched_before, "test needs a nonempty untouched partition set"
+    for rel, v in untouched_before.items():
+        assert after.get(rel) == v, f"untouched partition file rewritten: {rel}"
+
+    # staging and rollback dirs must not leak across batches
+    leftovers = [e for e in os.listdir(out) if ".staged" in e or ".old" in e]
+    leftovers += [e for root, dirs, _ in os.walk(out / "tiles")
+                  for e in dirs if e.endswith(".old")]
+    assert not leftovers, f"staging/rollback leftovers: {leftovers}"
 
     got = _fused_map(spark.read.parquet(str(out / "tiles")))
 

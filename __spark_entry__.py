@@ -369,23 +369,30 @@ def q_embedding_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- rows-only queries (not SQL-expressible / engine-hash-dependent) ----
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rastertiler_rs_spark.operators.text import lsh_candidate_pairs
+    """Banded MinHash-LSH near-dup candidates, integer-exact twin
+    (polynomial shingle hash + affine permutations, no engine hash) —
+    the full signature/banding dataflow is DuckDB-verified."""
+    from rastertiler_rs_spark.operators.text import lsh_candidate_pairs_int
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return lsh_candidate_pairs(docs, num_perms=16, band_size=4)
+    return lsh_candidate_pairs_int(docs, num_perms=16, band_size=4)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rastertiler_rs_spark.operators.text import simhash_near_pairs
+    """SimHash near-dup pairs, integer-exact twin (62-bit simhash from
+    two polynomial token hashes, 16-bit chunk blocking)."""
+    from rastertiler_rs_spark.operators.text import simhash_near_pairs_int
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return simhash_near_pairs(docs, max_hamming=16)
+    return simhash_near_pairs_int(docs, max_hamming=16)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rastertiler_rs_spark.operators.text import doc_fingerprints
+    """Winnowing-style fingerprint, integer-exact twin (min polynomial
+    hash over 8-grams)."""
+    from rastertiler_rs_spark.operators.text import doc_fingerprints_int
 
-    return doc_fingerprints(_t(spark, sf_dir, "documents"))
+    return doc_fingerprints_int(_t(spark, sf_dir, "documents"))
 
 
 def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,10 +622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf": q_embedding_ivf,
         "phash_near": q_phash_near,
         "render_tile_ids": q_render_tile_ids,
-        # rows-only (no oracle_sql entry):
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
+        # rows-only (no oracle_sql entry):
         "embedding_cosine": q_embedding_cosine,
         "image_meta": q_image_meta,
         "render_tiles": q_render_tiles,
@@ -711,6 +718,83 @@ def _ivf_oracle_sql(k: int = 5, n_lists: int = 8, nprobe: int = 2,
     """
 
 
+def _poly_sql(s: str, base: int = 131) -> str:
+    """DuckDB twin of text.poly_hash_col: fold charcodes mod 2^31-1."""
+    return (f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(generate_series(1, length({s})), "
+            f"i -> CAST(ascii(substr({s}, i, 1)) AS BIGINT))), "
+            f"(acc, x) -> (acc * {base} + x) % 2147483647)")
+
+
+def _minhash_lsh_oracle_sql(num_perms: int = 16, band_size: int = 4) -> str:
+    from rastertiler_rs_spark.operators.text import HM
+
+    perm_aggs = []
+    for k in range(num_perms):
+        a = (2654435761 + 2 * k) % HM
+        c = (40503 * (k + 1)) % HM
+        perm_aggs.append(f"MIN((sh_h * {a} + {c}) % {HM}) AS h{k}")
+    band_rows = []
+    for b in range(num_perms // band_size):
+        bucket = "0"
+        for j in range(band_size):
+            bucket = f"(({bucket}) * 1000003 + h{b * band_size + j}) % {HM}"
+        band_rows.append(f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig")
+    bands = "\n              UNION ALL ".join(band_rows)
+    return f"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        sh AS (SELECT DISTINCT doc_id, SUBSTR(text, CAST(pos AS INT), 3) AS shingle
+               FROM (SELECT doc_id, text,
+                            UNNEST(generate_series(1, GREATEST(LENGTH(text) - 2, 1))) AS pos
+                     FROM docs)),
+        hs AS (SELECT doc_id, {_poly_sql('shingle')} AS sh_h FROM sh),
+        sig AS (SELECT doc_id, {', '.join(perm_aggs)} FROM hs GROUP BY doc_id),
+        buckets AS ({bands})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands_shared
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(62))
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(62))
+    return rf"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+                 FROM docs),
+        th AS (SELECT doc_id,
+                      {_poly_sql('tok', 131)} * 2147483648 + {_poly_sql('tok', 137)} AS th
+               FROM toks),
+        votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+        sig AS (SELECT doc_id, {sig} AS simhash FROM votes),
+        chunks AS (SELECT doc_id, simhash, c.chunk,
+                          (simhash >> (16 * c.chunk)) & 65535 AS val
+                   FROM sig, (VALUES (0), (1), (2), (3)) c(chunk)),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                  a.simhash AS sa, b.simhash AS sb
+                  FROM chunks a JOIN chunks b
+                    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _doc_fingerprint_oracle_sql(window: int = 8) -> str:
+    return f"""
+        SELECT doc_id, MIN({_poly_sql('gram')}) AS fingerprint FROM (
+          SELECT doc_id, SUBSTR(text, CAST(pos AS INT), {window}) AS gram
+          FROM (SELECT doc_id, text,
+                       UNNEST(generate_series(1, GREATEST(LENGTH(text) - {window - 1}, 1))) AS pos
+                FROM documents))
+        GROUP BY doc_id
+    """
+
+
 def _render_tile_ids_oracle_sql() -> str:
     _, minx, miny, maxx, maxy = _nohole_image_rows(256)
     rows = ",\n              ".join(
@@ -743,6 +827,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": _lsh_oracle_sql(),
         "embedding_ivf": _ivf_oracle_sql(),
         "render_tile_ids": _render_tile_ids_oracle_sql(),
+        "minhash_lsh": _minhash_lsh_oracle_sql(),
+        "simhash_pairs": _simhash_oracle_sql(),
+        "doc_fingerprint": _doc_fingerprint_oracle_sql(),
         "phash_near": f"""
             WITH base AS (
               SELECT o_orderkey AS iid,

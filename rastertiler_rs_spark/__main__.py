@@ -110,7 +110,7 @@ def cmd_merge(args) -> None:
              for r in merged_map.collect()]
     blobs = {r["tile_id"]: bytes(r["tile_data"]) for r in merged_img.collect()}
     meta = [(r["name"], r["value"]) for r in merged_meta.collect()]
-    write_mbtiles(args.out, sorted(tiles), blobs, meta)
+    write_mbtiles(args.out, sorted(tiles), blobs, meta, finalize=True)
     print(f"wrote {args.out}")
 
 

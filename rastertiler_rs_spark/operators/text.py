@@ -124,6 +124,123 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
 
 
+# --- integer-exact variants (DuckDB-oracle-checkable) ---------------------
+#
+# The xxhash64 paths above are the engine-fast defaults; these twins
+# replace the engine hash with a polynomial rolling hash mod 2^31-1
+# (fold: acc*B + charcode), a pure-arithmetic formula any engine can
+# evaluate identically — so the driver contract verifies the FULL
+# minhash/simhash/winnowing dataflow against SQL, not just row counts.
+
+HM = 2147483647  # 2^31 - 1 (Mersenne): products stay < 2^62, no overflow
+
+
+def poly_hash_col(col, base: int = 131):
+    """Fold a string column into a 31-bit polynomial hash (long)."""
+    codes = F.transform(F.sequence(F.lit(1), F.length(col)),
+                        lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"))
+    return F.aggregate(codes, F.lit(0).cast("long"),
+                       lambda acc, c: (acc * base + c) % HM)
+
+
+def minhash_perm(h, k: int):
+    """Permutation k of a 31-bit hash: (h*A_k + C_k) % HM, constants
+    from a public formula (no engine hash)."""
+    a = (2654435761 + 2 * k) % HM
+    c = (40503 * (k + 1)) % HM
+    return (h * F.lit(a) + F.lit(c)) % F.lit(HM)
+
+
+def minhash_signatures_int(docs: DataFrame, num_perms: int = 16, n: int = 3) -> DataFrame:
+    """MinHash signatures over polynomial shingle hashes: (doc_id,
+    h0..h{P-1}) — the integer-exact twin of minhash_signatures."""
+    sh = char_shingles(docs, n).withColumn("sh_h", poly_hash_col(F.col("shingle")))
+    aggs = [F.min(minhash_perm(F.col("sh_h"), k)).alias(f"h{k}")
+            for k in range(num_perms)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs_int(docs: DataFrame, num_perms: int = 16,
+                            band_size: int = 4, n: int = 3) -> DataFrame:
+    """Banded-LSH near-dup candidates, integer-exact: band bucket =
+    polynomial fold of the band's signature slice. Same scale shape as
+    lsh_candidate_pairs (bucket equi-join, no all-pairs)."""
+    sig = minhash_signatures_int(docs, num_perms, n)
+    bands = []
+    for b in range(num_perms // band_size):
+        bucket = F.lit(0).cast("long")
+        for j in range(band_size):
+            bucket = (bucket * F.lit(1000003) + F.col(f"h{b * band_size + j}")) % F.lit(HM)
+        bands.append(sig.select("doc_id", F.lit(b).alias("band"), bucket.alias("bucket")))
+    buckets = bands[0]
+    for extra in bands[1:]:
+        buckets = buckets.unionByName(extra)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def simhash62_int(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """62-bit SimHash from two independent polynomial token hashes
+    (B=131 for the high 31 bits, B=137 for the low 31): per-bit votes,
+    bit set where the vote is positive. Integer-exact twin of simhash64."""
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).select(
+        "doc_id",
+        ((poly_hash_col(F.col("tok"), 131) * F.lit(1 << 31))
+         + poly_hash_col(F.col("tok"), 137)).alias("th"),
+    )
+    votes = [
+        F.sum(F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(62)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*votes)
+    expr = " + ".join(f"(case when v{i} > 0 then shiftleft(1L, {i}) else 0L end)"
+                      for i in range(62))
+    return agg.select("doc_id", F.expr(expr).alias("simhash"))
+
+
+def simhash_near_pairs_int(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Integer-exact twin of simhash_near_pairs: 16-bit chunk blocking
+    over the 62-bit simhash (pigeonhole recall for hamming <= 3)."""
+    sig = simhash62_int(docs)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.expr(f"(simhash >> {16 * i}) & 65535").alias("val"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def doc_fingerprints_int(docs: DataFrame, text_col: str = "text",
+                         window: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint, integer-exact twin: min polynomial
+    hash over each ``window``-gram."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (window - 1), F.lit(1)))).alias("pos"),
+        F.col(text_col),
+    ).select("doc_id",
+             poly_hash_col(F.expr(f"substr({text_col}, pos, {window})")).alias("gh"))
+    return grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens): whitespace tokenization, JVM-side."""
     return docs.select(

@@ -105,11 +105,16 @@ CREATE VIEW IF NOT EXISTS tiles AS
 """
 
 
-def write_mbtiles(path: str, tiles, blobs, metadata) -> None:
+def write_mbtiles(path: str, tiles, blobs, metadata, finalize: bool = False) -> None:
     """Materialize a real .mbtiles file (DDL per
     /root/reference/src/mbtiles.rs:13-30; unique index per :38-39).
     Driver-side, small scale only — the distributed sink is the
-    tiles/blobs parquet pair."""
+    tiles/blobs parquet pair.
+
+    ``finalize`` runs the reference's post-merge compaction
+    (/root/reference/src/mbtiles.rs:213-218): VACUUM reclaims free pages
+    left by ignored duplicate inserts, PRAGMA optimize refreshes query-
+    planner stats. The merge CLI passes True."""
     import os
 
     if os.path.exists(path):
@@ -129,4 +134,6 @@ def write_mbtiles(path: str, tiles, blobs, metadata) -> None:
         "CREATE UNIQUE INDEX IF NOT EXISTS map_index ON map (zoom_level, tile_column, tile_row)"
     )
     conn.commit()
+    if finalize:
+        conn.executescript("VACUUM; PRAGMA optimize;")
     conn.close()

@@ -53,6 +53,11 @@ def test_cli_render_and_merge(spark, tmp_path):
 
     out_m = str(tmp_path / "m.mbtiles")
     main(["merge", out_a, out_b, out_m])
+    # finalization parity (mbtiles.rs:213-218): compacted + consistent
+    conn = sqlite3.connect(out_m)
+    assert conn.execute("PRAGMA integrity_check").fetchone()[0] == "ok"
+    assert conn.execute("PRAGMA freelist_count").fetchone()[0] == 0  # vacuumed
+    conn.close()
     tm_, bm, mm = _mb(out_m)
     tb, bb, _ = _mb(out_b)
     # left wins on conflicts; right-only appended (INSERT OR IGNORE)

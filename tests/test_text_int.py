@@ -1,0 +1,52 @@
+"""Integer-exact dedup twins (polynomial-hash minhash/simhash/
+fingerprint): planted near-duplicates must be recovered through the
+banding/blocking, and identical docs must collapse. Cross-engine value
+equality is the driver contract's job (check_oracle); these pin the
+detection semantics."""
+
+from rastertiler_rs_spark.operators.text import (doc_fingerprints_int,
+                                                 lsh_candidate_pairs_int,
+                                                 simhash_near_pairs_int)
+
+_BASE = ("the quick brown fox jumps over the lazy dog while the rain "
+         "in spain stays mainly on the plain and the band plays on")
+
+
+def _docs(spark):
+    rows = [
+        (0, _BASE),
+        (1, _BASE.replace("dog", "cat")),          # near-dup of 0
+        (2, "completely different text about spark catalyst optimizer "
+            "plans partitions shuffles and adaptive execution engines"),
+        (3, "yet another unrelated document mentioning tiles pyramids "
+            "rasters zoom levels and mercator projections at scale"),
+        (4, _BASE),                                # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_int_recovers_planted_pairs(spark):
+    docs = _docs(spark)
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands_shared"]
+             for r in lsh_candidate_pairs_int(docs).collect()}
+    assert (0, 4) in pairs and pairs[(0, 4)] == 4  # exact dup: all bands
+    assert (0, 1) in pairs  # near-dup shares at least one band
+    assert (2, 3) not in pairs  # unrelated docs don't collide
+
+
+def test_simhash_int_recovers_planted_pairs(spark):
+    docs = _docs(spark)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs_int(docs, max_hamming=16).collect()}
+    assert pairs.get((0, 4)) == 0  # identical text → identical simhash
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 16
+    assert (2, 3) not in pairs
+
+
+def test_doc_fingerprint_int_identity(spark):
+    docs = _docs(spark)
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in doc_fingerprints_int(docs).collect()}
+    assert fp[0] == fp[4]  # identical docs → identical fingerprint
+    assert len({fp[0], fp[2], fp[3]}) == 3  # distinct docs differ
+    assert all(0 <= v < 2147483647 for v in fp.values())

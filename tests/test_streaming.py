@@ -90,6 +90,50 @@ def test_stream_render_incremental(spark, tmp_path):
     assert rows[-1]["rows"] == len(got)
 
 
+import pytest
+
+
+_FULL_CMAP = ",".join(
+    f"{v}:#{v:02x}{(v * 3) % 256:02x}{(v * 7) % 256:02x}" for v in range(1, 256))
+
+
+@pytest.mark.parametrize("tag,cmap", [
+    ("u32", None),
+    ("u8", _FULL_CMAP),
+])
+def test_stream_render_u32_and_colormap(spark, tmp_path, tag, cmap):
+    """The mosaic-over combine must round-trip every encoder class:
+    u32 (adaptive palette + RGB) and u8 paletted via a user colormap —
+    streamed result byte-identical to the batch render over the union.
+
+    The colormap must cover every data value: incremental maintenance
+    decodes the stored PNG back to values, and a palette that drops
+    unmapped values to index 0 cannot round-trip (documented constraint
+    in streaming/ingest)."""
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    all_imgs = generate_images(16, tag)
+    pq.write_table(all_imgs.slice(0, 8), str(inp / "part0.parquet"))
+    q = stream_render(spark, str(inp), str(out), 4, 6, tile_size=64,
+                      dtype_tag=tag, colormap_str=cmap,
+                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+    pq.write_table(all_imgs.slice(8, 8), str(inp / "part1.parquet"))
+    q = stream_render(spark, str(inp), str(out), 4, 6, tile_size=64,
+                      dtype_tag=tag, colormap_str=cmap,
+                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = _fused_map(spark.read.parquet(str(out / "tiles")))
+    images_df = spark.createDataFrame(all_imgs.to_pandas())
+    want = _fused_map(render(images_df, 4, 6, tile_size=64, dtype_tag=tag,
+                             colormap_str=cmap))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], f"streamed {tag}/{bool(cmap)} differs at {k}"
+
+
 def test_stream_pyramid_incremental_overviews(spark, tmp_path):
     """Incrementally-maintained pyramid: after two drops, the streamed
     tile table must equal render_pyramid over the union — direct zooms
@@ -107,6 +151,17 @@ def test_stream_pyramid_incremental_overviews(spark, tmp_path):
                               overview_below=6, tile_size=64,
                               max_files_per_trigger=1)
     q.awaitTermination(180)
+
+    def _snap():
+        files = {}
+        for root, _, names in os.walk(out / "tiles"):
+            for nm in names:
+                p = os.path.join(root, nm)
+                st = os.stat(p)
+                files[os.path.relpath(p, out / "tiles")] = (st.st_mtime_ns, st.st_size)
+        return files
+
+    before = _snap()
     pq.write_table(all_imgs.slice(12, 12), str(inp / "part1.parquet"))
     q = stream_render_pyramid(spark, str(inp), str(out), 2, 8,
                               overview_below=6, tile_size=64,
@@ -120,3 +175,25 @@ def test_stream_pyramid_incremental_overviews(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k], f"streamed pyramid differs at {k}"
+
+    # block-stripe incremental cascade: overview stripes (XB_BITS <= z
+    # < base) whose x-block drop 2 did not touch at the base zoom must
+    # stay bit-identical on disk — O(dirty stripes) per batch, not
+    # O(base)
+    from pyspark.sql import functions as F
+    from rastertiler_rs_spark.streaming.ingest import XB_BITS, _xb_col
+    drop2 = spark.createDataFrame(all_imgs.slice(12, 12).to_pandas())
+    dirty_bs = {r["xb"] for r in render(drop2, 6, 6, tile_size=64)
+                .select(_xb_col()).distinct().collect()}
+    after = _snap()
+    checked = 0
+    for rel, v in before.items():
+        parts = rel.split(os.sep)
+        if len(parts) < 3 or not parts[0].startswith("zoom="):
+            continue
+        z = int(parts[0].split("=")[1])
+        b = int(parts[1].split("=")[1])
+        if XB_BITS <= z < 6 and b not in dirty_bs:
+            assert after.get(rel) == v, f"clean overview stripe rewritten: {rel}"
+            checked += 1
+    assert checked > 0, "test needs at least one clean overview stripe"

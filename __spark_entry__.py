@@ -396,6 +396,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float cosine top-k. Oracle-checkable despite floats: both engines
+    compute the dot and norms as STRICT LEFT FOLDS over the same arrays
+    (F.aggregate ↔ DuckDB list_reduce), so every intermediate double is
+    bit-identical and the (score DESC, vec_id) ordering agrees exactly;
+    only integer columns (qid, vec_id, rank) cross the hash."""
     from rastertiler_rs_spark.operators.embedding import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -485,6 +490,26 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = spark.read.parquet(images_parquet(64, "u8"))
     return image_metadata(images)
+
+
+def q_render_pyramid_tile_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant twin of the overview cascade: over fully-opaque images
+    the pyramid's (zoom, x, y) set at every level equals the exact SQL
+    tile cover — a cascade parent exists iff >= 1 child exists, and for
+    no-hole footprints the cover nests exactly (the ε/clamp rule is
+    consistent across zooms because fixture footprints align to the
+    z14 grid). Catches parent-indexing/decimation-set regressions even
+    though overview PNG bytes stay rows-only."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.overview import render_pyramid
+
+    keep, *_ = _nohole_image_rows(256)
+    ids = [f"img{int(i):08d}" for i in keep]
+    images = spark.read.parquet(images_parquet(256, "u8")).filter(
+        F.col("image_id").isin(ids))
+    fused = render_pyramid(images, 7, 9, tile_size=128, dtype_tag="u8",
+                           overview_below=9)
+    return fused.select("zoom", "x", "y").distinct()
 
 
 def q_render_pyramid_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,9 +650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
-        # rows-only (no oracle_sql entry):
         "embedding_cosine": q_embedding_cosine,
         "image_meta": q_image_meta,
+        "render_pyramid_tile_ids": q_render_pyramid_tile_ids,
+        # rows-only (no oracle_sql entry — PNG bytes / engine hashes):
         "render_tiles": q_render_tiles,
         "render_tiles_u32": q_render_tiles_u32,
         "render_tiles_colormap": q_render_tiles_colormap,
@@ -830,6 +856,43 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
+        "render_pyramid_tile_ids": _render_tile_ids_oracle_sql(),
+        # strict-left-fold cosine: same IEEE op sequence as the Spark
+        # F.aggregate folds, so ordering (score DESC, vec_id) is exact
+        "embedding_cosine": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                       FROM embeddings),
+            n AS (SELECT vec_id, ve,
+                         list_reduce(list_prepend(0.0, list_transform(ve, x -> x * x)),
+                                     (a, b) -> a + b) AS nrm
+                  FROM e),
+            q AS (SELECT vec_id AS qid, ve AS qe, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.qid, v.vec_id,
+                     list_reduce(list_prepend(0.0,
+                         list_transform(list_zip(v.ve, q.qe), z -> z[1] * z[2])),
+                         (a, b) -> a + b) / sqrt(v.nrm * q.qn) AS score
+              FROM n v, q)
+            SELECT qid, vec_id, rank FROM (
+              SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 10
+        """,
+        # the decode twin: actual dims must equal the fixture formula
+        # (fixtures.encode_image W/H cycles) — verifies the engine's PNG
+        # header decode byte-for-byte against the generation rule
+        "image_meta": """
+            WITH idx AS (SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id
+                         FROM (SELECT UNNEST(generate_series(0, 63)) AS i) t(i))
+            SELECT image_id, 'png;u8' AS fmt,
+                   CAST(CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 256 ELSE 512 END AS INT) AS decl_w,
+                   CAST(CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 512 END AS INT) AS decl_h,
+                   CAST(CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 256 ELSE 512 END AS INT) AS actual_w,
+                   CAST(CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 512 END AS INT) AS actual_h,
+                   TRUE AS dims_match
+            FROM idx
+        """,
         "phash_near": f"""
             WITH base AS (
               SELECT o_orderkey AS iid,

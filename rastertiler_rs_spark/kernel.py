@@ -188,3 +188,19 @@ def encode_tile(canvas: np.ndarray, dtype_tag: str, nodata: int, colormap=None) 
         return encode_rgb(rgb_from_u32(canvas), nodata_value=int(nodata))
 
     raise ValueError(f"unsupported dtype {dtype_tag!r}")
+
+
+def print_2d(buffer: np.ndarray, nodata) -> None:
+    """Debug pretty-printer for a 2-D value buffer (K6,
+    /root/reference/src/array.rs:66-88): column width = widest non-nodata
+    value + 1, '-' for nodata cells, left-justified, single trailing
+    newline (the reference's final println)."""
+    arr = np.asarray(buffer)
+    flat = arr.ravel()
+    non = flat[flat != nodata]
+    pad = len(repr(int(non.max()))) + 1 if non.size else 2
+    lines = []
+    for row in arr:
+        lines.append("".join(
+            f"{'-':<{pad}}" if v == nodata else f"{int(v):<{pad}}" for v in row))
+    print("\n".join(lines))

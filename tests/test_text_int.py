@@ -43,6 +43,34 @@ def test_simhash_int_recovers_planted_pairs(spark):
     assert (2, 3) not in pairs
 
 
+def test_poly_hash_matches_python_reference(spark):
+    """The JVM fold (F.aggregate) must equal a plain-python fold for
+    arbitrary ASCII strings — the same property the DuckDB list_reduce
+    twin relies on."""
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.text import HM, poly_hash_col
+
+    import random
+    rng = random.Random(42)
+    strs = ["".join(chr(rng.randint(32, 126)) for _ in range(rng.randint(1, 40)))
+            for _ in range(200)]
+
+    def py_poly(s, base=131):
+        acc = 0
+        for ch in s:
+            acc = (acc * base + ord(ch)) % HM
+        return acc
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strs)],
+                               "i long, s string")
+    got = {r["i"]: r["h"] for r in
+           df.select("i", poly_hash_col(F.col("s")).alias("h")).collect()}
+    for i, s in enumerate(strs):
+        assert got[i] == py_poly(s), f"mismatch for {s!r}"
+        assert 0 <= got[i] < HM
+
+
 def test_doc_fingerprint_int_identity(spark):
     docs = _docs(spark)
     fp = {r["doc_id"]: r["fingerprint"]

@@ -492,6 +492,19 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_metadata(images)
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: nearest-neighbor (kernel K2 index rule) to a
+    fixed target over the opaque binary column — driver-executed each
+    round (rows-only: output is PNG bytes; the decode→resize→encode
+    chain is pinned by the codec round-trip tests)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.multimodal import resize_images
+
+    images = spark.read.parquet(images_parquet(64, "u8"))
+    out = resize_images(images, target=32)
+    return out.select("image_id", F.length("bytes").alias("n_bytes"))
+
+
 def q_render_pyramid_tile_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant twin of the overview cascade: over fully-opaque images
     the pyramid's (zoom, x, y) set at every level equals the exact SQL
@@ -654,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "render_pyramid_tile_ids": q_render_pyramid_tile_ids,
         # rows-only (no oracle_sql entry — PNG bytes / engine hashes):
+        "image_resize": q_image_resize,
         "render_tiles": q_render_tiles,
         "render_tiles_u32": q_render_tiles_u32,
         "render_tiles_colormap": q_render_tiles_colormap,

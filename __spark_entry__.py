@@ -436,6 +436,42 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "vec_id", "dot", "rank")
 
 
+# embedding near-dup: the synthetic embeddings are near-random (max
+# pairwise cosine 0.51 at sf0.01), so — like phash_near below — the
+# query plants deterministic near-duplicate variants IN THE QUANTIZED
+# INTEGER DOMAIN (vi' = vi + small modular delta), where both engines
+# construct bit-identical inputs; threshold 0.90 cleanly separates
+# planted pairs (cos ≈ 0.999) from every base pair.
+_ND_SCALE = 256          # |vi| <= ~2^9: the squared-cosine test fits int64
+_ND_VARIANT_OFFSET = 10_000_000
+_ND_THRESHOLD_X100 = 90
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): banded
+    hyperplane-LSH blocking (24 integer planes → 3 bands × 8 sign bits,
+    weights from the public modular formula) + integer-exact
+    squared-cosine verification — the no-all-pairs shape of
+    minhash_lsh/simhash/phash applied to the embedding column. Fully
+    BIGINT end to end ⇒ DuckDB-verifiable."""
+    from rastertiler_rs_spark.operators.embedding import neardup_pairs_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: F.floor(x.cast("double") * _ND_SCALE)
+                    .cast("long")).alias("vi"))
+    variants = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + _ND_VARIANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "vi",
+            lambda x, i: x + (F.col("vec_id") * 31 + i.cast("long")) % 5 - 2
+        ).alias("vi"))
+    return neardup_pairs_int(base.unionByName(variants),
+                             threshold_x100=_ND_THRESHOLD_X100)
+
+
 # 48-bit synthetic phash from pure modular arithmetic (no engine hash),
 # so the DuckDB oracle derives the identical value. 3 bands x 16 bits:
 # pigeonhole guarantees recall for hamming <= 2; the planted variants
@@ -658,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_int": q_embedding_topk_int,
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
+        "embedding_neardup": q_embedding_neardup,
         "phash_near": q_phash_near,
         "render_tile_ids": q_render_tile_ids,
         "minhash_lsh": q_minhash_lsh,
@@ -702,6 +739,61 @@ def _lsh_oracle_sql(k: int = 5, n_planes: int = 6, dim: int = 64,
           SELECT qid, vec_id, dot,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
           FROM scored) WHERE rank <= {k}
+    """
+
+
+def _neardup_oracle_sql(n_planes: int = 24, n_bands: int = 3,
+                        dim: int = 64) -> str:
+    """DuckDB twin of q_embedding_neardup: same quantization, same
+    planted variants (integer-domain deltas), same 3×8-bit band buckets
+    from the same modular plane weights, same squared-cosine test."""
+    from rastertiler_rs_spark.operators.embedding import plane_weights_int
+
+    weights = plane_weights_int(n_planes, dim)
+    per_band = n_planes // n_bands
+    qexpr = (f"list_transform(embedding, x -> "
+             f"CAST(FLOOR(CAST(x AS DOUBLE) * {_ND_SCALE}) AS BIGINT))")
+    band_cases = []
+    for band in range(n_bands):
+        terms = []
+        for i in range(per_band):
+            w = weights[band * per_band + i]
+            wlist = "[" + ",".join(str(v) for v in w) + "]"
+            dot = (f"CAST(list_sum(list_transform(list_zip(vi, {wlist}), "
+                   f"z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS BIGINT)")
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+        band_cases.append(f"WHEN {band} THEN " + " + ".join(terms))
+    bucket = "CASE band " + " ".join(band_cases) + " END"
+    thr2 = _ND_THRESHOLD_X100 ** 2
+    return f"""
+        WITH vi0 AS (SELECT vec_id, {qexpr} AS vi FROM embeddings),
+        allv AS (
+          SELECT vec_id, vi FROM vi0
+          UNION ALL
+          SELECT vec_id + {_ND_VARIANT_OFFSET},
+                 list_transform(generate_series(1, {dim}),
+                     d -> vi[d] + (vec_id * 31 + (d - 1)) % 5 - 2)
+          FROM vi0 WHERE vec_id % 7 = 0),
+        banded AS (
+          SELECT vec_id, vi, band, CAST({bucket} AS BIGINT) AS bucket
+          FROM allv,
+               (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS band) b),
+        cand AS (
+          SELECT a.vec_id AS vec_a, a.vi AS va, bb.vec_id AS vec_b, bb.vi AS vb
+          FROM banded a JOIN banded bb
+            ON a.band = bb.band AND a.bucket = bb.bucket
+           AND a.vec_id < bb.vec_id),
+        v AS (
+          SELECT vec_a, vec_b,
+                 CAST(list_sum(list_transform(list_zip(va, vb),
+                      z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS BIGINT) AS dot,
+                 CAST(list_sum(list_transform(va,
+                      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS n2a,
+                 CAST(list_sum(list_transform(vb,
+                      x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS n2b
+          FROM cand)
+        SELECT DISTINCT vec_a, vec_b, dot, n2a, n2b FROM v
+        WHERE dot > 0 AND 10000 * dot * dot >= {thr2} * n2a * n2b
     """
 
 
@@ -866,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "embedding_lsh": _lsh_oracle_sql(),
         "embedding_ivf": _ivf_oracle_sql(),
+        "embedding_neardup": _neardup_oracle_sql(),
         "render_tile_ids": _render_tile_ids_oracle_sql(),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),

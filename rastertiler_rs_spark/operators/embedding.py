@@ -275,6 +275,82 @@ def ivf_topk_int(vectors: DataFrame, queries: DataFrame, k: int,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def neardup_pairs_int(vec_int: DataFrame, threshold_x100: int = 90,
+                      n_planes: int = 24, n_bands: int = 3,
+                      dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family member
+    for embedding columns: all (vec_a < vec_b) pairs whose cosine
+    similarity is >= threshold_x100/100, found WITHOUT an all-pairs
+    scan.
+
+    Input is pre-quantized integer vectors (vec_id, vi array<bigint>)
+    — see _quant — so every intermediate (band buckets, dot, norms, the
+    threshold test itself) is BIGINT and bit-identical across engines.
+
+    100 TB shape (same blocking idiom as minhash_lsh/simhash/phash):
+      1. each vector hashes to ``n_bands`` band buckets (sign pattern of
+         ``n_planes/n_bands`` integer hyperplanes per band — weights
+         from the public modular formula, plane_weights_int);
+      2. candidates = self-equi-join on (band, bucket) with
+         vec_a < vec_b, distinct — near-identical vectors flip few
+         signs, so they collide in >= 1 band w.h.p. (recall, like every
+         LSH method, is probabilistic-by-construction but DETERMINISTIC
+         for a given input: the oracle mirrors the same pipeline);
+      3. verify exactly in integers: accept iff dot > 0 and
+         10000*dot^2 >= thr^2 * n2a * n2b  (squared cosine test —
+         divisions/sqrts never materialize). With |vi| <= ~2^9 and
+         dim 64 every term stays far below 2^63.
+
+    No all-pairs anywhere: the join is a bucket equi-join; at 10^9+
+    vectors raise planes-per-band so bucket occupancy stays bounded.
+    """
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide into n_bands evenly")
+    per_band = n_planes // n_bands
+    weights = plane_weights_int(n_planes, dim)
+
+    def band_bucket(vi_col, band: int):
+        b = F.lit(0).cast("long")
+        for i in range(per_band):
+            w = weights[band * per_band + i]
+            warr = F.array(*[F.lit(v).cast("long") for v in w])
+            dot = F.aggregate(F.zip_with(vi_col, warr, lambda x, y: x * y),
+                              F.lit(0).cast("long"), lambda acc, v: acc + v)
+            b = b + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long"))
+        return b
+
+    banded = vec_int.select(
+        "vec_id", "vi",
+        F.explode(F.array(*[
+            F.struct(F.lit(band).alias("band"),
+                     band_bucket(F.col("vi"), band).alias("bucket"))
+            for band in range(n_bands)])).alias("bb"),
+    ).select("vec_id", "vi", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+    left = banded.select(F.col("vec_id").alias("vec_a"),
+                         F.col("vi").alias("va"), "band", "bucket")
+    right = banded.select(F.col("vec_id").alias("vec_b"),
+                          F.col("vi").alias("vb"), "band", "bucket")
+    cand = (left.join(right, ["band", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b")))
+
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    n2 = lambda c: F.aggregate(c, F.lit(0).cast("long"),  # noqa: E731
+                               lambda acc, v: acc + v * v)
+    thr = int(threshold_x100)
+    verified = cand.select(
+        "vec_a", "vec_b", dot.alias("dot"),
+        n2(F.col("va")).alias("n2a"), n2(F.col("vb")).alias("n2b"),
+    ).filter((F.col("dot") > 0)
+             & (10000 * F.col("dot") * F.col("dot")
+                >= thr * thr * F.col("n2a") * F.col("n2b")))
+    # a pair can collide in several bands — integer rows, exact distinct
+    return verified.distinct()
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, n_planes: int = 6,
              dim: int = 64) -> DataFrame:
     """ANN top-k: cosine ranking within the query's hyperplane bucket.

@@ -95,3 +95,52 @@ def test_lsh_topk_subset_of_bucket_and_self_hit(spark):
         by_q.setdefault(r["qid"], {})[r["rank"]] = r["vec_id"]
     for qid, ranks in by_q.items():
         assert ranks[1] == qid
+
+
+def test_neardup_pairs_planted_variants(spark):
+    """Near-dup dedup: planted integer-domain variants (cos ~0.999) are
+    all recovered through the banded LSH blocking; no base-base pair
+    passes the 0.90 threshold (the fixture's max base cosine is ~0.51);
+    every reported pair actually satisfies the integer cosine test."""
+    import math
+
+    from rastertiler_rs_spark.operators.embedding import neardup_pairs_int
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: F.floor(x.cast("double") * 256).cast("long"))
+        .alias("vi"))
+    offset = 10_000_000
+    variants = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform(
+            "vi",
+            lambda x, i: x + (F.col("vec_id") * 31 + i.cast("long")) % 5 - 2
+        ).alias("vi"))
+    n_planted = variants.count()
+    rows = neardup_pairs_int(base.unionByName(variants),
+                             threshold_x100=90).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert len(pairs) == len(rows)  # distinct applied
+    planted = {(a, a + offset) for a in
+               [r["vec_id"] for r in base.collect()] if a % 7 == 0}
+    assert pairs == planted and len(pairs) == n_planted
+    for r in rows:  # integer verification really holds
+        assert r["dot"] > 0
+        cos = r["dot"] / math.sqrt(r["n2a"] * r["n2b"])
+        assert cos >= 0.90
+
+
+def test_neardup_rejects_uneven_bands(spark):
+    import pytest
+
+    from rastertiler_rs_spark.operators.embedding import neardup_pairs_int
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.select("vec_id", F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 256).cast("long")).alias("vi"))
+    with pytest.raises(ValueError, match="n_bands"):
+        neardup_pairs_int(base, n_planes=10, n_bands=3)

@@ -13,6 +13,17 @@ flags map one-to-one:
 
   python -m rastertiler_rs_spark merge LEFT.mbtiles RIGHT.mbtiles OUT.mbtiles
 
+Beyond the reference's two commands, ``stream`` exposes the Structured
+Streaming pipeline (an engine extension — the reference is batch-only):
+it drains every image parquet file currently in IN_DIR into the
+continuously-maintained tile table at OUT_DIR and exits
+(``availableNow`` trigger); re-running after new files land upserts
+only the new images' tiles, restart-safe via the Spark checkpoint:
+
+  python -m rastertiler_rs_spark stream IN_DIR OUT_DIR \
+      --minzoom 2 --maxzoom 8 [--pyramid] [--tilesize N] [--workers N] \
+      [--colormap ...] [--max-files-per-trigger N]
+
 ``--workers`` sets local[] parallelism here (the reference's worker
 threads, /root/reference/src/main.rs:73-75); on a cluster, submit with
 spark-submit and the flag is ignored. ``--disable-overviews`` forces
@@ -70,6 +81,40 @@ def cmd_render(args) -> None:
         meta = meta.unionByName(spark.createDataFrame(extra, meta.schema))
     materialize_mbtiles(fused, meta, args.out)
     print(f"wrote {args.out}")
+
+
+def cmd_stream(args) -> None:
+    from .session import get_spark
+    from .streaming.ingest import stream_render, stream_render_pyramid
+
+    if args.minzoom > args.maxzoom:
+        sys.exit("ERROR: minzoom must be less than or equal to maxzoom")
+    if not os.path.isdir(args.input_dir):
+        sys.exit(f"ERROR: input does not exist: {args.input_dir}")
+    spark = get_spark("rastertiler-stream", cpus=args.workers)
+    spark.sparkContext.setLogLevel("ERROR")
+    # dtype from the first image file present (same probe as render)
+    probe = spark.read.schema(
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long").parquet(args.input_dir)
+    first = probe.select("fmt").first()
+    if first is None:
+        sys.exit(f"ERROR: no image parquet files in {args.input_dir}")
+    tag = first["fmt"].split(";")[1]
+    if args.colormap and tag != "u8":
+        sys.exit("ERROR: colormap can only be provided for uint8 data")
+    kwargs = dict(tile_size=args.tilesize, dtype_tag=tag,
+                  colormap_str=args.colormap,
+                  max_files_per_trigger=args.max_files_per_trigger)
+    if args.pyramid:
+        q = stream_render_pyramid(spark, args.input_dir, args.out_dir,
+                                  args.minzoom, args.maxzoom, **kwargs)
+    else:
+        q = stream_render(spark, args.input_dir, args.out_dir,
+                          args.minzoom, args.maxzoom, **kwargs)
+    q.awaitTermination()
+    n = spark.read.parquet(os.path.join(args.out_dir, "tiles")).count()
+    print(f"streamed into {args.out_dir}: {n} tiles live")
 
 
 def _read_mbtiles(path: str):
@@ -131,6 +176,20 @@ def main(argv=None) -> None:
     r.add_argument("--attribution", default=None)
     r.add_argument("--disable-overviews", action="store_true")
     r.set_defaults(fn=cmd_render)
+
+    s = sub.add_parser(
+        "stream", help="drain image parquet files into a maintained tile table")
+    s.add_argument("input_dir")
+    s.add_argument("out_dir")
+    s.add_argument("--minzoom", type=_zoom, default=0)
+    s.add_argument("--maxzoom", type=_zoom, default=4)
+    s.add_argument("--tilesize", type=int, default=256)
+    s.add_argument("--workers", type=int, default=4)
+    s.add_argument("--colormap", default=None)
+    s.add_argument("--pyramid", action="store_true",
+                   help="maintain low zooms via the overview cascade")
+    s.add_argument("--max-files-per-trigger", type=int, default=8)
+    s.set_defaults(fn=cmd_stream)
 
     m = sub.add_parser("merge", help="merge two MBTiles files")
     m.add_argument("left")

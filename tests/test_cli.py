@@ -95,3 +95,38 @@ def test_cli_validation(tmp_path):
         main(["render", "/nonexistent.parquet", str(tmp_path / "o.mbtiles")])
     with pytest.raises(SystemExit):
         main(["render", "x", "y", "--minzoom", "9", "--maxzoom", "2"])
+
+
+def test_cli_stream_drains_and_upserts(spark, tmp_path, capsys):
+    """The stream subcommand wires the Structured Streaming pipeline:
+    drop 1 drains to a live tile table; a second invocation after drop 2
+    upserts and converges to the batch render over all images."""
+    from rastertiler_rs_spark.operators.render import render
+
+    inp, out = tmp_path / "in", tmp_path / "out"
+    inp.mkdir()
+    imgs = generate_images(16, "u8")
+    pq.write_table(imgs.slice(0, 8), str(inp / "p0.parquet"))
+    main(["stream", str(inp), str(out), "--minzoom", "3", "--maxzoom", "6",
+          "--tilesize", "64"])
+    assert "tiles live" in capsys.readouterr().out
+
+    pq.write_table(imgs.slice(8, 8), str(inp / "p1.parquet"))
+    main(["stream", str(inp), str(out), "--minzoom", "3", "--maxzoom", "6",
+          "--tilesize", "64"])
+    streamed = {(r["zoom"], r["x"], r["tile_row"]): r["tile_hash"]
+                for r in spark.read.parquet(str(out / "tiles")).collect()}
+    batch_df = render(spark.createDataFrame(imgs.to_pandas()), 3, 6,
+                      tile_size=64)
+    batch = {(r["zoom"], r["x"], r["tile_row"]): r["tile_hash"]
+             for r in batch_df.collect()}
+    assert streamed == batch
+
+
+def test_cli_stream_validation(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["stream", str(tmp_path / "missing"), str(tmp_path / "o")])
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit):
+        main(["stream", str(empty), str(tmp_path / "o2")])

@@ -1174,7 +1174,9 @@ def oracle_sql() -> dict[str, str]:
               AND CAST((c.c_custkey * 29) % 100 AS DOUBLE) + 0.1 < 7.0 * r.r_regionkey + 21.75
         """,
         "doc_tokens": r"""
-            SELECT doc_id, LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens
+            SELECT doc_id,
+                   LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+                   LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
             FROM documents
         """,
         "doc_quality": r"""

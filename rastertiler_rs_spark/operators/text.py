@@ -241,10 +241,23 @@ def doc_fingerprints_int(docs: DataFrame, text_col: str = "text",
     return grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))
 
 
+# BPE-ish tokenizer regex: letter runs stay one token, digits split
+# individually (as modern BPE vocabularies do), every other non-space
+# symbol is its own token. Disjoint greedy character classes only — no
+# alternation-order or lookaround semantics — so Java regex (Spark) and
+# RE2 (DuckDB) count identically.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens): whitespace tokenization, JVM-side."""
+    """(doc_id, n_tokens, n_bpe_tokens): whitespace tokenization plus a
+    BPE-ish regex token count (BPE_TOKEN_RE), both JVM-side."""
+    t = F.col(text_col)
     return docs.select(
-        "doc_id", F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), F.lit(0)))
+        .alias("n_bpe_tokens"))
 
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:

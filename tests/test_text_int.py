@@ -78,3 +78,19 @@ def test_doc_fingerprint_int_identity(spark):
     assert fp[0] == fp[4]  # identical docs → identical fingerprint
     assert len({fp[0], fp[2], fp[3]}) == 3  # distinct docs differ
     assert all(0 <= v < 2147483647 for v in fp.values())
+
+
+def test_token_counts_whitespace_and_bpeish(spark):
+    """Known strings pin both tokenizations: whitespace count and the
+    BPE-ish rule (letter runs = 1 token, each digit and each non-space
+    symbol = 1 token)."""
+    from rastertiler_rs_spark.operators.text import token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "Hello, world!"),          # ws 2; bpe: Hello , world ! = 4
+         (1, "abc 123 x-y"),            # ws 3; bpe: abc 1 2 3 x - y = 7
+         (2, "  spaced   out  ")],      # ws 2; bpe: spaced out = 2
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"])
+           for r in token_counts(docs).collect()}
+    assert got == {0: (2, 4), 1: (3, 7), 2: (2, 2)}

@@ -12,7 +12,12 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+# driver gate runs at sf0.01; override to stress-test oracles at other
+# scales (e.g. SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 for the float-
+# sensitive cross-engine queries)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

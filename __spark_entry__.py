@@ -541,6 +541,19 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", F.length("bytes").alias("n_bytes"))
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: integer pixel statistics per image
+    over the opaque binary column — driver-executed each round
+    (rows-only: the stats depend on splitmix64 fixture pixels, which the
+    SQL oracle deliberately doesn't reimplement; exact values are pinned
+    against a numpy recomputation in tests/test_multimodal.py)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.multimodal import image_features
+
+    images = spark.read.parquet(images_parquet(64, "u8"))
+    return image_features(images)
+
+
 def q_render_pyramid_tile_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant twin of the overview cascade: over fully-opaque images
     the pyramid's (zoom, x, y) set at every level equals the exact SQL
@@ -703,8 +716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine": q_embedding_cosine,
         "image_meta": q_image_meta,
         "render_pyramid_tile_ids": q_render_pyramid_tile_ids,
-        # rows-only (no oracle_sql entry — PNG bytes / engine hashes):
+        # rows-only (no oracle_sql entry — PNG bytes / engine hashes /
+        # splitmix64-derived pixels):
         "image_resize": q_image_resize,
+        "image_features": q_image_features,
         "render_tiles": q_render_tiles,
         "render_tiles_u32": q_render_tiles_u32,
         "render_tiles_colormap": q_render_tiles_colormap,

@@ -3,14 +3,24 @@
 Images/audio/video travel as `binary` columns with (fmt, w, h) metadata
 — exactly the engine's native images table shape. The Spark-side
 plumbing (schemas, Arrow batching, partition behavior) is real and
-tested; PNG decode/resize is fully implemented via the engine codec.
-Codecs absent from this container (JPEG/WebP/audio/video) are stubbed
-behind NotImplementedError with the batch signatures production
-implementations would drop into.
+tested; PNG decode/resize/feature-extract is fully implemented via the
+engine codec. Codecs absent from this container (JPEG/WebP/audio/video)
+have two clearly-separated modes:
+
+- default: raise NotImplementedError with the batch signature a
+  production codec would drop into (honest environment-blocked stub);
+- ``fake_codecs=True``: a DETERMINISTIC FAKE decode — pixels are a
+  reproducible pure function of the payload bytes (crc32-seeded
+  gradient), never a real decode. This exists so the downstream
+  plumbing (resize, features, frame explode: schemas, batching,
+  partitioning) can be exercised and tested end-to-end for non-PNG
+  formats inside this container. Production builds replace the fake
+  with pillow/turbojpeg/pyav and delete nothing else.
 """
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -23,10 +33,24 @@ from ..fixtures import NODATA
 _SUPPORTED = ("png;u8", "png;u32")
 
 
-def _decode_any(data: bytes, fmt: str) -> np.ndarray:
+def _fake_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """DETERMINISTIC FAKE (not a real codec): reproducible u8 band from
+    the payload's crc32 — same modular-gradient family as the fixture
+    generator, so every downstream op behaves like it would on real
+    pixels (value range 1..255, stable across engines/runs)."""
+    seed = zlib.crc32(data) & 0xFF
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return ((r * 31 + c * 17 + seed) % 255 + 1).astype(np.uint8)
+
+
+def _decode_any(data: bytes, fmt: str, w: int = 0, h: int = 0,
+                fake_codecs: bool = False) -> np.ndarray:
     if fmt.startswith("png"):
         return decode_png(data)["pixels"]
     if fmt.startswith(("jpeg", "webp")):
+        if fake_codecs:
+            return _fake_decode(data, int(w), int(h))
         # STUB: container has no JPEG/WebP codec. A production build
         # plugs pillow/turbojpeg here; everything around this call
         # (schema, batching, caching) is the real pipeline.
@@ -58,17 +82,22 @@ def image_metadata(images: DataFrame) -> DataFrame:
             "actual_w int, actual_h int, dims_match boolean")
 
 
-def resize_images(images: DataFrame, target: int) -> DataFrame:
+def resize_images(images: DataFrame, target: int,
+                  fake_codecs: bool = False) -> DataFrame:
     """Nearest-neighbor resize to target x target (the kernel's K2 rule):
-    (image_id, bytes). Real for png;u8; other codecs raise (stub)."""
+    (image_id, bytes). Real for png;u8; jpeg/webp raise unless
+    ``fake_codecs`` opts into the deterministic fake decode."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"image_id": [], "bytes": []}
             for row in pdf.itertuples(index=False):
-                if row.fmt != "png;u8":
+                if row.fmt == "png;u8":
+                    band = decode_png(bytes(row.bytes))["pixels"]
+                elif row.fmt.startswith(("jpeg", "webp")) and fake_codecs:
+                    band = _fake_decode(bytes(row.bytes), int(row.w), int(row.h))
+                else:
                     raise NotImplementedError(f"resize for {row.fmt!r} is stubbed")
-                band = decode_png(bytes(row.bytes))["pixels"]
                 h, w = band.shape
                 rows_i = ((np.arange(target) + 0.5) * h / target).astype(np.int64)
                 cols_i = ((np.arange(target) + 0.5) * w / target).astype(np.int64)
@@ -78,17 +107,62 @@ def resize_images(images: DataFrame, target: int) -> DataFrame:
                 out["bytes"].append(encode_grayscale8(resized, NODATA))
             yield pd.DataFrame(out)
 
-    return images.select("image_id", "bytes", "fmt").mapInPandas(
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         fn, "image_id string, bytes binary")
 
 
-def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling STUB. Real plumbing: binary column in,
-    exploded (video_id, frame_no, frame_bytes) out; a production build
-    plugs a demuxer into `_extract`. Calling it raises."""
+def image_features(images: DataFrame, fake_codecs: bool = False) -> DataFrame:
+    """Feature extraction over the opaque binary column: integer pixel
+    statistics per image — (image_id, n_pixels, n_data, vmin, vmax,
+    vsum, mean_x100). nodata (0) pixels are excluded from the value
+    stats; an all-nodata image reports vmin=vmax=mean_x100=0. All
+    outputs integer ⇒ deterministic across runs/engines; values are
+    pinned exactly against a numpy recomputation in tests.
+
+    Real decode for PNG (u8 and u32); jpeg/webp go through the
+    deterministic fake only when opted in, else raise (stub)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "n_pixels": [], "n_data": [],
+                   "vmin": [], "vmax": [], "vsum": [], "mean_x100": []}
+            for row in pdf.itertuples(index=False):
+                band = _decode_any(bytes(row.bytes), row.fmt, row.w, row.h,
+                                   fake_codecs)
+                vals = band[band != NODATA].astype(np.int64)
+                n_data = int(vals.size)
+                vsum = int(vals.sum()) if n_data else 0
+                out["image_id"].append(row.image_id)
+                out["n_pixels"].append(int(band.size))
+                out["n_data"].append(n_data)
+                out["vmin"].append(int(vals.min()) if n_data else 0)
+                out["vmax"].append(int(vals.max()) if n_data else 0)
+                out["vsum"].append(vsum)
+                out["mean_x100"].append(vsum * 100 // n_data if n_data else 0)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        fn, "image_id string, n_pixels long, n_data long, vmin long, "
+            "vmax long, vsum long, mean_x100 long")
+
+
+def frame_sample(videos: DataFrame, every_n: int = 30,
+                 fake_codecs: bool = False) -> DataFrame:
+    """Video frame sampling: binary column in, exploded
+    (video_id, frame_no, frame_bytes) out. No demuxer exists in this
+    container: by default calling it raises; ``fake_codecs=True`` swaps
+    in a DETERMINISTIC FAKE demuxer (frame count = payload_len // 256,
+    each sampled frame a crc32-seeded 16x16 PNG) so the explode shape,
+    schema, and batching are real and tested. A production build plugs
+    pyav/ffmpeg into ``_extract`` and changes nothing else."""
 
     def _extract(data: bytes, every_n: int):
-        raise NotImplementedError("video demuxer not available in this environment")
+        if not fake_codecs:
+            raise NotImplementedError("video demuxer not available in this environment")
+        n_frames = max(1, len(data) // 256)
+        for frame_no in range(0, n_frames, every_n):
+            band = _fake_decode(data + frame_no.to_bytes(4, "big"), 16, 16)
+            yield frame_no, encode_grayscale8(band, NODATA)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,90 @@
+"""Multimodal operators: feature extraction pinned exactly against a
+numpy recomputation of the fixture pixel formula; the deterministic
+fake-codec mode drives the jpeg/webp/video plumbing end-to-end while
+the default mode stays an honest NotImplementedError stub."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from rastertiler_rs_spark.fixtures import images_parquet, pixel_band, NODATA
+from rastertiler_rs_spark.operators.multimodal import (
+    _fake_decode, frame_sample, image_features, resize_images)
+from rastertiler_rs_spark.png import decode_png
+
+
+def test_image_features_exact_u8(spark):
+    images = spark.read.parquet(images_parquet(16, "u8"))
+    got = {r["image_id"]: r.asDict() for r in image_features(images).collect()}
+    assert len(got) == 16
+    for i in range(16):
+        w = [64, 128, 256, 512][i % 4]
+        h = [64, 128, 192, 512][i % 4]
+        band = pixel_band(i, w, h, "u8")
+        vals = band[band != NODATA].astype(np.int64)
+        r = got[f"img{i:08d}"]
+        assert r["n_pixels"] == band.size
+        assert r["n_data"] == vals.size
+        if vals.size:
+            assert (r["vmin"], r["vmax"], r["vsum"]) == (
+                int(vals.min()), int(vals.max()), int(vals.sum()))
+            assert r["mean_x100"] == int(vals.sum()) * 100 // vals.size
+        else:  # the 1/8 all-nodata images: zeroed stats, not NaN/None
+            assert (r["vmin"], r["vmax"], r["vsum"], r["mean_x100"]) == (0, 0, 0, 0)
+
+
+def _jpeg_rows(spark, n=4):
+    rows = [(f"vid{i}", bytes(range(256)) * (i + 1), 48, 32, "jpeg")
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+
+
+def test_fake_codec_resize_and_features(spark):
+    imgs = _jpeg_rows(spark)
+    out = {r["image_id"]: bytes(r["bytes"])
+           for r in resize_images(imgs, target=24, fake_codecs=True).collect()}
+    assert set(out) == {f"vid{i}" for i in range(4)}
+    for iid, png in out.items():
+        band = decode_png(png)["pixels"]
+        assert band.shape == (24, 24)
+    # deterministic: a second run yields byte-identical output
+    again = {r["image_id"]: bytes(r["bytes"])
+             for r in resize_images(imgs, target=24, fake_codecs=True).collect()}
+    assert again == out
+
+    feats = {r["image_id"]: r.asDict()
+             for r in image_features(imgs, fake_codecs=True).collect()}
+    for i in range(4):
+        payload = bytes(range(256)) * (i + 1)
+        band = _fake_decode(payload, 48, 32)
+        exp = band.astype(np.int64)
+        r = feats[f"vid{i}"]
+        assert r["n_pixels"] == 48 * 32 and r["n_data"] == 48 * 32  # fake has no 0s
+        assert r["vsum"] == int(exp.sum())
+        assert zlib.crc32(payload) & 0xFF == int(band[0, 0]) - 1
+
+
+def test_default_stub_still_raises(spark):
+    imgs = _jpeg_rows(spark, 1)
+    with pytest.raises(Exception, match="stubbed|not available"):
+        resize_images(imgs, target=8).collect()
+    with pytest.raises(Exception, match="not available"):
+        frame_sample(imgs.selectExpr("image_id as video_id", "bytes")).collect()
+
+
+def test_frame_sample_fake_demuxer(spark):
+    vids = spark.createDataFrame(
+        [("v0", b"\x01" * 1024), ("v1", b"\x02" * 300)],
+        "video_id string, bytes binary")
+    rows = frame_sample(vids, every_n=2, fake_codecs=True).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    # v0: 1024//256 = 4 frames, every 2nd → frame_nos 0, 2
+    assert sorted(r["frame_no"] for r in by_vid["v0"]) == [0, 2]
+    # v1: 300//256 = 1 frame → frame_no 0
+    assert [r["frame_no"] for r in by_vid["v1"]] == [0]
+    for r in rows:  # every sampled frame is a decodable 16x16 PNG
+        assert decode_png(bytes(r["frame_bytes"]))["pixels"].shape == (16, 16)

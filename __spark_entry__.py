@@ -554,6 +554,22 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(images)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction, VALUE-verified end to end: the
+    Spark side synthesizes real RIFF/WAV PCM16 bytes (modular-formula
+    samples), parses them back with the engine's WAV reader, and
+    aggregates integer stats; the DuckDB twin rederives the same stats
+    straight from the sample formula — so the oracle checks the WAV
+    encode→parse round-trip as well as the feature math."""
+    from rastertiler_rs_spark.fixtures import audio_parquet
+    from rastertiler_rs_spark.operators.multimodal import audio_features
+
+    clips = spark.read.parquet(audio_parquet(64))
+    return audio_features(clips).select(
+        "audio_id", "sample_rate", "channels", "n_samples",
+        "duration_ms", "peak", "sum_sq")
+
+
 def q_render_pyramid_tile_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant twin of the overview cascade: over fully-opaque images
     the pyramid's (zoom, x, y) set at every level equals the exact SQL
@@ -715,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_cosine": q_embedding_cosine,
         "image_meta": q_image_meta,
+        "audio_features": q_audio_features,
         "render_pyramid_tile_ids": q_render_pyramid_tile_ids,
         # rows-only (no oracle_sql entry — PNG bytes / engine hashes /
         # splitmix64-derived pixels):
@@ -974,6 +991,29 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": _lsh_oracle_sql(),
         "embedding_ivf": _ivf_oracle_sql(),
         "embedding_neardup": _neardup_oracle_sql(),
+        # audio stats straight from the sample formula (the Spark side
+        # goes through real WAV bytes — encode→parse round-trip checked)
+        "audio_features": """
+            WITH p AS (
+              SELECT i, 8000 * (1 + i % 3) AS sample_rate,
+                     1 + (i % 2) AS channels,
+                     (512 + (i * 193) % 1024) * (1 + (i % 2)) AS n
+              FROM (SELECT UNNEST(generate_series(0, 63)) AS i) c),
+            v AS (
+              SELECT i, sample_rate, channels, n,
+                     ((i * 7919 + k * 2654435761) % 65536) - 32768 AS smp
+              FROM (SELECT i, sample_rate, channels, n,
+                           UNNEST(generate_series(0, n - 1)) AS k
+                    FROM p) s)
+            SELECT 'aud' || lpad(CAST(i AS VARCHAR), 8, '0') AS audio_id,
+                   CAST(sample_rate AS BIGINT) AS sample_rate,
+                   CAST(channels AS BIGINT) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // (sample_rate * channels) AS BIGINT) AS duration_ms,
+                   CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+                   CAST(SUM(smp * smp) AS BIGINT) AS sum_sq
+            FROM v GROUP BY 1, 2, 3, 4, 5
+        """,
         "render_tile_ids": _render_tile_ids_oracle_sql(),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),

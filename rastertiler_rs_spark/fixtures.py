@@ -115,6 +115,59 @@ def encode_image(i: int, dtype_tag: str) -> tuple[bytes, int, int]:
     return data, w, h
 
 
+def audio_params(i: int) -> tuple[int, int, int]:
+    """Deterministic per-clip WAV parameters (the audio analog of the
+    image cycles): (sample_rate, channels, n_frames). Pure integer
+    formula — the DuckDB oracle rederives it in SQL."""
+    rate = 8000 * (1 + i % 3)
+    channels = 1 + (i % 2)
+    n_frames = 512 + (i * 193) % 1024
+    return rate, channels, n_frames
+
+
+def audio_samples(i: int) -> np.ndarray:
+    """Interleaved int16 PCM: s_k = ((i*7919 + k*2654435761) % 65536)
+    - 32768. Same cross-engine trick as the pixel formula: plain modular
+    arithmetic, no engine hash."""
+    rate, channels, n_frames = audio_params(i)
+    k = np.arange(n_frames * channels, dtype=np.int64)
+    return ((np.int64(i) * 7919 + k * 2654435761) % 65536 - 32768).astype(np.int16)
+
+
+def generate_audio(n: int):
+    """Audio clips table (audio_id, bytes=RIFF/WAV PCM16, fmt,
+    sample_rate, channels) — the audio member of the multimodal family,
+    synthesized like the images table."""
+    import pyarrow as pa
+
+    from .operators.multimodal import encode_wav
+
+    ids, blobs, rates, chans = [], [], [], []
+    for i in range(n):
+        rate, channels, _ = audio_params(i)
+        ids.append(f"aud{i:08d}")
+        blobs.append(encode_wav(audio_samples(i), rate, channels))
+        rates.append(rate)
+        chans.append(channels)
+    return pa.table({
+        "audio_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["wav;pcm16"] * n, pa.string()),
+        "sample_rate": pa.array(rates, pa.int32()),
+        "channels": pa.array(chans, pa.int32()),
+    })
+
+
+def audio_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"audio_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_audio(n), path, row_group_size=256)
+    return path
+
+
 def generate_images(n: int, dtype_tag: str = "u8"):
     """Build the images table as a pyarrow Table (schema = input_hint)."""
     import pyarrow as pa

@@ -146,6 +146,90 @@ def image_features(images: DataFrame, fake_codecs: bool = False) -> DataFrame:
             "vmax long, vsum long, mean_x100 long")
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int, channels: int) -> bytes:
+    """Minimal RIFF/WAV writer (PCM16 little-endian, interleaved) — the
+    audio analog of the engine's from-scratch PNG codec; no deps."""
+    import struct
+
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def parse_wav(data: bytes) -> dict:
+    """Minimal RIFF/WAV reader: PCM16 only. Returns dict(sample_rate,
+    channels, bits, samples: int16 interleaved)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag, ln = struct.unpack_from("<4sI", data, pos)
+        payload = data[pos + 8: pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload)
+        elif tag == b"data":
+            pcm = payload
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bits})")
+    return {"sample_rate": rate, "channels": channels, "bits": bits,
+            "samples": np.frombuffer(pcm, dtype=np.int16)}
+
+
+def audio_features(audio: DataFrame, fake_codecs: bool = False) -> DataFrame:
+    """Feature extraction for the audio modality: integer per-clip
+    statistics — (audio_id, sample_rate, channels, n_samples,
+    duration_ms, peak, sum_sq). Real decode for RIFF/WAV PCM16 via the
+    engine's own parser; compressed formats (mp3/ogg/flac) raise unless
+    ``fake_codecs`` opts into the deterministic fake (payload bytes
+    reinterpreted as PCM16 at 8 kHz mono). All outputs int64 ⇒
+    bit-identical across engines (sum_sq <= n * 2^30 — overflow-safe to
+    ~2^33 samples per clip)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "sample_rate": [], "channels": [],
+                   "n_samples": [], "duration_ms": [], "peak": [], "sum_sq": []}
+            for row in pdf.itertuples(index=False):
+                if row.fmt.startswith("wav"):
+                    d = parse_wav(bytes(row.bytes))
+                elif fake_codecs:
+                    raw = bytes(row.bytes)
+                    d = {"sample_rate": 8000, "channels": 1,
+                         "samples": np.frombuffer(
+                             raw[: len(raw) // 2 * 2], dtype=np.int16)}
+                else:
+                    raise NotImplementedError(
+                        f"codec for {row.fmt!r} not available in this environment")
+                s = d["samples"].astype(np.int64)
+                n = int(s.size)
+                out["audio_id"].append(row.audio_id)
+                out["sample_rate"].append(d["sample_rate"])
+                out["channels"].append(d["channels"])
+                out["n_samples"].append(n)
+                out["duration_ms"].append(
+                    n * 1000 // (d["sample_rate"] * d["channels"]) if n else 0)
+                out["peak"].append(int(np.abs(s).max()) if n else 0)
+                out["sum_sq"].append(int((s * s).sum()))
+            yield pd.DataFrame(out)
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn, "audio_id string, sample_rate long, channels long, "
+            "n_samples long, duration_ms long, peak long, sum_sq long")
+
+
 def frame_sample(videos: DataFrame, every_n: int = 30,
                  fake_codecs: bool = False) -> DataFrame:
     """Video frame sampling: binary column in, exploded

@@ -88,3 +88,48 @@ def test_frame_sample_fake_demuxer(spark):
     assert [r["frame_no"] for r in by_vid["v1"]] == [0]
     for r in rows:  # every sampled frame is a decodable 16x16 PNG
         assert decode_png(bytes(r["frame_bytes"]))["pixels"].shape == (16, 16)
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    """WAV codec round-trip (encode→parse bit-exact) and integer audio
+    features pinned against a numpy recomputation of the fixture
+    formula."""
+    from rastertiler_rs_spark.fixtures import (audio_params, audio_parquet,
+                                               audio_samples)
+    from rastertiler_rs_spark.operators.multimodal import (audio_features,
+                                                           encode_wav,
+                                                           parse_wav)
+
+    for i in (0, 1, 5):
+        rate, channels, _ = audio_params(i)
+        s = audio_samples(i)
+        d = parse_wav(encode_wav(s, rate, channels))
+        assert d["sample_rate"] == rate and d["channels"] == channels
+        assert np.array_equal(d["samples"], s)
+
+    clips = spark.read.parquet(audio_parquet(8))
+    got = {r["audio_id"]: r.asDict() for r in audio_features(clips).collect()}
+    assert len(got) == 8
+    for i in range(8):
+        rate, channels, n_frames = audio_params(i)
+        s = audio_samples(i).astype(np.int64)
+        r = got[f"aud{i:08d}"]
+        assert r["n_samples"] == s.size == n_frames * channels
+        assert r["duration_ms"] == s.size * 1000 // (rate * channels)
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["sum_sq"] == int((s * s).sum())
+
+
+def test_audio_fake_codec_and_stub(spark):
+    from rastertiler_rs_spark.operators.multimodal import audio_features
+
+    clips = spark.createDataFrame(
+        [("m0", b"\x00\x01\x02\x03\x04", "mp3")],
+        "audio_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="not available"):
+        audio_features(clips).collect()
+    r = audio_features(clips, fake_codecs=True).collect()[0]
+    # 5 payload bytes → 2 int16 samples (trailing byte dropped)
+    assert r["n_samples"] == 2 and r["sample_rate"] == 8000
+    exp = np.frombuffer(b"\x00\x01\x02\x03", dtype=np.int16).astype(np.int64)
+    assert r["sum_sq"] == int((exp * exp).sum())

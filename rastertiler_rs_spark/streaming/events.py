@@ -1,0 +1,132 @@
+"""Event-stream analytics: watermarked windowed aggregation and a
+stateful streaming dedup.
+
+The reference is a batch CLI with no event/stream surface; these are
+the engine's Spark-native extensions over the events/documents table
+shapes (TESTDATA.md), exercising the two Structured Streaming
+primitives the ingest pipeline (ingest.py) doesn't need:
+
+- ``stream_window_counts``: event-time tumbling windows with a
+  watermark — late events older than the watermark are dropped and
+  windows finalize (append mode) exactly once, the standard late-data
+  contract. At scale this is the shape of a continuously-maintained
+  rollup: state is bounded by (windows in watermark horizon x keys),
+  not by stream length.
+- ``stream_dedup_first_seen``: applyInPandasWithState custom stateful
+  operator — keeps the first-seen row per content key across
+  micro-batches (the streaming realization of the exact-dedup operator
+  in operators/text.py). State is one boolean per key, partitioned by
+  the key hash — the same bounded-state shape a 100 TB dedup keeps in a
+  state store. Production would add a state TTL (GroupStateTimeout) to
+  bound the horizon; the sandbox keeps NoTimeout so tests are exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (BooleanType, LongType, StringType, StructField,
+                               StructType)
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def stream_window_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+):
+    """Tumbling event-time window counts per event_type with a
+    watermark. Append mode: a (window, event_type) row is emitted
+    exactly once, when the watermark passes the window end; events
+    arriving later than ``watermark`` behind the max seen ts are
+    dropped. Output parquet at out_dir/counts; restart-safe via the
+    Spark checkpoint (state carries unfinalized windows)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             # integer cents: deterministic across engines/re-runs
+             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"))
+        .select(F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "event_type", "n_events", "value_cents")
+    )
+    return (
+        agg.writeStream.outputMode("append").format("parquet")
+        .option("path", os.path.join(out_dir, "counts"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_DEDUP_OUT = StructType([
+    StructField("content_key", StringType()),
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+_DEDUP_STATE = StructType([StructField("seen", BooleanType())])
+
+
+def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+    """Emit the group's first-ever row (lowest doc_id within the first
+    batch that sees the key — deterministic), then remember the key."""
+    if state.exists:
+        return
+    first = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        cand = pdf.nsmallest(1, "doc_id")
+        if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
+            first = cand
+    if first is not None:
+        state.update((True,))
+        yield first[["content_key", "doc_id", "text"]]
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact dedup: documents arrive as parquet files; only
+    the first occurrence of each content_key (md5 of text) ever seen by
+    the stream is emitted. applyInPandasWithState keeps one boolean per
+    key; duplicates in later batches (or later in the same batch) are
+    suppressed. Output parquet at out_dir/unique; checkpoint makes the
+    seen-set restart-safe."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    keyed = stream.withColumn("content_key", F.md5(F.col("text")))
+    deduped = keyed.groupBy("content_key").applyInPandasWithState(
+        _dedup_fn, _DEDUP_OUT, _DEDUP_STATE, "append",
+        GroupStateTimeout.NoTimeout)
+    return (
+        deduped.writeStream.outputMode("append").format("parquet")
+        .option("path", os.path.join(out_dir, "unique"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

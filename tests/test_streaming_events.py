@@ -1,0 +1,93 @@
+"""Event-stream analytics: watermark/window late-data contract and the
+applyInPandasWithState streaming dedup, across restarts (the checkpoint
+carries both the watermark and the seen-key state)."""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rastertiler_rs_spark.streaming.events import (stream_dedup_first_seen,
+                                                   stream_window_counts)
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _events_file(path, rows):
+    """rows: (event_id, minutes_offset, event_type, value)"""
+    pdf = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": [BASE + dt.timedelta(minutes=r[1]) for r in rows],
+        "user_id": [7] * len(rows),
+        "event_type": [r[2] for r in rows],
+        "value": [float(r[3]) for r in rows],
+        "props": ["{}"] * len(rows),
+    })
+    table = pa.Table.from_pandas(pdf).set_column(
+        1, "ts", pa.Table.from_pandas(pdf)["ts"].cast(pa.timestamp("us")))
+    pq.write_table(table, str(path))
+
+
+def test_window_counts_watermark_drops_late(spark, tmp_path):
+    inp, out = tmp_path / "in", tmp_path / "out"
+    inp.mkdir()
+
+    # drop 1: hour-0 events + one at 03:30 that will push the watermark
+    _events_file(inp / "a.parquet", [
+        (0, 10, "click", 1.25), (1, 20, "click", 2.00), (2, 40, "click", 0.50),
+        (3, 30, "view", 3.00), (4, 210, "view", 1.00)])
+    q = stream_window_counts(spark, str(inp), str(out),
+                             window="1 hour", watermark="2 hours")
+    q.awaitTermination(120)
+    # availableNow ends with a no-data batch that advances the
+    # watermark to 03:30-2h = 01:30 → the hour-0 windows finalize
+    rows0 = {(r["win_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+             for r in spark.read.parquet(str(out / "counts")).collect()}
+    assert rows0 == {
+        (BASE, "click"): (3, 125 + 200 + 50),
+        (BASE, "view"): (1, 300),
+    }
+
+    # drop 2 (restart): a LATE click for hour 0 (below the persisted
+    # watermark 01:30 → dropped) + a fresh event at 10:00 that pushes
+    # the watermark to 08:00, finalizing the 03:00 window
+    _events_file(inp / "b.parquet", [(5, 30, "click", 9.99),
+                                     (6, 600, "view", 1.00)])
+    q = stream_window_counts(spark, str(inp), str(out),
+                             window="1 hour", watermark="2 hours")
+    q.awaitTermination(120)
+
+    rows = {(r["win_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+            for r in spark.read.parquet(str(out / "counts")).collect()}
+    # hour-0 click count UNCHANGED (the late row was dropped, and the
+    # already-finalized window is never re-emitted — append contract)
+    assert rows == {
+        (BASE, "click"): (3, 125 + 200 + 50),
+        (BASE, "view"): (1, 300),
+        (BASE + dt.timedelta(hours=3), "view"): (1, 100),
+    }
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    inp, out = tmp_path / "in", tmp_path / "out"
+    inp.mkdir()
+
+    docs1 = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["aaa", "bbb", "aaa"], pa.string())})
+    pq.write_table(docs1, str(inp / "d1.parquet"))
+    q = stream_dedup_first_seen(spark, str(inp), str(out))
+    q.awaitTermination(120)
+
+    # restart with overlap: bbb is a duplicate, ccc is new
+    docs2 = pa.table({"doc_id": pa.array([4, 5], pa.int64()),
+                      "text": pa.array(["bbb", "ccc"], pa.string())})
+    pq.write_table(docs2, str(inp / "d2.parquet"))
+    q = stream_dedup_first_seen(spark, str(inp), str(out))
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["text"])
+           for r in spark.read.parquet(str(out / "unique")).collect()}
+    # first occurrence only: intra-batch dup (doc 3) and cross-batch
+    # dup (doc 4) both suppressed; lowest doc_id wins within a batch
+    assert got == {(1, "aaa"), (2, "bbb"), (5, "ccc")}

@@ -554,6 +554,16 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(images)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup over events (30-min gap): lag +
+    cumulative-sum session assignment, one shuffle on user_id shared by
+    both windows and the aggregate. Epoch seconds floored on both
+    engines before the gap compare (repo float rule)."""
+    from rastertiler_rs_spark.operators.sessionize import session_rollup
+
+    return session_rollup(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality feature extraction, VALUE-verified end to end: the
     Spark side synthesizes real RIFF/WAV PCM16 bytes (modular-formula
@@ -732,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine": q_embedding_cosine,
         "image_meta": q_image_meta,
         "audio_features": q_audio_features,
+        "sessionize": q_sessionize,
         "render_pyramid_tile_ids": q_render_pyramid_tile_ids,
         # rows-only (no oracle_sql entry — PNG bytes / engine hashes /
         # splitmix64-derived pixels):
@@ -991,6 +1002,26 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": _lsh_oracle_sql(),
         "embedding_ivf": _ivf_oracle_sql(),
         "embedding_neardup": _neardup_oracle_sql(),
+        # same lag/cumsum/floored-epoch expressions as the Spark windows
+        "sessionize": """
+            WITH o AS (
+              SELECT event_id, user_id, ts, value,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+                     LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+              FROM events),
+            s AS (SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+                                 THEN 1 ELSE 0 END AS new_s FROM o),
+            t AS (SELECT *, CAST(SUM(new_s) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                  FROM s)
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MIN(es) AS start_es, MAX(es) AS end_es,
+                   MAX(es) - MIN(es) AS duration_s,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM t GROUP BY 1, 2
+        """,
         # audio stats straight from the sample formula (the Spark side
         # goes through real WAV bytes — encode→parse round-trip checked)
         "audio_features": """

@@ -554,6 +554,27 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(images)
 
 
+def q_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup (monthly revenue per nation): fact orders ⋈
+    customer on the shuffled key, nation dimension explicitly
+    broadcast — the classic 100 TB star-join shape (one shuffle for the
+    fact⋈customer equi-join, zero for the dim). Revenue floored to
+    integer cents on both engines; month as yyyymm int (UTC session)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    yyyymm = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", yyyymm.alias("yyyymm"))
+        .agg(F.count("*").alias("n_orders"),
+             F.count_distinct("o_custkey").alias("n_customers"),
+             F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+             .alias("revenue_cents")))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization rollup over events (30-min gap): lag +
     cumulative-sum session assignment, one shuffle on user_id shared by
@@ -743,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "audio_features": q_audio_features,
         "sessionize": q_sessionize,
+        "star_rollup": q_star_rollup,
         "render_pyramid_tile_ids": q_render_pyramid_tile_ids,
         # rows-only (no oracle_sql entry — PNG bytes / engine hashes /
         # splitmix64-derived pixels):
@@ -1002,6 +1024,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": _lsh_oracle_sql(),
         "embedding_ivf": _ivf_oracle_sql(),
         "embedding_neardup": _neardup_oracle_sql(),
+        "star_rollup": """
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS yyyymm,
+                   COUNT(*) AS n_orders,
+                   CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        """,
         # same lag/cumsum/floored-epoch expressions as the Spark windows
         "sessionize": """
             WITH o AS (

@@ -554,6 +554,35 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(images)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-executed Structured Streaming entry, VALUE-verified: runs
+    the applyInPandasWithState first-seen dedup (streaming/events.py)
+    over a deterministic drop of documents (availableNow, fresh
+    checkpoint per invocation) and returns the emitted unique set. With
+    the whole drop in one batch, first-seen == lowest doc_id per
+    content key, which the DuckDB twin states as GROUP BY md5(text) —
+    so the stateful streaming path itself is oracle-checked."""
+    import shutil
+    import tempfile
+
+    from rastertiler_rs_spark.streaming.events import stream_dedup_first_seen
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    inp, out = f"{work}/in", f"{work}/out"
+    docs.coalesce(1).write.parquet(inp)
+    q = stream_dedup_first_seen(spark, inp, out, max_files_per_trigger=8)
+    q.awaitTermination(300)
+    # driver-side materialization is contract plumbing, not a data
+    # path: the unique set is bounded by the filtered doc count (100
+    # rows at sf0.01) and the temp dir must be reclaimed before return
+    result = (spark.read.parquet(f"{out}/unique")
+              .select("content_key", "doc_id").collect())
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(result, "content_key string, doc_id long")
+
+
 def q_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema rollup (monthly revenue per nation): fact orders ⋈
     customer on the shuffled key, nation dimension explicitly
@@ -765,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "sessionize": q_sessionize,
         "star_rollup": q_star_rollup,
+        "stream_dedup": q_stream_dedup,
         "render_pyramid_tile_ids": q_render_pyramid_tile_ids,
         # rows-only (no oracle_sql entry — PNG bytes / engine hashes /
         # splitmix64-derived pixels):
@@ -1024,6 +1054,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": _lsh_oracle_sql(),
         "embedding_ivf": _ivf_oracle_sql(),
         "embedding_neardup": _neardup_oracle_sql(),
+        "stream_dedup": """
+            SELECT md5(text) AS content_key, MIN(doc_id) AS doc_id
+            FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+        """,
         "star_rollup": """
             SELECT n.n_name,
                    CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS yyyymm,

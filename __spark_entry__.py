@@ -572,8 +572,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_dedup_")
     inp, out = f"{work}/in", f"{work}/out"
     docs.coalesce(1).write.parquet(inp)
-    q = stream_dedup_first_seen(spark, inp, out, max_files_per_trigger=8)
-    q.awaitTermination(300)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # gate-sized state
+    try:
+        q = stream_dedup_first_seen(spark, inp, out, max_files_per_trigger=8)
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # driver-side materialization is contract plumbing, not a data
     # path: the unique set is bounded by the filtered doc count (100
     # rows at sf0.01) and the temp dir must be reclaimed before return
@@ -581,6 +586,43 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("content_key", "doc_id").collect())
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(result, "content_key string, doc_id long")
+
+
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-executed watermarked window aggregation, VALUE-verified:
+    runs stream_window_counts (1-hour tumbling windows, 2-hour
+    watermark) over a deterministic single-file drop of events. With
+    one batch, no row is late; the trailing no-data batch advances the
+    watermark to max(ts) - 2h and finalizes exactly the windows ending
+    at or before it — which the DuckDB twin states directly as an
+    hour-bucket GROUP BY filtered on win_end <= max(ts) - 2h."""
+    import shutil
+    import tempfile
+
+    from rastertiler_rs_spark.streaming.events import stream_window_counts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    work = tempfile.mkdtemp(prefix="stream_window_")
+    inp, out = f"{work}/in", f"{work}/out"
+    ev.coalesce(1).write.parquet(inp)
+    # the state store inherits shuffle.partitions at stream start; this
+    # gate-sized stream wants few state partitions, not the session's
+    # render-sized setting (fresh checkpoint per call, so safe to pin)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = stream_window_counts(spark, inp, out, window="1 hour",
+                                 watermark="2 hours", max_files_per_trigger=8)
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    result = (spark.read.parquet(f"{out}/counts")
+              .select("win_start", "win_end", "event_type", "n_events",
+                      "value_cents").collect())
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        result, "win_start timestamp, win_end timestamp, "
+                "event_type string, n_events long, value_cents long")
 
 
 def q_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "star_rollup": q_star_rollup,
         "stream_dedup": q_stream_dedup,
+        "stream_window": q_stream_window,
         "render_pyramid_tile_ids": q_render_pyramid_tile_ids,
         # rows-only (no oracle_sql entry — PNG bytes / engine hashes /
         # splitmix64-derived pixels):
@@ -1057,6 +1100,21 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT md5(text) AS content_key, MIN(doc_id) AS doc_id
             FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+        """,
+        # finalized windows == hour buckets ending at or before the
+        # final watermark (max ts - 2h); single batch ⇒ no late drops
+        "stream_window": """
+            WITH f AS (SELECT * FROM events WHERE event_id % 3 = 0),
+            m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM f),
+            w AS (SELECT
+                    make_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000) AS win_start,
+                    make_timestamp((CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600) * 1000000) AS win_end,
+                    event_type,
+                    COUNT(*) AS n_events,
+                    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+                  FROM f GROUP BY 1, 2, 3)
+            SELECT win_start, win_end, event_type, n_events, value_cents
+            FROM w, m WHERE w.win_end <= m.wm
         """,
         "star_rollup": """
             SELECT n.n_name,

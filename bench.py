@@ -29,6 +29,19 @@ def _force(df) -> int:
     return df.count()
 
 
+def _cpu_sample() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the round-2 bench
+    regression turned out to be hypervisor contention, so every bench run
+    now self-reports steal%% across its timed region."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -50,6 +63,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    cpu0 = _cpu_sample()
+    try:
+        extras["load1_at_start"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
 
     t0 = time.time()
     fused = render(spark.read.parquet(img_path), 0, RENDER_MAXZOOM,
@@ -92,6 +110,11 @@ def main() -> None:
         t0 = time.time()
         _force(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+
+    cpu1 = _cpu_sample()
+    if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
+        extras["steal_pct"] = round(
+            100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

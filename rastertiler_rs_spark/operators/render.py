@@ -430,7 +430,17 @@ def render(
     cell_tiles = None
     if pz is not None and pz <= maxzoom:
         zlo = max(minzoom, pz)
-        covers = tile_range_cols(src.withColumn("zoom", F.lit(pz).cast("int")))
+        # Pin the explode/shuffle-write map stage's parallelism
+        # structurally instead of via spark.sql.files.maxPartitionBytes:
+        # scan splits follow parquet row-group byte layout (13 tasks for
+        # a 51 MB table at the 8m default) while this stage's cost is
+        # per-row compute + the cell fan-out's duplicated shuffle bytes.
+        # The exchange itself only moves the compressed source once —
+        # cheap relative to the stage it rebalances — and keeps the
+        # render plan identical under any session scan-split setting.
+        covers = tile_range_cols(
+            src.repartition(n_parts_map, "image_id")
+            .withColumn("zoom", F.lit(pz).cast("int")))
         exploded = (
             covers.withColumn("cx", F.explode(F.sequence("txmin", "txmax")))
             .withColumn("cy", F.explode(F.sequence("tymin", "tymax")))

@@ -30,12 +30,16 @@ def get_spark(app: str = "rastertiler_rs_spark", cpus: int | None = None,
         # tile rows carry pixel blocks (up to ~tilesize^2 bytes each):
         # keep Arrow batches memory-bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        # image tables are binary-heavy with expensive per-row UDF work:
-        # split scans much finer than the 128m default so the decode +
-        # footprint stage parallelizes even over few large files (4m →
-        # a 51 MB table yields ~26 splits, enough to keep 32 cores busy
-        # in the scan+footprint+explode map stages)
-        .config("spark.sql.files.maxPartitionBytes", "4m")
+        # split scans finer than the 128m default (sf-dir parquet is
+        # small; 8m keeps small-query task counts sane while still
+        # splitting multi-file tables). The RENDER pipeline needs much
+        # finer map parallelism over binary image tables, but that is
+        # pinned structurally with an explicit repartition inside
+        # render() (scan-split independent) rather than a session-wide
+        # split: round 2's global 4m setting doubled every small
+        # query's scan tasks and showed up in the driver bench.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         # wrapping 64-bit hash arithmetic must not throw (Spark 4 ANSI default)
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

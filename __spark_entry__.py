@@ -784,6 +784,45 @@ def q_render_tile_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("zoom", "x", "y").distinct()
 
 
+def q_render_tile_ids_u32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant twin for the u32 render (E4/E5 adaptive dispatch,
+    /root/reference/src/render.rs:257-279): hole classes and footprints
+    are dtype-independent (fixtures.pixel_band bits 34-36 /
+    footprint_from_index), so over fully-opaque u32 images the emitted
+    (zoom, x, y) set must equal the same exact SQL cover as the u8
+    twin — this puts the u32 kernel/mosaic/dispatch path under the value
+    gate even though its PNG bytes stay rows-only."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+
+    keep, *_ = _nohole_image_rows(256)
+    ids = [f"img{int(i):08d}" for i in keep]
+    images = spark.read.parquet(images_parquet(256, "u32")).filter(
+        F.col("image_id").isin(ids))
+    fused = render(images, 7, 9, tile_size=128, dtype_tag="u32")
+    return fused.select("zoom", "x", "y").distinct()
+
+
+def q_render_tile_ids_colormap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant twin for the colormap render (E2/E6/P4): the palette
+    default-0 lookup applies AFTER the all-nodata drop rule (mosaic
+    returns None pre-encode), so the tile-ID set over opaque images is
+    colormap-independent and must equal the exact cover. The colormap
+    deliberately covers only a few values so the default-0 path is hot
+    in the encoded bytes."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+
+    keep, *_ = _nohole_image_rows(256)
+    ids = [f"img{int(i):08d}" for i in keep]
+    images = spark.read.parquet(images_parquet(256, "u8")).filter(
+        F.col("image_id").isin(ids))
+    cmap = "1:#686868,2:#38A800,3:#859B6C,4:#3B7D46,5:#FF00FF"
+    fused = render(images, 7, 9, tile_size=128, dtype_tag="u8",
+                   colormap_str=cmap)
+    return fused.select("zoom", "x", "y").distinct()
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -828,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "phash_near": q_phash_near,
         "render_tile_ids": q_render_tile_ids,
+        "render_tile_ids_u32": q_render_tile_ids_u32,
+        "render_tile_ids_colormap": q_render_tile_ids_colormap,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1171,6 +1212,8 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY 1, 2, 3, 4, 5
         """,
         "render_tile_ids": _render_tile_ids_oracle_sql(),
+        "render_tile_ids_u32": _render_tile_ids_oracle_sql(),
+        "render_tile_ids_colormap": _render_tile_ids_oracle_sql(),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),

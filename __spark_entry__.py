@@ -286,7 +286,10 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: point-in-polygon via broadcast prepared-geometry ray casting."""
+    """J5: point-in-polygon on the SCALE plan — cell-index candidate
+    prefilter (broadcast polygon-cell equi-join + bbox residual) with
+    ray casting only on candidates; identical pairs to the broadcast
+    loop (pinned in tests/test_pip.py at 1e3 polygons)."""
     from rastertiler_rs_spark.operators.pip import pip_join
 
     points = _t(spark, sf_dir, "customer").select(
@@ -300,7 +303,7 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = r["r_regionkey"]
         x0, y0 = 10.0 * k + 2.5, 7.0 * k + 1.5
         polys.append((k, [(x0, y0), (x0 + 15.5, y0), (x0 + 15.5, y0 + 20.25), (x0, y0 + 20.25)]))
-    return pip_join(points, polys)
+    return pip_join(points, polys, cell_size=16.0)
 
 
 def q_point_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -353,10 +353,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with the document-frequency cap active on
+    both engines (shingles in > 80% of docs dropped before sizes and
+    intersections) — the skew-safe exact twin; LSH stays the scale
+    path for candidate generation."""
     from rastertiler_rs_spark.operators.text import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    return ngram_jaccard_pairs(docs, n=3, threshold_pct=20)
+    return ngram_jaccard_pairs(docs, n=3, threshold_pct=20, max_df_pct=80)
 
 
 def q_embedding_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,10 +1472,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": """
             WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
-            sh AS (SELECT DISTINCT doc_id, SUBSTR(text, CAST(pos AS INT), 3) AS shingle
-                   FROM (SELECT doc_id, text,
-                                UNNEST(generate_series(1, GREATEST(LENGTH(text) - 2, 1))) AS pos
-                         FROM docs)),
+            sh0 AS (SELECT DISTINCT doc_id, SUBSTR(text, CAST(pos AS INT), 3) AS shingle
+                    FROM (SELECT doc_id, text,
+                                 UNNEST(generate_series(1, GREATEST(LENGTH(text) - 2, 1))) AS pos
+                          FROM docs)),
+            hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+                    HAVING 100 * COUNT(*) >
+                           80 * (SELECT COUNT(DISTINCT doc_id) FROM docs)),
+            sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

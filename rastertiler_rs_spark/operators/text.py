@@ -31,10 +31,30 @@ def char_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold_pct: int = 30) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold_pct: int = 30,
+                        max_df_pct: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b,
-    100*|∩| >= threshold_pct*|∪| — integer arithmetic end to end)."""
+    100*|∩| >= threshold_pct*|∪| — integer arithmetic end to end).
+
+    ``max_df_pct`` applies the standard document-frequency cap: shingles
+    present in more than max_df_pct% of docs are dropped BEFORE sizes
+    and intersections (Jaccard is then defined over the capped shingle
+    sets on both engines). This is what makes the exact path skew-safe:
+    the self-join's hot keys are exactly the high-DF shingles, and the
+    drop set is tiny (few shingles are hot), so it broadcasts and the
+    filter is a map-side anti-join. Uncapped remains available for
+    small verification runs.
+    """
     sh = char_shingles(docs, n)
+    if max_df_pct is not None:
+        totals = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .crossJoin(F.broadcast(totals))
+            .filter(F.lit(100) * F.col("df") > F.lit(max_df_pct) * F.col("n_docs"))
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

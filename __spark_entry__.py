@@ -583,7 +583,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")  # gate-sized state
     try:
         q = stream_dedup_first_seen(spark, inp, out, max_files_per_trigger=8)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_dedup did not drain within 300s — refusing to read "
+                "partial output as a result")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # driver-side materialization is contract plumbing, not a data
@@ -620,7 +624,11 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = stream_window_counts(spark, inp, out, window="1 hour",
                                  watermark="2 hours", max_files_per_trigger=8)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_window did not drain within 300s — refusing to read "
+                "partial output as a result")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     result = (spark.read.parquet(f"{out}/counts")

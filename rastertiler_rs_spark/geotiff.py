@@ -88,12 +88,18 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     ifd_size = 2 + n * 12 + 4
     data_start = ifd_start + ifd_size
 
-    # assign out-of-line payload offsets
+    # assign out-of-line payload offsets; TIFF requires value offsets on
+    # a word boundary, so pad each payload to even length (data_start is
+    # even: 8-byte header + 2 + n*12 + 4). Without this the 5-byte
+    # GDAL_NODATA ascii blob would make the pixel strip offset odd —
+    # tolerated by GDAL but rejected by strict readers.
     blob = bytearray()
     for ent in entries:
         if ent[4] is not None and ent[0] != _STRIP_OFFSETS:
             ent[3] = data_start + len(blob)
             blob += ent[4]
+            if len(blob) % 2:
+                blob += b"\x00"
     pixel_offset = data_start + len(blob)
     for ent in entries:
         if ent[0] == _STRIP_OFFSETS:

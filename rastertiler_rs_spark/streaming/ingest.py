@@ -66,11 +66,63 @@ def _partition_dirs(root: str) -> list[str]:
     return out
 
 
-def _swap_partitions(staged: str, tiles_path: str) -> None:
+def _dir_parquet_rows(root: str) -> int:
+    """Row count of one partition dir from parquet FOOTERS only (local
+    metadata reads, no data pages, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    if not os.path.isdir(root):
+        return 0
+    for name in os.listdir(root):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
+
+
+def _recover_swap(tiles_path: str) -> bool:
+    """Repair a crashed _swap_partitions BEFORE any read of the table.
+
+    A crash between rename(dst, old) and rename(src, dst) leaves the
+    partition's only copy in `xb=B.old`: restore it. A crash after the
+    replacement landed leaves a stale `.old` beside the live dir: drop
+    it. Either way a lingering `.old` dir would poison hive partition
+    type inference (xb parses as string) and a missing live dir would
+    read as an empty partition during batch replay, so this runs at
+    batch entry, ahead of _tiles_exists/merge reads. Returns True if
+    anything needed repair (callers resync the manifest row count)."""
+    repaired = False
+    if not os.path.isdir(tiles_path):
+        return repaired
+    for zdir in os.listdir(tiles_path):
+        zp = os.path.join(tiles_path, zdir)
+        if not (zdir.startswith("zoom=") and os.path.isdir(zp)):
+            continue
+        for bdir in os.listdir(zp):
+            if not bdir.endswith(".old"):
+                continue
+            old = os.path.join(zp, bdir)
+            dst = old[: -len(".old")]
+            if os.path.isdir(dst):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, dst)
+            repaired = True
+    return repaired
+
+
+def _swap_partitions(staged: str, tiles_path: str) -> int:
     """Atomically (per directory) replace each staged partition in the
     live table; clean replaced dirs and the staging area afterwards so a
-    long-running stream's disk usage stays bounded at one live copy."""
+    long-running stream's disk usage stays bounded at one live copy.
+
+    Crash-safe: entering with a leftover `.old` restores it when the
+    live dir is missing (the only copy!) instead of deleting it — see
+    _recover_swap for the invariant. Returns the table row-count delta
+    (staged minus replaced rows, measured from parquet footers) so the
+    manifest count can be maintained incrementally."""
     os.makedirs(tiles_path, exist_ok=True)
+    delta = 0
     try:
         for rel in _partition_dirs(staged):
             src = os.path.join(staged, rel)
@@ -78,7 +130,11 @@ def _swap_partitions(staged: str, tiles_path: str) -> None:
             old = dst + ".old"
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if os.path.isdir(old):  # leftover from a crashed swap
-                shutil.rmtree(old)
+                if os.path.isdir(dst):
+                    shutil.rmtree(old)  # replacement landed; stale backup
+                else:
+                    os.rename(old, dst)  # only copy — restore, then swap
+            delta += _dir_parquet_rows(src) - _dir_parquet_rows(dst)
             if os.path.isdir(dst):
                 os.rename(dst, old)
             os.rename(src, dst)
@@ -86,6 +142,7 @@ def _swap_partitions(staged: str, tiles_path: str) -> None:
                 shutil.rmtree(old)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+    return delta
 
 
 def _combine_fn(tile_size: int, dtype_tag: str, colormap_str: str | None = None):
@@ -184,17 +241,49 @@ def _write_manifest(out_dir: str, batch_id: int, rows: int) -> None:
     os.replace(tmp, os.path.join(manifest_dir, f"batch={batch_id}.json"))
 
 
+def _prev_manifest(out_dir: str) -> tuple[int, int] | None:
+    """(batch_id, rows) of the latest committed manifest entry."""
+    manifest_dir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(manifest_dir):
+        return None
+    best = None
+    for name in os.listdir(manifest_dir):
+        if name.startswith("batch=") and name.endswith(".json"):
+            with open(os.path.join(manifest_dir, name)) as f:
+                d = json.load(f)
+            if best is None or d["batch_id"] > best[0]:
+                best = (d["batch_id"], d["rows"])
+    return best
+
+
+def _manifest_rows(out_dir: str, tiles_path: str, batch_id: int, delta: int,
+                   repaired: bool) -> int:
+    """Maintain the manifest row count from the swap's measured delta —
+    O(touched partitions), not O(all partitions). Falls back to a full
+    footer count only on the rare resync paths: first batch, crash
+    repair, or batch replay (manifest for this or a later batch already
+    exists, so the previous total may predate a crash mid-commit)."""
+    prev = _prev_manifest(out_dir)
+    if prev is not None and not repaired and prev[0] < batch_id:
+        return prev[1] + delta
+    # resync: footer-only count across the table (no data pages)
+    spark_total = 0
+    for rel in _partition_dirs(tiles_path):
+        spark_total += _dir_parquet_rows(os.path.join(tiles_path, rel))
+    return spark_total
+
+
 def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
                   tile_size: int, dtype_tag: str, batch_id: int,
                   colormap_str: str | None = None) -> None:
-    spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
+    tiles_path = os.path.join(out_dir, "tiles")
+    repaired = _recover_swap(tiles_path)
     fused = render(batch_df, minzoom, maxzoom, tile_size=tile_size,
                    dtype_tag=dtype_tag, colormap_str=colormap_str)
     # persist: consumed twice (touched-partition discovery + staged write)
     new = fused.select(*_TILE_COLS).persist()
-    tiles_path = os.path.join(out_dir, "tiles")
     staged = tiles_path + ".staged"
     try:
         if _tiles_exists(tiles_path):
@@ -203,12 +292,11 @@ def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
         else:
             merged = new
         _write_staged(merged, staged)
-        _swap_partitions(staged, tiles_path)
+        delta = _swap_partitions(staged, tiles_path)
     finally:
         new.unpersist()
         shutil.rmtree(staged, ignore_errors=True)
-    # metadata-only count over parquet footers (no data read)
-    n = spark.read.parquet(tiles_path).count()
+    n = _manifest_rows(out_dir, tiles_path, batch_id, delta, repaired)
     _write_manifest(out_dir, batch_id, n)
 
 
@@ -246,10 +334,11 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
     if batch_df.isEmpty():
         return
     base = min(max(overview_below, minzoom), maxzoom)
+    tiles_path = os.path.join(out_dir, "tiles")
+    repaired = _recover_swap(tiles_path)
     fused = render(batch_df, base, maxzoom, tile_size=tile_size,
                    dtype_tag=dtype_tag, colormap_str=colormap_str)
     new = fused.select(*_TILE_COLS).persist()
-    tiles_path = os.path.join(out_dir, "tiles")
     staged = tiles_path + ".staged"
 
     # phase 1: partition-scoped upsert of the direct zooms [base..maxzoom]
@@ -261,7 +350,7 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
         else:
             merged = new
         _write_staged(merged, staged)
-        _swap_partitions(staged, tiles_path)
+        delta = _swap_partitions(staged, tiles_path)
     finally:
         new.unpersist()
         shutil.rmtree(staged, ignore_errors=True)
@@ -310,14 +399,38 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
                                         persisted=cascade_cached)
                     out_low = mid.unionByName(tiny)
             _write_staged(out_low, staged2)
-            _swap_partitions(staged2, tiles_path)
+            delta += _swap_partitions(staged2, tiles_path)
         finally:
             for df in cascade_cached:  # per-batch cache leak guard
                 df.unpersist()
             shutil.rmtree(staged2, ignore_errors=True)
 
-    n = spark.read.parquet(tiles_path).count()
+    n = _manifest_rows(out_dir, tiles_path, batch_id, delta, repaired)
     _write_manifest(out_dir, batch_id, n)
+
+
+def _validate_stream_colormap(colormap_str: str | None) -> None:
+    """Fail fast on partial colormaps at stream entry (enforces the
+    _combine_fn constraint): incremental maintenance decodes stored
+    paletted tiles back to values, and the paletted encoder maps values
+    absent from the colormap to index 0 — the nodata slot (P4) — which
+    cannot round-trip: an upsert would resurrect old pixels underneath
+    real (but unmapped) data, silently. Batch render has no such
+    constraint; stream mode therefore requires the colormap to cover
+    every possible non-nodata u8 value (exactly 256 palette slots with
+    nodata, so a complete map always fits)."""
+    if colormap_str is None:
+        return
+    from ..png import Colormap
+
+    cm = Colormap.parse(colormap_str, NODATA)
+    missing = [v for v in range(256) if v != NODATA and v not in cm.values]
+    if missing:
+        raise ValueError(
+            "stream mode requires a colormap covering every possible data "
+            f"value (unmapped values encode to palette index 0 = nodata and "
+            f"cannot round-trip through incremental upserts): {len(missing)} "
+            f"values uncovered, e.g. {missing[:5]}")
 
 
 def stream_render_pyramid(
@@ -335,6 +448,7 @@ def stream_render_pyramid(
     """Continuously-maintained full pyramid: direct zooms upsert per
     batch, low zooms rebuild incrementally via dirty-ancestor
     invalidation. Same output layout as stream_render."""
+    _validate_stream_colormap(colormap_str)
     stream = (
         spark.readStream.schema(_INPUT_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -369,6 +483,7 @@ def stream_render(
     per batch), ``out_dir/manifest`` (lineage), ``out_dir/_checkpoint``
     (Spark streaming offsets — restart-safe).
     """
+    _validate_stream_colormap(colormap_str)
     stream = (
         spark.readStream.schema(_INPUT_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

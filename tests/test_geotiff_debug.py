@@ -57,3 +57,27 @@ def test_print_2d_all_nodata(capsys):
     print_2d(np.zeros((2, 2), dtype=np.uint8), nodata=0)
     got = capsys.readouterr().out
     assert got == "- - \n- - \n"
+
+
+def test_out_of_line_offsets_word_aligned(tmp_path):
+    """TIFF requires value offsets on a word boundary; the 5-byte
+    GDAL_NODATA ascii payload must not leave the pixel strip (or any
+    later blob) at an odd offset."""
+    import struct
+
+    import numpy as np
+
+    from rastertiler_rs_spark.geotiff import write_tile_geotiff
+
+    p = tmp_path / "t.tif"
+    arr = (np.arange(64 * 64) % 255 + 1).astype(np.uint8).reshape(64, 64)
+    write_tile_geotiff(str(p), arr, 5, 10, 12, 0)
+    data = p.read_bytes()
+    (ifd,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd)
+    for i in range(n):
+        tag, typ, count = struct.unpack_from("<HHI", data, ifd + 2 + i * 12)
+        size = {3: 2, 4: 4, 12: 8, 2: 1}[typ] * count
+        if size > 4:
+            (off,) = struct.unpack_from("<I", data, ifd + 2 + i * 12 + 8)
+            assert off % 2 == 0, f"tag {tag} value offset {off} is odd"

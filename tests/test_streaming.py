@@ -197,3 +197,65 @@ def test_stream_pyramid_incremental_overviews(spark, tmp_path):
             assert after.get(rel) == v, f"clean overview stripe rewritten: {rel}"
             checked += 1
     assert checked > 0, "test needs at least one clean overview stripe"
+
+def test_partial_colormap_rejected(spark, tmp_path):
+    """Stream mode must fail fast on a colormap that doesn't cover every
+    data value — unmapped values encode to palette index 0 (= nodata)
+    and cannot round-trip through incremental upserts (the documented
+    _combine_fn constraint, now enforced at entry)."""
+    with pytest.raises(ValueError, match="covering every possible data value"):
+        stream_render(spark, str(tmp_path / "in"), str(tmp_path / "out"),
+                      4, 6, colormap_str="1:#686868,2:#38A800")
+
+
+def test_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two renames of a partition swap leaves the
+    partition's only copy in `xb=B.old`. The next batch must RESTORE it
+    (not delete it), read the restored content in its merge, and resync
+    the manifest count — final table still byte-identical to the batch
+    render over the union."""
+    from rastertiler_rs_spark.streaming.ingest import _recover_swap
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    all_imgs = generate_images(24, "u8")
+    pq.write_table(all_imgs.slice(0, 12), str(inp / "part0.parquet"))
+    q = stream_render(spark, str(inp), str(out), 3, 7, tile_size=64,
+                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    # simulate the crash window: one live partition dir renamed to .old,
+    # live dir absent; plus a stale .old beside a live dir (post-rename
+    # crash) which must be dropped, not restored
+    tiles = out / "tiles"
+    parts = sorted(p for z in tiles.iterdir() if z.name.startswith("zoom=")
+                   for p in z.iterdir() if p.name.startswith("xb="))
+    assert len(parts) >= 2
+    victim, stale = parts[0], parts[1]
+    os.rename(victim, str(victim) + ".old")          # only copy in .old
+    import shutil
+    shutil.copytree(stale, str(stale) + ".old")      # stale backup
+
+    pq.write_table(all_imgs.slice(12, 12), str(inp / "part1.parquet"))
+    q = stream_render(spark, str(inp), str(out), 3, 7, tile_size=64,
+                      max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    leftovers = [e for root, dirs, _ in os.walk(tiles) for e in dirs
+                 if e.endswith(".old")]
+    assert not leftovers, f".old dirs survived recovery: {leftovers}"
+
+    got = _fused_map(spark.read.parquet(str(tiles)))
+    images_df = spark.createDataFrame(all_imgs.to_pandas())
+    want = _fused_map(render(images_df, 3, 7, tile_size=64))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], f"post-recovery tile differs at {k}"
+
+    manifests = sorted(os.listdir(out / "manifest"))
+    rows = [json.load(open(out / "manifest" / m)) for m in manifests]
+    assert rows[-1]["rows"] == len(got)
+
+    # idempotence: recovery over a clean table is a no-op
+    assert _recover_swap(str(tiles)) is False

@@ -95,15 +95,23 @@ def read_tile_block(
 
     # nearest decimation at pixel centers (GDAL ResampleAlg::NearestNeighbour,
     # /root/reference/src/dataset.rs:172-178): idx = floor((i+0.5)*src/dst)
-    rows = np.minimum(
-        ((np.arange(height, dtype=np.float64) + 0.5) * read_height / height).astype(np.int64),
-        read_height - 1,
-    )
-    cols = np.minimum(
-        ((np.arange(width, dtype=np.float64) + 0.5) * read_width / width).astype(np.int64),
-        read_width - 1,
-    )
-    block = src[rows[:, None], cols[None, :]]
+    if read_height == height and read_width == width:
+        # 1:1 window (the bulk of tiles at a pyramid's base zoom):
+        # idx = floor(i+0.5) = i, so resampling is the identity — return
+        # the source VIEW instead of a fancy-index copy. Callers use the
+        # block read-only (mosaic pastes via mask or copies on its
+        # single-contribution fast path), so aliasing `band` is safe.
+        block = src
+    else:
+        rows = np.minimum(
+            ((np.arange(height, dtype=np.float64) + 0.5) * read_height / height).astype(np.int64),
+            read_height - 1,
+        )
+        cols = np.minimum(
+            ((np.arange(width, dtype=np.float64) + 0.5) * read_width / width).astype(np.int64),
+            read_width - 1,
+        )
+        block = src[rows[:, None], cols[None, :]]
 
     if (block == nodata).all():
         return None

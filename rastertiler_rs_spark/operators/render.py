@@ -53,17 +53,27 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import tilemath as tm
-from ..fixtures import NODATA, footprint_from_index, image_index
+from ..fixtures import NODATA, image_index
 from ..kernel import encode_tile, mosaic, read_tile_block
 from ..png import Colormap, decode_band
 
-_FOOTPRINT_SCHEMA = "minx double, miny double, maxx double, maxy double"
-
 
 def with_footprints(images: DataFrame) -> DataFrame:
-    """Attach the engine footprint rule (fixtures.py) as columns via an
-    Arrow-vectorized pandas UDF (wrapping uint64 hash arithmetic stays in
-    numpy — Spark 4 ANSI mode would throw on JVM-side overflow).
+    """Attach the engine footprint rule (fixtures.footprint_from_index)
+    as PURE JVM column expressions — bit-identical to the numpy rule and
+    fused by whole-stage codegen straight into the scan, so the
+    scan→footprint→cover-explode map side of the render carries NO
+    Python stage at all (the pandas-UDF version cost one Arrow
+    round-trip per scan task and pinned a python boundary into every
+    render plan; profiled as a pure-wait stage at local[32]).
+
+    splitmix64 runs on signed BIGINT with Java wrapping semantics
+    (session.py sets ansi off): the unsigned constants appear as their
+    two's-complement values and unsigned shifts as shiftrightunsigned —
+    exact. The double pipeline replays numpy's op order exactly
+    ((cx + ox) * cs then the origin add), every intermediate is
+    integer-exact below 2^53, so footprints match the oracle to the
+    last bit (pinned by tests/test_render_parity.py::test_jvm_footprints).
 
     Tables that already carry georeferencing (minx/miny/maxx/maxy in
     EPSG:3857) pass through untouched — the derivation rule is only the
@@ -71,13 +81,35 @@ def with_footprints(images: DataFrame) -> DataFrame:
     if {"minx", "miny", "maxx", "maxy"} <= set(images.columns):
         return images
 
-    @F.pandas_udf(_FOOTPRINT_SCHEMA)
-    def fp(image_id: pd.Series) -> pd.DataFrame:
-        idx = image_index(image_id)
-        minx, miny, maxx, maxy = footprint_from_index(idx)
-        return pd.DataFrame({"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy})
+    from ..fixtures import ZBASE
 
-    return images.withColumn("_fp", fp("image_id")).select("*", "_fp.*").drop("_fp")
+    n = 1 << ZBASE
+    cs = tm.CE / float(n)
+    # splitmix64 constants as signed 64-bit (two's complement)
+    c1, c2, c3 = -7046029254386353131, -4658895280553007687, -7723592293110705685
+    df = (
+        images
+        .withColumn("_z", F.expr(f"cast(substring(image_id, 4) as bigint) + {c1}L"))
+        .withColumn("_z", F.expr(f"(_z ^ shiftrightunsigned(_z, 30)) * {c2}L"))
+        .withColumn("_z", F.expr(f"(_z ^ shiftrightunsigned(_z, 27)) * {c3}L"))
+        .withColumn("_g", F.expr("_z ^ shiftrightunsigned(_z, 31)"))
+        .drop("_z")
+    )
+    cx = F.least(F.col("_g").bitwiseAND(F.lit(n - 1)), F.lit(n - 3)).cast("double")
+    cy = F.least(F.expr(f"shiftrightunsigned(_g, 13) & {n - 1}"),
+                 F.lit(n - 3)).cast("double")
+    ox = F.expr("shiftrightunsigned(_g, 26) & 3").cast("double") * F.lit(0.25)
+    oy = F.expr("shiftrightunsigned(_g, 28) & 3").cast("double") * F.lit(0.25)
+    span = F.lit(0.5) + F.lit(0.5) * F.expr("shiftrightunsigned(_g, 30) & 3").cast("double")
+    minx = F.lit(-tm.ORIGIN) + (cx + ox) * F.lit(cs)
+    maxy = F.lit(tm.ORIGIN) - (cy + oy) * F.lit(cs)
+    return (
+        df.withColumn("minx", minx)
+        .withColumn("maxy", maxy)
+        .withColumn("miny", F.col("maxy") - span * F.lit(cs))
+        .withColumn("maxx", F.col("minx") + span * F.lit(cs))
+        .drop("_g")
+    )
 
 
 def tile_range_cols(df: DataFrame, zoom_col: str = "zoom") -> DataFrame:
@@ -430,17 +462,15 @@ def render(
     cell_tiles = None
     if pz is not None and pz <= maxzoom:
         zlo = max(minzoom, pz)
-        # Pin the explode/shuffle-write map stage's parallelism
-        # structurally instead of via spark.sql.files.maxPartitionBytes:
-        # scan splits follow parquet row-group byte layout (13 tasks for
-        # a 51 MB table at the 8m default) while this stage's cost is
-        # per-row compute + the cell fan-out's duplicated shuffle bytes.
-        # The exchange itself only moves the compressed source once —
-        # cheap relative to the stage it rebalances — and keeps the
-        # render plan identical under any session scan-split setting.
-        covers = tile_range_cols(
-            src.repartition(n_parts_map, "image_id")
-            .withColumn("zoom", F.lit(pz).cast("int")))
+        # The map side here (scan → footprint → tile-range → explode →
+        # shuffle write) is pure JVM codegen since with_footprints became
+        # column expressions: no repartition needed to pin parallelism —
+        # even a handful of scan tasks push the ~MBs/task through in
+        # JVM time, and one fewer exchange means one fewer stage floor.
+        # (With the old pandas-UDF footprint stage this same map side
+        # was scan-split-bound and needed fine maxPartitionBytes or an
+        # explicit exchange; profiled at local[32] as pure Arrow wait.)
+        covers = tile_range_cols(src.withColumn("zoom", F.lit(pz).cast("int")))
         exploded = (
             covers.withColumn("cx", F.explode(F.sequence("txmin", "txmax")))
             .withColumn("cy", F.explode(F.sequence("tymin", "tymax")))

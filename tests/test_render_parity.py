@@ -115,3 +115,29 @@ def test_tile_assignment_preserves_captions(spark):
             for _, tx, ty in tm.tile_range_iter(z, *tm.tile_range(z, *fp)):
                 want[(z, tx, ty, f"img{i:08d}")] = cap
     assert got == want
+
+
+def test_jvm_footprints_bit_identical(spark):
+    """The JVM column-expression footprint rule (with_footprints) must
+    reproduce the numpy rule (fixtures.footprint_from_index) to the
+    LAST BIT — tile_range's ε/clamp math amplifies any ULP drift into a
+    different tile cover."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.fixtures import footprint_from_index
+    from rastertiler_rs_spark.operators.render import with_footprints
+
+    n = 200_000
+    ids = spark.range(n).select(
+        F.format_string("img%08d", F.col("id").cast("int")).alias("image_id"))
+    got = (with_footprints(ids)
+           .orderBy(F.substring("image_id", 4, 8).cast("long"))
+           .select("minx", "miny", "maxx", "maxy").toPandas())
+    minx, miny, maxx, maxy = footprint_from_index(np.arange(n, dtype=np.uint64))
+    for name, want in (("minx", minx), ("miny", miny),
+                       ("maxx", maxx), ("maxy", maxy)):
+        g = got[name].to_numpy()
+        assert np.array_equal(g, want), (
+            f"{name}: {np.sum(g != want)} of {n} differ; first at "
+            f"{np.flatnonzero(g != want)[:3]}")

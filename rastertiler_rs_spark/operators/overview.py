@@ -297,21 +297,32 @@ def render_pyramid(
     # default overview_below above a small --maxzoom, an unclamped base
     # would render and emit zooms beyond maxzoom.
     base = min(max(overview_below, minzoom), maxzoom)
-    # The base level renders as its OWN small job and only IT is
-    # persisted (~tile count at z=base, tiny): the cascade and the union
-    # both consume it, and persisting the full direct render instead
-    # would materialize every high-zoom PNG (measured +25s on 1.1M tiles
-    # — disk-bound, doesn't scale). The extra source pass for the base
-    # level costs one decode sweep, which is parallel python work.
-    base_level = render(images, base, base, tile_size, dtype_tag,
-                        colormap_str, salt_buckets=salt_buckets).persist()
+    # ONE direct render covers [base, maxzoom] — the base level is NOT
+    # rendered as a second job (that cost a full extra decode of every
+    # source image, its own explode+shuffle, and a persist: ~35% of the
+    # direct render's core-seconds again, and it was the production
+    # pyramid's scaling bottleneck at local[32]). Instead the fused
+    # output passes through one explicit exchange that BOTH consumers
+    # read: the result union takes every row, the cascade takes the
+    # filter(zoom == base) slice. Spark's exchange reuse (ReusedExchange
+    # / AQE stage reuse) materializes the shuffle once, so the render's
+    # cell stage executes exactly once with no persist of high-zoom
+    # PNGs (a full-output .persist() measured +25 s on 1.1M tiles).
+    # The exchange moves the output PNGs once — compressed tiles, far
+    # cheaper than a second source decode — and at real scale the same
+    # boundary is the tile sink itself (write once, read the base
+    # partition back; mbtiles_sink partitions by zoom for this).
+    full = render(images, base, maxzoom, tile_size, dtype_tag,
+                  colormap_str, salt_buckets=salt_buckets)
+    # (A sortWithinPartitions("zoom") before the persist — to give the
+    # cascade's zoom==base scan batch-stat pruning — measured SLOWER at
+    # both parallelism levels: sorting rows that carry PNG payloads
+    # moves the full ~0.6 KB/row through the sorter, which costs more
+    # than decompressing mixed cached batches on the one filtered scan.)
+    shared = full.persist()
     if persisted is not None:
-        persisted.append(base_level)
-    low = cascade_down(base_level, minzoom, tile_size, dtype_tag,
-                       colormap_str, top_zoom=base, persisted=persisted)
-    out = base_level.unionByName(low)
-    if maxzoom > base:
-        direct = render(images, base + 1, maxzoom, tile_size, dtype_tag,
-                        colormap_str, salt_buckets=salt_buckets)
-        out = direct.unionByName(out)
-    return out
+        persisted.append(shared)
+    low = cascade_down(shared.filter(F.col("zoom") == base), minzoom,
+                       tile_size, dtype_tag, colormap_str, top_zoom=base,
+                       persisted=persisted)
+    return shared.unionByName(low)

@@ -46,6 +46,7 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -448,7 +449,16 @@ def render(
     # of tasks (shuffle bytes are small — compressed PNGs — but per-row
     # compute is large), serializing the pipeline. Measured 3.5x on the
     # cell stage at local[32].
-    n_parts = max(spark.sparkContext.defaultParallelism * 4, 8)
+    #
+    # Multiplier 8 (not 4): cell-group costs are uneven (images/cell
+    # varies), and with only cores*4 tasks the stage ends in a straggler
+    # drain — event-log profiling at local[32] showed the final wave
+    # trickling 32→1 active tasks for whole seconds. cores*8 halves the
+    # per-task cost so the tail packs tighter; measured ~5-10% off the
+    # 65k-image render wall at local[32], and it is the main reason the
+    # stage's N→4N scaling holds (more waves ⇒ tail waste amortizes at
+    # high core counts the way it naturally does at low ones).
+    n_parts = max(spark.sparkContext.defaultParallelism * int(os.environ.get("SPARK_GRAFT_CELL_MULT", "8")), 8)
     # The kernel MAP stage (decode+window-read per image) pays a measured
     # ~20-30 ms/task python-stage overhead while its per-image work is
     # small — fewer, larger tasks win (128→64 tasks saved ~2.4 s of a

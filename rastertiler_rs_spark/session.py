@@ -32,12 +32,13 @@ def get_spark(app: str = "rastertiler_rs_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         # split scans finer than the 128m default (sf-dir parquet is
         # small; 8m keeps small-query task counts sane while still
-        # splitting multi-file tables). The RENDER pipeline needs much
-        # finer map parallelism over binary image tables, but that is
-        # pinned structurally with an explicit repartition inside
-        # render() (scan-split independent) rather than a session-wide
-        # split: round 2's global 4m setting doubled every small
-        # query's scan tasks and showed up in the driver bench.
+        # splitting multi-file tables). The render pipeline no longer
+        # depends on scan splits at all: its map side (footprint +
+        # cover explode) is pure JVM codegen and its Python stages sit
+        # behind explicit repartitions. Round 2's global 4m setting —
+        # which existed to parallelize the then-Python footprint stage —
+        # doubled every small query's scan tasks and showed up in the
+        # driver bench; don't re-tighten this session-wide.
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         # wrapping 64-bit hash arithmetic must not throw (Spark 4 ANSI default)

@@ -299,26 +299,30 @@ def render_pyramid(
     base = min(max(overview_below, minzoom), maxzoom)
     # ONE direct render covers [base, maxzoom] — the base level is NOT
     # rendered as a second job (that cost a full extra decode of every
-    # source image, its own explode+shuffle, and a persist: ~35% of the
-    # direct render's core-seconds again, and it was the production
-    # pyramid's scaling bottleneck at local[32]). Instead the fused
-    # output passes through one explicit exchange that BOTH consumers
-    # read: the result union takes every row, the cascade takes the
-    # filter(zoom == base) slice. Spark's exchange reuse (ReusedExchange
-    # / AQE stage reuse) materializes the shuffle once, so the render's
-    # cell stage executes exactly once with no persist of high-zoom
-    # PNGs (a full-output .persist() measured +25 s on 1.1M tiles).
-    # The exchange moves the output PNGs once — compressed tiles, far
-    # cheaper than a second source decode — and at real scale the same
-    # boundary is the tile sink itself (write once, read the base
-    # partition back; mbtiles_sink partitions by zoom for this).
+    # source image plus its own explode+shuffle: ~35% of the direct
+    # render's core-seconds again, profiled as the production pyramid's
+    # scaling bottleneck at local[32]). The result union and the
+    # cascade both consume the single render, which in lazy Spark
+    # demands a materialized fork; persist() is that boundary. At real
+    # scale the boundary is the tile SINK instead — write zooms
+    # [base..max] once, read the base partition back
+    # (mbtiles_sink.write_tile_tables partitions by zoom for exactly
+    # this; the streaming pyramid already works that way per batch).
+    #
+    # Rejected alternatives, measured:
+    # - Shared explicit exchange + Spark exchange reuse: Catalyst
+    #   pushes the zoom filter AND per-consumer column pruning below
+    #   the exchange, specializing it per consumer — two non-identical
+    #   exchanges, no reuse, and the whole render silently executes
+    #   TWICE (nondeterministic-predicate barriers fix the filter but
+    #   not the pruning). +2x cell-stage core-seconds.
+    # - sortWithinPartitions("zoom") before the persist (to give the
+    #   cascade's zoom==base scan cached-batch min/max pruning):
+    #   sorting rows that carry PNG payloads moves ~0.6 KB/row through
+    #   the sorter — slower at both parallelism levels than
+    #   decompressing mixed cached batches on the one filtered scan.
     full = render(images, base, maxzoom, tile_size, dtype_tag,
                   colormap_str, salt_buckets=salt_buckets)
-    # (A sortWithinPartitions("zoom") before the persist — to give the
-    # cascade's zoom==base scan batch-stat pruning — measured SLOWER at
-    # both parallelism levels: sorting rows that carry PNG payloads
-    # moves the full ~0.6 KB/row through the sorter, which costs more
-    # than decompressing mixed cached batches on the one filtered scan.)
     shared = full.persist()
     if persisted is not None:
         persisted.append(shared)

@@ -84,12 +84,7 @@ _DEDUP_OUT = StructType([
 _DEDUP_STATE = StructType([StructField("seen", BooleanType())])
 
 
-def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
-              state: GroupState) -> Iterator[pd.DataFrame]:
-    """Emit the group's first-ever row (lowest doc_id within the first
-    batch that sees the key — deterministic), then remember the key."""
-    if state.exists:
-        return
+def _first_row(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
     first = None
     for pdf in pdfs:
         if len(pdf) == 0:
@@ -97,9 +92,45 @@ def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
         cand = pdf.nsmallest(1, "doc_id")
         if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
             first = cand
+    return first
+
+
+def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+    """Emit the group's first-ever row (lowest doc_id within the first
+    batch that sees the key — deterministic), then remember the key."""
+    if state.exists:
+        return
+    first = _first_row(pdfs)
     if first is not None:
         state.update((True,))
         yield first[["content_key", "doc_id", "text"]]
+
+
+def _dedup_fn_ttl(ttl_ms: int):
+    """TTL variant: sliding processing-time expiry. A key unseen for
+    ``ttl_ms`` is dropped from the state store (the timed-out callback
+    removes it), so the NEXT sighting re-emits — the standard bounded-
+    horizon dedup contract for unbounded streams: state size is bounded
+    by keys active within the TTL window, not by stream history.
+    Every sighting resets the clock (expiry is TTL after the LAST
+    sighting, not the first)."""
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            state.setTimeoutDuration(ttl_ms)  # sliding: reset on sighting
+            return
+        first = _first_row(pdfs)
+        if first is not None:
+            state.update((True,))
+            state.setTimeoutDuration(ttl_ms)
+            yield first[["content_key", "doc_id", "text"]]
+
+    return fn
 
 
 def stream_dedup_first_seen(
@@ -107,22 +138,34 @@ def stream_dedup_first_seen(
     input_dir: str,
     out_dir: str,
     max_files_per_trigger: int = 1,
+    state_ttl_ms: int | None = None,
 ):
     """Streaming exact dedup: documents arrive as parquet files; only
     the first occurrence of each content_key (md5 of text) ever seen by
     the stream is emitted. applyInPandasWithState keeps one boolean per
     key; duplicates in later batches (or later in the same batch) are
     suppressed. Output parquet at out_dir/unique; checkpoint makes the
-    seen-set restart-safe."""
+    seen-set restart-safe.
+
+    ``state_ttl_ms`` bounds the state horizon for unbounded streams:
+    keys unseen for the TTL are evicted (processing-time timeout) and a
+    later duplicate re-emits. Without it, state grows with the distinct
+    key count forever — exact, but only viable when that set is bounded
+    (NoTimeout keeps the sandbox gate exact)."""
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
     )
     keyed = stream.withColumn("content_key", F.md5(F.col("text")))
-    deduped = keyed.groupBy("content_key").applyInPandasWithState(
-        _dedup_fn, _DEDUP_OUT, _DEDUP_STATE, "append",
-        GroupStateTimeout.NoTimeout)
+    if state_ttl_ms is None:
+        deduped = keyed.groupBy("content_key").applyInPandasWithState(
+            _dedup_fn, _DEDUP_OUT, _DEDUP_STATE, "append",
+            GroupStateTimeout.NoTimeout)
+    else:
+        deduped = keyed.groupBy("content_key").applyInPandasWithState(
+            _dedup_fn_ttl(int(state_ttl_ms)), _DEDUP_OUT, _DEDUP_STATE,
+            "append", GroupStateTimeout.ProcessingTimeTimeout)
     return (
         deduped.writeStream.outputMode("append").format("parquet")
         .option("path", os.path.join(out_dir, "unique"))

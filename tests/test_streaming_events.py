@@ -91,3 +91,60 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
     # first occurrence only: intra-batch dup (doc 3) and cross-batch
     # dup (doc 4) both suppressed; lowest doc_id wins within a batch
     assert got == {(1, "aaa"), (2, "bbb"), (5, "ccc")}
+
+
+def test_stream_dedup_state_ttl_evicts_and_reemits(spark, tmp_path):
+    """With a state TTL, a key unseen for the TTL is evicted from the
+    state store (bounded-horizon dedup for unbounded streams) and a
+    LATER duplicate re-emits. TTL far below the restart latency, so
+    expiry is guaranteed by the time the next run processes data."""
+    import time
+
+    inp, out = tmp_path / "in", tmp_path / "out"
+    inp.mkdir()
+
+    docs1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["aaa", "bbb"], pa.string())})
+    pq.write_table(docs1, str(inp / "d1.parquet"))
+    q = stream_dedup_first_seen(spark, str(inp), str(out), state_ttl_ms=500)
+    q.awaitTermination(120)
+
+    time.sleep(1.5)  # both keys pass the TTL
+
+    docs2 = pa.table({"doc_id": pa.array([4, 5], pa.int64()),
+                      "text": pa.array(["aaa", "ccc"], pa.string())})
+    pq.write_table(docs2, str(inp / "d2.parquet"))
+    q = stream_dedup_first_seen(spark, str(inp), str(out), state_ttl_ms=500)
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["text"])
+           for r in spark.read.parquet(str(out / "unique")).collect()}
+    # aaa expired -> re-emitted; bbb expired but never re-arrived (one
+    # emission); ccc new
+    assert got == {(1, "aaa"), (2, "bbb"), (4, "aaa"), (5, "ccc")}
+
+
+def test_stream_dedup_state_ttl_suppresses_within_horizon(spark, tmp_path):
+    """With a TTL far above the test's wall time, the ProcessingTime-
+    timeout mode must behave exactly like NoTimeout: cross-batch and
+    intra-batch duplicates suppressed, first (lowest doc_id) wins."""
+    inp, out = tmp_path / "in", tmp_path / "out"
+    inp.mkdir()
+
+    docs1 = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["aaa", "bbb", "aaa"], pa.string())})
+    pq.write_table(docs1, str(inp / "d1.parquet"))
+    q = stream_dedup_first_seen(spark, str(inp), str(out),
+                                state_ttl_ms=600_000)
+    q.awaitTermination(120)
+
+    docs2 = pa.table({"doc_id": pa.array([4, 5], pa.int64()),
+                      "text": pa.array(["bbb", "ccc"], pa.string())})
+    pq.write_table(docs2, str(inp / "d2.parquet"))
+    q = stream_dedup_first_seen(spark, str(inp), str(out),
+                                state_ttl_ms=600_000)
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["text"])
+           for r in spark.read.parquet(str(out / "unique")).collect()}
+    assert got == {(1, "aaa"), (2, "bbb"), (5, "ccc")}

@@ -364,12 +364,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rastertiler_rs_spark.operators.embedding import dot_topk_int
+    """Exact integer top-k on the SCALE plan: blocked numpy matmul per
+    corpus batch + tiny candidate shuffle (dot_topk_int_blocked) — same
+    oracle as the declarative crossJoin twin because integer dots are
+    associative and the per-batch top-k uses the global tie rule."""
+    from rastertiler_rs_spark.operators.embedding import dot_topk_int_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
-    return dot_topk_int(emb.select("vec_id", "embedding"), queries, k=10).select(
+    return dot_topk_int_blocked(
+        emb.select("vec_id", "embedding"), queries, k=10).select(
         "qid", "vec_id", "dot", "rank")
 
 

@@ -144,3 +144,25 @@ def test_neardup_rejects_uneven_bands(spark):
         lambda x: F.floor(x.cast("double") * 256).cast("long")).alias("vi"))
     with pytest.raises(ValueError, match="n_bands"):
         neardup_pairs_int(base, n_planes=10, n_bands=3)
+
+
+def test_blocked_topk_equals_declarative(spark):
+    """The blocked-matmul exact top-k must reproduce the declarative
+    crossJoin twin EXACTLY (ids, integer dots, ranks): integer dots are
+    associative and the per-batch top-k applies the global (-dot,
+    vec_id) tie rule, so blocking cannot change the result."""
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.embedding import (dot_topk_int,
+                                                          dot_topk_int_blocked)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    vecs = emb.select("vec_id", "embedding")
+    a = {(r["qid"], r["rank"]): (r["vec_id"], r["dot"])
+         for r in dot_topk_int(vecs, queries, k=7).collect()}
+    b = {(r["qid"], r["rank"]): (r["vec_id"], r["dot"])
+         for r in dot_topk_int_blocked(vecs, queries, k=7).collect()}
+    assert len(a) >= 7
+    assert a == b

@@ -95,11 +95,22 @@ def _first_row(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
     return first
 
 
+def _drain(pdfs: Iterator[pd.DataFrame]) -> None:
+    """Exhaust the group's Arrow input stream. Returning from the state
+    function with unread batches breaks the worker's Arrow pipe (the
+    JVM sees an unexpected EOF, kills the python worker, and retries
+    the task — tests still passed but every stateful batch paid a
+    crash+retry). Suppression paths must drain before returning."""
+    for _ in pdfs:
+        pass
+
+
 def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
     """Emit the group's first-ever row (lowest doc_id within the first
     batch that sees the key — deterministic), then remember the key."""
     if state.exists:
+        _drain(pdfs)
         return
     first = _first_row(pdfs)
     if first is not None:
@@ -107,27 +118,49 @@ def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
         yield first[["content_key", "doc_id", "text"]]
 
 
+_DEDUP_TTL_STATE = StructType([StructField("seen", BooleanType()),
+                               StructField("deadline_ms", LongType())])
+
+
 def _dedup_fn_ttl(ttl_ms: int):
-    """TTL variant: sliding processing-time expiry. A key unseen for
-    ``ttl_ms`` is dropped from the state store (the timed-out callback
-    removes it), so the NEXT sighting re-emits — the standard bounded-
-    horizon dedup contract for unbounded streams: state size is bounded
-    by keys active within the TTL window, not by stream history.
-    Every sighting resets the clock (expiry is TTL after the LAST
-    sighting, not the first)."""
+    """TTL variant: sliding expiry. A key unseen for ``ttl_ms`` is
+    dropped from the state store, so the NEXT sighting re-emits — the
+    bounded-horizon dedup contract for unbounded streams: state size is
+    bounded by keys active within the TTL window, not by stream
+    history. Every sighting resets the clock.
+
+    Two mechanisms cooperate, both driven per batch:
+    - the DEADLINE stored in state decides re-emission: a duplicate
+      arriving after its key's deadline (batch processing time) is
+      treated as first-seen again — correct even if the idle-key
+      eviction below hasn't run yet;
+    - EventTimeTimeout (ingest-time watermark) evicts keys idle past
+      their deadline, which is what actually bounds the store. NOT
+      ProcessingTimeTimeout: that mode keeps an availableNow query
+      triggering empty batches against wall-clock timers, so the run
+      never terminates — measured, not theorized. With the event-time
+      form the final no-data batch advances the watermark once, fires
+      due evictions, and the query stops."""
 
     def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
+            _drain(pdfs)
             state.remove()
             return
-        if state.exists:
-            state.setTimeoutDuration(ttl_ms)  # sliding: reset on sighting
+        now = state.getCurrentProcessingTimeMs()
+        deadline = now + ttl_ms
+        # timeout timestamps must sit strictly above the watermark
+        evict_at = max(deadline, state.getCurrentWatermarkMs() + 1)
+        if state.exists and now <= state.get[1]:
+            _drain(pdfs)
+            state.update((True, deadline))  # sliding: reset on sighting
+            state.setTimeoutTimestamp(evict_at)
             return
-        first = _first_row(pdfs)
+        first = _first_row(pdfs)  # new key, or expired one re-arriving
         if first is not None:
-            state.update((True,))
-            state.setTimeoutDuration(ttl_ms)
+            state.update((True, deadline))
+            state.setTimeoutTimestamp(evict_at)
             yield first[["content_key", "doc_id", "text"]]
 
     return fn
@@ -148,10 +181,11 @@ def stream_dedup_first_seen(
     seen-set restart-safe.
 
     ``state_ttl_ms`` bounds the state horizon for unbounded streams:
-    keys unseen for the TTL are evicted (processing-time timeout) and a
-    later duplicate re-emits. Without it, state grows with the distinct
-    key count forever — exact, but only viable when that set is bounded
-    (NoTimeout keeps the sandbox gate exact)."""
+    keys unseen for the TTL are evicted (event-time timeout over an
+    ingest-time watermark) and a later duplicate re-emits. Without it,
+    state grows with the distinct key count forever — exact, but only
+    viable when that set is bounded (NoTimeout keeps the sandbox gate
+    exact)."""
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -163,9 +197,13 @@ def stream_dedup_first_seen(
             _dedup_fn, _DEDUP_OUT, _DEDUP_STATE, "append",
             GroupStateTimeout.NoTimeout)
     else:
+        # ingest-time watermark: rows carry no event time, so the
+        # arrival clock drives eviction (and lets availableNow stop)
+        keyed = keyed.withColumn("ts", F.current_timestamp()) \
+                     .withWatermark("ts", "0 seconds")
         deduped = keyed.groupBy("content_key").applyInPandasWithState(
-            _dedup_fn_ttl(int(state_ttl_ms)), _DEDUP_OUT, _DEDUP_STATE,
-            "append", GroupStateTimeout.ProcessingTimeTimeout)
+            _dedup_fn_ttl(int(state_ttl_ms)), _DEDUP_OUT, _DEDUP_TTL_STATE,
+            "append", GroupStateTimeout.EventTimeTimeout)
     return (
         deduped.writeStream.outputMode("append").format("parquet")
         .option("path", os.path.join(out_dir, "unique"))

@@ -103,19 +103,24 @@ def test_stream_dedup_state_ttl_evicts_and_reemits(spark, tmp_path):
     inp, out = tmp_path / "in", tmp_path / "out"
     inp.mkdir()
 
-    docs1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
-                      "text": pa.array(["aaa", "bbb"], pa.string())})
-    pq.write_table(docs1, str(inp / "d1.parquet"))
-    q = stream_dedup_first_seen(spark, str(inp), str(out), state_ttl_ms=500)
-    q.awaitTermination(120)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # state store size
+    try:
+        docs1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                          "text": pa.array(["aaa", "bbb"], pa.string())})
+        pq.write_table(docs1, str(inp / "d1.parquet"))
+        q = stream_dedup_first_seen(spark, str(inp), str(out), state_ttl_ms=500)
+        q.awaitTermination(120)
 
-    time.sleep(1.5)  # both keys pass the TTL
+        time.sleep(1.5)  # both keys pass the TTL
 
-    docs2 = pa.table({"doc_id": pa.array([4, 5], pa.int64()),
-                      "text": pa.array(["aaa", "ccc"], pa.string())})
-    pq.write_table(docs2, str(inp / "d2.parquet"))
-    q = stream_dedup_first_seen(spark, str(inp), str(out), state_ttl_ms=500)
-    q.awaitTermination(120)
+        docs2 = pa.table({"doc_id": pa.array([4, 5], pa.int64()),
+                          "text": pa.array(["aaa", "ccc"], pa.string())})
+        pq.write_table(docs2, str(inp / "d2.parquet"))
+        q = stream_dedup_first_seen(spark, str(inp), str(out), state_ttl_ms=500)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     got = {(r["doc_id"], r["text"])
            for r in spark.read.parquet(str(out / "unique")).collect()}
@@ -131,19 +136,27 @@ def test_stream_dedup_state_ttl_suppresses_within_horizon(spark, tmp_path):
     inp, out = tmp_path / "in", tmp_path / "out"
     inp.mkdir()
 
-    docs1 = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
-                      "text": pa.array(["aaa", "bbb", "aaa"], pa.string())})
-    pq.write_table(docs1, str(inp / "d1.parquet"))
-    q = stream_dedup_first_seen(spark, str(inp), str(out),
-                                state_ttl_ms=600_000)
-    q.awaitTermination(120)
-
-    docs2 = pa.table({"doc_id": pa.array([4, 5], pa.int64()),
-                      "text": pa.array(["bbb", "ccc"], pa.string())})
-    pq.write_table(docs2, str(inp / "d2.parquet"))
-    q = stream_dedup_first_seen(spark, str(inp), str(out),
-                                state_ttl_ms=600_000)
-    q.awaitTermination(120)
+    # two separate runs: batch order is then deterministic (writing
+    # both files upfront raced the file source's same-mtime ordering —
+    # the dup's doc_id depended on which batch ran first), and the
+    # restart also exercises checkpointed TTL state
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        docs1 = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                          "text": pa.array(["aaa", "bbb", "aaa"], pa.string())})
+        pq.write_table(docs1, str(inp / "d1.parquet"))
+        q = stream_dedup_first_seen(spark, str(inp), str(out),
+                                    state_ttl_ms=600_000)
+        q.awaitTermination(120)
+        docs2 = pa.table({"doc_id": pa.array([4, 5], pa.int64()),
+                          "text": pa.array(["bbb", "ccc"], pa.string())})
+        pq.write_table(docs2, str(inp / "d2.parquet"))
+        q = stream_dedup_first_seen(spark, str(inp), str(out),
+                                    state_ttl_ms=600_000)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     got = {(r["doc_id"], r["text"])
            for r in spark.read.parquet(str(out / "unique")).collect()}

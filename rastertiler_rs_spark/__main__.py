@@ -65,7 +65,18 @@ def cmd_render(args) -> None:
     if args.colormap and tag != "u8":
         sys.exit("ERROR: colormap can only be provided for uint8 data")
 
-    if args.disable_overviews:
+    if args.tiles_dir:
+        # sink-boundary pyramid (the at-scale fork): direct zooms write
+        # once, cascade reads the base partition back — no executor-
+        # memory cache of the output; .mbtiles materializes from the
+        # written table
+        from .operators.overview import render_pyramid_to_sink
+
+        fused = render_pyramid_to_sink(
+            images, args.tiles_dir, args.minzoom, args.maxzoom,
+            args.tilesize, tag, args.colormap,
+            overview_below=None if args.disable_overviews else 8)
+    elif args.disable_overviews:
         fused = render(images, args.minzoom, args.maxzoom, args.tilesize,
                        tag, args.colormap)
     else:
@@ -175,6 +186,10 @@ def main(argv=None) -> None:
     r.add_argument("--description", default=None)
     r.add_argument("--attribution", default=None)
     r.add_argument("--disable-overviews", action="store_true")
+    r.add_argument("--tiles-dir", default=None,
+                   help="materialize the pyramid as a zoom-partitioned "
+                        "parquet tile table here (the at-scale sink "
+                        "boundary) instead of rendering in memory")
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser(

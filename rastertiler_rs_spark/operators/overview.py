@@ -266,6 +266,54 @@ def cascade_down(
     )
 
 
+def render_pyramid_to_sink(
+    images: DataFrame,
+    out_dir: str,
+    minzoom: int,
+    maxzoom: int,
+    tile_size: int = 512,
+    dtype_tag: str = "u8",
+    colormap_str: str | None = None,
+    overview_below: int | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """The 100 TB realization of render_pyramid: materialize the fork
+    at the SINK instead of executor memory. Direct zooms
+    [base, maxzoom] render once and write straight to a zoom-partitioned
+    parquet tile table; the cascade then reads ONLY the base partition
+    back (partition-pruned scan — no re-render, no cluster-wide cache
+    of the full output) and appends the low zooms. render_pyramid's
+    persist() fork holds the whole fused output in executor storage,
+    which is the right call for an in-memory pipeline at bench scale
+    but not for a 10^12-row table; here the only state between the two
+    jobs is the product itself.
+
+    Returns a DataFrame reading the completed table at
+    ``out_dir/tiles`` (same fused schema; byte-content identical to
+    render_pyramid — pinned by tests/test_overview_salt.py).
+    """
+    from .render import render
+
+    spark = images.sparkSession
+    tiles_path = f"{out_dir}/tiles"
+    if overview_below is None or overview_below <= minzoom:
+        fused = render(images, minzoom, maxzoom, tile_size, dtype_tag,
+                       colormap_str, salt_buckets=salt_buckets)
+        fused.write.mode("overwrite").partitionBy("zoom").parquet(tiles_path)
+        return spark.read.parquet(tiles_path)
+
+    base = min(max(overview_below, minzoom), maxzoom)
+    full = render(images, base, maxzoom, tile_size, dtype_tag,
+                  colormap_str, salt_buckets=salt_buckets)
+    full.write.mode("overwrite").partitionBy("zoom").parquet(tiles_path)
+    base_level = spark.read.parquet(tiles_path).filter(
+        F.col("zoom") == base)  # prunes to the zoom=<base> directory
+    low = cascade_down(base_level, minzoom, tile_size, dtype_tag,
+                       colormap_str, top_zoom=base)
+    low.write.mode("append").partitionBy("zoom").parquet(tiles_path)
+    return spark.read.parquet(tiles_path)
+
+
 def render_pyramid(
     images: DataFrame,
     minzoom: int,

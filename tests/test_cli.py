@@ -130,3 +130,27 @@ def test_cli_stream_validation(tmp_path):
     empty.mkdir()
     with pytest.raises(SystemExit):
         main(["stream", str(empty), str(tmp_path / "o2")])
+
+
+def test_cli_render_tiles_dir(tmp_path):
+    """--tiles-dir routes through the sink-boundary pyramid: the
+    zoom-partitioned tile table lands on disk AND the .mbtiles
+    materializes from it, matching the in-memory CLI result."""
+    import subprocess
+    import sys
+
+    from rastertiler_rs_spark.fixtures import images_parquet
+
+    src = images_parquet(16, "u8")
+    out = tmp_path / "t.mbtiles"
+    tdir = tmp_path / "tiles"
+    r = subprocess.run(
+        [sys.executable, "-m", "rastertiler_rs_spark", "render", src,
+         str(out), "--minzoom", "4", "--maxzoom", "7", "--tilesize", "64",
+         "--workers", "8", "--tiles-dir", str(tdir)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    import os
+    zdirs = [e for e in os.listdir(tdir / "tiles") if e.startswith("zoom=")]
+    assert sorted(int(z.split("=")[1]) for z in zdirs) == [4, 5, 6, 7]

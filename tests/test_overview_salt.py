@@ -175,3 +175,37 @@ def test_render_pyramid_cascade_structure(spark):
         for x, y in by_zoom[z]:
             kids = {(2 * x + dx, 2 * y + dy) for dx in (0, 1) for dy in (0, 1)}
             assert kids & by_zoom[z + 1], f"orphan overview tile z{z} {(x, y)}"
+
+
+def test_sink_pyramid_matches_in_memory(spark, tmp_path):
+    """render_pyramid_to_sink (sink-boundary fork: write direct zooms,
+    read base partition back, append cascade) must produce exactly the
+    in-memory render_pyramid's tiles — same (zoom,x,tile_row) set, same
+    bytes — and its cascade scan must be partition-pruned to the base
+    zoom directory."""
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.overview import (
+        render_pyramid, render_pyramid_to_sink)
+
+    images = spark.read.parquet(images_parquet(48, "u8"))
+    want = {(r["zoom"], r["x"], r["tile_row"]): (r["tile_hash"], bytes(r["png"]))
+            for r in render_pyramid(images, 2, 8, tile_size=64,
+                                    overview_below=7,
+                                    dtype_tag="u8").collect()}
+    got_df = render_pyramid_to_sink(images, str(tmp_path / "sink"), 2, 8,
+                                    tile_size=64, dtype_tag="u8",
+                                    overview_below=7)
+    got = {(r["zoom"], r["x"], r["tile_row"]): (r["tile_hash"], bytes(r["png"]))
+           for r in got_df.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], f"sink pyramid differs at {k}"
+
+    # the base read-back is partition-pruned, not a full-table scan
+    base_scan = (spark.read.parquet(str(tmp_path / "sink" / "tiles"))
+                 .filter(F.col("zoom") == 7))
+    plan = base_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(zoom" in plan or "zoom#" in plan
+    assert base_scan.count() > 0

@@ -78,9 +78,22 @@ def with_footprints(images: DataFrame) -> DataFrame:
 
     Tables that already carry georeferencing (minx/miny/maxx/maxy in
     EPSG:3857) pass through untouched — the derivation rule is only the
-    default for the bare input_hint schema."""
+    default for the bare input_hint schema.
+
+    ANSI dispatch: the wrapping bigint multiplies THROW under Spark 4's
+    default ANSI mode (our sessions disable it; a caller-provided
+    session may not — the driver's own smoke-check session doesn't).
+    When the active session is ANSI, fall back to the numpy/pandas-UDF
+    form of the same rule — bit-identical output, one Arrow round-trip
+    slower, never wrong."""
     if {"minx", "miny", "maxx", "maxy"} <= set(images.columns):
         return images
+    # no fallback default here: get(key) resolves Spark's EFFECTIVE
+    # value (Spark 4 defaults ANSI on even when the key is unset;
+    # get(key, "false") would mask that and take the throwing path)
+    if images.sparkSession.conf.get(
+            "spark.sql.ansi.enabled").lower() == "true":
+        return _with_footprints_udf(images)
 
     from ..fixtures import ZBASE
 
@@ -111,6 +124,26 @@ def with_footprints(images: DataFrame) -> DataFrame:
         .withColumn("maxx", F.col("minx") + span * F.lit(cs))
         .drop("_g")
     )
+
+
+_FOOTPRINT_SCHEMA = "minx double, miny double, maxx double, maxy double"
+
+
+def _with_footprints_udf(images: DataFrame) -> DataFrame:
+    """ANSI-session fallback: the same footprint rule through the
+    shared numpy implementation (wrapping uint64 arithmetic stays in
+    numpy, which ANSI cannot reject)."""
+    from ..fixtures import footprint_from_index
+
+    @F.pandas_udf(_FOOTPRINT_SCHEMA)
+    def fp(image_id: pd.Series) -> pd.DataFrame:
+        idx = image_index(image_id)
+        minx, miny, maxx, maxy = footprint_from_index(idx)
+        return pd.DataFrame({"minx": minx, "miny": miny,
+                             "maxx": maxx, "maxy": maxy})
+
+    return images.withColumn("_fp", fp("image_id")).select(
+        "*", "_fp.*").drop("_fp")
 
 
 def tile_range_cols(df: DataFrame, zoom_col: str = "zoom") -> DataFrame:

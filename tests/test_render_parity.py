@@ -141,3 +141,27 @@ def test_jvm_footprints_bit_identical(spark):
         assert np.array_equal(g, want), (
             f"{name}: {np.sum(g != want)} of {n} differ; first at "
             f"{np.flatnonzero(g != want)[:3]}")
+
+
+def test_footprints_under_ansi_session(spark):
+    """A caller session with ANSI on (Spark 4's default — e.g. the
+    driver's own smoke-check session) must still get footprints: the
+    wrapping-bigint JVM path would throw ARITHMETIC_OVERFLOW, so
+    with_footprints dispatches to the numpy-UDF rule there.
+    Bit-identity between the two paths over the same ids."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.render import with_footprints
+
+    ids = spark.range(5000).select(
+        F.format_string("img%08d", F.col("id").cast("int")).alias("image_id"))
+    jvm = with_footprints(ids).orderBy("image_id").toPandas()
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        udf = with_footprints(ids).orderBy("image_id").toPandas()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    for c in ("minx", "miny", "maxx", "maxy"):
+        assert np.array_equal(jvm[c].to_numpy(), udf[c].to_numpy()), c

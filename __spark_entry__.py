@@ -32,6 +32,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+class _gate_cell_mult:
+    """Pin the render cell-stage multiplier to 1 for gate-sized fixture
+    renders: the production cores*8 setting exists to pack straggler
+    tails on big renders; on a ~64-image contract fixture it just
+    multiplies the per-task Python floor. Restores the env on exit."""
+
+    def __init__(self, value: str = "1"):
+        self.value = value
+
+    def __enter__(self):
+        import os
+
+        self.old = os.environ.get("SPARK_GRAFT_CELL_MULT")
+        os.environ["SPARK_GRAFT_CELL_MULT"] = self.value
+
+    def __exit__(self, *exc):
+        import os
+
+        if self.old is None:
+            os.environ.pop("SPARK_GRAFT_CELL_MULT", None)
+        else:
+            os.environ["SPARK_GRAFT_CELL_MULT"] = self.old
+        return False
+
+
 def _rnd(col, scale: float):
     return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
@@ -541,24 +566,53 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize: nearest-neighbor (kernel K2 index rule) to a
-    fixed target over the opaque binary column — driver-executed each
-    round (rows-only: output is PNG bytes; the decode→resize→encode
-    chain is pinned by the codec round-trip tests)."""
+    """Multimodal resize, VALUE-verified: nearest-neighbor (kernel K2
+    index rule) to 32x32 over the opaque binary column, then decode the
+    resized PNGs back and emit integer pixel stats (count/sum/min/max +
+    a position-weighted checksum that pins WHERE each pixel landed).
+    The DuckDB twin recomputes the K2 index rule and the fixture pixel
+    formula (splitmix64 is four bigint ops — SQL-expressible) so the
+    hash covers the actual resampled values, not just byte lengths."""
     from rastertiler_rs_spark.fixtures import images_parquet
     from rastertiler_rs_spark.operators.multimodal import resize_images
 
+    target = 32
     images = spark.read.parquet(images_parquet(64, "u8"))
-    out = resize_images(images, target=32)
-    return out.select("image_id", F.length("bytes").alias("n_bytes"))
+    out = resize_images(images, target=target)
+
+    def stats_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from rastertiler_rs_spark.png import decode_band
+
+        pos = np.arange(target * target, dtype=np.int64).reshape(target, target)
+        for pdf in batches:
+            o = {k: [] for k in ("image_id", "n_data", "vsum", "vmin",
+                                 "vmax", "pos_sum")}
+            for row in pdf.itertuples(index=False):
+                band = decode_band(bytes(row.bytes), "png;u8").astype(np.int64)
+                mask = band != 0
+                vals = band[mask]
+                o["image_id"].append(row.image_id)
+                o["n_data"].append(int(vals.size))
+                o["vsum"].append(int(vals.sum()))
+                o["vmin"].append(int(vals.min()) if vals.size else 0)
+                o["vmax"].append(int(vals.max()) if vals.size else 0)
+                o["pos_sum"].append(int((vals * pos[mask]).sum()))
+            yield pd.DataFrame(o)
+
+    return out.mapInPandas(
+        stats_fn, "image_id string, n_data long, vsum long, vmin long, "
+                  "vmax long, pos_sum long")
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction: integer pixel statistics per image
-    over the opaque binary column — driver-executed each round
-    (rows-only: the stats depend on splitmix64 fixture pixels, which the
-    SQL oracle deliberately doesn't reimplement; exact values are pinned
-    against a numpy recomputation in tests/test_multimodal.py)."""
+    """Multimodal feature extraction, VALUE-verified: integer pixel
+    statistics per image over the opaque binary column (real PNG
+    decode). The DuckDB twin rederives every stat from the fixture
+    pixel formula + hole rule in SQL — splitmix64 pixels are four
+    bigint ops, proven SQL-expressible by the JVM footprint port."""
     from rastertiler_rs_spark.fixtures import images_parquet
     from rastertiler_rs_spark.operators.multimodal import image_features
 
@@ -643,6 +697,55 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         result, "win_start timestamp, win_end timestamp, "
                 "event_type string, n_events long, value_cents long")
+
+
+def q_stream_render_tile_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-executed STREAMING render, VALUE-verified: drops the
+    no-hole fixture images into an input directory as three separate
+    parquet files, drains them through streaming/ingest.stream_render
+    (availableNow, maxFilesPerTrigger=1 ⇒ multiple incremental
+    micro-batches, each exercising the copy-on-write partition upsert
+    and mosaic-over merge), then returns the live tile table's
+    (zoom, x, y) set. Over fully-opaque images the maintained set must
+    equal the exact SQL tile cover of all images — the same invariant
+    twin as render_tile_ids, now pinning the incremental path under the
+    driver gate (batch arrival order cannot change the ID set)."""
+    import os
+    import shutil
+    import tempfile
+
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.streaming.ingest import stream_render
+
+    keep, *_ = _nohole_image_rows(256)
+    ids = [f"img{int(i):08d}" for i in keep]
+    images = spark.read.parquet(images_parquet(256, "u8")).filter(
+        F.col("image_id").isin(ids))
+    work = tempfile.mkdtemp(prefix="stream_render_")
+    inp, out = f"{work}/in", f"{work}/out"
+    os.makedirs(inp, exist_ok=True)
+    idx = F.expr("cast(substring(image_id, 4) as bigint)")
+    for k in range(3):  # three files = three ingest units
+        images.filter(idx % 3 == k).coalesce(1).write.mode("append").parquet(inp)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # gate-sized merges
+    try:
+        # the render() inside each micro-batch re-reads the multiplier,
+        # so the pin must span the whole drain
+        with _gate_cell_mult():
+            q = stream_render(spark, inp, out, 7, 9, tile_size=128,
+                              max_files_per_trigger=1)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "stream_render did not drain within 300s — refusing to "
+                    "read partial output as a result")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    result = (spark.read.parquet(f"{out}/tiles")
+              .select(F.col("zoom").cast("int"), "x", "y").distinct().collect())
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(result, "zoom int, x long, y long")
 
 
 def q_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,6 +946,68 @@ def q_render_tile_ids_colormap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("zoom", "x", "y").distinct()
 
 
+_PIXEL_STATS_N = 64
+_PIXEL_STATS_ZMIN, _PIXEL_STATS_ZMAX = 8, 12
+_PIXEL_STATS_TS = 128
+
+
+def q_render_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-PIXEL value gate for the render (K1/K2 + mosaic + E1):
+    run the real pipeline (footprints → cover → window-read → nearest
+    resample → mosaic → PNG encode), decode the emitted PNG bytes back,
+    and aggregate per-tile integer stats over non-nodata pixels —
+    count, sum, min, max, and a position-weighted checksum that pins
+    WHERE each pixel landed on the canvas. The DuckDB twin rederives
+    the same numbers from the fixture pixel formula plus a full SQL
+    transcription of the reference's window arithmetic
+    (/root/reference/src/dataset.rs:121-196: window_from_bounds corner
+    projection, half-up margin rounding, clamped read offsets, and the
+    floor((i+0.5)*src/dst) nearest index rule) and the mosaic overwrite
+    rule — so the value hash covers actual resampled pixel VALUES.
+    Across z8-z12 the fixtures hit downsampled, upsampled, 1:1, aligned
+    and partial-cover windows, and all three hole classes (none /
+    rectangular / all-nodata), so the dropped-tile and nodata-backfill
+    paths are exercised too."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+
+    ts = _PIXEL_STATS_TS
+    images = spark.read.parquet(images_parquet(_PIXEL_STATS_N, "u8"))
+    with _gate_cell_mult():  # n_parts is resolved at plan-build time
+        fused = render(images, _PIXEL_STATS_ZMIN, _PIXEL_STATS_ZMAX,
+                       tile_size=ts, dtype_tag="u8")
+
+    def stats_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from rastertiler_rs_spark.png import decode_band
+
+        pos = np.arange(ts * ts, dtype=np.int64).reshape(ts, ts)
+        for pdf in batches:
+            out = {k: [] for k in ("zoom", "x", "y", "px_count", "val_sum",
+                                   "val_min", "val_max", "pos_sum")}
+            for row in pdf.itertuples(index=False):
+                band = decode_band(bytes(row.png), "png;u8").astype(np.int64)
+                mask = band != 0
+                vals = band[mask]
+                out["zoom"].append(int(row.zoom))
+                out["x"].append(int(row.x))
+                out["y"].append(int(row.y))
+                out["px_count"].append(int(vals.size))
+                out["val_sum"].append(int(vals.sum()))
+                out["val_min"].append(int(vals.min()))
+                out["val_max"].append(int(vals.max()))
+                out["pos_sum"].append(int((vals * pos[mask]).sum()))
+            yield pd.DataFrame(out)
+
+    return fused.select("zoom", "x", "y", "png").mapInPandas(
+        stats_fn,
+        "zoom int, x long, y long, px_count long, val_sum long, "
+        "val_min long, val_max long, pos_sum long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -889,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_tile_ids": q_render_tile_ids,
         "render_tile_ids_u32": q_render_tile_ids_u32,
         "render_tile_ids_colormap": q_render_tile_ids_colormap,
+        "render_pixel_stats": q_render_pixel_stats,
+        "stream_render_tile_ids": q_stream_render_tile_ids,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1150,6 +1317,222 @@ def _render_tile_ids_oracle_sql() -> str:
     """
 
 
+def _image_consts_values(n: int) -> str:
+    """Per-image GENERATION constants for the u8 fixture table as a SQL
+    VALUES body: (i, minx, miny, maxx, maxy, w, h, ph, all_nd, hr0,
+    hr1, hc0, hc1) — footprint, size cycle, hash byte, hole rect
+    (fixtures.pixel_band / footprint_from_index). The same class of
+    embedded constant as the tile-ID oracles' footprints; everything
+    derived from them is recomputed in SQL."""
+    import numpy as np
+
+    from rastertiler_rs_spark.fixtures import (_H_CYCLE, _W_CYCLE,
+                                               footprint_from_index)
+    from rastertiler_rs_spark.functions.hashing import splitmix64
+
+    idx = np.arange(n, dtype=np.uint64)
+    minx, miny, maxx, maxy = footprint_from_index(idx)
+    rows = []
+    for i in range(n):
+        w, h = int(_W_CYCLE[i % 4]), int(_H_CYCLE[i % 4])
+        g = int(splitmix64(np.uint64(i)))
+        ph = g & 0xFF
+        hole = (g >> 34) & 7
+        if hole == 7:
+            all_nd, hr0, hr1, hc0, hc1 = 1, 0, 0, 0, 0
+        elif hole != 0:
+            p = min((g >> 37) & 7, 5)
+            qq = min((g >> 40) & 7, 5)
+            all_nd = 0
+            hr0, hr1 = h * qq // 8, h * (qq + 3) // 8
+            hc0, hc1 = w * p // 8, w * (p + 3) // 8
+        else:
+            all_nd, hr0, hr1, hc0, hc1 = 0, 0, 0, 0, 0
+        rows.append(
+            f"({i}, {minx[i]!r}, {miny[i]!r}, {maxx[i]!r}, {maxy[i]!r}, "
+            f"{w}, {h}, {ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})")
+    return ",\n              ".join(rows)
+
+
+_PIXEL_VALUE_CASE = """CASE WHEN all_nd = 1 THEN 0
+                      WHEN {r} >= hr0 AND {r} < hr1 AND {c} >= hc0 AND {c} < hc1 THEN 0
+                      ELSE ({r} * 31 + {c} * 17 + ph) % 255 + 1 END"""
+
+
+def _image_features_oracle_sql(n: int = 64) -> str:
+    v = _PIXEL_VALUE_CASE.format(r="r", c="c")
+    return f"""
+        WITH img(i, minx, miny, maxx, maxy, w, h, ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              {_image_consts_values(n)}),
+        px AS (
+          SELECT i, w, h,
+                 {v} AS v
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, img.h - 1))) tr(r),
+               LATERAL (SELECT UNNEST(generate_series(0, img.w - 1))) tc(c)),
+        s AS (
+          SELECT i, CAST(w AS BIGINT) * h AS n_pixels,
+                 CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_data,
+                 COALESCE(CAST(MIN(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmin,
+                 COALESCE(CAST(MAX(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmax,
+                 CAST(SUM(v) AS BIGINT) AS vsum
+          FROM px GROUP BY i, w, h)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+               n_pixels, n_data, vmin, vmax, vsum,
+               CASE WHEN n_data = 0 THEN 0 ELSE vsum * 100 // n_data END AS mean_x100
+        FROM s
+    """
+
+
+def _image_resize_oracle_sql(n: int = 64, target: int = 32) -> str:
+    v = _PIXEL_VALUE_CASE.format(r="rsrc", c="csrc")
+    return f"""
+        WITH img(i, minx, miny, maxx, maxy, w, h, ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              {_image_consts_values(n)}),
+        px AS (  -- K2 nearest index rule: idx = floor((i+0.5)*src/dst), clamped
+          SELECT i, ti, tj,
+                 LEAST(CAST(FLOOR(((CAST(ti AS DOUBLE) + 0.5) * CAST(h AS DOUBLE)) / {target}.0) AS BIGINT), h - 1) AS rsrc,
+                 LEAST(CAST(FLOOR(((CAST(tj AS DOUBLE) + 0.5) * CAST(w AS DOUBLE)) / {target}.0) AS BIGINT), w - 1) AS csrc,
+                 ph, all_nd, hr0, hr1, hc0, hc1
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, {target} - 1))) tr(ti),
+               LATERAL (SELECT UNNEST(generate_series(0, {target} - 1))) tc(tj)),
+        val AS (
+          SELECT i, ti, tj,
+                 {v} AS v
+          FROM px)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+               CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_data,
+               CAST(SUM(v) AS BIGINT) AS vsum,
+               COALESCE(CAST(MIN(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmin,
+               COALESCE(CAST(MAX(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmax,
+               CAST(SUM(v * (ti * {target} + tj)) AS BIGINT) AS pos_sum
+        FROM val GROUP BY i
+    """
+
+
+def _render_pixel_stats_oracle_sql() -> str:
+    """SQL twin of the render kernel: re-derives per-tile pixel stats
+    from the fixture constants alone. The embedded VALUES rows are
+    per-image GENERATION constants (footprint, size, hash byte, hole
+    rect — the same class of constant the tile-ID oracles embed); all
+    the engine arithmetic under test — tile cover, window corners,
+    margin rounding, read offsets, the nearest-resample index rule, the
+    mosaic overwrite, the stats — is recomputed in SQL, mirroring the
+    IEEE op order of kernel.read_tile_block exactly (terms that are
+    exactly ±0.0 in the affine inverse — b, d, and their products — are
+    algebraically dropped; adding/multiplying a signed zero cannot
+    change any finite IEEE result here)."""
+    vals = _image_consts_values(_PIXEL_STATS_N)
+    ts = _PIXEL_STATS_TS
+    return f"""
+        WITH img(i, minx, miny, maxx, maxy, w, h, ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              {vals}),
+        z(zoom) AS (SELECT UNNEST(generate_series({_PIXEL_STATS_ZMIN}, {_PIXEL_STATS_ZMAX}))),
+        rng AS (  -- exact tile cover per image per zoom (tileid.rs:100-131)
+          SELECT img.*, zoom,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR(((minx - (-{_O})) / {_CE}) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS txmin,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR((1.0 - ((maxy - (-{_O})) / {_CE})) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS tymin,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR((((maxx - (-{_O})) / {_CE}) - 1e-11) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS txmax,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR((1.0 - (((miny - (-{_O})) / {_CE}) + 1e-11)) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS tymax
+          FROM img, z),
+        tiles AS (
+          SELECT r.*, xs.x, ys.y
+          FROM rng r,
+               LATERAL (SELECT UNNEST(generate_series(r.txmin, r.txmax))) xs(x),
+               LATERAL (SELECT UNNEST(generate_series(r.tymin, r.tymax))) ys(y)),
+        geo0 AS (
+          SELECT t.*,
+            {_CE} / CAST(1::BIGINT << zoom AS DOUBLE) AS ts_m,
+            (maxx - minx) / w AS xres_src,
+            (maxy - miny) / h AS yres_src
+          FROM tiles t),
+        geo1 AS (  -- tile mercator bounds (tileid.rs:67-82) + affine inverse
+          SELECT *,
+            CAST(x AS DOUBLE) * ts_m - {_CE} / 2.0 AS t_xmin,
+            {_CE} / 2.0 - CAST(y AS DOUBLE) * ts_m AS t_ymax,
+            1.0 / (xres_src * (-yres_src)) AS inv_det
+          FROM geo0),
+        geo2 AS (
+          SELECT *,
+            t_xmin + ts_m AS t_xmax,
+            t_ymax - ts_m AS t_ymin,
+            (-yres_src) * inv_det AS ia,
+            xres_src * inv_det AS ie
+          FROM geo1),
+        geo3 AS (
+          SELECT *, (-minx) * ia AS ic, (-maxy) * ie AS if_ FROM geo2),
+        geo4 AS (  -- window_from_bounds: project corners, envelope (window.rs:13-62)
+          SELECT *,
+            LEAST(t_xmin * ia + ic, t_xmax * ia + ic) AS w_x0,
+            GREATEST(t_xmin * ia + ic, t_xmax * ia + ic) AS w_x1,
+            LEAST(t_ymin * ie + if_, t_ymax * ie + if_) AS w_y0,
+            GREATEST(t_ymin * ie + if_, t_ymax * ie + if_) AS w_y1
+          FROM geo3),
+        geo5 AS (
+          SELECT *, w_x1 - w_x0 AS w_w, w_y1 - w_y0 AS w_h FROM geo4),
+        geo6 AS (  -- window_transform + affine_scale + resolution
+          SELECT *,
+            ABS(xres_src * (w_w / {ts}.0)) AS xres_t,
+            ABS((-yres_src) * (w_h / {ts}.0)) AS yres_t
+          FROM geo5),
+        geo7 AS (  -- partial-tile margins (dataset.rs:146-153)
+          SELECT *,
+            GREATEST(FLOOR((minx - t_xmin) / xres_t + 0.5), 0.0) AS ml,
+            GREATEST(FLOOR((t_xmax - maxx) / xres_t + 0.5), 0.0) AS mr,
+            GREATEST(FLOOR((miny - t_ymin) / yres_t + 0.5), 0.0) AS mb,
+            GREATEST(FLOOR((t_ymax - maxy) / yres_t + 0.5), 0.0) AS mt
+          FROM geo6),
+        geo8 AS (  -- block size + clamped read window (dataset.rs:155-170)
+          SELECT *,
+            CAST(FLOOR(({ts}.0 - ml - mr) + 0.5) AS BIGINT) AS bw,
+            CAST(FLOOR(({ts}.0 - mt - mb) + 0.5) AS BIGINT) AS bh,
+            FLOOR(LEAST(GREATEST(w_x0, 0.0), CAST(w AS DOUBLE)) + 0.5) AS x_off,
+            FLOOR(LEAST(GREATEST(w_y0, 0.0), CAST(h AS DOUBLE)) + 0.5) AS y_off,
+            GREATEST(LEAST(w_x0 + w_w, CAST(w AS DOUBLE)), 0.0) AS x_stop,
+            GREATEST(LEAST(w_y0 + w_h, CAST(h AS DOUBLE)), 0.0) AS y_stop
+          FROM geo7),
+        geo9 AS (
+          SELECT *,
+            CAST(FLOOR((x_stop - x_off) + 0.5) AS BIGINT) AS rw,
+            CAST(FLOOR((y_stop - y_off) + 0.5) AS BIGINT) AS rh,
+            CAST(x_off AS BIGINT) AS x0i,
+            CAST(y_off AS BIGINT) AS y0i,
+            CAST(ml AS BIGINT) AS li,
+            CAST(mt AS BIGINT) AS ti_off
+          FROM geo8),
+        blocks AS (  -- empty-window skip (dataset.rs:163-166)
+          SELECT * FROM geo9 WHERE rw > 0 AND rh > 0 AND bw > 0 AND bh > 0),
+        px AS (  -- nearest decimation at pixel centers (dataset.rs:172-178)
+          SELECT b.zoom, b.x, b.y, b.i, b.ph, b.all_nd, b.hr0, b.hr1, b.hc0, b.hc1,
+                 b.ti_off + tr.ti AS py, b.li + tc.tj AS pxc,
+                 b.y0i + LEAST(CAST(FLOOR(((CAST(tr.ti AS DOUBLE) + 0.5) * CAST(b.rh AS DOUBLE)) / CAST(b.bh AS DOUBLE)) AS BIGINT), b.rh - 1) AS rsrc,
+                 b.x0i + LEAST(CAST(FLOOR(((CAST(tc.tj AS DOUBLE) + 0.5) * CAST(b.rw AS DOUBLE)) / CAST(b.bw AS DOUBLE)) AS BIGINT), b.rw - 1) AS csrc
+          FROM blocks b,
+               LATERAL (SELECT UNNEST(generate_series(0, b.bh - 1))) tr(ti),
+               LATERAL (SELECT UNNEST(generate_series(0, b.bw - 1))) tc(tj)),
+        contrib AS (  -- fixture pixel formula + hole classes (fixtures.pixel_band)
+          SELECT zoom, x, y, py, pxc, i,
+                 CASE WHEN all_nd = 1 THEN 0
+                      WHEN rsrc >= hr0 AND rsrc < hr1 AND csrc >= hc0 AND csrc < hc1 THEN 0
+                      ELSE (rsrc * 31 + csrc * 17 + ph) % 255 + 1 END AS v
+          FROM px),
+        canvas AS (  -- mosaic: ascending-image overwrite where != nodata
+          SELECT zoom, x, y, py, pxc,
+                 arg_max(v, i) FILTER (WHERE v <> 0) AS cv
+          FROM contrib GROUP BY zoom, x, y, py, pxc)
+        SELECT CAST(zoom AS INT) AS zoom, x, y,
+               CAST(COUNT(cv) AS BIGINT) AS px_count,
+               CAST(SUM(cv) AS BIGINT) AS val_sum,
+               CAST(MIN(cv) AS BIGINT) AS val_min,
+               CAST(MAX(cv) AS BIGINT) AS val_max,
+               CAST(SUM(cv * (py * {ts} + pxc)) AS BIGINT) AS pos_sum
+        FROM canvas
+        GROUP BY zoom, x, y
+        HAVING COUNT(cv) > 0
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     part_boxes_300 = _PART_BOXES_SQL.format(limit=300)
     part_boxes_500 = _PART_BOXES_SQL.format(limit=500)
@@ -1234,10 +1617,14 @@ def oracle_sql() -> dict[str, str]:
         "render_tile_ids": _render_tile_ids_oracle_sql(),
         "render_tile_ids_u32": _render_tile_ids_oracle_sql(),
         "render_tile_ids_colormap": _render_tile_ids_oracle_sql(),
+        "render_pixel_stats": _render_pixel_stats_oracle_sql(),
+        "image_features": _image_features_oracle_sql(),
+        "image_resize": _image_resize_oracle_sql(),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
         "render_pyramid_tile_ids": _render_tile_ids_oracle_sql(),
+        "stream_render_tile_ids": _render_tile_ids_oracle_sql(),
         # strict-left-fold cosine: same IEEE op sequence as the Spark
         # F.aggregate folds, so ordering (score DESC, vec_id) is exact
         "embedding_cosine": """

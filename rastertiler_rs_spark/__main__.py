@@ -90,7 +90,10 @@ def cmd_render(args) -> None:
                  ("attribution", args.attribution or "")]
         extra = [(k, v) for k, v in extra if v]
         meta = meta.unionByName(spark.createDataFrame(extra, meta.schema))
-    materialize_mbtiles(fused, meta, args.out)
+    try:
+        materialize_mbtiles(fused, meta, args.out, max_tiles=args.max_tiles)
+    except ValueError as e:
+        sys.exit(f"ERROR: {e}")
     print(f"wrote {args.out}")
 
 
@@ -124,7 +127,9 @@ def cmd_stream(args) -> None:
         q = stream_render(spark, args.input_dir, args.out_dir,
                           args.minzoom, args.maxzoom, **kwargs)
     q.awaitTermination()
-    n = spark.read.parquet(os.path.join(args.out_dir, "tiles")).count()
+    from .streaming.ingest import open_tiles
+
+    n = open_tiles(spark, args.out_dir).count()
     print(f"streamed into {args.out_dir}: {n} tiles live")
 
 
@@ -186,6 +191,10 @@ def main(argv=None) -> None:
     r.add_argument("--description", default=None)
     r.add_argument("--attribution", default=None)
     r.add_argument("--disable-overviews", action="store_true")
+    r.add_argument("--max-tiles", type=int, default=5_000_000,
+                   help="refuse to materialize more tiles than this into "
+                        "a single .mbtiles (driver-memory guard); use "
+                        "--tiles-dir for larger pyramids")
     r.add_argument("--tiles-dir", default=None,
                    help="materialize the pyramid as a zoom-partitioned "
                         "parquet tile table here (the at-scale sink "

@@ -30,7 +30,10 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     (qid, vec_id, score, rank); ties broken by vec_id."""
     ve = F.col("embedding").cast("array<double>")
     qe = F.col("qemb").cast("array<double>")
-    scored = vectors.crossJoin(queries).select(
+    # broadcast hint: queries are the small side by contract; without it
+    # AQE usually picks the same plan, but the hint removes the risk of a
+    # shuffled BNLJ on a big corpus
+    scored = vectors.crossJoin(F.broadcast(queries)).select(
         "qid", "vec_id",
         (_dot(ve, qe) / F.sqrt(_norm2(ve) * _norm2(qe))).alias("score"),
     )
@@ -44,7 +47,7 @@ def dot_topk_int(vectors: DataFrame, queries: DataFrame, k: int, scale: int = 10
     independent). (qid, vec_id, dot, rank)."""
     q = lambda col: F.transform(col, lambda x: F.floor(x.cast("double") * scale).cast("long"))  # noqa: E731
     scored = vectors.withColumn("vi", q(F.col("embedding"))).crossJoin(
-        queries.withColumn("qi", q(F.col("qemb")))
+        F.broadcast(queries.withColumn("qi", q(F.col("qemb"))))
     ).select(
         "qid", "vec_id",
         F.aggregate(F.zip_with("vi", "qi", lambda x, y: x * y), F.lit(0).cast("long"),

@@ -46,7 +46,6 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
-import os
 from typing import Iterator
 
 import numpy as np
@@ -491,7 +490,9 @@ def render(
     # 65k-image render wall at local[32], and it is the main reason the
     # stage's N→4N scaling holds (more waves ⇒ tail waste amortizes at
     # high core counts the way it naturally does at low ones).
-    n_parts = max(spark.sparkContext.defaultParallelism * int(os.environ.get("SPARK_GRAFT_CELL_MULT", "8")), 8)
+    from ..session import env_int
+
+    n_parts = max(spark.sparkContext.defaultParallelism * env_int("SPARK_GRAFT_CELL_MULT", 8), 8)
     # The kernel MAP stage (decode+window-read per image) pays a measured
     # ~20-30 ms/task python-stage overhead while its per-image work is
     # small — fewer, larger tasks win (128→64 tasks saved ~2.4 s of a

@@ -44,6 +44,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold_pct: int = 30,
     drop set is tiny (few shingles are hot), so it broadcasts and the
     filter is a map-side anti-join. Uncapped remains available for
     small verification runs.
+
+    Scale note: even capped, the pair-count self-join is O(Σ df²) over
+    shingle document frequencies — this function is the exact
+    VERIFICATION twin. At corpus scale use minhash_lsh_pairs as the
+    candidate generator and verify only its candidate pairs.
     """
     sh = char_shingles(docs, n)
     if max_df_pct is not None:

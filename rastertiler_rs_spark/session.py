@@ -4,7 +4,44 @@ from __future__ import annotations
 
 import os
 
+import re
+import warnings
+
 from pyspark.sql import SparkSession
+
+
+def env_int(name: str, default: int, lo: int = 1, hi: int | None = None) -> int:
+    """Defensive integer env-var parse: malformed values warn and fall
+    back to the default instead of crashing a whole job with an opaque
+    ValueError; out-of-range values clamp to [lo, hi]."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        v = int(raw)
+    except ValueError:
+        warnings.warn(f"{name}={raw!r} is not an integer; using {default}")
+        return default
+    if v < lo:
+        warnings.warn(f"{name}={v} below minimum {lo}; clamping")
+        return lo
+    if hi is not None and v > hi:
+        warnings.warn(f"{name}={v} above maximum {hi}; clamping")
+        return hi
+    return v
+
+
+def _env_size(name: str, default: str) -> str:
+    """Validate a Spark byte-size env var (e.g. '8m', '128k', '1g');
+    malformed values warn and fall back instead of failing session
+    startup with a Spark config parse error."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    if re.fullmatch(r"\d+[bkmgt]?", raw.strip().lower()):
+        return raw.strip()
+    warnings.warn(f"{name}={raw!r} is not a byte size (e.g. '8m'); using {default}")
+    return default
 
 
 def get_spark(app: str = "rastertiler_rs_spark", cpus: int | None = None,
@@ -15,7 +52,7 @@ def get_spark(app: str = "rastertiler_rs_spark", cpus: int | None = None,
     and memory come from spark-submit instead.
     """
     if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        cpus = env_int("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 8)
     return (
@@ -40,10 +77,11 @@ def get_spark(app: str = "rastertiler_rs_spark", cpus: int | None = None,
         # doubled every small query's scan tasks and showed up in the
         # driver bench; don't re-tighten this session-wide.
         .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+                _env_size("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         # wrapping 64-bit hash arithmetic must not throw (Spark 4 ANSI default)
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory",
+                _env_size("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

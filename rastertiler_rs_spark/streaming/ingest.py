@@ -145,6 +145,23 @@ def _swap_partitions(staged: str, tiles_path: str) -> int:
     return delta
 
 
+def _pending_marker(out_dir: str) -> str:
+    return os.path.join(out_dir, ".commit-pending")
+
+
+def open_tiles(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read a streamed tile table, repairing any crashed partition swap
+    FIRST. Between a mid-swap crash and the next non-empty batch the
+    only copy of a partition can live in `xb=B.old` — a bare
+    spark.read.parquet would silently miss that data (and the `.old`
+    dir poisons hive partition type inference). External readers (CLI,
+    mbtiles materialization, ad-hoc queries) should come through here;
+    the streaming batches run the same repair at entry."""
+    tiles_path = os.path.join(out_dir, "tiles")
+    _recover_swap(tiles_path)
+    return spark.read.parquet(tiles_path)
+
+
 def _combine_fn(tile_size: int, dtype_tag: str, colormap_str: str | None = None):
     """Paste the new tile over the old: per pixel, new wins where it has
     data; nodata holes in the new tile keep the old pixels.
@@ -261,8 +278,13 @@ def _manifest_rows(out_dir: str, tiles_path: str, batch_id: int, delta: int,
     """Maintain the manifest row count from the swap's measured delta —
     O(touched partitions), not O(all partitions). Falls back to a full
     footer count only on the rare resync paths: first batch, crash
-    repair, or batch replay (manifest for this or a later batch already
-    exists, so the previous total may predate a crash mid-commit)."""
+    repair (including a lingering commit-pending marker: a crash AFTER
+    a swap landed but BEFORE its manifest row was written leaves no
+    `.old` dirs and no manifest for the crashed batch, so without the
+    marker the incremental guard would measure delta against the
+    already-upserted table and permanently understate the total), or
+    batch replay (manifest for this or a later batch already exists, so
+    the previous total may predate a crash mid-commit)."""
     prev = _prev_manifest(out_dir)
     if prev is not None and not repaired and prev[0] < batch_id:
         return prev[1] + delta
@@ -276,10 +298,14 @@ def _manifest_rows(out_dir: str, tiles_path: str, batch_id: int, delta: int,
 def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
                   tile_size: int, dtype_tag: str, batch_id: int,
                   colormap_str: str | None = None) -> None:
+    tiles_path = os.path.join(out_dir, "tiles")
+    # repair runs on EVERY batch (empty ones included): between a
+    # mid-swap crash and the next non-empty batch, readers of the table
+    # would otherwise see the partition's only copy stranded in `.old`
+    marker = _pending_marker(out_dir)
+    repaired = _recover_swap(tiles_path) or os.path.exists(marker)
     if batch_df.isEmpty():
         return
-    tiles_path = os.path.join(out_dir, "tiles")
-    repaired = _recover_swap(tiles_path)
     fused = render(batch_df, minzoom, maxzoom, tile_size=tile_size,
                    dtype_tag=dtype_tag, colormap_str=colormap_str)
     # persist: consumed twice (touched-partition discovery + staged write)
@@ -292,12 +318,18 @@ def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
         else:
             merged = new
         _write_staged(merged, staged)
+        # marker closes the swap-landed-but-manifest-missing crash
+        # window: while it exists, the next attempt full-resyncs the
+        # manifest count instead of trusting an incremental delta
+        os.makedirs(out_dir, exist_ok=True)
+        open(marker, "w").close()
         delta = _swap_partitions(staged, tiles_path)
     finally:
         new.unpersist()
         shutil.rmtree(staged, ignore_errors=True)
     n = _manifest_rows(out_dir, tiles_path, batch_id, delta, repaired)
     _write_manifest(out_dir, batch_id, n)
+    os.remove(marker)
 
 
 def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
@@ -331,11 +363,13 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
     from ..operators.overview import cascade_down
 
     spark = batch_df.sparkSession
+    tiles_path = os.path.join(out_dir, "tiles")
+    # repair on every batch, empty included (see _upsert_batch)
+    marker = _pending_marker(out_dir)
+    repaired = _recover_swap(tiles_path) or os.path.exists(marker)
     if batch_df.isEmpty():
         return
     base = min(max(overview_below, minzoom), maxzoom)
-    tiles_path = os.path.join(out_dir, "tiles")
-    repaired = _recover_swap(tiles_path)
     fused = render(batch_df, base, maxzoom, tile_size=tile_size,
                    dtype_tag=dtype_tag, colormap_str=colormap_str)
     new = fused.select(*_TILE_COLS).persist()
@@ -350,6 +384,10 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
         else:
             merged = new
         _write_staged(merged, staged)
+        # commit-pending marker before the FIRST swap; cleared only
+        # after the manifest row lands (covers both phases)
+        os.makedirs(out_dir, exist_ok=True)
+        open(marker, "w").close()
         delta = _swap_partitions(staged, tiles_path)
     finally:
         new.unpersist()
@@ -407,6 +445,7 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
 
     n = _manifest_rows(out_dir, tiles_path, batch_id, delta, repaired)
     _write_manifest(out_dir, batch_id, n)
+    os.remove(marker)
 
 
 def _validate_stream_colormap(colormap_str: str | None) -> None:

@@ -154,3 +154,22 @@ def test_cli_render_tiles_dir(tmp_path):
     import os
     zdirs = [e for e in os.listdir(tdir / "tiles") if e.startswith("zoom=")]
     assert sorted(int(z.split("=")[1]) for z in zdirs) == [4, 5, 6, 7]
+
+
+def test_cli_mbtiles_driver_memory_guard(spark, tmp_path):
+    """materialize_mbtiles collects to the driver by design (a single
+    SQLite file is single-node); the row-count guard must refuse a
+    too-large pyramid with a pointer at the distributed sink instead of
+    silently OOMing the driver."""
+    tbl = generate_images(16, "u8")
+    src = str(tmp_path / "imgs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "big.mbtiles")
+    with pytest.raises(SystemExit, match="tiles-dir"):
+        main(["render", src, out, "--minzoom", "3", "--maxzoom", "6",
+              "--tilesize", "64", "--disable-overviews", "--max-tiles", "5"])
+    # under the cap: same render succeeds
+    main(["render", src, out, "--minzoom", "6", "--maxzoom", "6",
+          "--tilesize", "64", "--disable-overviews", "--max-tiles", "500"])
+    tiles, _, _ = _mb(out)
+    assert 0 < len(tiles) <= 500

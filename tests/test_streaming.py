@@ -259,3 +259,57 @@ def test_swap_crash_recovery(spark, tmp_path):
 
     # idempotence: recovery over a clean table is a no-op
     assert _recover_swap(str(tiles)) is False
+
+
+def test_commit_pending_marker_resyncs_manifest(spark, tmp_path):
+    """Crash window between _swap_partitions and _write_manifest: the
+    swap landed (no .old dirs remain) but batch N's manifest row was
+    never written, so on replay the previous manifest is batch N-1 and
+    the incremental guard would measure an ~0 delta against the
+    already-upserted table — permanently understating the count. The
+    lingering commit-pending marker must force a full footer resync."""
+    from rastertiler_rs_spark.streaming.ingest import (_pending_marker,
+                                                       _upsert_batch)
+
+    out = tmp_path / "out"
+    imgs = generate_images(24, "u8")
+    df1 = spark.createDataFrame(imgs.slice(0, 12).to_pandas())
+    df2 = spark.createDataFrame(imgs.slice(12, 12).to_pandas())
+    _upsert_batch(df1, str(out), 3, 6, 64, "u8", 0)
+    _upsert_batch(df2, str(out), 3, 6, 64, "u8", 1)
+    assert not os.path.exists(_pending_marker(str(out)))  # cleared on commit
+    live = spark.read.parquet(str(out / "tiles")).count()
+    assert json.load(open(out / "manifest" / "batch=1.json"))["rows"] == live
+
+    # simulate the crash: manifest row gone, marker lingering, table
+    # already contains batch 1's merge
+    os.remove(out / "manifest" / "batch=1.json")
+    open(_pending_marker(str(out)), "w").close()
+    _upsert_batch(df2, str(out), 3, 6, 64, "u8", 1)  # replay (idempotent)
+    assert json.load(open(out / "manifest" / "batch=1.json"))["rows"] == live
+    assert not os.path.exists(_pending_marker(str(out)))
+
+
+def test_open_tiles_repairs_before_read(spark, tmp_path):
+    """External readers go through open_tiles, which repairs a crashed
+    swap BEFORE reading: a partition stranded in `xb=B.old` would
+    otherwise silently drop from the result (and poison hive partition
+    inference) until the next non-empty streaming batch."""
+    from rastertiler_rs_spark.streaming.ingest import open_tiles
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    imgs = generate_images(12, "u8")
+    pq.write_table(imgs, str(inp / "part0.parquet"))
+    q = stream_render(spark, str(inp), str(out), 3, 6, tile_size=64)
+    q.awaitTermination(120)
+    tiles = out / "tiles"
+    full = spark.read.parquet(str(tiles)).count()
+
+    parts = sorted(p for z in tiles.iterdir() if z.name.startswith("zoom=")
+                   for p in z.iterdir() if p.name.startswith("xb="))
+    victim = parts[0]
+    os.rename(victim, str(victim) + ".old")
+    assert open_tiles(spark, str(out)).count() == full
+    assert os.path.isdir(victim)  # restored on disk, not just in-session

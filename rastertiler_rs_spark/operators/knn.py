@@ -44,20 +44,20 @@ def knn_join(
     (use a larger cell_size) instead of silently exploding — exactness
     is never traded for completion.
 
-    Phase 1 starts from a density-derived radius instead of r=1: one
-    cheap scalar aggregate sizes the probe box so it is expected to
-    hold ~2k points, so typical data converges in a single round
-    instead of log2(r_needed) doubling rounds — each round costs
-    several driver-steered jobs (count, rank, anti-join, checkpoint),
-    which dominated knn wall time. Density is points-per-OCCUPIED-cell
-    (count / countDistinct(cell)), not count / bounding-box area: on
+    Phase 1 starts from a density-derived radius instead of r=1, and
+    the radius is a SQL scalar broadcast onto the queries — the whole
+    phase is one job per round (rank window + checkpoint) with no
+    driver-side stats collect; driver round-trips, not data volume,
+    dominated knn wall time. Density is points-per-OCCUPIED-cell
+    (count / approx distinct cells), not count / bounding-box area: on
     clustered data most of the extent is empty, global density is
     underestimated, and an extent-derived radius overshoots — pulling
     entire clusters as candidates for every clustered query. The start
-    radius is additionally clamped to <= 8 regardless of max_final_r
-    (overshoot costs (2r+1)^2 rows per query through the rank window;
-    undershoot costs one doubling round). Exactness is unaffected:
-    phase 1 only needs >= k candidates per query.
+    radius adds one safety ring (local thinness) and is clamped to
+    <= 8 regardless of max_final_r (overshoot costs (2r+1)^2 rows per
+    query through the rank window; undershoot costs one doubling
+    round). Exactness is unaffected: phase 1 only needs >= k
+    candidates per query.
 
     Phase 2 probes only the ANNULUS beyond each query's phase-1 box
     (cells at Chebyshev distance in (r_probe, final_r]) and unions the
@@ -85,61 +85,98 @@ def knn_join(
     # pending/found are localCheckpoint'ed each round: the loop otherwise
     # accumulates an anti-join + union lineage per round, and every later
     # action would replay all earlier rounds' joins.
+    # Start radius from per-occupied-cell density, derived as a SQL
+    # scalar broadcast onto the queries — no driver-side collect (each
+    # driver sync costs a whole job round-trip, which dominates knn
+    # wall time on small/medium inputs). approx_count_distinct: the
+    # heuristic only needs a rough occupancy figure; the exact
+    # two-phase distinct shuffle cost ~2x the whole aggregate. Aim ~2k
+    # expected points per probe box, +1 safety ring so a locally-thin
+    # box (spatially correlated empty cells that no global density
+    # figure can see) usually still reaches k in ONE round — an extra
+    # ring triples the window's candidate volume, an extra round costs
+    # a full additional pass over the points; the ring wins whenever
+    # stragglers are plausible. Cap at 8 regardless of max_final_r
+    # (ADVICE: overshoot costs (2r+1)^2 rows per query through the
+    # rank window on clustered data).
     stats = cells.agg(
-        F.count("*").alias("n"),
-        F.count_distinct("cell_x", "cell_y").alias("n_cells"),
-    ).collect()[0]
-    r = 1
-    if stats["n"] and stats["n_cells"] and stats["n"] > k:
-        import math
+        F.count("*").alias("_n"),
+        F.approx_count_distinct(
+            F.col("cell_x") * F.lit(1 << 32) + F.col("cell_y")).alias("_nc"),
+    )
+    r0 = F.least(
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.sqrt(F.lit(2.0 * k) / (F.col("_n") / F.col("_nc")))
+                    - F.lit(1.0)) / F.lit(2.0)),
+        ) + F.lit(1),
+        F.lit(8), F.lit(max_final_r)).cast("long")
+    q = q.crossJoin(F.broadcast(stats.select(r0.alias("_r0"))))
+    # degenerate inputs (no points, zero estimate) → null: fall back to 1
+    q = q.withColumn("_r0", F.coalesce(F.col("_r0"), F.lit(1).cast("long")))
 
-        # points per occupied cell; a probe box that lands on data (the
-        # only interesting case) sees >= this per covered occupied cell
-        per_cell = stats["n"] / stats["n_cells"]
-        side = math.sqrt(2.0 * k / per_cell)
-        r = max(1, math.ceil((side - 1.0) / 2.0))
-        r = min(r, 8, max_final_r)
-
+    # One eager checkpoint per round (ranked_all: the window over the
+    # round's candidates, the only expensive computation); done/pending
+    # bookkeeping derives from it as cheap small joins, so each round
+    # costs ~2 driver-steered jobs instead of the count/rank/anti/
+    # checkpoint cascade that used to dominate knn wall time. A query is
+    # done iff it has a rank-k row — no separate counts aggregate.
     pending = q
     found = None      # (query cols..., kth_dist, r_probe) per done query
     topk = None       # (query_id, point_id, d2, rank) phase-1 box top-k
-    for _ in range(max_rounds):
-        cand = _candidates(pending, cells, F.lit(r))
-        counts = cand.groupBy(query_id).agg(F.count("*").alias("n"))
-        done_ids = counts.filter(F.col("n") >= k).select(query_id)
-        ranked = (
-            cand.join(done_ids, query_id)
-            .withColumn("d2", d2)
-            .withColumn("rank", F.row_number().over(w))
+    for i in range(max_rounds):
+        r_col = (F.col("_r0") * F.lit(1 << i)).cast("long")
+        cand = _candidates(pending, cells, r_col).withColumn("d2", d2)
+        ranked_all = (
+            cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id, point_id, "d2", "rank")
+            .localCheckpoint()
         )
-        topk = ranked if topk is None else topk.unionByName(ranked)
-        topk = topk.localCheckpoint(eager=False)
         kth = (
-            topk.filter(F.col("rank") == k)
+            ranked_all.filter(F.col("rank") == k)
             .select(query_id, F.sqrt("d2").alias("kth_dist"))
         )
-        done_q = pending.join(kth, query_id).withColumn("r_probe", F.lit(r))
+        ranked = ranked_all.join(kth.select(query_id), query_id, "left_semi")
+        topk = ranked if topk is None else topk.unionByName(ranked)
+        topk = topk.localCheckpoint(eager=False)
+        done_q = pending.join(kth, query_id).withColumn("r_probe", r_col)
         found = done_q if found is None else found.unionByName(done_q)
         found = found.localCheckpoint(eager=False)
-        pending = pending.join(done_ids, query_id, "left_anti").localCheckpoint()
+        pending = pending.join(kth.select(query_id), query_id, "left_anti")
+        pending = pending.localCheckpoint(eager=False)
         if pending.isEmpty():
             break
-        r *= 2
     else:
         raise ValueError(f"kNN did not converge in {max_rounds} rounds (k too large?)")
 
-    # phase 2: annulus-only exact pass (see docstring proof)
+    # phase 2: annulus-only exact pass (see docstring proof); the guard
+    # aggregate doubles as the all-settled short-circuit, so the common
+    # dense case (phase-1 box already covers the kth radius for every
+    # query) returns the checkpointed top-k with no further stages
+    # exact cell bound for radius D: a point within distance D of the
+    # query can sit at most floor(D/cs)+1 cells away in Chebyshev terms
+    # (the query sits at offset a ∈ [0,1) inside its cell; the worst
+    # case floor(a ± D/cs) lands floor(D/cs)+1 cells out, never more).
+    # ceil(D/cs)+1 — the previous bound — is one full ring wider
+    # whenever D/cs is fractional, which forced a phase-2 widening for
+    # nearly every query on dense data where the phase-1 box already
+    # sufficed.
     final = found.withColumn(
-        "final_r", (F.ceil(F.col("kth_dist") / F.lit(cs)) + 1).cast("long"))
-    widest = final.agg(F.max("final_r").alias("r")).collect()[0]["r"]
+        "final_r", (F.floor(F.col("kth_dist") / F.lit(cs)) + 1).cast("long"))
+    final = final.localCheckpoint(eager=False)
+    guard = final.agg(
+        F.max("final_r").alias("r"),
+        F.count(F.when(F.col("final_r") > F.col("r_probe"), 1)).alias("n_widen"),
+    ).collect()[0]
+    widest = guard["r"]
     if widest is not None and widest > max_final_r:
         raise ValueError(
             f"kNN phase-2 ring {widest} exceeds max_final_r={max_final_r}: "
             f"data too sparse for cell_size={cs} — increase cell_size "
             f"(or raise max_final_r knowingly; probe cost grows as r^2)")
-    final = final.localCheckpoint(eager=False)
+    if not guard["n_widen"]:
+        return topk
 
     settled_ids = final.filter(F.col("final_r") <= F.col("r_probe")).select(query_id)
     settled = topk.join(settled_ids, query_id, "left_semi")

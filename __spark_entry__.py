@@ -557,12 +557,26 @@ def q_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: decode opaque binary image column, check
-    declared vs actual dims (synthesized input-table shape)."""
-    from rastertiler_rs_spark.fixtures import images_parquet
+    declared vs actual dims (synthesized input-table shape). Includes a
+    REAL-JPEG slice: 16 fixture bands encoded by the from-spec baseline
+    JPEG encoder (jpeg/codec.py) whose SOF header the real decoder must
+    parse back to the generation-formula dims — so the jpeg codec path
+    runs under the value gate, not just pytest."""
+    from rastertiler_rs_spark.fixtures import (_H_CYCLE, _W_CYCLE,
+                                               images_parquet, pixel_band)
+    from rastertiler_rs_spark.jpeg import encode_jpeg_gray
     from rastertiler_rs_spark.operators.multimodal import image_metadata
 
     images = spark.read.parquet(images_parquet(64, "u8"))
-    return image_metadata(images)
+    jrows = []
+    for i in range(16):
+        w, h = int(_W_CYCLE[i % 4]), int(_H_CYCLE[i % 4])
+        jrows.append((f"jpg{i:08d}",
+                      encode_jpeg_gray(pixel_band(i, w, h, "u8"), 90),
+                      w, h, "jpeg"))
+    jpegs = spark.createDataFrame(
+        jrows, "image_id string, bytes binary, w int, h int, fmt string")
+    return image_metadata(images).unionByName(image_metadata(jpegs))
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -971,24 +985,31 @@ def q_render_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rastertiler_rs_spark.fixtures import images_parquet
     from rastertiler_rs_spark.operators.render import render
 
+    return _render_pixel_stats(spark, "u8")
+
+
+def _render_pixel_stats(spark: SparkSession, dtype_tag: str) -> DataFrame:
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+
     ts = _PIXEL_STATS_TS
-    images = spark.read.parquet(images_parquet(_PIXEL_STATS_N, "u8"))
+    images = spark.read.parquet(images_parquet(_PIXEL_STATS_N, dtype_tag))
     with _gate_cell_mult():  # n_parts is resolved at plan-build time
         fused = render(images, _PIXEL_STATS_ZMIN, _PIXEL_STATS_ZMAX,
-                       tile_size=ts, dtype_tag="u8")
+                       tile_size=ts, dtype_tag=dtype_tag)
 
     def stats_fn(batches):
         import numpy as np
         import pandas as pd
 
-        from rastertiler_rs_spark.png import decode_band
+        from rastertiler_rs_spark.operators.overview import decode_canvas
 
         pos = np.arange(ts * ts, dtype=np.int64).reshape(ts, ts)
         for pdf in batches:
             out = {k: [] for k in ("zoom", "x", "y", "px_count", "val_sum",
                                    "val_min", "val_max", "pos_sum")}
             for row in pdf.itertuples(index=False):
-                band = decode_band(bytes(row.png), "png;u8").astype(np.int64)
+                band = decode_canvas(bytes(row.png), dtype_tag).astype(np.int64)
                 mask = band != 0
                 vals = band[mask]
                 out["zoom"].append(int(row.zoom))
@@ -1006,6 +1027,16 @@ def q_render_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zoom int, x long, y long, px_count long, val_sum long, "
         "val_min long, val_max long, pos_sum long",
     )
+
+
+def q_render_pixel_stats_u32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u32 twin of render_pixel_stats: same window-arithmetic SQL
+    oracle, u32 pixel formula (low-cardinality third → paletted PNGs,
+    rest → RGB), decode via the adaptive-palette-aware decode_canvas —
+    so the u32 kernel/mosaic/encode→decode pixel VALUES are under the
+    value gate, retiring the last dtype not covered by a pixel
+    oracle."""
+    return _render_pixel_stats(spark, "u32")
 
 
 # ---------------------------------------------------------------------------
@@ -1055,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_tile_ids_u32": q_render_tile_ids_u32,
         "render_tile_ids_colormap": q_render_tile_ids_colormap,
         "render_pixel_stats": q_render_pixel_stats,
+        "render_pixel_stats_u32": q_render_pixel_stats_u32,
         "stream_render_tile_ids": q_stream_render_tile_ids,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -1318,12 +1350,13 @@ def _render_tile_ids_oracle_sql() -> str:
 
 
 def _image_consts_values(n: int) -> str:
-    """Per-image GENERATION constants for the u8 fixture table as a SQL
+    """Per-image GENERATION constants for the fixture tables as a SQL
     VALUES body: (i, minx, miny, maxx, maxy, w, h, ph, all_nd, hr0,
-    hr1, hc0, hc1) — footprint, size cycle, hash byte, hole rect
-    (fixtures.pixel_band / footprint_from_index). The same class of
-    embedded constant as the tile-ID oracles' footprints; everything
-    derived from them is recomputed in SQL."""
+    hr1, hc0, hc1, g20, lowcard) — footprint, size cycle, hash bytes,
+    hole rect, u32-formula extras (fixtures.pixel_band /
+    footprint_from_index). The same class of embedded constant as the
+    tile-ID oracles' footprints; everything derived from them is
+    recomputed in SQL."""
     import numpy as np
 
     from rastertiler_rs_spark.fixtures import (_H_CYCLE, _W_CYCLE,
@@ -1350,19 +1383,30 @@ def _image_consts_values(n: int) -> str:
             all_nd, hr0, hr1, hc0, hc1 = 0, 0, 0, 0, 0
         rows.append(
             f"({i}, {minx[i]!r}, {miny[i]!r}, {maxx[i]!r}, {maxy[i]!r}, "
-            f"{w}, {h}, {ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})")
+            f"{w}, {h}, {ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1}, "
+            f"{g & 0xFFFFF}, {1 if i % 3 == 0 else 0})")
     return ",\n              ".join(rows)
 
+
+_IMG_COLS = ("i, minx, miny, maxx, maxy, w, h, ph, all_nd, hr0, hr1, "
+             "hc0, hc1, g20, lowcard")
 
 _PIXEL_VALUE_CASE = """CASE WHEN all_nd = 1 THEN 0
                       WHEN {r} >= hr0 AND {r} < hr1 AND {c} >= hc0 AND {c} < hc1 THEN 0
                       ELSE ({r} * 31 + {c} * 17 + ph) % 255 + 1 END"""
 
+# fixtures.pixel_band u32 branch: low-cardinality third exercises the
+# paletted encoder, the rest the RGB path
+_PIXEL_VALUE_CASE_U32 = """CASE WHEN all_nd = 1 THEN 0
+                      WHEN {r} >= hr0 AND {r} < hr1 AND {c} >= hc0 AND {c} < hc1 THEN 0
+                      WHEN lowcard = 1 THEN ({r} * 7 + {c} * 3 + ph) % 13 + 1
+                      ELSE ({r} * 131071 + {c} * 8191 + g20) % 16777215 + 1 END"""
+
 
 def _image_features_oracle_sql(n: int = 64) -> str:
     v = _PIXEL_VALUE_CASE.format(r="r", c="c")
     return f"""
-        WITH img(i, minx, miny, maxx, maxy, w, h, ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+        WITH img({_IMG_COLS}) AS (VALUES
               {_image_consts_values(n)}),
         px AS (
           SELECT i, w, h,
@@ -1387,7 +1431,7 @@ def _image_features_oracle_sql(n: int = 64) -> str:
 def _image_resize_oracle_sql(n: int = 64, target: int = 32) -> str:
     v = _PIXEL_VALUE_CASE.format(r="rsrc", c="csrc")
     return f"""
-        WITH img(i, minx, miny, maxx, maxy, w, h, ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+        WITH img({_IMG_COLS}) AS (VALUES
               {_image_consts_values(n)}),
         px AS (  -- K2 nearest index rule: idx = floor((i+0.5)*src/dst), clamped
           SELECT i, ti, tj,
@@ -1411,7 +1455,7 @@ def _image_resize_oracle_sql(n: int = 64, target: int = 32) -> str:
     """
 
 
-def _render_pixel_stats_oracle_sql() -> str:
+def _render_pixel_stats_oracle_sql(dtype_tag: str = "u8") -> str:
     """SQL twin of the render kernel: re-derives per-tile pixel stats
     from the fixture constants alone. The embedded VALUES rows are
     per-image GENERATION constants (footprint, size, hash byte, hole
@@ -1425,8 +1469,10 @@ def _render_pixel_stats_oracle_sql() -> str:
     change any finite IEEE result here)."""
     vals = _image_consts_values(_PIXEL_STATS_N)
     ts = _PIXEL_STATS_TS
+    case = (_PIXEL_VALUE_CASE if dtype_tag == "u8"
+            else _PIXEL_VALUE_CASE_U32).format(r="rsrc", c="csrc")
     return f"""
-        WITH img(i, minx, miny, maxx, maxy, w, h, ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+        WITH img({_IMG_COLS}) AS (VALUES
               {vals}),
         z(zoom) AS (SELECT UNNEST(generate_series({_PIXEL_STATS_ZMIN}, {_PIXEL_STATS_ZMAX}))),
         rng AS (  -- exact tile cover per image per zoom (tileid.rs:100-131)
@@ -1505,6 +1551,7 @@ def _render_pixel_stats_oracle_sql() -> str:
           SELECT * FROM geo9 WHERE rw > 0 AND rh > 0 AND bw > 0 AND bh > 0),
         px AS (  -- nearest decimation at pixel centers (dataset.rs:172-178)
           SELECT b.zoom, b.x, b.y, b.i, b.ph, b.all_nd, b.hr0, b.hr1, b.hc0, b.hc1,
+                 b.g20, b.lowcard,
                  b.ti_off + tr.ti AS py, b.li + tc.tj AS pxc,
                  b.y0i + LEAST(CAST(FLOOR(((CAST(tr.ti AS DOUBLE) + 0.5) * CAST(b.rh AS DOUBLE)) / CAST(b.bh AS DOUBLE)) AS BIGINT), b.rh - 1) AS rsrc,
                  b.x0i + LEAST(CAST(FLOOR(((CAST(tc.tj AS DOUBLE) + 0.5) * CAST(b.rw AS DOUBLE)) / CAST(b.bw AS DOUBLE)) AS BIGINT), b.rw - 1) AS csrc
@@ -1513,9 +1560,7 @@ def _render_pixel_stats_oracle_sql() -> str:
                LATERAL (SELECT UNNEST(generate_series(0, b.bw - 1))) tc(tj)),
         contrib AS (  -- fixture pixel formula + hole classes (fixtures.pixel_band)
           SELECT zoom, x, y, py, pxc, i,
-                 CASE WHEN all_nd = 1 THEN 0
-                      WHEN rsrc >= hr0 AND rsrc < hr1 AND csrc >= hc0 AND csrc < hc1 THEN 0
-                      ELSE (rsrc * 31 + csrc * 17 + ph) % 255 + 1 END AS v
+                 {case} AS v
           FROM px),
         canvas AS (  -- mosaic: ascending-image overwrite where != nodata
           SELECT zoom, x, y, py, pxc,
@@ -1618,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "render_tile_ids_u32": _render_tile_ids_oracle_sql(),
         "render_tile_ids_colormap": _render_tile_ids_oracle_sql(),
         "render_pixel_stats": _render_pixel_stats_oracle_sql(),
+        "render_pixel_stats_u32": _render_pixel_stats_oracle_sql("u32"),
         "image_features": _image_features_oracle_sql(),
         "image_resize": _image_resize_oracle_sql(),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
@@ -1651,9 +1697,14 @@ def oracle_sql() -> dict[str, str]:
         # (fixtures.encode_image W/H cycles) — verifies the engine's PNG
         # header decode byte-for-byte against the generation rule
         "image_meta": """
-            WITH idx AS (SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id
-                         FROM (SELECT UNNEST(generate_series(0, 63)) AS i) t(i))
-            SELECT image_id, 'png;u8' AS fmt,
+            WITH idx AS (SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+                                'png;u8' AS fmt
+                         FROM (SELECT UNNEST(generate_series(0, 63)) AS i) t(i)
+                         UNION ALL
+                         SELECT i, 'jpg' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                                'jpeg'
+                         FROM (SELECT UNNEST(generate_series(0, 15)) AS i) t2(i))
+            SELECT image_id, fmt,
                    CAST(CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 256 ELSE 512 END AS INT) AS decl_w,
                    CAST(CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 512 END AS INT) AS decl_h,
                    CAST(CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 256 ELSE 512 END AS INT) AS actual_w,

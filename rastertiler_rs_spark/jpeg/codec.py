@@ -1,0 +1,519 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT, 8-bit) codec in pure
+numpy — no external imaging library exists in this environment, so the
+multimodal operators' jpeg path is implemented from the public spec the
+same way png/codec.py is (the reference gets its codecs from crates;
+SURVEY.md §2 E-group analog for the multimodal extension).
+
+Scope (honest): baseline sequential only — SOI/APPn/COM/DQT/SOF0/DHT/
+DRI/SOS/RSTn/EOI, 8-bit samples, grayscale or YCbCr with arbitrary
+sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0 replication upsample
+on decode). Progressive (SOF2), arithmetic coding, and 12-bit raise
+ValueError. The encoder emits grayscale or 4:4:4 YCbCr with the Annex
+K example quantization/Huffman tables, scaled by a libjpeg-style
+quality factor.
+
+JPEG is lossy: decode(encode(x)) is only quantization-close (tests pin
+PSNR and exact dims); decode itself is deterministic, so fixture bytes
+decode identically everywhere.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+_QL = np.array([  # K.1 luminance
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int32)
+
+_QC = np.array([  # K.2 chrominance
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int32)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# 8x8 DCT-II basis: C[u,x] = a(u) * cos((2x+1)u*pi/16); block' = C @ b @ C.T
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style linear quality scaling of a base table."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    t = (q * s + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def _build_code_table(bits, huffval):
+    """(BITS, HUFFVAL) → {symbol: (code, length)} (encoder direction)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits, huffval):
+    """(BITS, HUFFVAL) → {(length, code): symbol} (decoder direction)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """v → (category, magnitude bits): negative values use one's
+    complement of |v| per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _encode_blocks(bw: _BitWriter, blocks: np.ndarray, quant: np.ndarray,
+                   dc_codes, ac_codes, pred: int) -> int:
+    """Forward DCT + quantize + entropy-code a (n,8,8) block stack of
+    one component; returns the updated DC predictor."""
+    shifted = blocks.astype(np.float64) - 128.0
+    coef = np.einsum("ux,nxy,vy->nuv", _C, shifted, _C)
+    q = np.round(coef / quant).astype(np.int32)
+    zz = q.reshape(-1, 64)[:, _ZIGZAG]
+    for row in zz:
+        dc = int(row[0])
+        diff = dc - pred
+        pred = dc
+        cat, bits = _magnitude(diff)
+        code, length = dc_codes[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(bits, cat)
+        run = 0
+        last_nz = int(np.max(np.nonzero(row)[0])) if np.any(row) else 0
+        for i in range(1, 64):
+            v = int(row[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            cat, bits = _magnitude(v)
+            code, length = ac_codes[(run << 4) | cat]
+            bw.write(code, length)
+            bw.write(bits, cat)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+    return pred
+
+
+def _tile_blocks(plane: np.ndarray) -> np.ndarray:
+    """Pad a plane to 8-multiples by edge replication, cut row-major
+    8x8 blocks → (n, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = p.shape
+    return (p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8))
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", tag, len(payload) + 2) + payload
+
+
+def _dht_payload(tc_th: int, spec) -> bytes:
+    bits, vals = spec
+    return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg_gray(band: np.ndarray, quality: int = 90) -> bytes:
+    """Grayscale baseline JPEG from a uint8 HxW array."""
+    band = np.asarray(band, dtype=np.uint8)
+    h, w = band.shape
+    ql = _quality_scale(_QL, quality)
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xFFDB, b"\x00" + bytes(ql.flatten()[_ZIGZAG].astype(np.uint8)))
+    out += _marker(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _marker(0xFFC4, _dht_payload(0x00, _DC_L))
+    out += _marker(0xFFC4, _dht_payload(0x10, _AC_L))
+    out += _marker(0xFFDA, struct.pack(">B", 1) + bytes([1, 0x00]) + bytes([0, 63, 0]))
+    bw = _BitWriter()
+    _encode_blocks(bw, _tile_blocks(band), ql, _build_code_table(*_DC_L),
+                   _build_code_table(*_AC_L), 0)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """4:4:4 YCbCr baseline JPEG from a uint8 HxWx3 array (JFIF/BT.601
+    full-range color transform)."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+    ql, qc = _quality_scale(_QL, quality), _quality_scale(_QC, quality)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xFFDB, b"\x00" + bytes(ql.flatten()[_ZIGZAG].astype(np.uint8)))
+    out += _marker(0xFFDB, b"\x01" + bytes(qc.flatten()[_ZIGZAG].astype(np.uint8)))
+    out += _marker(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                   + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    out += _marker(0xFFC4, _dht_payload(0x00, _DC_L))
+    out += _marker(0xFFC4, _dht_payload(0x10, _AC_L))
+    out += _marker(0xFFC4, _dht_payload(0x01, _DC_C))
+    out += _marker(0xFFC4, _dht_payload(0x11, _AC_C))
+    out += _marker(0xFFDA, struct.pack(">B", 3)
+                   + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0]))
+    dcs = [_build_code_table(*_DC_L), _build_code_table(*_DC_C)]
+    acs = [_build_code_table(*_AC_L), _build_code_table(*_AC_C)]
+    quants = [ql, qc, qc]
+    tsel = [0, 1, 1]
+    # 4:4:4 interleaved: one block per component per MCU, MCUs row-major
+    blocks = [_tile_blocks(p) for p in planes]
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(blocks[0].shape[0]):
+        for c in range(3):
+            preds[c] = _encode_blocks(bw, blocks[c][m : m + 1], quants[c],
+                                      dcs[tsel[c]], acs[tsel[c]], preds[c])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; marker bytes
+    terminate the segment (handled by the caller via segment slicing)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0  # pad past end
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    # marker: behave as end of data (pad)
+                    self.pos = len(self.data)
+                    b = 0
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the SOF marker — metadata
+    probe without full decode."""
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        tag = data[pos + 1]
+        if tag in (0xC0, 0xC1):
+            _, h, w, nc = struct.unpack(">BHHB", data[pos + 4 : pos + 10])
+            return w, h, nc
+        if tag == 0xC2:
+            raise ValueError("progressive JPEG not supported (baseline only)")
+        if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        pos += 2 + ln
+    raise ValueError("no SOF marker found")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 array: HxW (grayscale) or HxWx3 (RGB)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    h = w = 0
+    restart_interval = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        tag = data[pos + 1]
+        if tag == 0x01 or 0xD0 <= tag <= 0xD9:
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + ln]
+        if tag == 0xDB:  # DQT (possibly several tables)
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                t = np.zeros(64, dtype=np.int32)
+                t[_ZIGZAG] = np.frombuffer(payload[off + 1 : off + 65], np.uint8)
+                quant[tq] = t.reshape(8, 8)
+                off += 65
+        elif tag in (0xC0, 0xC1):  # SOF0/1 (both baseline-decodable)
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+        elif tag == 0xC2:
+            raise ValueError("progressive JPEG not supported (baseline only)")
+        elif tag == 0xC4:  # DHT
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0xF
+                bits = list(payload[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + nv])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                off += 17 + nv
+        elif tag == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif tag == 0xDA:  # SOS: entropy data follows until next marker
+            ns = payload[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = payload[1 + 2 * i : 3 + 2 * i]
+                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            pos += 2 + ln
+            break
+        pos += 2 + ln
+    if comps is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scan]
+    for c, s in zip(order, scan):
+        c["td"], c["ta"] = s["td"], s["ta"]
+        c["coef"] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        c["pred"] = 0
+
+    br = _BitReader(data[pos:])
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # resync: skip to the RSTn marker just past current bits
+                br.n = 0
+                p = br.pos
+                d = br.data
+                while p < len(d) - 1 and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+                    p += 1
+                br.pos = p + 2
+                for c in order:
+                    c["pred"] = 0
+            for c in order:
+                dq = quant[c["tq"]].astype(np.float64)
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        cat = br.read_symbol(huff[(0, c["td"])])
+                        diff = _extend(br.read_bits(cat), cat)
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_symbol(huff[(1, c["ta"])])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_ZIGZAG] = zz
+                        blk = blk.reshape(8, 8) * dq
+                        px = _C.T @ blk @ _C + 128.0
+                        r0 = (my * c["v"] + v) * 8
+                        c0 = (mx * c["h"] + hh) * 8
+                        c["coef"][r0 : r0 + 8, c0 : c0 + 8] = px
+            mcu_count += 1
+
+    planes = []
+    for c in order:
+        p = c["coef"]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(np.clip(np.round(p[:h, :w]), 0, 255).astype(np.uint8))
+    if len(planes) == 1:
+        return planes[0]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)

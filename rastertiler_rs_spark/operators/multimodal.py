@@ -4,8 +4,10 @@ Images/audio/video travel as `binary` columns with (fmt, w, h) metadata
 — exactly the engine's native images table shape. The Spark-side
 plumbing (schemas, Arrow batching, partition behavior) is real and
 tested; PNG decode/resize/feature-extract is fully implemented via the
-engine codec. Codecs absent from this container (JPEG/WebP/audio/video)
-have two clearly-separated modes:
+engine codec (png/codec.py), and baseline JPEG likewise via the
+from-spec numpy codec (jpeg/codec.py: sequential 8-bit huffman+IDCT,
+gray + YCbCr up to 2x2 sampling). Codecs still absent from this
+container (WebP/video) have two clearly-separated modes:
 
 - default: raise NotImplementedError with the batch signature a
   production codec would drop into (honest environment-blocked stub);
@@ -13,9 +15,9 @@ have two clearly-separated modes:
   reproducible pure function of the payload bytes (crc32-seeded
   gradient), never a real decode. This exists so the downstream
   plumbing (resize, features, frame explode: schemas, batching,
-  partitioning) can be exercised and tested end-to-end for non-PNG
+  partitioning) can be exercised and tested end-to-end for those
   formats inside this container. Production builds replace the fake
-  with pillow/turbojpeg/pyav and delete nothing else.
+  with libwebp/pyav bindings and delete nothing else.
 """
 
 from __future__ import annotations
@@ -48,12 +50,21 @@ def _decode_any(data: bytes, fmt: str, w: int = 0, h: int = 0,
                 fake_codecs: bool = False) -> np.ndarray:
     if fmt.startswith("png"):
         return decode_png(data)["pixels"]
-    if fmt.startswith(("jpeg", "webp")):
+    if fmt.startswith("jpeg"):
+        from ..jpeg import decode_jpeg
+
+        arr = decode_jpeg(data)
+        if arr.ndim == 3:  # color: luma for the single-band operators
+            arr = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+                   + 0.114 * arr[:, :, 2])
+            arr = np.clip(np.round(arr), 0, 255).astype(np.uint8)
+        return arr
+    if fmt.startswith("webp"):
         if fake_codecs:
             return _fake_decode(data, int(w), int(h))
-        # STUB: container has no JPEG/WebP codec. A production build
-        # plugs pillow/turbojpeg here; everything around this call
-        # (schema, batching, caching) is the real pipeline.
+        # STUB: container has no WebP codec. A production build plugs
+        # libwebp here; everything around this call (schema, batching,
+        # caching) is the real pipeline.
         raise NotImplementedError(f"codec for {fmt!r} not available in this environment")
     raise ValueError(f"unknown image fmt {fmt!r}")
 
@@ -67,14 +78,20 @@ def image_metadata(images: DataFrame) -> DataFrame:
             out = {"image_id": [], "fmt": [], "decl_w": [], "decl_h": [],
                    "actual_w": [], "actual_h": [], "dims_match": []}
             for row in pdf.itertuples(index=False):
-                d = decode_png(bytes(row.bytes))
+                if row.fmt.startswith("jpeg"):
+                    from ..jpeg import jpeg_dims
+
+                    aw, ah, _ = jpeg_dims(bytes(row.bytes))
+                else:
+                    d = decode_png(bytes(row.bytes))
+                    aw, ah = d["width"], d["height"]
                 out["image_id"].append(row.image_id)
                 out["fmt"].append(row.fmt)
                 out["decl_w"].append(int(row.w))
                 out["decl_h"].append(int(row.h))
-                out["actual_w"].append(d["width"])
-                out["actual_h"].append(d["height"])
-                out["dims_match"].append(d["width"] == row.w and d["height"] == row.h)
+                out["actual_w"].append(aw)
+                out["actual_h"].append(ah)
+                out["dims_match"].append(aw == row.w and ah == row.h)
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
@@ -85,16 +102,17 @@ def image_metadata(images: DataFrame) -> DataFrame:
 def resize_images(images: DataFrame, target: int,
                   fake_codecs: bool = False) -> DataFrame:
     """Nearest-neighbor resize to target x target (the kernel's K2 rule):
-    (image_id, bytes). Real for png;u8; jpeg/webp raise unless
-    ``fake_codecs`` opts into the deterministic fake decode."""
+    (image_id, bytes). Real for png;u8 and jpeg (from-spec codecs);
+    webp raises unless ``fake_codecs`` opts into the deterministic
+    fake decode."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"image_id": [], "bytes": []}
             for row in pdf.itertuples(index=False):
-                if row.fmt == "png;u8":
-                    band = decode_png(bytes(row.bytes))["pixels"]
-                elif row.fmt.startswith(("jpeg", "webp")) and fake_codecs:
+                if row.fmt == "png;u8" or row.fmt.startswith("jpeg"):
+                    band = _decode_any(bytes(row.bytes), row.fmt)
+                elif row.fmt.startswith("webp") and fake_codecs:
                     band = _fake_decode(bytes(row.bytes), int(row.w), int(row.h))
                 else:
                     raise NotImplementedError(f"resize for {row.fmt!r} is stubbed")

@@ -266,6 +266,167 @@ def cascade_down(
     )
 
 
+def _fragment_emit_fn(top_zoom: int, minzoom: int, tile_size: int,
+                      dtype_tag: str, colormap_str: str | None, nodata: int):
+    """Map-only stage of the one-shot cascade: decode each base tile
+    ONCE and emit its strided sample for EVERY ancestor zoom. k-fold 2x
+    nearest decimation composes to strided sampling — c[1::2,1::2]
+    applied k times == c[2^k-1::2^k, 2^k-1::2^k] — and pasting children
+    into parent quadrants commutes with the sampling, so these
+    fragments assemble into canvases value-identical to the
+    level-by-level cascade's (byte-identical PNGs; pinned by
+    tests/test_overview_salt.py::test_fragment_cascade_byte_parity)."""
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        colormap = Colormap.parse(colormap_str, nodata) if colormap_str else None
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "y": [], "r0": [], "c0": [],
+                   "fw": [], "frag": []}
+            for row in pdf.itertuples(index=False):
+                canvas = decode_canvas(bytes(row.png), dtype_tag, colormap, nodata)
+                x, y = int(row.x), int(row.y)
+                for z in range(minzoom, top_zoom):
+                    k = top_zoom - z
+                    step = 1 << k
+                    frag = canvas[step - 1 :: step, step - 1 :: step]
+                    if (frag == nodata).all():
+                        continue  # parent canvas is nodata-prefilled
+                    fw = tile_size >> k
+                    out["zoom"].append(z)
+                    out["x"].append(x >> k)
+                    out["y"].append(y >> k)
+                    out["r0"].append((y & (step - 1)) * fw)
+                    out["c0"].append((x & (step - 1)) * fw)
+                    out["fw"].append(fw)
+                    out["frag"].append(np.ascontiguousarray(frag).tobytes())
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+_FRAG_SCHEMA = "zoom int, x long, y long, r0 int, c0 int, fw int, frag binary"
+
+
+def _fragment_assemble_fn(tile_size: int, dtype_tag: str,
+                          colormap_str: str | None, nodata: int,
+                          flush_rows: int = 1024):
+    """Sorted-stream assemble+encode over fragments grouped by ancestor
+    tile. Fragments target DISJOINT canvas regions and paste order is
+    irrelevant, so the stream carries only the CURRENT tile's canvas
+    across Arrow-batch boundaries — no pending-rows buffer. (A
+    hold-back-the-boundary-group pattern like the cell stream's would
+    go quadratic here: a z0 group can hold 4^span tiny fragments while
+    Arrow batches are 256 rows, so per-batch pd.concat of the pending
+    group re-copies it hundreds of times.)"""
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        colormap = Colormap.parse(colormap_str, nodata) if colormap_str else None
+        out = {"zoom": [], "x": [], "y": [], "png": []}
+        cur_key = None
+        canvas = np.full((tile_size, tile_size), nodata, dtype=np_dtype)
+
+        def emit(key):
+            out["zoom"].append(key[0])
+            out["x"].append(key[1])
+            out["y"].append(key[2])
+            # every emitted fragment has data ⇒ canvas can't be all-nodata
+            out["png"].append(encode_tile(canvas, dtype_tag, nodata, colormap))
+
+        def flush():
+            df = pd.DataFrame(out)
+            for k in out:
+                out[k] = []
+            return df
+
+        for pdf in batches:
+            for z, x, y, r0, c0, fw, frag in zip(
+                    pdf["zoom"], pdf["x"], pdf["y"], pdf["r0"], pdf["c0"],
+                    pdf["fw"], pdf["frag"]):
+                key = (int(z), int(x), int(y))
+                if key != cur_key:
+                    if cur_key is not None:
+                        emit(cur_key)
+                        canvas.fill(nodata)
+                    cur_key = key
+                r0, c0, fw = int(r0), int(c0), int(fw)
+                canvas[r0 : r0 + fw, c0 : c0 + fw] = np.frombuffer(
+                    frag, dtype=np_dtype).reshape(fw, fw)
+            if len(out["zoom"]) >= flush_rows:
+                yield flush()
+        if cur_key is not None:
+            emit(cur_key)
+        if out["zoom"]:
+            yield flush()
+
+    return fn
+
+
+def cascade_fragments(
+    fused_top: DataFrame,
+    minzoom: int,
+    tile_size: int,
+    dtype_tag: str = "u8",
+    colormap_str: str | None = None,
+    top_zoom: int | None = None,
+) -> DataFrame:
+    """One-shot overview build: ONE map-only python stage (decode each
+    base tile once, emit per-ancestor strided fragments) + ONE shuffle
+    keyed by ancestor tile + ONE assemble/encode stage — replacing the
+    level-by-level cascade's per-level exchange+python pair, whose
+    fixed stage floors dominated low-zoom build time at high core
+    counts (the levels shrink 4x each but every level still paid a
+    full shuffle + python stage + intermediate PNG decode).
+
+    Value-identity with cascade_down: k-fold 2x decimation == strided
+    sampling (see _fragment_emit_fn); intermediate-level drops in the
+    cascade can't change surviving values, and a tile exists in both
+    schemes iff its assembled canvas has data.
+
+    Scale shape: fragment bytes total ~= base_bytes/3 through one
+    compressed shuffle; groups are one ancestor tile (<= 4^k tiny
+    fragments). Constraint: 2^(top_zoom - minzoom) <= tile_size (a
+    fragment must be >= 1px) — deeper pyramids chain cascade_down below
+    the fragment floor. No persisted intermediates, so no executor-
+    cache bookkeeping for callers."""
+    spark = fused_top.sparkSession
+    if top_zoom is None:
+        top_zoom = fused_top.select(F.max("zoom")).collect()[0][0]
+    if top_zoom is None or top_zoom <= minzoom:
+        return fused_top.filter(F.lit(False))
+    if (1 << (top_zoom - minzoom)) > tile_size:
+        raise ValueError(
+            f"cascade_fragments: span {top_zoom - minzoom} exceeds "
+            f"log2(tile_size={tile_size}) — chain cascade_down below "
+            f"zoom {top_zoom - tile_size.bit_length() + 1}")
+    # task count ~= cores, NOT the renderer's cores*8: pyspark pays a
+    # measured ~10 ms of SERIAL dispatch per python task (local-mode
+    # driver handshake; a 256-task no-op python stage costs ~2.5 s wall
+    # at local[32] regardless of data), and these stages have no
+    # straggler tail worth packing — per-group work is tiny and uniform
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    frags = fused_top.select("x", "y", "png").coalesce(n_parts).mapInPandas(
+        _fragment_emit_fn(top_zoom, minzoom, tile_size, dtype_tag,
+                          colormap_str, NODATA),
+        _FRAG_SCHEMA,
+    )
+    tiles = (
+        frags.repartition(n_parts, "zoom", "x", "y")
+        .sortWithinPartitions("zoom", "x", "y")
+        .mapInPandas(
+            _fragment_assemble_fn(tile_size, dtype_tag, colormap_str, NODATA),
+            "zoom int, x long, y long, png binary",
+        )
+    )
+    flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
+    return (
+        tiles.withColumn("tile_row", flip)
+        .withColumn("tile_hash", F.xxhash64("png"))
+        .select("zoom", "x", "y", "tile_row", "tile_hash", "png")
+    )
+
+
 def render_pyramid_to_sink(
     images: DataFrame,
     out_dir: str,
@@ -374,7 +535,16 @@ def render_pyramid(
     shared = full.persist()
     if persisted is not None:
         persisted.append(shared)
-    low = cascade_down(shared.filter(F.col("zoom") == base), minzoom,
-                       tile_size, dtype_tag, colormap_str, top_zoom=base,
-                       persisted=persisted)
+    base_level = shared.filter(F.col("zoom") == base)
+    if (1 << (base - minzoom)) <= tile_size:
+        # one-shot fragment cascade: 2 python stages + 1 shuffle total
+        # for ALL low zooms (vs exchange+python PER span-4 step) — the
+        # per-level stage floors made the cascade nearly parallelism-
+        # invariant and it showed as the production pyramid's N→4N
+        # scaling drag
+        low = cascade_fragments(base_level, minzoom, tile_size, dtype_tag,
+                                colormap_str, top_zoom=base)
+    else:
+        low = cascade_down(base_level, minzoom, tile_size, dtype_tag,
+                           colormap_str, top_zoom=base, persisted=persisted)
     return shared.unionByName(low)

@@ -35,7 +35,9 @@ def test_image_features_exact_u8(spark):
 
 
 def _jpeg_rows(spark, n=4):
-    rows = [(f"vid{i}", bytes(range(256)) * (i + 1), 48, 32, "jpeg")
+    # webp: the remaining environment-blocked format driving the
+    # fake-codec plumbing (jpeg decode is real now — jpeg/codec.py)
+    rows = [(f"vid{i}", bytes(range(256)) * (i + 1), 48, 32, "webp")
             for i in range(n)]
     return spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string")

@@ -138,6 +138,39 @@ def test_cascade_down_equals_level_by_level(spark):
     assert got == want
 
 
+@pytest.mark.parametrize("tag,cmap", [
+    ("u8", None),
+    ("u32", None),
+    ("u8", "1:#686868,2:#38A800,3:#859B6C,4:#3B7D46,5:#FF00FF"),
+])
+def test_fragment_cascade_byte_parity(spark, tag, cmap):
+    """The one-shot fragment cascade (k-fold decimation == strided
+    sampling; one shuffle for all levels) must be byte-identical to the
+    level-by-level cascade on every encoder class — grayscale, u32
+    adaptive palette/RGB, and user-colormap paletted."""
+    from rastertiler_rs_spark.operators.overview import (cascade_down,
+                                                         cascade_fragments)
+
+    imgs = _spark_images(spark, 32, tag)
+    ts = 64
+    base = render(imgs, 6, 6, ts, tag, colormap_str=cmap)
+    got = _fused_map(cascade_fragments(base, 0, ts, tag, cmap, top_zoom=6))
+    want = _fused_map(cascade_down(base, 0, ts, tag, cmap, top_zoom=6))
+    assert set(got) == set(want)
+    assert got == want
+
+
+def test_fragment_cascade_span_guard(spark):
+    """A span deeper than log2(tile_size) cannot produce >= 1px
+    fragments; the guard must fail fast with chaining guidance."""
+    from rastertiler_rs_spark.operators.overview import cascade_fragments
+
+    imgs = _spark_images(spark, 8)
+    base = render(imgs, 8, 8, 64, "u8")
+    with pytest.raises(ValueError, match="cascade_down"):
+        cascade_fragments(base, 1, 64, "u8", top_zoom=8)
+
+
 def test_render_pyramid_clamps_base_to_maxzoom(spark):
     """maxzoom below overview_below (the CLI default shape: --maxzoom 4,
     overview threshold 8) must NOT render or emit zooms past maxzoom:

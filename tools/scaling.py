@@ -54,6 +54,12 @@ spark.read.parquet(path).count()  # warm FS/JVM
 # warm Python UDF workers outside the timed region
 render(spark.read.parquet(images_parquet(64, "u8")), 0, 6,
        tile_size=64, dtype_tag="u8").count()
+def _cpu_sample():
+    f = open("/proc/stat").readline().split()
+    v = [int(x) for x in f[1:9]]
+    return sum(v), v[7]  # total jiffies, steal jiffies
+
+tot0, st0 = _cpu_sample()
 t0 = time.time()
 img = spark.read.parquet(path)
 if mode == "exact":
@@ -63,8 +69,11 @@ else:
                            overview_below=8)
 tiles = fused.select("zoom", "x", "tile_row", "tile_hash").count()
 dt = time.time() - t0
+tot1, st1 = _cpu_sample()
+steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)
 print("RESULT " + json.dumps({{"cpus": cpus, "tiles": tiles, "sec": round(dt, 3),
-                               "tiles_per_sec": round(tiles / dt, 1)}}))
+                               "tiles_per_sec": round(tiles / dt, 1),
+                               "steal_pct": steal_pct}}))
 """
 
 
@@ -180,7 +189,8 @@ def write_bench_md(report: dict) -> None:
                 f"- run {i + 1} {mode}: {lo['sec']}s → {hi['sec']}s, "
                 f"{lo['tiles_per_sec']} → {hi['tiles_per_sec']} tiles/s "
                 f"(raw {rec[mode]['efficiency']:.3f}, norm {rec[mode]['normalized']:.3f}, "
-                f"hw {rec['hw']['efficiency']:.3f})")
+                f"hw {rec['hw']['efficiency']:.3f}, "
+                f"steal {lo.get('steal_pct', '?')}%→{hi.get('steal_pct', '?')}%)")
     lines += per_run
     lines += [
         "",

@@ -997,6 +997,11 @@ def _render_pixel_stats(spark: SparkSession, dtype_tag: str) -> DataFrame:
     with _gate_cell_mult():  # n_parts is resolved at plan-build time
         fused = render(images, _PIXEL_STATS_ZMIN, _PIXEL_STATS_ZMAX,
                        tile_size=ts, dtype_tag=dtype_tag)
+    return _pixel_stats_of(fused, dtype_tag)
+
+
+def _pixel_stats_of(fused: DataFrame, dtype_tag: str) -> DataFrame:
+    ts = _PIXEL_STATS_TS
 
     def stats_fn(batches):
         import numpy as np
@@ -1037,6 +1042,23 @@ def q_render_pixel_stats_u32(spark: SparkSession, sf_dir: str) -> DataFrame:
     value gate, retiring the last dtype not covered by a pixel
     oracle."""
     return _render_pixel_stats(spark, "u32")
+
+
+def q_render_pyramid_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-value gate for the OVERVIEW CASCADE itself: run the real
+    pyramid (direct z8-9, cascaded z4-7), decode every emitted PNG and
+    aggregate the same per-tile integer stats. The oracle derives
+    cascaded pixels as strided samples of the SQL base canvas (the
+    decimation-composition identity) — so overview PIXEL content, not
+    just its tile-ID set, is value-verified under the driver."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.overview import render_pyramid
+
+    images = spark.read.parquet(images_parquet(_PIXEL_STATS_N, "u8"))
+    with _gate_cell_mult():
+        fused = render_pyramid(images, 4, 9, tile_size=_PIXEL_STATS_TS,
+                               dtype_tag="u8", overview_below=8)
+    return _pixel_stats_of(fused, "u8")
 
 
 # ---------------------------------------------------------------------------
@@ -1087,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_tile_ids_colormap": q_render_tile_ids_colormap,
         "render_pixel_stats": q_render_pixel_stats,
         "render_pixel_stats_u32": q_render_pixel_stats_u32,
+        "render_pyramid_pixel_stats": q_render_pyramid_pixel_stats,
         "stream_render_tile_ids": q_stream_render_tile_ids,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -1455,18 +1478,19 @@ def _image_resize_oracle_sql(n: int = 64, target: int = 32) -> str:
     """
 
 
-def _render_pixel_stats_oracle_sql(dtype_tag: str = "u8") -> str:
-    """SQL twin of the render kernel: re-derives per-tile pixel stats
-    from the fixture constants alone. The embedded VALUES rows are
-    per-image GENERATION constants (footprint, size, hash byte, hole
-    rect — the same class of constant the tile-ID oracles embed); all
-    the engine arithmetic under test — tile cover, window corners,
-    margin rounding, read offsets, the nearest-resample index rule, the
-    mosaic overwrite, the stats — is recomputed in SQL, mirroring the
-    IEEE op order of kernel.read_tile_block exactly (terms that are
-    exactly ±0.0 in the affine inverse — b, d, and their products — are
-    algebraically dropped; adding/multiplying a signed zero cannot
-    change any finite IEEE result here)."""
+def _pixel_canvas_ctes(zmin: int, zmax: int, dtype_tag: str) -> str:
+    """The shared kernel-twin CTE chain, ending at `canvas(zoom, x, y,
+    py, pxc, cv)` — the mosaicked per-tile pixel values for every tile
+    of zooms [zmin, zmax], re-derived in SQL from the fixture constants
+    alone. The embedded VALUES rows are per-image GENERATION constants
+    (footprint, size, hash byte, hole rect — the same class of constant
+    the tile-ID oracles embed); all the engine arithmetic under test —
+    tile cover, window corners, margin rounding, read offsets, the
+    nearest-resample index rule, the mosaic overwrite — is recomputed
+    in SQL, mirroring the IEEE op order of kernel.read_tile_block
+    exactly (terms that are exactly ±0.0 in the affine inverse — b, d,
+    and their products — are algebraically dropped; adding/multiplying
+    a signed zero cannot change any finite IEEE result here)."""
     vals = _image_consts_values(_PIXEL_STATS_N)
     ts = _PIXEL_STATS_TS
     case = (_PIXEL_VALUE_CASE if dtype_tag == "u8"
@@ -1474,7 +1498,7 @@ def _render_pixel_stats_oracle_sql(dtype_tag: str = "u8") -> str:
     return f"""
         WITH img({_IMG_COLS}) AS (VALUES
               {vals}),
-        z(zoom) AS (SELECT UNNEST(generate_series({_PIXEL_STATS_ZMIN}, {_PIXEL_STATS_ZMAX}))),
+        z(zoom) AS (SELECT UNNEST(generate_series({zmin}, {zmax}))),
         rng AS (  -- exact tile cover per image per zoom (tileid.rs:100-131)
           SELECT img.*, zoom,
             GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR(((minx - (-{_O})) / {_CE}) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS txmin,
@@ -1565,17 +1589,55 @@ def _render_pixel_stats_oracle_sql(dtype_tag: str = "u8") -> str:
         canvas AS (  -- mosaic: ascending-image overwrite where != nodata
           SELECT zoom, x, y, py, pxc,
                  arg_max(v, i) FILTER (WHERE v <> 0) AS cv
-          FROM contrib GROUP BY zoom, x, y, py, pxc)
+          FROM contrib GROUP BY zoom, x, y, py, pxc)"""
+
+
+_PIXEL_STATS_SELECT = """
         SELECT CAST(zoom AS INT) AS zoom, x, y,
                CAST(COUNT(cv) AS BIGINT) AS px_count,
                CAST(SUM(cv) AS BIGINT) AS val_sum,
                CAST(MIN(cv) AS BIGINT) AS val_min,
                CAST(MAX(cv) AS BIGINT) AS val_max,
                CAST(SUM(cv * (py * {ts} + pxc)) AS BIGINT) AS pos_sum
-        FROM canvas
+        FROM {src}
         GROUP BY zoom, x, y
         HAVING COUNT(cv) > 0
     """
+
+
+def _render_pixel_stats_oracle_sql(dtype_tag: str = "u8") -> str:
+    """Per-tile pixel stats over the kernel-twin canvas (see
+    _pixel_canvas_ctes), zooms 8-12."""
+    return (_pixel_canvas_ctes(_PIXEL_STATS_ZMIN, _PIXEL_STATS_ZMAX, dtype_tag)
+            + _PIXEL_STATS_SELECT.format(ts=_PIXEL_STATS_TS, src="canvas"))
+
+
+def _render_pyramid_pixel_stats_oracle_sql() -> str:
+    """Pixel-value twin for the OVERVIEW CASCADE: the engine's 2x
+    nearest decimation composes to strided sampling (the
+    cascade_fragments identity), so a zoom-z overview pixel (z < base)
+    is exactly the base-canvas pixel at stride 2^k offset 2^k-1 — the
+    low CTE states that index mapping over the SQL-derived base canvas,
+    making cascaded-pixel VALUES checkable without re-deriving any new
+    arithmetic. Direct zooms (8-9) come from the kernel twin as in
+    render_pixel_stats."""
+    ts = _PIXEL_STATS_TS
+    return (_pixel_canvas_ctes(8, 9, "u8") + f""",
+        lv(lz, k) AS (VALUES (4, 4), (5, 3), (6, 2), (7, 1)),
+        low AS (  -- overview pixel (z=8-k) == base pixel at stride 2^k, offset 2^k-1
+          SELECT lv.lz AS zoom, c.x >> lv.k AS x, c.y >> lv.k AS y,
+                 (c.y % (1::BIGINT << lv.k)) * ({ts} >> lv.k) + (c.py >> lv.k) AS py,
+                 (c.x % (1::BIGINT << lv.k)) * ({ts} >> lv.k) + (c.pxc >> lv.k) AS pxc,
+                 c.cv
+          FROM canvas c, lv
+          WHERE c.zoom = 8
+            AND c.py % (1::BIGINT << lv.k) = (1::BIGINT << lv.k) - 1
+            AND c.pxc % (1::BIGINT << lv.k) = (1::BIGINT << lv.k) - 1),
+        allpx AS (
+          SELECT zoom, x, y, py, pxc, cv FROM canvas
+          UNION ALL
+          SELECT zoom, x, y, py, pxc, cv FROM low)"""
+            + _PIXEL_STATS_SELECT.format(ts=ts, src="allpx"))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1664,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         "render_tile_ids_colormap": _render_tile_ids_oracle_sql(),
         "render_pixel_stats": _render_pixel_stats_oracle_sql(),
         "render_pixel_stats_u32": _render_pixel_stats_oracle_sql("u32"),
+        "render_pyramid_pixel_stats": _render_pyramid_pixel_stats_oracle_sql(),
         "image_features": _image_features_oracle_sql(),
         "image_resize": _image_resize_oracle_sql(),
         "minhash_lsh": _minhash_lsh_oracle_sql(),

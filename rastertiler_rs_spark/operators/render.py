@@ -590,7 +590,12 @@ def render(
             "zoom int, x long, y long, png binary",
         )
     else:
-        grouped = blocks.repartition(n_parts, "zoom", "x", "y").groupBy(
+        # mosaic+encode stage at cores*2, not the cell stage's cores*8:
+        # python tasks pay ~10 ms of serial dispatch each, and in the
+        # default config this stage only handles the zooms below pz
+        # (bounded tile count — at most 4^pz/3 tiles exist there), so
+        # per-tile cost is even and tail-packing buys nothing
+        grouped = blocks.repartition(n_parts_map, "zoom", "x", "y").groupBy(
             "zoom", "x", "y").agg(
             F.collect_list(
                 F.struct("image_id", "left", "top", "bw", "bh", "block")

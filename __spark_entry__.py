@@ -307,7 +307,13 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_nationkey") * 37) % 100 + F.lit(0.5)).alias("qx"),
         ((F.col("n_nationkey") * 53) % 100 + F.lit(0.5)).alias("qy"),
     )
-    return knn_join(points, queries, k=5, cell_size=10.0).select("qid", "pid", "rank")
+    # sf-dir inputs are known-small: skip AQE replanning and shrink the
+    # loop's shuffle fan-out (driver-steered bookkeeping jobs dominate
+    # knn wall at this scale — see knn_join docstring). Library defaults
+    # stay scale-safe for 100 TB callers.
+    return knn_join(points, queries, k=5, cell_size=10.0,
+                    loop_adaptive=False, loop_shuffle_partitions=8,
+                    ).select("qid", "pid", "rank")
 
 
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:

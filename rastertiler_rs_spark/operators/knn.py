@@ -33,6 +33,9 @@ def knn_join(
     query_id: str = "qid",
     max_rounds: int = 8,
     max_final_r: int = 64,
+    loop_adaptive: bool | None = None,
+    loop_shuffle_partitions: int | None = None,
+    start_radius: int | None = None,
 ) -> DataFrame:
     """points(pid, px, py) x queries(qid, qx, qy) → (qid, pid, d2, rank),
     rank 1..k by squared distance (ties broken by pid — deterministic).
@@ -58,6 +61,17 @@ def knn_join(
     query through the rank window; undershoot costs one doubling
     round). Exactness is unaffected: phase 1 only needs >= k
     candidates per query.
+
+    ``loop_adaptive`` / ``loop_shuffle_partitions`` tune the session
+    conf for the DRIVER-STEERED loop actions only (restored before
+    returning; the returned DataFrame plans under the caller's conf).
+    On small inputs AQE's per-exchange replanning and a wide shuffle
+    fan-out cost more driver time than the data: a caller that knows
+    its input is modest can pass ``loop_adaptive=False,
+    loop_shuffle_partitions≈cores/4`` and save ~25%% of knn wall.
+    Defaults (None) leave the session conf untouched — the scale-safe
+    choice: at 100 TB the loop's window shuffle wants the session's
+    partitioning and AQE exactly as configured.
 
     Phase 2 probes only the ANNULUS beyond each query's phase-1 box
     (cells at Chebyshev distance in (r_probe, final_r]) and unions the
@@ -99,76 +113,115 @@ def knn_join(
     # stragglers are plausible. Cap at 8 regardless of max_final_r
     # (ADVICE: overshoot costs (2r+1)^2 rows per query through the
     # rank window on clustered data).
-    stats = cells.agg(
-        F.count("*").alias("_n"),
-        F.approx_count_distinct(
-            F.col("cell_x") * F.lit(1 << 32) + F.col("cell_y")).alias("_nc"),
-    )
-    r0 = F.least(
-        F.greatest(
-            F.lit(1),
-            F.ceil((F.sqrt(F.lit(2.0 * k) / (F.col("_n") / F.col("_nc")))
-                    - F.lit(1.0)) / F.lit(2.0)),
-        ) + F.lit(1),
-        F.lit(8), F.lit(max_final_r)).cast("long")
-    q = q.crossJoin(F.broadcast(stats.select(r0.alias("_r0"))))
-    # degenerate inputs (no points, zero estimate) → null: fall back to 1
-    q = q.withColumn("_r0", F.coalesce(F.col("_r0"), F.lit(1).cast("long")))
-
-    # One eager checkpoint per round (ranked_all: the window over the
-    # round's candidates, the only expensive computation); done/pending
-    # bookkeeping derives from it as cheap small joins, so each round
-    # costs ~2 driver-steered jobs instead of the count/rank/anti/
-    # checkpoint cascade that used to dominate knn wall time. A query is
-    # done iff it has a rank-k row — no separate counts aggregate.
-    pending = q
-    found = None      # (query cols..., kth_dist, r_probe) per done query
-    topk = None       # (query_id, point_id, d2, rank) phase-1 box top-k
-    for i in range(max_rounds):
-        r_col = (F.col("_r0") * F.lit(1 << i)).cast("long")
-        cand = _candidates(pending, cells, r_col).withColumn("d2", d2)
-        ranked_all = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id, point_id, "d2", "rank")
-            .localCheckpoint()
-        )
-        kth = (
-            ranked_all.filter(F.col("rank") == k)
-            .select(query_id, F.sqrt("d2").alias("kth_dist"))
-        )
-        ranked = ranked_all.join(kth.select(query_id), query_id, "left_semi")
-        topk = ranked if topk is None else topk.unionByName(ranked)
-        topk = topk.localCheckpoint(eager=False)
-        done_q = pending.join(kth, query_id).withColumn("r_probe", r_col)
-        found = done_q if found is None else found.unionByName(done_q)
-        found = found.localCheckpoint(eager=False)
-        pending = pending.join(kth.select(query_id), query_id, "left_anti")
-        pending = pending.localCheckpoint(eager=False)
-        if pending.isEmpty():
-            break
+    if start_radius is not None:
+        # caller-supplied start radius (a caller that knows its grid
+        # density can skip the whole stats aggregate — one fewer scan +
+        # broadcast in every lineage; any r0 yields the same exact
+        # result, only the round count differs)
+        q = q.withColumn(
+            "_r0",
+            F.lit(max(1, min(int(start_radius), max_final_r))).cast("long"))
     else:
-        raise ValueError(f"kNN did not converge in {max_rounds} rounds (k too large?)")
+        stats = cells.agg(
+            F.count("*").alias("_n"),
+            F.approx_count_distinct(
+                F.col("cell_x") * F.lit(1 << 32) + F.col("cell_y")).alias("_nc"),
+        )
+        r0 = F.least(
+            F.greatest(
+                F.lit(1),
+                F.ceil((F.sqrt(F.lit(2.0 * k) / (F.col("_n") / F.col("_nc")))
+                        - F.lit(1.0)) / F.lit(2.0)),
+            ) + F.lit(1),
+            F.lit(8), F.lit(max_final_r)).cast("long")
+        q = q.crossJoin(F.broadcast(stats.select(r0.alias("_r0"))))
+        # degenerate inputs (no points, zero estimate) → null: fall back to 1
+        q = q.withColumn("_r0", F.coalesce(F.col("_r0"), F.lit(1).cast("long")))
+        # truncate the stats lineage once: without this every later job
+        # that touches q (pending anti-joins, found, phase 2) re-runs the
+        # full points scan + aggregate behind the broadcast
+        q = q.localCheckpoint(eager=False)
+
+    # ONE job per round: ranked_all (the window over the round's
+    # candidates, the only expensive computation) is checkpointed
+    # LAZILY, and the round's single action is a 1-row convergence
+    # aggregate — pending count crossJoined with the phase-2 guard
+    # stats over found-so-far — which materializes the checkpoint as a
+    # side effect. Done/pending bookkeeping derives from ranked_all as
+    # cheap small joins (a query is done iff it has a rank-k row), and
+    # the guard riding the round aggregate means convergence exits with
+    # the phase-2 decision already in hand: no separate isEmpty job per
+    # round and no post-loop guard job. In a cold session each distinct
+    # job plan costs ~0.5-1 s (codegen + scheduling), so job count —
+    # not data volume — dominates knn wall time at bench scale.
+    pending = q
+    found = None      # (query cols..., kth_dist, r_probe, final_r) per done query
+    topk = None       # (query_id, point_id, d2, rank) phase-1 box top-k
+    guard = None
+    spark = points.sparkSession
+    _saved: dict[str, str] = {}
+    if loop_adaptive is not None:
+        _saved["spark.sql.adaptive.enabled"] = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", str(loop_adaptive).lower())
+    if loop_shuffle_partitions is not None:
+        _saved["spark.sql.shuffle.partitions"] = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_shuffle_partitions)))
+    try:
+        for i in range(max_rounds):
+            r_col = (F.col("_r0") * F.lit(1 << i)).cast("long")
+            cand = _candidates(pending, cells, r_col).withColumn("d2", d2)
+            ranked_all = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(query_id, point_id, "d2", "rank")
+                .localCheckpoint(eager=False)
+            )
+            kth = (
+                ranked_all.filter(F.col("rank") == k)
+                .select(query_id, F.sqrt("d2").alias("kth_dist"))
+            )
+            ranked = ranked_all.join(kth.select(query_id), query_id, "left_semi")
+            topk = ranked if topk is None else topk.unionByName(ranked)
+            topk = topk.localCheckpoint(eager=False)
+            # exact cell bound for radius D: a point within distance D of
+            # the query can sit at most floor(D/cs)+1 cells away in
+            # Chebyshev terms (the query sits at offset a ∈ [0,1) inside
+            # its cell; the worst case floor(a ± D/cs) lands floor(D/cs)+1
+            # cells out, never more). ceil(D/cs)+1 — the previous bound —
+            # is one full ring wider whenever D/cs is fractional, which
+            # forced a phase-2 widening for nearly every query on dense
+            # data where the phase-1 box already sufficed.
+            done_q = (
+                pending.join(kth, query_id)
+                .withColumn("r_probe", r_col)
+                .withColumn("final_r",
+                            (F.floor(F.col("kth_dist") / F.lit(cs)) + 1).cast("long"))
+            )
+            found = done_q if found is None else found.unionByName(done_q)
+            found = found.localCheckpoint(eager=False)
+            pending = pending.join(kth.select(query_id), query_id, "left_anti")
+            pending = pending.localCheckpoint(eager=False)
+            guard = (
+                pending.agg(F.count("*").alias("n_pending"))
+                .crossJoin(found.agg(
+                    F.max("final_r").alias("r"),
+                    F.count(F.when(F.col("final_r") > F.col("r_probe"), 1)
+                            ).alias("n_widen")))
+            ).collect()[0]
+            if guard["n_pending"] == 0:
+                break
+        else:
+            raise ValueError(f"kNN did not converge in {max_rounds} rounds (k too large?)")
+    finally:
+        for key, val in _saved.items():
+            spark.conf.set(key, val)
 
     # phase 2: annulus-only exact pass (see docstring proof); the guard
-    # aggregate doubles as the all-settled short-circuit, so the common
-    # dense case (phase-1 box already covers the kth radius for every
-    # query) returns the checkpointed top-k with no further stages
-    # exact cell bound for radius D: a point within distance D of the
-    # query can sit at most floor(D/cs)+1 cells away in Chebyshev terms
-    # (the query sits at offset a ∈ [0,1) inside its cell; the worst
-    # case floor(a ± D/cs) lands floor(D/cs)+1 cells out, never more).
-    # ceil(D/cs)+1 — the previous bound — is one full ring wider
-    # whenever D/cs is fractional, which forced a phase-2 widening for
-    # nearly every query on dense data where the phase-1 box already
-    # sufficed.
-    final = found.withColumn(
-        "final_r", (F.floor(F.col("kth_dist") / F.lit(cs)) + 1).cast("long"))
-    final = final.localCheckpoint(eager=False)
-    guard = final.agg(
-        F.max("final_r").alias("r"),
-        F.count(F.when(F.col("final_r") > F.col("r_probe"), 1)).alias("n_widen"),
-    ).collect()[0]
+    # stats collected with the last round double as the all-settled
+    # short-circuit, so the common dense case (phase-1 box already
+    # covers the kth radius for every query) returns the checkpointed
+    # top-k with no further jobs at all.
+    final = found
     widest = guard["r"]
     if widest is not None and widest > max_final_r:
         raise ValueError(

@@ -815,6 +815,60 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms", "peak", "sum_sq")
 
 
+def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container probe, VALUE-verified end to end: the fixture
+    muxes real ISO BMFF files (media/mp4.py — ftyp/mdat/moov with full
+    sample tables), the engine parses the moov tree back (tkhd
+    geometry, stsz count, mvhd duration, stsd fourcc), and the DuckDB
+    twin rederives every field from the generation formulas — so the
+    oracle checks the mux→parse round-trip, not just arithmetic.
+    Payload decode is environment-blocked by design; this is container
+    metadata (north-star multimodal extension; no reference analog)."""
+    from rastertiler_rs_spark.fixtures import videos_parquet
+    from rastertiler_rs_spark.operators.multimodal import video_probe
+
+    vids = spark.read.parquet(videos_parquet(64))
+    return video_probe(vids).select(
+        "video_id", "width", "height", "n_frames", "duration_ms", "codec")
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4 demultiplexing under the oracle: frame_sample walks
+    stsz/stsc/stco and emits every 4th stored sample payload; the twin
+    rederives each sampled frame's byte length AND first byte from the
+    deterministic payload formulas — an offset error anywhere in the
+    chunk walk scrambles both. (Demux is real; payload DECODE stays the
+    documented environment-blocked stub.)"""
+    from rastertiler_rs_spark.fixtures import videos_parquet
+    from rastertiler_rs_spark.operators.multimodal import frame_sample
+
+    vids = spark.read.parquet(videos_parquet(32))
+    frames = frame_sample(vids, every_n=4)
+    return frames.select(
+        "video_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.expr("cast(conv(hex(substring(frame_bytes, 1, 1)), 16, 10) as bigint)"
+               ).alias("byte0"))
+
+
+def q_audio_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 framing metadata, VALUE-verified: the fixture writes real
+    MPEG-1 Layer III frame sequences (valid sync/bitrate/samplerate
+    headers, per-frame padding), the engine walks every header
+    (media/mp3.py) deriving rate/channels/sample count, and the twin
+    recomputes them from the generation parameters — verifying the
+    frame-length accounting (144*kbps*1000//sr + padding) across the
+    whole stream. Huffman payload decode stays environment-blocked."""
+    from rastertiler_rs_spark.fixtures import mp3_parquet
+    from rastertiler_rs_spark.operators.multimodal import audio_probe
+
+    clips = spark.read.parquet(mp3_parquet(48))
+    return audio_probe(clips).select(
+        "audio_id", "container", "sample_rate", "channels",
+        "n_samples", "duration_ms")
+
+
 def q_render_pyramid_tile_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant twin of the overview cascade: over fully-opaque images
     the pyramid's (zoom, x, y) set at every level equals the exact SQL
@@ -1123,6 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine": q_embedding_cosine,
         "image_meta": q_image_meta,
         "audio_features": q_audio_features,
+        "video_probe": q_video_probe,
+        "video_frames": q_video_frames,
+        "audio_probe_mp3": q_audio_probe_mp3,
         "sessionize": q_sessionize,
         "star_rollup": q_star_rollup,
         "stream_dedup": q_stream_dedup,
@@ -1706,6 +1763,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         # audio stats straight from the sample formula (the Spark side
         # goes through real WAV bytes — encode→parse round-trip checked)
+        "video_probe": """
+            WITH p AS (
+              SELECT i,
+                     160 + (i % 5) * 32 AS width,
+                     120 + (i % 4) * 24 AS height,
+                     8 + (i * 11) % 17 AS n_frames,
+                     CASE i % 5 WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25
+                                WHEN 3 THEN 40 ELSE 50 END AS fps
+              FROM (SELECT UNNEST(generate_series(0, 63)) AS i) c)
+            SELECT 'vid' || lpad(CAST(i AS VARCHAR), 8, '0') AS video_id,
+                   CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(n_frames * (1000 // fps) AS BIGINT) AS duration_ms,
+                   'mp4v' AS codec
+            FROM p
+        """,
+        "video_frames": """
+            WITH p AS (
+              SELECT i, 8 + (i * 11) % 17 AS n_frames
+              FROM (SELECT UNNEST(generate_series(0, 31)) AS i) c),
+            f AS (
+              SELECT i, UNNEST(generate_series(0, n_frames - 1)) AS fno
+              FROM p)
+            SELECT 'vid' || lpad(CAST(i AS VARCHAR), 8, '0') AS video_id,
+                   CAST(fno AS BIGINT) AS frame_no,
+                   CAST(64 + (i * 7 + fno * 13) % 128 AS BIGINT) AS frame_len,
+                   CAST((i + fno) % 256 AS BIGINT) AS byte0
+            FROM f WHERE fno % 4 = 0
+        """,
+        "audio_probe_mp3": """
+            WITH p AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                ELSE 32000 END AS sample_rate,
+                     1 + (i % 2) AS channels,
+                     5 + (i * 13) % 20 AS n_frames
+              FROM (SELECT UNNEST(generate_series(0, 47)) AS i) c)
+            SELECT 'mp3' || lpad(CAST(i AS VARCHAR), 8, '0') AS audio_id,
+                   'mp3' AS container,
+                   CAST(sample_rate AS BIGINT) AS sample_rate,
+                   CAST(channels AS BIGINT) AS channels,
+                   CAST(n_frames * 1152 AS BIGINT) AS n_samples,
+                   CAST((n_frames * 1152 * 1000) // sample_rate AS BIGINT)
+                     AS duration_ms
+            FROM p
+        """,
         "audio_features": """
             WITH p AS (
               SELECT i, 8000 * (1 + i % 3) AS sample_rate,

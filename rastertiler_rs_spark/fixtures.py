@@ -168,6 +168,122 @@ def audio_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return path
 
 
+def video_params(i: int) -> tuple[int, int, int, int]:
+    """Deterministic per-clip MP4 parameters: (w, h, fps, n_frames).
+    Pure integer formulas; fps always divides 1000 (integral frame
+    durations — see media/mp4.encode_mp4). The DuckDB oracle rederives
+    them in SQL from the id index."""
+    w = 160 + (i % 5) * 32
+    h = 120 + (i % 4) * 24
+    fps = (10, 20, 25, 40, 50)[i % 5]
+    n_frames = 8 + (i * 11) % 17
+    return w, h, fps, n_frames
+
+
+def video_frame_payload(i: int, f: int) -> bytes:
+    """Deterministic stored payload for frame f of clip i. Length and
+    first byte are simple integer formulas (SQL-expressible — the
+    demux oracle checks them); the tail is an LCG fill."""
+    length = 64 + (i * 7 + f * 13) % 128
+    first = (i + f) % 256
+    x = (i * 1_000_003 + f) & (2**64 - 1)
+    body = bytearray([first])
+    for _ in range(length - 1):
+        x = (x * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        body.append((x >> 33) & 0xFF)
+    return bytes(body)
+
+
+def generate_videos(n: int):
+    """Videos table (video_id, bytes=real ISO BMFF mp4, fmt, plus the
+    generation parameters as columns so the oracle can recompute the
+    probe/demux outputs in SQL)."""
+    import pyarrow as pa
+
+    from .media import encode_mp4
+
+    ids, blobs, ws, hs, fpss, nfs = [], [], [], [], [], []
+    for i in range(n):
+        w, h, fps, n_frames = video_params(i)
+        frames = [video_frame_payload(i, f) for f in range(n_frames)]
+        ids.append(f"vid{i:08d}")
+        blobs.append(encode_mp4(frames, w, h, fps))
+        ws.append(w)
+        hs.append(h)
+        fpss.append(fps)
+        nfs.append(n_frames)
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["mp4;mp4v"] * n, pa.string()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "fps": pa.array(fpss, pa.int32()),
+        "n_frames": pa.array(nfs, pa.int32()),
+    })
+
+
+def videos_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"videos_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_videos(n), path, row_group_size=256)
+    return path
+
+
+def mp3_params(i: int) -> tuple[int, int, int, int, int]:
+    """Deterministic per-clip MP3 parameters: (sample_rate, kbps,
+    channels, n_frames, pad_every). Integer formulas, SQL-rederivable."""
+    sample_rate = (44100, 48000, 32000)[i % 3]
+    kbps = (64, 128, 192, 320)[i % 4]
+    channels = 1 + (i % 2)
+    n_frames = 5 + (i * 13) % 20
+    pad_every = i % 4  # 0 = never padded
+    return sample_rate, kbps, channels, n_frames, pad_every
+
+
+def generate_mp3(n: int):
+    """MP3 clips table: bytes = real MPEG-1 Layer III framing (valid
+    headers, deterministic filler payloads) + the generation parameters
+    as columns for the SQL oracle twin."""
+    import pyarrow as pa
+
+    from .media import encode_mp3
+
+    ids, blobs, rates, kbpss, chans, nfs, pads = [], [], [], [], [], [], []
+    for i in range(n):
+        sr, kbps, ch, n_frames, pad_every = mp3_params(i)
+        ids.append(f"mp3{i:08d}")
+        blobs.append(encode_mp3(n_frames, kbps, sr, ch, pad_every, seed=i))
+        rates.append(sr)
+        kbpss.append(kbps)
+        chans.append(ch)
+        nfs.append(n_frames)
+        pads.append(pad_every)
+    return pa.table({
+        "audio_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["mp3"] * n, pa.string()),
+        "sample_rate": pa.array(rates, pa.int32()),
+        "kbps": pa.array(kbpss, pa.int32()),
+        "channels": pa.array(chans, pa.int32()),
+        "n_frames": pa.array(nfs, pa.int32()),
+        "pad_every": pa.array(pads, pa.int32()),
+    })
+
+
+def mp3_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"mp3_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_mp3(n), path, row_group_size=256)
+    return path
+
+
 def generate_images(n: int, dtype_tag: str = "u8"):
     """Build the images table as a pyarrow Table (schema = input_hint)."""
     import pyarrow as pa

@@ -6,8 +6,13 @@ plumbing (schemas, Arrow batching, partition behavior) is real and
 tested; PNG decode/resize/feature-extract is fully implemented via the
 engine codec (png/codec.py), and baseline JPEG likewise via the
 from-spec numpy codec (jpeg/codec.py: sequential 8-bit huffman+IDCT,
-gray + YCbCr up to 2x2 sampling). Codecs still absent from this
-container (WebP/video) have two clearly-separated modes:
+gray + YCbCr up to 2x2 sampling). CONTAINER-level audio/video support
+is real too: MP4 probe + sample demux via the from-spec ISO BMFF
+walker and MP3 framing metadata via the Layer III header walk
+(media/mp4.py, media/mp3.py) — only the compressed-payload DECODE of
+those streams is environment-blocked. Codecs still absent from this
+container (WebP pixels, mp4/mp3 payload decode) have two
+clearly-separated modes:
 
 - default: raise NotImplementedError with the batch signature a
   production codec would drop into (honest environment-blocked stub);
@@ -251,16 +256,29 @@ def audio_features(audio: DataFrame, fake_codecs: bool = False) -> DataFrame:
 def frame_sample(videos: DataFrame, every_n: int = 30,
                  fake_codecs: bool = False) -> DataFrame:
     """Video frame sampling: binary column in, exploded
-    (video_id, frame_no, frame_bytes) out. No demuxer exists in this
-    container: by default calling it raises; ``fake_codecs=True`` swaps
-    in a DETERMINISTIC FAKE demuxer (frame count = payload_len // 256,
-    each sampled frame a crc32-seeded 16x16 PNG) so the explode shape,
-    schema, and batching are real and tested. A production build plugs
-    pyav/ffmpeg into ``_extract`` and changes nothing else."""
+    (video_id, frame_no, frame_bytes) out.
 
-    def _extract(data: bytes, every_n: int):
+    MP4 input (``fmt`` starting with "mp4") is REAL: the engine's own
+    ISO BMFF demuxer (media/mp4.py) walks stsz/stsc/stco and emits the
+    byte-exact stored payload of every ``every_n``-th sample — that is
+    container demultiplexing, not decoding; turning those payloads into
+    pixels stays environment-blocked. Other container formats raise by
+    default; ``fake_codecs=True`` swaps in the DETERMINISTIC FAKE
+    demuxer (frame count = payload_len // 256, each sampled frame a
+    crc32-seeded 16x16 PNG) so the explode shape, schema, and batching
+    stay testable. A production build plugs pyav/ffmpeg into
+    ``_extract`` and changes nothing else."""
+    from ..media import demux_mp4
+
+    def _extract(data: bytes, fmt: str, every_n: int):
+        if fmt.startswith("mp4"):
+            samples = demux_mp4(data)
+            for frame_no in range(0, len(samples), every_n):
+                yield frame_no, samples[frame_no]
+            return
         if not fake_codecs:
-            raise NotImplementedError("video demuxer not available in this environment")
+            raise NotImplementedError(
+                f"demuxer for {fmt!r} not available in this environment")
         n_frames = max(1, len(data) // 256)
         for frame_no in range(0, n_frames, every_n):
             band = _fake_decode(data + frame_no.to_bytes(4, "big"), 16, 16)
@@ -270,10 +288,81 @@ def frame_sample(videos: DataFrame, every_n: int = 30,
         for pdf in batches:
             frames = {"video_id": [], "frame_no": [], "frame_bytes": []}
             for row in pdf.itertuples(index=False):
-                for frame_no, frame in _extract(bytes(row.bytes), every_n):
+                fmt = str(getattr(row, "fmt", ""))
+                for frame_no, frame in _extract(bytes(row.bytes), fmt, every_n):
                     frames["video_id"].append(row.video_id)
                     frames["frame_no"].append(frame_no)
                     frames["frame_bytes"].append(frame)
             yield pd.DataFrame(frames)
 
     return videos.mapInPandas(fn, "video_id string, frame_no int, frame_bytes binary")
+
+
+def video_probe(videos: DataFrame) -> DataFrame:
+    """Container metadata for the video modality — REAL for MP4 via the
+    engine's ISO BMFF parser (media/mp4.py): width/height from tkhd,
+    sample count from stsz, duration from mvhd (movie timescale
+    normalized to ms), codec fourcc from stsd. No payload decode.
+    All-integer outputs ⇒ bit-identical across engines."""
+    from ..media import probe_mp4
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "width": [], "height": [],
+                   "n_frames": [], "duration_ms": [], "codec": []}
+            for row in pdf.itertuples(index=False):
+                if not str(row.fmt).startswith("mp4"):
+                    raise NotImplementedError(
+                        f"container parser for {row.fmt!r} not available")
+                meta = probe_mp4(bytes(row.bytes))
+                out["video_id"].append(row.video_id)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["n_frames"].append(meta["n_samples"])
+                out["duration_ms"].append(meta["duration_ms"])
+                out["codec"].append(meta["codec"])
+            yield pd.DataFrame(out)
+
+    return videos.select("video_id", "bytes", "fmt").mapInPandas(
+        fn, "video_id string, width long, height long, n_frames long, "
+            "duration_ms long, codec string")
+
+
+def audio_probe(audio: DataFrame) -> DataFrame:
+    """Container metadata for the audio modality — REAL for both RIFF/
+    WAV (engine's PCM16 parser) and MP3 (media/mp3.py frame-header
+    walk: sync + bitrate/samplerate indices + per-frame padding).
+    For MP3 the sample count is derived from framing (1152 samples per
+    MPEG-1 Layer III frame) — no Huffman payload decode. n_samples is
+    per channel for both containers; duration_ms = n_samples * 1000 //
+    sample_rate exactly (integer, oracle-twin-friendly)."""
+    from ..media import probe_mp3
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "container": [], "sample_rate": [],
+                   "channels": [], "n_samples": [], "duration_ms": []}
+            for row in pdf.itertuples(index=False):
+                fmt = str(row.fmt)
+                if fmt.startswith("wav"):
+                    d = parse_wav(bytes(row.bytes))
+                    n = int(d["samples"].size) // int(d["channels"])
+                    sr, ch, container = d["sample_rate"], d["channels"], "wav"
+                elif fmt.startswith("mp3"):
+                    m = probe_mp3(bytes(row.bytes))
+                    n, sr, ch, container = (m["n_samples"], m["sample_rate"],
+                                            m["channels"], "mp3")
+                else:
+                    raise NotImplementedError(
+                        f"container parser for {fmt!r} not available")
+                out["audio_id"].append(row.audio_id)
+                out["container"].append(container)
+                out["sample_rate"].append(sr)
+                out["channels"].append(ch)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // sr)
+            yield pd.DataFrame(out)
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn, "audio_id string, container string, sample_rate long, "
+            "channels long, n_samples long, duration_ms long")

@@ -1,0 +1,235 @@
+"""Container-codec tests: ISO BMFF (MP4) mux/probe/demux and MPEG-1
+Layer III framing — plus the Spark operators built on them."""
+
+import struct
+
+import pytest
+
+from rastertiler_rs_spark.media import (
+    demux_mp4, encode_mp3, encode_mp4, probe_mp3, probe_mp4)
+from rastertiler_rs_spark.media.mp3 import _frame_len
+from rastertiler_rs_spark.fixtures import (
+    mp3_params, mp3_parquet, video_frame_payload, video_params,
+    videos_parquet)
+
+
+# ---------------------------------------------------------------- mp4
+
+def test_mp4_roundtrip_probe_and_demux():
+    frames = [bytes([i % 256]) * (50 + i * 7) for i in range(12)]
+    data = encode_mp4(frames, 320, 240, fps=25)
+    meta = probe_mp4(data)
+    assert meta == {"width": 320, "height": 240, "n_samples": 12,
+                    "duration_ms": 12 * 40, "timescale": 1000,
+                    "codec": "mp4v"}
+    assert demux_mp4(data) == frames
+
+
+def test_mp4_empty_and_single_frame():
+    data = encode_mp4([b"xyz"], 16, 16, fps=10)
+    assert probe_mp4(data)["n_samples"] == 1
+    assert demux_mp4(data) == [b"xyz"]
+    data0 = encode_mp4([], 16, 16, fps=10)
+    assert probe_mp4(data0)["n_samples"] == 0
+    assert demux_mp4(data0) == []
+
+
+def test_mp4_fps_must_divide_timescale():
+    with pytest.raises(ValueError, match="fps"):
+        encode_mp4([b"a"], 8, 8, fps=30)
+
+
+def test_mp4_version1_mvhd_parsed():
+    """The writer emits version-0 boxes; the prober must also read
+    version-1 (64-bit) mvhd/tkhd — craft one by hand."""
+    data = bytearray(encode_mp4([b"abc", b"defg"], 100, 50, fps=20))
+    # locate the v0 mvhd and rebuild it as v1 (payload grows by 12)
+    i = bytes(data).index(b"mvhd") - 4
+    size = struct.unpack_from(">I", data, i)[0]
+    body = bytes(data[i + 8:i + size])
+    ver_flags, rest = body[:4], body[4:]
+    cr, mo, ts, du = struct.unpack_from(">IIII", rest, 0)
+    v1 = struct.pack(">BBBB", 1, 0, 0, 0) + struct.pack(
+        ">QQIQ", cr, mo, ts, du) + rest[16:]
+    new_box = struct.pack(">I", 8 + len(v1)) + b"mvhd" + v1
+    out = bytes(data[:i]) + new_box + bytes(data[i + size:])
+    # the v1 rebuild grew the enclosing moov by 12 bytes — patch its size
+    j = out.index(b"moov") - 4
+    moov_size = struct.unpack_from(">I", out, j)[0]
+    out = out[:j] + struct.pack(">I", moov_size + 12) + out[j + 4:]
+    meta = probe_mp4(out)
+    assert meta["duration_ms"] == 2 * 50
+    assert (meta["width"], meta["height"]) == (100, 50)
+
+
+def test_mp4_corruption_raises():
+    data = encode_mp4([b"abc"] * 3, 64, 64, fps=25)
+    with pytest.raises(ValueError):
+        probe_mp4(data[:32])            # moov truncated away
+    bad = bytearray(data)
+    i = bytes(bad).index(b"stco") - 4
+    # point the chunk offset past EOF
+    struct.pack_into(">I", bad, i + 8 + 4 + 4, len(data) + 1000)
+    with pytest.raises(ValueError, match="overruns"):
+        demux_mp4(bytes(bad))
+
+
+def test_mp4_multichunk_and_co64_demux():
+    """Hand-build stsc/co64 variants the single-chunk writer never
+    emits: 2 chunks (2+1 samples) addressed by 64-bit offsets."""
+    frames = [b"AAAA", b"BBBBBB", b"CC"]
+    base = encode_mp4(frames, 32, 32, fps=10)
+    mdat_payload_off = base.index(b"mdat") + 4  # index() lands on the type 4cc
+    stbl_children = {
+        b"stsd": None, b"stts": None,
+        b"stsc": struct.pack(">BBBB", 0, 0, 0, 0)
+        + struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1) + struct.pack(">III", 2, 1, 1),
+        b"stsz": struct.pack(">BBBB", 0, 0, 0, 0) + struct.pack(">II", 0, 3)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+        b"co64": struct.pack(">BBBB", 0, 0, 0, 0) + struct.pack(">I", 2)
+        + struct.pack(">QQ", mdat_payload_off, mdat_payload_off + 10),
+    }
+    # splice: reuse stsd/stts from the real file, replace the rest
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+    i = base.index(b"stsd") - 4
+    stsd_size = struct.unpack_from(">I", base, i)[0]
+    stsd = base[i:i + stsd_size]
+    i = base.index(b"stts") - 4
+    stts_size = struct.unpack_from(">I", base, i)[0]
+    stts = base[i:i + stts_size]
+    stbl = box(b"stbl", stsd + stts + box(b"stsc", stbl_children[b"stsc"])
+               + box(b"stsz", stbl_children[b"stsz"])
+               + box(b"co64", stbl_children[b"co64"]))
+    i = base.index(b"vmhd") - 4
+    vmhd_size = struct.unpack_from(">I", base, i)[0]
+    vmhd = base[i:i + vmhd_size]
+    i = base.index(b"dinf") - 4
+    dinf_size = struct.unpack_from(">I", base, i)[0]
+    dinf = base[i:i + dinf_size]
+    minf = box(b"minf", vmhd + dinf + stbl)
+    i = base.index(b"mdhd") - 4
+    mdhd = base[i:i + struct.unpack_from(">I", base, i)[0]]
+    i = base.index(b"hdlr") - 4
+    hdlr = base[i:i + struct.unpack_from(">I", base, i)[0]]
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    i = base.index(b"tkhd") - 4
+    tkhd = base[i:i + struct.unpack_from(">I", base, i)[0]]
+    trak = box(b"trak", tkhd + mdia)
+    i = base.index(b"mvhd") - 4
+    mvhd = base[i:i + struct.unpack_from(">I", base, i)[0]]
+    moov = box(b"moov", mvhd + trak)
+    mdat_end = base.index(b"moov") - 4
+    out = base[:mdat_end] + moov
+    assert demux_mp4(out) == frames
+
+
+# ---------------------------------------------------------------- mp3
+
+def test_mp3_roundtrip_all_params():
+    for sr in (44100, 48000, 32000):
+        for kbps in (32, 128, 320):
+            for ch in (1, 2):
+                s = encode_mp3(9, kbps, sr, ch, pad_every=2, seed=3)
+                m = probe_mp3(s)
+                assert m["sample_rate"] == sr
+                assert m["channels"] == ch
+                assert m["n_frames"] == 9
+                assert m["avg_kbps"] == kbps
+                assert m["duration_ms"] == 9 * 1152 * 1000 // sr
+                assert m["n_bytes"] == len(s)
+
+
+def test_mp3_padding_accounting():
+    # pad_every=3 pads frames 0,3,6,... -> ceil(n/3) padded frames
+    s = encode_mp3(10, 128, 44100, 2, pad_every=3)
+    base = _frame_len(128, 44100, False)
+    assert len(s) == 10 * base + 4  # ceil(10/3) = 4 padded frames
+    assert probe_mp3(s)["n_frames"] == 10
+
+
+def test_mp3_corruption_raises():
+    s = encode_mp3(5, 128, 44100, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        probe_mp3(s[:-1])
+    with pytest.raises(ValueError, match="sync"):
+        probe_mp3(b"\x00" + s)
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        probe_mp3(b"")
+    bad = bytearray(s)
+    bad[2] |= 0xF0  # bitrate index 15 = forbidden
+    with pytest.raises(ValueError, match="forbidden"):
+        probe_mp3(bytes(bad))
+
+
+# ------------------------------------------------------- Spark operators
+
+def test_video_probe_operator(spark):
+    from rastertiler_rs_spark.operators.multimodal import video_probe
+
+    vids = spark.read.parquet(videos_parquet(16))
+    rows = {r["video_id"]: r for r in video_probe(vids).collect()}
+    assert len(rows) == 16
+    for i in range(16):
+        w, h, fps, n_frames = video_params(i)
+        r = rows[f"vid{i:08d}"]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_frames"] == n_frames
+        assert r["duration_ms"] == n_frames * (1000 // fps)
+        assert r["codec"] == "mp4v"
+
+
+def test_frame_sample_real_mp4(spark):
+    from rastertiler_rs_spark.operators.multimodal import frame_sample
+
+    vids = spark.read.parquet(videos_parquet(8))
+    out = frame_sample(vids, every_n=4).collect()
+    by_key = {(r["video_id"], r["frame_no"]): bytes(r["frame_bytes"])
+              for r in out}
+    total = 0
+    for i in range(8):
+        _, _, _, n_frames = video_params(i)
+        for f in range(0, n_frames, 4):
+            assert by_key[(f"vid{i:08d}", f)] == video_frame_payload(i, f)
+            total += 1
+    assert len(out) == total
+
+
+def test_audio_probe_operator_wav_and_mp3(spark):
+    from rastertiler_rs_spark.fixtures import audio_parquet, audio_params
+    from rastertiler_rs_spark.operators.multimodal import audio_probe
+
+    clips = spark.read.parquet(mp3_parquet(12))
+    rows = {r["audio_id"]: r for r in audio_probe(clips).collect()}
+    for i in range(12):
+        sr, kbps, ch, n_frames, _ = mp3_params(i)
+        r = rows[f"mp3{i:08d}"]
+        assert r["container"] == "mp3"
+        assert (r["sample_rate"], r["channels"]) == (sr, ch)
+        assert r["n_samples"] == n_frames * 1152
+        assert r["duration_ms"] == n_frames * 1152 * 1000 // sr
+
+    wavs = spark.read.parquet(audio_parquet(6))
+    rows = {r["audio_id"]: r for r in audio_probe(wavs).collect()}
+    for i in range(6):
+        rate, channels, n_frames = audio_params(i)
+        r = rows[f"aud{i:08d}"]
+        assert r["container"] == "wav"
+        assert (r["sample_rate"], r["channels"]) == (rate, channels)
+        assert r["n_samples"] == n_frames
+        assert r["duration_ms"] == n_frames * 1000 // rate
+
+
+def test_unknown_container_raises(spark):
+    from rastertiler_rs_spark.operators.multimodal import (
+        audio_probe, video_probe)
+
+    df = spark.createDataFrame(
+        [("x", bytearray(b"1234"), "webm")], "video_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="webm"):
+        video_probe(df).collect()
+    df2 = spark.createDataFrame(
+        [("x", bytearray(b"1234"), "ogg")], "audio_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="ogg"):
+        audio_probe(df2).collect()

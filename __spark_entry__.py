@@ -567,11 +567,17 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL-JPEG slice: 16 fixture bands encoded by the from-spec baseline
     JPEG encoder (jpeg/codec.py) whose SOF header the real decoder must
     parse back to the generation-formula dims — so the jpeg codec path
-    runs under the value gate, not just pytest."""
+    runs under the value gate, not just pytest. And a REAL-WEBP slice:
+    16 bands muxed by the from-spec VP8L lossless encoder
+    (webp/codec.py) whose 14-bit header dims the probe must read back
+    — the webp container path under the value gate too."""
+    import numpy as np
+
     from rastertiler_rs_spark.fixtures import (_H_CYCLE, _W_CYCLE,
                                                images_parquet, pixel_band)
     from rastertiler_rs_spark.jpeg import encode_jpeg_gray
     from rastertiler_rs_spark.operators.multimodal import image_metadata
+    from rastertiler_rs_spark.webp import encode_webp_lossless
 
     images = spark.read.parquet(images_parquet(64, "u8"))
     jrows = []
@@ -582,7 +588,16 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                       w, h, "jpeg"))
     jpegs = spark.createDataFrame(
         jrows, "image_id string, bytes binary, w int, h int, fmt string")
-    return image_metadata(images).unionByName(image_metadata(jpegs))
+    wrows = []
+    for i in range(16):
+        w, h = 16 + (i % 4) * 16, 12 + (i % 4) * 8
+        band = pixel_band(i, w, h, "u8")
+        rgba = np.stack([band] * 3 + [np.full((h, w), 255, np.uint8)], -1)
+        wrows.append((f"wbp{i:08d}", encode_webp_lossless(rgba), w, h, "webp"))
+    webps = spark.createDataFrame(
+        wrows, "image_id string, bytes binary, w int, h int, fmt string")
+    return (image_metadata(images).unionByName(image_metadata(jpegs))
+            .unionByName(image_metadata(webps)))
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1884,6 +1899,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 512 END AS INT) AS actual_h,
                    TRUE AS dims_match
             FROM idx
+            UNION ALL
+            SELECT 'wbp' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+                   'webp' AS fmt,
+                   CAST(16 + (i % 4) * 16 AS INT) AS decl_w,
+                   CAST(12 + (i % 4) * 8 AS INT) AS decl_h,
+                   CAST(16 + (i % 4) * 16 AS INT) AS actual_w,
+                   CAST(12 + (i % 4) * 8 AS INT) AS actual_h,
+                   TRUE AS dims_match
+            FROM (SELECT UNNEST(generate_series(0, 15)) AS i) t3(i)
         """,
         "phash_near": f"""
             WITH base AS (

@@ -10,9 +10,10 @@ gray + YCbCr up to 2x2 sampling). CONTAINER-level audio/video support
 is real too: MP4 probe + sample demux via the from-spec ISO BMFF
 walker and MP3 framing metadata via the Layer III header walk
 (media/mp4.py, media/mp3.py) — only the compressed-payload DECODE of
-those streams is environment-blocked. Codecs still absent from this
-container (WebP pixels, mp4/mp3 payload decode) have two
-clearly-separated modes:
+those streams is environment-blocked. WebP lossless (VP8L) decode is
+real via the from-spec codec in webp/codec.py. Codecs still absent
+from this container (lossy-VP8 webp pixels, mp4/mp3 payload decode)
+have two clearly-separated modes:
 
 - default: raise NotImplementedError with the batch signature a
   production codec would drop into (honest environment-blocked stub);
@@ -66,11 +67,15 @@ def _decode_any(data: bytes, fmt: str, w: int = 0, h: int = 0,
         return arr
     if fmt.startswith("webp"):
         if fake_codecs:
+            # legacy plumbing tests feed arbitrary bytes under this flag
             return _fake_decode(data, int(w), int(h))
-        # STUB: container has no WebP codec. A production build plugs
-        # libwebp here; everything around this call (schema, batching,
-        # caching) is the real pipeline.
-        raise NotImplementedError(f"codec for {fmt!r} not available in this environment")
+        from ..webp import decode_webp
+
+        rgba = decode_webp(data)  # REAL for VP8L lossless (webp/codec.py);
+        # lossy VP8 raises NotImplementedError inside (env-blocked stub)
+        arr = (0.299 * rgba[:, :, 0] + 0.587 * rgba[:, :, 1]
+               + 0.114 * rgba[:, :, 2])
+        return np.clip(np.round(arr), 0, 255).astype(np.uint8)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
@@ -87,6 +92,11 @@ def image_metadata(images: DataFrame) -> DataFrame:
                     from ..jpeg import jpeg_dims
 
                     aw, ah, _ = jpeg_dims(bytes(row.bytes))
+                elif row.fmt.startswith("webp"):
+                    from ..webp import probe_webp
+
+                    meta = probe_webp(bytes(row.bytes))
+                    aw, ah = meta["width"], meta["height"]
                 else:
                     d = decode_png(bytes(row.bytes))
                     aw, ah = d["width"], d["height"]
@@ -107,15 +117,16 @@ def image_metadata(images: DataFrame) -> DataFrame:
 def resize_images(images: DataFrame, target: int,
                   fake_codecs: bool = False) -> DataFrame:
     """Nearest-neighbor resize to target x target (the kernel's K2 rule):
-    (image_id, bytes). Real for png;u8 and jpeg (from-spec codecs);
-    webp raises unless ``fake_codecs`` opts into the deterministic
-    fake decode."""
+    (image_id, bytes). Real for png;u8, jpeg, and lossless webp
+    (from-spec codecs); lossy webp raises unless ``fake_codecs`` opts
+    into the deterministic fake decode."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"image_id": [], "bytes": []}
             for row in pdf.itertuples(index=False):
-                if row.fmt == "png;u8" or row.fmt.startswith("jpeg"):
+                if (row.fmt == "png;u8" or row.fmt.startswith("jpeg")
+                        or (row.fmt.startswith("webp") and not fake_codecs)):
                     band = _decode_any(bytes(row.bytes), row.fmt)
                 elif row.fmt.startswith("webp") and fake_codecs:
                     band = _fake_decode(bytes(row.bytes), int(row.w), int(row.h))
@@ -142,8 +153,9 @@ def image_features(images: DataFrame, fake_codecs: bool = False) -> DataFrame:
     outputs integer ⇒ deterministic across runs/engines; values are
     pinned exactly against a numpy recomputation in tests.
 
-    Real decode for PNG (u8 and u32); jpeg/webp go through the
-    deterministic fake only when opted in, else raise (stub)."""
+    Real decode for PNG (u8 and u32), baseline JPEG, and lossless WebP
+    (VP8L, webp/codec.py); lossy webp goes through the deterministic
+    fake only when opted in, else raises (stub)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -69,11 +69,24 @@ def test_fake_codec_resize_and_features(spark):
 
 
 def test_default_stub_still_raises(spark):
+    # webp default mode is REAL now (VP8L, webp/codec.py): garbage
+    # bytes fail the container parse rather than hitting a stub...
     imgs = _jpeg_rows(spark, 1)
-    with pytest.raises(Exception, match="stubbed|not available"):
+    with pytest.raises(Exception, match="RIFF"):
         resize_images(imgs, target=8).collect()
+    # ...and the honest env-blocked stub remains for LOSSY VP8 payloads
+    import struct
+
+    vp8_payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 48, 32)
+    chunk = b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
+    lossy = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    lossy_df = spark.createDataFrame(
+        [("v0", bytearray(lossy), 48, 32, "webp;vp8")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    with pytest.raises(Exception, match="lossy|not available"):
+        resize_images(lossy_df, target=8).collect()
     with pytest.raises(Exception, match="not available"):
-        frame_sample(imgs.selectExpr("image_id as video_id", "bytes")).collect()
+        frame_sample(imgs.selectExpr("image_id as video_id", "bytes", "fmt")).collect()
 
 
 def test_frame_sample_fake_demuxer(spark):

@@ -1,0 +1,233 @@
+"""WebP lossless (VP8L) codec tests: roundtrips, prefix-code edge
+cases, Kraft repair under adversarial frequencies, subset-boundary
+errors, and the probe across container variants."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from rastertiler_rs_spark.webp import (
+    decode_webp, encode_webp_lossless, probe_webp)
+from rastertiler_rs_spark.webp.codec import (
+    _BitReader, _BitWriter, _build_lengths, _canonical_codes, _read_code,
+    _rev, _write_code)
+
+
+def _roundtrip(img):
+    data = encode_webp_lossless(img)
+    out = decode_webp(data)
+    np.testing.assert_array_equal(out, img)
+    return data
+
+
+def test_roundtrip_random():
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (1, 7), (9, 1), (8, 8), (13, 17), (40, 23)]:
+        _roundtrip(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
+
+
+def test_roundtrip_degenerate_channels():
+    # 1 distinct value per channel -> every prefix code is the 0-bit
+    # simple form; the pixel stream is empty bits
+    img = np.zeros((5, 4, 4), np.uint8)
+    img[..., 0] = 7
+    img[..., 3] = 255
+    data = _roundtrip(img)
+    assert len(data) < 60
+    # 2 distinct values -> 1-bit simple codes
+    img[2:, :, 0] = 250
+    _roundtrip(img)
+
+
+def test_roundtrip_skewed_histogram():
+    # geometric-ish skew drives deep Huffman trees through the
+    # clamp-and-repair path
+    rng = np.random.default_rng(0)
+    vals = np.clip(rng.geometric(0.35, size=64 * 64), 1, 255).astype(np.uint8)
+    img = np.stack([vals.reshape(64, 64)] * 3
+                   + [np.full((64, 64), 255, np.uint8)], -1)
+    _roundtrip(img)
+
+
+def test_alpha_hint():
+    opaque = np.full((3, 3, 4), 9, np.uint8)
+    opaque[..., 3] = 255
+    assert probe_webp(encode_webp_lossless(opaque))["has_alpha"] is False
+    opaque[1, 1, 3] = 7
+    assert probe_webp(encode_webp_lossless(opaque))["has_alpha"] is True
+
+
+def test_build_lengths_kraft_complete_adversarial():
+    # fibonacci frequencies force unlimited-Huffman depths > 15
+    freqs, a, b = {}, 1, 1
+    for s in range(24):
+        freqs[s] = a
+        a, b = b, a + b
+    lengths = _build_lengths(freqs)
+    assert max(lengths) <= 15
+    assert sum(1 << (15 - l) for l in lengths if l) == 1 << 15
+    codes = _canonical_codes(lengths)
+    assert len(codes) == 24
+    # prefix-free: no code is a prefix of another
+    bits = sorted(format(c, f"0{l}b") for c, l in codes.values())
+    for x, y in zip(bits, bits[1:]):
+        assert not y.startswith(x)
+
+
+def test_code_roundtrip_through_bitstream():
+    # write + re-read a full (non-simple) code standalone
+    rng = np.random.default_rng(3)
+    freqs = {s: int(f) for s, f in
+             enumerate(rng.integers(1, 1000, size=100)) if f > 0}
+    lengths = _build_lengths(freqs) + [0] * (256 - 100)
+    w = _BitWriter()
+    _write_code(w, lengths, 256)
+    table = _read_code(_BitReader(w.done()), 256)
+    recovered = [0] * 256
+    for (l, _c), s in table.items():
+        recovered[s] = l
+    assert recovered == lengths
+
+
+def test_decoder_rejects_unsupported_features():
+    img = np.full((2, 2, 4), 3, np.uint8)
+    data = bytearray(encode_webp_lossless(img))
+    # flip the "transform present" bit (bit 29 of the VP8L payload:
+    # 14+14 dims, 1 alpha, 3 version, then the transform flag)
+    payload_off = data.index(b"VP8L") + 8 + 1
+    bit = 14 + 14 + 1 + 3
+    data[payload_off + bit // 8] |= 1 << (bit % 8)
+    with pytest.raises(NotImplementedError, match="transform"):
+        decode_webp(bytes(data))
+
+
+def test_decoder_rejects_lossy_and_bad_container():
+    # minimal lossy VP8 container: probe works, decode raises
+    vp8_payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48)
+    chunk = b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
+    lossy = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert probe_webp(lossy) == {"variant": "lossy", "width": 64,
+                                 "height": 48, "has_alpha": False}
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(lossy)
+    with pytest.raises(ValueError, match="RIFF"):
+        probe_webp(b"not a webp file at all")
+
+
+def test_probe_vp8x_extended():
+    vp8x = bytes([0x10, 0, 0, 0]) + (99).to_bytes(3, "little") \
+        + (49).to_bytes(3, "little")
+    chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert probe_webp(data) == {"variant": "extended", "width": 100,
+                                "height": 50, "has_alpha": True}
+    with pytest.raises(NotImplementedError, match="extended"):
+        decode_webp(data)
+
+
+def test_truncated_stream_raises():
+    img = np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4)
+    data = encode_webp_lossless(img)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(data[:-2])
+
+
+def test_max_symbol_shortcut_decode():
+    """The writer never uses the max_symbol shortcut; hand-build a code
+    that does (simple alphabet: symbols 0..3 all length 2, transmitted
+    as 4 literal CL symbols, capped by max_symbol=4) and check the
+    reader honors the countdown."""
+    w = _BitWriter()
+    w.write(0, 1)                        # full code
+    # CL code: only symbol "2" used -> degenerate 0-bit CL code.
+    # _CLC_ORDER = [17, 18, 0, 1, 2, ...]; "2" sits at index 4
+    w.write(5 - 4, 4)                    # num_code_lengths = 5
+    for v in (0, 0, 0, 0, 1):            # lengths for 17,18,0,1,2
+        w.write(v, 3)
+    w.write(1, 1)                        # use max_symbol
+    w.write(0, 3)                        # length_nbits = 2
+    w.write(2, 2)                        # max_symbol = 2 + 2 = 4
+    # 4 CL reads consume 0 bits each (degenerate) -> lengths 2,2,2,2
+    table = _read_code(_BitReader(w.done()), 8)
+    recovered = sorted((s, l) for (l, _c), s in table.items())
+    assert recovered == [(0, 2), (1, 2), (2, 2), (3, 2)]
+
+
+def test_real_webp_operator_path(spark):
+    """image_features and resize_images run the REAL VP8L decode path
+    (grey r=g=b round-trips through the luma conversion exactly)."""
+    from rastertiler_rs_spark.fixtures import NODATA, pixel_band
+    from rastertiler_rs_spark.operators.multimodal import (
+        image_features, resize_images)
+    from rastertiler_rs_spark.png import decode_png
+
+    rows = []
+    bands = {}
+    for i in range(4):
+        w, h = 24 + i * 8, 20 + i * 4
+        band = pixel_band(i, w, h, "u8")
+        rgba = np.stack([band] * 3 + [np.full((h, w), 255, np.uint8)], -1)
+        rows.append((f"wbp{i}", encode_webp_lossless(rgba), w, h, "webp"))
+        bands[f"wbp{i}"] = band
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+
+    feats = {r["image_id"]: r.asDict() for r in image_features(df).collect()}
+    for iid, band in bands.items():
+        vals = band[band != NODATA].astype(np.int64)
+        assert feats[iid]["n_pixels"] == band.size
+        assert feats[iid]["vsum"] == int(vals.sum())
+
+    out = {r["image_id"]: bytes(r["bytes"])
+           for r in resize_images(df, target=10).collect()}
+    for iid, band in bands.items():
+        h, w = band.shape
+        ri = np.minimum(((np.arange(10) + 0.5) * h / 10).astype(np.int64), h - 1)
+        ci = np.minimum(((np.arange(10) + 0.5) * w / 10).astype(np.int64), w - 1)
+        np.testing.assert_array_equal(
+            decode_png(out[iid])["pixels"], band[ri[:, None], ci[None, :]])
+
+
+def test_color_cache_decode():
+    """The writer never emits a color cache; hand-build a 2-pixel
+    stream where the second pixel is a cache hit of the first."""
+    argb = (0x80 << 24) | (10 << 16) | (20 << 8) | 30   # a=128 r=10 g=20 b=30
+    cache_bits = 4
+    idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    # green alphabet: literal 20 and cache ref 280+idx; the cache
+    # symbol is >= 256 so it cannot take the simple-code form — the
+    # green code goes through the full code-length-coded path
+    cache_sym = 280 + idx
+    w2 = _BitWriter()
+    w2.write(2 - 1, 14); w2.write(1 - 1, 14); w2.write(1, 1); w2.write(0, 3)
+    w2.write(0, 1)
+    w2.write(1, 1); w2.write(cache_bits, 4)
+    w2.write(0, 1)
+    g_len = [0] * (256 + 24 + (1 << cache_bits))
+    g_len[20] = 1
+    g_len[cache_sym] = 1
+    _write_code(w2, g_len, len(g_len))   # full path (symbol >= 256)
+    for val in (10, 30, 0x80):           # r, b, a single-symbol codes
+        one = [0] * 256
+        one[val] = 1
+        _write_code(w2, one, 256)
+    dist = [0] * 40
+    dist[0] = 1
+    _write_code(w2, dist, 40)
+    g_codes = _canonical_codes(g_len)
+    code, length = g_codes[20]
+    w2.write(_rev(code, length), length)     # pixel 1: literal green=20
+    code, length = g_codes[cache_sym]
+    w2.write(_rev(code, length), length)     # pixel 2: cache hit
+
+    payload = b"\x2f" + w2.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    out = decode_webp(data)
+    assert out.shape == (1, 2, 4)
+    np.testing.assert_array_equal(out[0, 0], [10, 20, 30, 0x80])
+    np.testing.assert_array_equal(out[0, 1], [10, 20, 30, 0x80])

@@ -5,18 +5,24 @@ bitstream spec (RFC 9649, "WebP Image Format") directly; the reference
 engine gets WebP from a crate, this engine implements the subset it
 needs:
 
-- ``encode_webp_lossless``: spec-valid RIFF/WEBP/VP8L streams — 14-bit
-  dims, no transforms, no color cache, one prefix-code group, LITERAL
-  pixels only (no LZ77 backward references). Every emitted prefix code
-  is either the spec's "simple" form (1-2 symbols) or a full
-  code-length-coded canonical code, so any conforming VP8L decoder
-  reads these files.
-- ``decode_webp``: the matching subset — no-transform, literal +
-  color-cache pixel streams with simple or code-length-coded prefix
-  codes (both the max-symbol and plain forms). Streams using
-  transforms or LZ77 backward references raise NotImplementedError
-  (honest subset boundary, same shape as jpeg/codec.py rejecting
-  progressive scans); lossy VP8/VP8X streams raise likewise.
+- ``encode_webp_lossless``: spec-valid RIFF/WEBP/VP8L streams. The
+  default is a stable literal-only stream; keyword knobs opt into the
+  rest of the spec surface — color cache, LZ77 backward references
+  (plain scan-line or 2D neighborhood distance codes), all four
+  transforms (predictor with every spec mode, color transform,
+  subtract-green, color-indexing with sub-byte pixel bundling), and
+  tiled meta prefix-code groups. Every emitted prefix code is either
+  the spec's "simple" form (1-2 symbols) or a full code-length-coded
+  canonical code, so any conforming VP8L decoder reads these files.
+- ``decode_webp``: the FULL VP8L lossless decode surface — all four
+  transforms (inverted in reverse bitstream order, with the
+  color-indexing transform reducing the running width for everything
+  read after it), LZ77 backward references incl. the 120-code 2D
+  distance neighborhood, color cache, meta prefix images, and simple /
+  code-length-coded prefix codes (both the max-symbol and plain
+  forms). Only lossy VP8/VP8X pixel decode raises NotImplementedError
+  (honest boundary, same shape as jpeg/codec.py rejecting progressive
+  scans).
 - ``probe_webp``: container + header metadata (format variant, dims,
   alpha hint) for VP8L, VP8 (lossy) and VP8X (extended) containers —
   metadata for all three, pixels only for the VP8L subset.
@@ -37,6 +43,48 @@ import numpy as np
 # order in which code-length-code lengths are transmitted
 _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 _MAX_LEN = 15
+
+# RFC 9649 §4.2.2: distance codes 1..120 address a close 2D
+# neighborhood of the current pixel; (dx, dy) with dist = dx + dy*w,
+# clamped to >= 1. Codes > 120 are plain scan-line distances - 120.
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+assert len(_DIST_MAP) == 120
+
+
+def _prefix_value(sym: int, r: "_BitReader") -> int:
+    """LZ77 length/distance prefix coding: symbol (+ extra bits from
+    the stream) -> value (RFC 9649 §4.2.2)."""
+    if sym < 4:
+        return sym + 1
+    extra_bits = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra_bits
+    return offset + r.read(extra_bits) + 1
+
+
+def _prefix_token(value: int) -> tuple[int, int, int]:
+    """Inverse of _prefix_value: value -> (symbol, extra, extra_bits)."""
+    x = value - 1
+    if x < 4:
+        return x, 0, 0
+    eb = x.bit_length() - 2
+    parity = 1 if x >= (3 << eb) else 0
+    return 2 + 2 * eb + parity, x - ((2 + parity) << eb), eb
 
 
 class _BitWriter:
@@ -247,64 +295,327 @@ def _write_code(w: _BitWriter, lengths: list[int], alphabet_size: int) -> None:
             w.write(extra, ebits)
 
 
-def encode_webp_lossless(rgba: np.ndarray) -> bytes:
-    """RGBA uint8 (h, w, 4) -> RIFF/WEBP/VP8L bytes (literal-only)."""
+def _plan(freqs: dict[int, int], alphabet: int) -> list[int]:
+    """Code lengths for one alphabet: 1-bit degenerate/simple lengths
+    for <= 2 used symbols, else length-limited Huffman."""
+    if not freqs:
+        freqs = {0: 1}
+    if len(freqs) <= 2:
+        lengths = [0] * alphabet
+        for s in sorted(freqs):
+            lengths[s] = 1
+        return lengths
+    lengths = _build_lengths(freqs)
+    return lengths + [0] * (alphabet - len(lengths))
+
+
+def _argb_of(p) -> int:
+    return (int(p[3]) << 24) | (int(p[0]) << 16) | (int(p[1]) << 8) | int(p[2])
+
+
+def _tokenize(px: np.ndarray, width: int, cache_bits: int,
+              lz77: str | None) -> list[tuple[int, tuple]]:
+    """Greedy LZ77 + color-cache tokenizer over raveled (n, 4) RGBA.
+
+    Returns [(start_pixel_index, token)]; token is ("lit", r, g, b, a),
+    ("cache", idx) or ("copy", length, dist). The cache simulation
+    starts empty (None) so the decoder's zero-initialized cache can
+    never be referenced before first insert — conformant and safe."""
+    n = px.shape[0]
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache: list[int | None] = [None] * cache_size
+
+    def insert(argb: int) -> None:
+        cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+
+    tokens: list[tuple[int, tuple]] = []
+    i = 0
+    while i < n:
+        if lz77 and i > 0:
+            best_len, best_dist = 0, 0
+            for dist in ((1, width) if 1 < width <= i else (1,)):
+                if dist > i:
+                    continue
+                lim = min(n - i, 4096)
+                eq = (px[i:i + lim] == px[i - dist:i - dist + lim]).all(axis=1)
+                ln = int(np.argmax(~eq)) if not eq.all() else int(eq.size)
+                if ln > best_len:
+                    best_len, best_dist = ln, dist
+            if best_len >= 3:
+                tokens.append((i, ("copy", best_len, best_dist)))
+                if cache_size:
+                    for k in range(best_len):
+                        insert(_argb_of(px[i + k]))
+                i += best_len
+                continue
+        argb = _argb_of(px[i])
+        if cache_size:
+            idx = (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[idx] == argb:
+                tokens.append((i, ("cache", idx)))
+                i += 1
+                continue
+            insert(argb)
+        tokens.append((i, ("lit", int(px[i][0]), int(px[i][1]),
+                           int(px[i][2]), int(px[i][3]))))
+        i += 1
+    return tokens
+
+
+def _dist_code_of(dist: int, width: int, lz77: str | None) -> int:
+    if lz77 == "2d":
+        for code0, (dx, dy) in enumerate(_DIST_MAP):
+            if max(dx + dy * width, 1) == dist:
+                return code0 + 1
+    return dist + 120
+
+
+def _token_freqs(tokens: list[tuple], width: int, cache_bits: int,
+                 lz77: str | None) -> list[dict[int, int]]:
+    """Per-alphabet symbol frequencies: [green+len+cache, r, b, a, dist]."""
+    fr: list[dict[int, int]] = [{}, {}, {}, {}, {}]
+
+    def bump(t: int, s: int) -> None:
+        fr[t][s] = fr[t].get(s, 0) + 1
+
+    for _, tok in tokens:
+        if tok[0] == "lit":
+            _, r_, g_, b_, a_ = tok
+            bump(0, g_), bump(1, r_), bump(2, b_), bump(3, a_)
+        elif tok[0] == "cache":
+            bump(0, 280 + tok[1])
+        else:
+            _, length, dist = tok
+            bump(0, 256 + _prefix_token(length)[0])
+            bump(4, _prefix_token(_dist_code_of(dist, width, lz77))[0])
+    return fr
+
+
+def _write_image(w: _BitWriter, px: np.ndarray, width: int, h: int, *,
+                 cache_bits: int = 0, lz77: str | None = None,
+                 level0: bool = False, meta_bits: int | None = None,
+                 n_groups: int = 2) -> None:
+    """One spatially/entropy-coded image: cache field, (level0 only)
+    meta prefix image, prefix-code group(s), token stream. ``px`` is
+    raveled (n, 4) RGBA in scan-line order."""
+    if cache_bits:
+        w.write(1, 1)
+        w.write(cache_bits, 4)
+    else:
+        w.write(0, 1)
+
+    tokens = _tokenize(px, width, cache_bits, lz77)
+    group_of_px = None
+    if level0:
+        if meta_bits is None:
+            w.write(0, 1)
+        else:
+            if not 2 <= meta_bits <= 9:
+                raise ValueError("meta_bits out of range [2, 9]")
+            w.write(1, 1)
+            w.write(meta_bits - 2, 3)
+            gw, gh = _ceil_div(width, 1 << meta_bits), _ceil_div(h, 1 << meta_bits)
+            gx, gy = np.meshgrid(np.arange(gw), np.arange(gh))
+            gmap = ((gx + gy) % n_groups).astype(np.uint8)
+            gpx = np.zeros((gh * gw, 4), np.uint8)     # meta code rides
+            gpx[:, 1] = gmap.ravel()                   # (r<<8)|g; r=0
+            gpx[:, 3] = 255
+            _write_image(w, gpx, gw, gh)
+
+            def group_of_px(i: int) -> int:
+                return int(gmap[(i // width) >> meta_bits,
+                                (i % width) >> meta_bits])
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    galpha = 256 + 24 + cache_size
+    if group_of_px is None:
+        grouped = [tokens]
+    else:
+        grouped = [[] for _ in range(n_groups)]
+        for start, tok in tokens:
+            grouped[group_of_px(start)].append((start, tok))
+
+    all_tables = []
+    for gtokens in grouped:
+        freqs = _token_freqs(gtokens, width, cache_bits, lz77)
+        plans = [_plan(fr, alpha) for fr, alpha in
+                 zip(freqs, (galpha, 256, 256, 256, 40))]
+        for lengths, alphabet in zip(plans, (galpha, 256, 256, 256, 40)):
+            _write_code(w, lengths, alphabet)
+        all_tables.append([( _canonical_codes(p), sum(1 for l in p if l))
+                           for p in plans])
+
+    def emit(tables_i: int, t: int, sym: int) -> None:
+        codes, n_used = all_tables[tables_i][t]
+        if n_used == 1:
+            return                                     # 0-bit symbol
+        code, length = codes[sym]
+        w.write(_rev(code, length), length)
+
+    for start, tok in tokens:
+        gi = 0 if group_of_px is None else group_of_px(start)
+        if tok[0] == "lit":
+            _, r_, g_, b_, a_ = tok
+            emit(gi, 0, g_), emit(gi, 1, r_), emit(gi, 2, b_), emit(gi, 3, a_)
+        elif tok[0] == "cache":
+            emit(gi, 0, 280 + tok[1])
+        else:
+            _, length, dist = tok
+            lsym, lextra, leb = _prefix_token(length)
+            emit(gi, 0, 256 + lsym)
+            if leb:
+                w.write(lextra, leb)
+            dsym, dextra, deb = _prefix_token(_dist_code_of(dist, width, lz77))
+            emit(gi, 4, dsym)
+            if deb:
+                w.write(dextra, deb)
+
+
+# ------------------------------------------------- forward transforms
+
+def _fwd_predictor(img: np.ndarray, bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Residual image + mode grid ((bx + by) % 14 — every spec mode
+    gets exercised). Residuals predict from ORIGINAL neighbors, which
+    equal the decoder's reconstructed-so-far pixels."""
+    h, w = img.shape[:2]
+    gw, gh = _ceil_div(w, 1 << bits), _ceil_div(h, 1 << bits)
+    bx, by = np.meshgrid(np.arange(gw), np.arange(gh))
+    modes = ((bx + by) % 14).astype(np.uint8)
+    res = np.empty_like(img)
+    src = img.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            pred = _predict_px(img, x, y, w, int(modes[y >> bits, x >> bits]))
+            res[y, x] = (src[y, x] - np.asarray(pred, np.int64)) & 0xFF
+    return res, modes
+
+
+def _cte_grid(w: int, h: int, bits: int) -> np.ndarray:
+    """Deterministic varied ColorTransformElements, stored RGBA with
+    B=green_to_red, G=green_to_blue, R=red_to_blue (ARGB bits 0-7,
+    8-15, 16-23)."""
+    gw, gh = _ceil_div(w, 1 << bits), _ceil_div(h, 1 << bits)
+    bx, by = np.meshgrid(np.arange(gw), np.arange(gh))
+    cte = np.zeros((gh, gw, 4), np.uint8)
+    cte[:, :, 0] = (11 * bx + 5 * by + 2) & 0xFF       # red_to_blue
+    cte[:, :, 1] = (7 * bx + 13 * by + 1) & 0xFF       # green_to_blue
+    cte[:, :, 2] = (17 * bx + 29 * by + 3) & 0xFF      # green_to_red
+    cte[:, :, 3] = 255
+    return cte
+
+
+def _fwd_color_transform(img: np.ndarray, cte: np.ndarray,
+                         bits: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    ys = np.arange(h) >> bits
+    xs = np.arange(w) >> bits
+    g2r = cte[ys[:, None], xs[None, :], 2]
+    g2b = cte[ys[:, None], xs[None, :], 1]
+    r2b = cte[ys[:, None], xs[None, :], 0]
+    out = img.astype(np.int64)
+    green = img[:, :, 1]
+    out[:, :, 0] = (out[:, :, 0] - _ct_delta(g2r, green)) & 0xFF
+    out[:, :, 2] = (out[:, :, 2] - _ct_delta(g2b, green)
+                    - _ct_delta(r2b, img[:, :, 0])) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _palettize(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """(palette_deltas (S, 4), packed raveled px, packed width)."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 4)
+    palette = np.unique(flat, axis=0)                  # sorted, deterministic
+    n_colors = palette.shape[0]
+    if n_colors > 256:
+        raise ValueError(f"palette transform needs <= 256 colors, got {n_colors}")
+    lookup = {tuple(c): i for i, c in enumerate(palette)}
+    idx = np.fromiter((lookup[tuple(p)] for p in flat),
+                      np.int64, flat.shape[0]).reshape(h, w)
+    width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                  else 1 if n_colors <= 16 else 0)
+    if width_bits:
+        ppb = 1 << width_bits
+        bpp = 8 >> width_bits
+        pw = _ceil_div(w, ppb)
+        packed = np.zeros((h, pw), np.int64)
+        for sub in range(ppb):                         # leftmost -> LSBs
+            cols = np.arange(sub, w, ppb)
+            packed[:, :cols.size] |= idx[:, cols] << (sub * bpp)
+    else:
+        pw = w
+        packed = idx
+    px = np.zeros((h * pw, 4), np.uint8)
+    px[:, 1] = packed.ravel()
+    px[:, 3] = 255
+    deltas = np.empty_like(palette)
+    deltas[0] = palette[0]
+    deltas[1:] = (palette[1:].astype(np.int64)
+                  - palette[:-1].astype(np.int64)) & 0xFF
+    return deltas, px, pw
+
+
+def encode_webp_lossless(rgba: np.ndarray, *, cache_bits: int = 0,
+                         lz77: str | None = None,
+                         subtract_green: bool = False,
+                         predictor_bits: int | None = None,
+                         color_transform_bits: int | None = None,
+                         palette: bool = False,
+                         meta_bits: int | None = None) -> bytes:
+    """RGBA uint8 (h, w, 4) -> RIFF/WEBP/VP8L bytes.
+
+    Defaults produce the stable literal-only stream; the keyword knobs
+    opt into spec features (each round-trip-tested): ``cache_bits``
+    color cache, ``lz77`` ("plain" scan-line distances or "2d"
+    neighborhood distance codes), ``subtract_green`` /
+    ``predictor_bits`` / ``color_transform_bits`` / ``palette``
+    transforms (written in that read order; forward application
+    follows read order so the decoder's reverse-order inverses
+    reconstruct exactly), ``meta_bits`` tiled prefix-code groups."""
     if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
         raise ValueError("encode_webp_lossless expects (h, w, 4) uint8")
     h, w_px = rgba.shape[:2]
     if not (1 <= w_px <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError(f"dims out of VP8L range: {w_px}x{h}")
-    r = rgba[:, :, 0].ravel()
-    g = rgba[:, :, 1].ravel()
-    b = rgba[:, :, 2].ravel()
-    a = rgba[:, :, 3].ravel()
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError(f"bad color-cache size {cache_bits}")
 
     w = _BitWriter()
     w.write(w_px - 1, 14)
     w.write(h - 1, 14)
-    w.write(int((a != 255).any()), 1)      # alpha hint
-    w.write(0, 3)                          # version
-    w.write(0, 1)                          # no transforms
-    w.write(0, 1)                          # no color cache
-    w.write(0, 1)                          # no meta prefix image
+    w.write(int((rgba[:, :, 3] != 255).any()), 1)      # alpha hint
+    w.write(0, 3)                                      # version
 
-    def freqs_of(arr: np.ndarray) -> dict[int, int]:
-        vals, counts = np.unique(arr, return_counts=True)
-        return {int(v): int(c) for v, c in zip(vals, counts)}
+    img = rgba
+    xsize = w_px
+    if predictor_bits is not None:
+        w.write(1, 1), w.write(0, 2), w.write(predictor_bits - 2, 3)
+        img, modes = _fwd_predictor(img, predictor_bits)
+        mpx = np.zeros((modes.size, 4), np.uint8)
+        mpx[:, 1] = modes.ravel()
+        mpx[:, 3] = 255
+        _write_image(w, mpx, modes.shape[1], modes.shape[0])
+    if color_transform_bits is not None:
+        w.write(1, 1), w.write(1, 2), w.write(color_transform_bits - 2, 3)
+        cte = _cte_grid(xsize, h, color_transform_bits)
+        img = _fwd_color_transform(img, cte, color_transform_bits)
+        _write_image(w, cte.reshape(-1, 4), cte.shape[1], cte.shape[0])
+    if subtract_green:
+        w.write(1, 1), w.write(2, 2)
+        out = img.astype(np.int64)
+        out[:, :, 0] = (out[:, :, 0] - out[:, :, 1]) & 0xFF
+        out[:, :, 2] = (out[:, :, 2] - out[:, :, 1]) & 0xFF
+        img = out.astype(np.uint8)
+    if palette:
+        deltas, px, xsize = _palettize(img)
+        w.write(1, 1), w.write(3, 2)
+        w.write(deltas.shape[0] - 1, 8)
+        _write_image(w, deltas, deltas.shape[0], 1)
+    else:
+        px = img.reshape(-1, 4)
+    w.write(0, 1)                                      # no more transforms
 
-    plans = []
-    for arr, alphabet in ((g, 280), (r, 256), (b, 256), (a, 256)):
-        fr = freqs_of(arr)
-        if len(fr) <= 2:
-            lengths = [0] * alphabet
-            syms = sorted(fr)
-            if len(syms) == 1:
-                lengths[syms[0]] = 1       # degenerate: 0-bit in simple form
-            else:
-                for s in syms:
-                    lengths[s] = 1
-        else:
-            lengths = _build_lengths(fr)
-            lengths += [0] * (alphabet - len(lengths))
-        plans.append(lengths)
-    dist_lengths = [0] * 40
-    dist_lengths[0] = 1                    # unused alphabet, simple 1-symbol
-
-    for lengths, alphabet in zip(plans + [dist_lengths],
-                                 (280, 256, 256, 256, 40)):
-        _write_code(w, lengths, alphabet)
-
-    tables = []
-    for lengths in plans:
-        codes = _canonical_codes(lengths)
-        n_used = sum(1 for l in lengths if l)
-        tables.append((codes, n_used))
-    for i in range(g.size):
-        for (codes, n_used), val in zip(tables, (g[i], r[i], b[i], a[i])):
-            if n_used == 1:
-                continue                   # 0-bit symbol
-            code, length = codes[int(val)]
-            w.write(_rev(code, length), length)
+    _write_image(w, px, xsize, h, cache_bits=cache_bits, lz77=lz77,
+                 level0=True, meta_bits=meta_bits)
 
     payload = b"\x2f" + w.done()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -388,57 +699,89 @@ def _read_code(r: _BitReader, alphabet_size: int) -> dict[tuple[int, int], int]:
     return table
 
 
-def _vp8l_pixels(payload: bytes) -> tuple[np.ndarray, bool]:
-    r = _BitReader(payload)
-    w_px = r.read(14) + 1
-    h = r.read(14) + 1
-    alpha_hint = bool(r.read(1))
-    if r.read(3) != 0:
-        raise ValueError("unknown VP8L version")
-    if r.read(1):
-        raise NotImplementedError(
-            "VP8L transforms not supported by this subset decoder")
+def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    if (0, 0) in table:
+        return table[(0, 0)]
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | r.read(1)
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+        if length > _MAX_LEN:
+            raise ValueError("corrupt prefix code in pixel stream")
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _decode_pixels(r: _BitReader, w_px: int, h: int,
+                   level0: bool = False) -> np.ndarray:
+    """One spatially/entropy-coded VP8L image: optional color cache,
+    optional meta prefix image (level0 only), prefix-code group(s),
+    LZ77-coded pixel stream. Returns (h, w, 4) uint8 RGBA."""
     cache_bits = 0
     if r.read(1):
         cache_bits = r.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"bad color-cache size {cache_bits}")
-    if r.read(1):
-        raise NotImplementedError(
-            "VP8L meta prefix codes not supported by this subset decoder")
+    meta = None
+    gbits = 0
+    n_groups = 1
+    if level0 and r.read(1):                 # meta prefix image present
+        gbits = r.read(3) + 2
+        gimg = _decode_pixels(
+            r, _ceil_div(w_px, 1 << gbits), _ceil_div(h, 1 << gbits))
+        meta = (gimg[:, :, 0].astype(np.int64) << 8) \
+            | gimg[:, :, 1].astype(np.int64)
+        n_groups = int(meta.max()) + 1
 
     cache_size = (1 << cache_bits) if cache_bits else 0
-    tables = [_read_code(r, 256 + 24 + cache_size)]
-    for alphabet in (256, 256, 256, 40):
-        tables.append(_read_code(r, alphabet))
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        if (0, 0) in table:
-            return table[(0, 0)]
-        code, length = 0, 0
-        while True:
-            code = (code << 1) | r.read(1)
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-            if length > _MAX_LEN:
-                raise ValueError("corrupt prefix code in pixel stream")
+    groups = []
+    for _ in range(n_groups):
+        tables = [_read_code(r, 256 + 24 + cache_size)]
+        for alphabet in (256, 256, 256, 40):
+            tables.append(_read_code(r, alphabet))
+        groups.append(tables)
 
     n = w_px * h
     out = np.empty((n, 4), dtype=np.uint8)   # R, G, B, A
     cache = [0] * cache_size
     i = 0
     while i < n:
-        s = read_symbol(tables[0])
+        if meta is None:
+            tables = groups[0]
+        else:
+            tables = groups[meta[(i // w_px) >> gbits, (i % w_px) >> gbits]]
+        s = _read_symbol(r, tables[0])
         if s < 256:
             green = s
-            red = read_symbol(tables[1])
-            blue = read_symbol(tables[2])
-            alpha = read_symbol(tables[3])
-        elif s < 280:
-            raise NotImplementedError(
-                "VP8L backward references not supported by this subset decoder")
-        else:
+            red = _read_symbol(r, tables[1])
+            blue = _read_symbol(r, tables[2])
+            alpha = _read_symbol(r, tables[3])
+        elif s < 280:                        # LZ77 backward reference
+            length = _prefix_value(s - 256, r)
+            dcode = _prefix_value(_read_symbol(r, tables[4]), r)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = max(dx + dy * w_px, 1)
+            if dist > i:
+                raise ValueError("backward reference before image start")
+            if i + length > n:
+                raise ValueError("backward reference overruns image")
+            for _ in range(length):
+                out[i] = out[i - dist]
+                if cache_size:
+                    red, green, blue, alpha = (int(v) for v in out[i])
+                    argb = (alpha << 24) | (red << 16) | (green << 8) | blue
+                    cache[(0x1E35A7BD * argb & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = argb
+                i += 1
+            continue
+        else:                                # color-cache hit
             argb = cache[s - 280]
             alpha = (argb >> 24) & 0xFF
             red = (argb >> 16) & 0xFF
@@ -449,7 +792,181 @@ def _vp8l_pixels(payload: bytes) -> tuple[np.ndarray, bool]:
             argb = (alpha << 24) | (red << 16) | (green << 8) | blue
             cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
         i += 1
-    return out.reshape(h, w_px, 4), alpha_hint
+    return out.reshape(h, w_px, 4)
+
+
+# ------------------------------------------------- predictor transform
+
+def _avg2(a, b):
+    return tuple((int(x) + int(y)) >> 1 for x, y in zip(a, b))
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _predict_px(img: np.ndarray, x: int, y: int, w: int, mode: int):
+    """Spec predictor for pixel (x, y) from already-final neighbors of
+    ``img`` (h, w, 4). Shared verbatim by the encoder (residuals from
+    the original) and the decoder (reconstruction) — parity by
+    construction. Edge rules per RFC 9649: (0,0)->opaque black, row 0
+    -> L, column 0 -> T; TR at x == w-1 wraps to the current row's
+    first pixel (scan-line predecessor + 1)."""
+    if x == 0 and y == 0:
+        return (0, 0, 0, 255)
+    if y == 0:
+        return tuple(int(v) for v in img[0, x - 1])
+    if x == 0:
+        return tuple(int(v) for v in img[y - 1, 0])
+    L = tuple(int(v) for v in img[y, x - 1])
+    T = tuple(int(v) for v in img[y - 1, x])
+    TL = tuple(int(v) for v in img[y - 1, x - 1])
+    TR = tuple(int(v) for v in (img[y - 1, x + 1] if x + 1 < w
+                                else img[y, 0]))
+    if mode == 0:
+        return (0, 0, 0, 255)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:                           # Select: ties go to T
+        full = [l + t - tl for l, t, tl in zip(L, T, TL)]
+        p_l = sum(abs(f - l) for f, l in zip(full, L))
+        p_t = sum(abs(f - t) for f, t in zip(full, T))
+        return L if p_l < p_t else T
+    if mode == 12:                           # ClampAddSubtractFull
+        return tuple(_clamp255(l + t - tl) for l, t, tl in zip(L, T, TL))
+    if mode == 13:                           # ClampAddSubtractHalf
+        # (a - b) / 2 is C truncating division — NOT python floor
+        out = []
+        for l, t, tl in zip(L, T, TL):
+            ave = (l + t) >> 1
+            d = ave - tl
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(_clamp255(ave + half))
+        return tuple(out)
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _inv_predictor(img: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    out = img.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            mode = int(modes[y >> bits, x >> bits])
+            pred = _predict_px(out, x, y, w, mode)
+            out[y, x] = (out[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """ColorTransformDelta: (int8(t) * int8(c)) >> 5, arithmetic shift."""
+    return (t.astype(np.int8).astype(np.int64)
+            * c.astype(np.int8).astype(np.int64)) >> 5
+
+
+def _inv_color_transform(img: np.ndarray, cte: np.ndarray,
+                         bits: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    ys = np.arange(h) >> bits
+    xs = np.arange(w) >> bits
+    # stored ARGB cte: bits 0-7 (blue ch) = green_to_red,
+    # 8-15 (green ch) = green_to_blue, 16-23 (red ch) = red_to_blue
+    g2r = cte[ys[:, None], xs[None, :], 2]
+    g2b = cte[ys[:, None], xs[None, :], 1]
+    r2b = cte[ys[:, None], xs[None, :], 0]
+    out = img.astype(np.int64)
+    green = img[:, :, 1]
+    out[:, :, 0] = (out[:, :, 0] + _ct_delta(g2r, green)) & 0xFF
+    out[:, :, 2] = (out[:, :, 2] + _ct_delta(g2b, green)
+                    + _ct_delta(r2b, out[:, :, 0].astype(np.uint8))) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _inv_color_indexing(img: np.ndarray, palette: np.ndarray,
+                        width_bits: int, full_w: int) -> np.ndarray:
+    h = img.shape[0]
+    packed = img[:, :, 1].astype(np.int64)   # indices ride the green channel
+    if width_bits:
+        bpp = 8 >> width_bits
+        xs = np.arange(full_w)
+        # leftmost pixel lives in the least-significant bits
+        idx = (packed[:, xs >> width_bits]
+               >> ((xs & ((1 << width_bits) - 1)) * bpp)) & ((1 << bpp) - 1)
+    else:
+        idx = packed[:, :full_w]
+    out = np.zeros((h, full_w, 4), np.uint8)  # out-of-range -> 0x00000000
+    ok = idx < palette.shape[0]
+    out[ok] = palette[idx[ok]]
+    return out
+
+
+def _vp8l_pixels(payload: bytes) -> tuple[np.ndarray, bool]:
+    r = _BitReader(payload)
+    w0 = r.read(14) + 1
+    h = r.read(14) + 1
+    alpha_hint = bool(r.read(1))
+    if r.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms: list[tuple[int, dict]] = []   # bitstream read order
+    seen: set[int] = set()
+    xsize = w0                               # running (possibly packed) width
+    while r.read(1):
+        t = r.read(2)
+        if t in seen:
+            raise ValueError(f"duplicate VP8L transform {t}")
+        seen.add(t)
+        if t in (0, 1):                      # predictor / color transform
+            bits = r.read(3) + 2
+            sub = _decode_pixels(r, _ceil_div(xsize, 1 << bits),
+                                 _ceil_div(h, 1 << bits))
+            transforms.append((t, {"bits": bits, "img": sub}))
+        elif t == 2:                         # subtract green
+            transforms.append((2, {}))
+        else:                                # color indexing
+            n_colors = r.read(8) + 1
+            deltas = _decode_pixels(r, n_colors, 1)[0].astype(np.int64)
+            palette = (np.cumsum(deltas, axis=0) & 0xFF).astype(np.uint8)
+            width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                          else 1 if n_colors <= 16 else 0)
+            transforms.append((3, {"palette": palette,
+                                   "width_bits": width_bits,
+                                   "full_w": xsize}))
+            if width_bits:
+                xsize = _ceil_div(xsize, 1 << width_bits)
+
+    img = _decode_pixels(r, xsize, h, level0=True)
+    for t, d in reversed(transforms):
+        if t == 0:
+            img = _inv_predictor(img, d["img"][:, :, 1], d["bits"])
+        elif t == 1:
+            img = _inv_color_transform(img, d["img"], d["bits"])
+        elif t == 2:
+            out = img.astype(np.int64)
+            out[:, :, 0] = (out[:, :, 0] + out[:, :, 1]) & 0xFF
+            out[:, :, 2] = (out[:, :, 2] + out[:, :, 1]) & 0xFF
+            img = out.astype(np.uint8)
+        else:
+            img = _inv_color_indexing(img, d["palette"], d["width_bits"],
+                                      d["full_w"])
+    return img, alpha_hint
 
 
 def _chunks(data: bytes):

@@ -90,15 +90,15 @@ def test_code_roundtrip_through_bitstream():
     assert recovered == lengths
 
 
-def test_decoder_rejects_unsupported_features():
+def test_corrupt_transform_bit_fails_loud():
+    """Transforms are fully supported now; flipping the transform bit
+    on a literal stream must fail the parse loudly, never mis-decode."""
     img = np.full((2, 2, 4), 3, np.uint8)
     data = bytearray(encode_webp_lossless(img))
-    # flip the "transform present" bit (bit 29 of the VP8L payload:
-    # 14+14 dims, 1 alpha, 3 version, then the transform flag)
     payload_off = data.index(b"VP8L") + 8 + 1
-    bit = 14 + 14 + 1 + 3
+    bit = 14 + 14 + 1 + 3                # after dims, alpha hint, version
     data[payload_off + bit // 8] |= 1 << (bit % 8)
-    with pytest.raises(NotImplementedError, match="transform"):
+    with pytest.raises(ValueError):
         decode_webp(bytes(data))
 
 
@@ -231,3 +231,153 @@ def test_color_cache_decode():
     assert out.shape == (1, 2, 4)
     np.testing.assert_array_equal(out[0, 0], [10, 20, 30, 0x80])
     np.testing.assert_array_equal(out[0, 1], [10, 20, 30, 0x80])
+
+
+# ---------------------------------------------- full VP8L spec surface
+
+def _imgs_for_full_surface():
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (21, 34, 4), dtype=np.uint8)
+    stripes = np.zeros((24, 31, 4), np.uint8)      # vertical runs -> dist w
+    stripes[:, :, 0] = (np.arange(31)[None, :] * 9) & 0xFF
+    stripes[:, :, 1] = 200
+    stripes[:, :, 3] = 255
+    rle = np.repeat(rng.integers(0, 4, (16, 5, 4), dtype=np.uint8) * 60,
+                    7, axis=1)[:, :31]             # horizontal runs -> dist 1
+    return {"noisy": noisy, "stripes": stripes, "rle": rle}
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(cache_bits=4),
+    dict(lz77="plain"),
+    dict(lz77="2d"),
+    dict(lz77="2d", cache_bits=6),
+    dict(subtract_green=True),
+    dict(subtract_green=True, lz77="plain", cache_bits=3),
+], ids=lambda k: "+".join(f"{a}={v}" for a, v in k.items()))
+def test_roundtrip_lz77_cache_subtract_green(kwargs):
+    for img in _imgs_for_full_surface().values():
+        _roundtrip_kw(img, **kwargs)
+
+
+def _roundtrip_kw(img, **kwargs):
+    data = encode_webp_lossless(img, **kwargs)
+    out = decode_webp(data)
+    np.testing.assert_array_equal(out, img)
+    return data
+
+
+def test_lz77_actually_compresses():
+    rle = _imgs_for_full_surface()["rle"]
+    plain = encode_webp_lossless(rle)
+    lz = encode_webp_lossless(rle, lz77="2d")
+    assert len(lz) < len(plain) * 0.6
+
+
+@pytest.mark.parametrize("bits", [2, 3, 5])
+def test_roundtrip_predictor_all_modes(bits):
+    """Mode grid is (bx+by) % 14 — with enough blocks every spec
+    predictor mode (0..13) runs, including the Select and the two
+    clamped add/subtract forms, plus the edge rules."""
+    for name, img in _imgs_for_full_surface().items():
+        _roundtrip_kw(img, predictor_bits=bits)
+
+
+def test_roundtrip_color_transform():
+    for img in _imgs_for_full_surface().values():
+        _roundtrip_kw(img, color_transform_bits=3)
+        _roundtrip_kw(img, color_transform_bits=2, subtract_green=True)
+
+
+@pytest.mark.parametrize("n_colors,width_bits", [(2, 3), (3, 2), (11, 1),
+                                                 (70, 0)])
+def test_roundtrip_palette_bundling(n_colors, width_bits):
+    rng = np.random.default_rng(n_colors)
+    pal = rng.integers(0, 256, (n_colors, 4), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, (13, 29))
+    img = pal[idx]
+    data = _roundtrip_kw(img, palette=True)
+    # the packed width must shrink the stream for sub-byte bundling
+    if width_bits >= 2:
+        assert len(data) < 13 * 29 + 100
+
+
+def test_roundtrip_meta_prefix_groups():
+    for img in _imgs_for_full_surface().values():
+        _roundtrip_kw(img, meta_bits=3)
+        _roundtrip_kw(img, meta_bits=2, cache_bits=4, lz77="2d")
+
+
+def test_roundtrip_stacked_transforms():
+    """predictor -> color transform -> subtract-green in one stream:
+    inverses must unwind in exact reverse order."""
+    for img in _imgs_for_full_surface().values():
+        _roundtrip_kw(img, predictor_bits=3, color_transform_bits=4,
+                      subtract_green=True)
+        _roundtrip_kw(img, predictor_bits=2, subtract_green=True,
+                      lz77="plain", cache_bits=5, meta_bits=4)
+
+
+def test_palette_over_256_colors_rejected():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 32, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_webp_lossless(img, palette=True)
+
+
+def test_backref_guards():
+    """Hand-build streams whose backrefs run before the image start /
+    past the end: the decoder must fail loud."""
+    from rastertiler_rs_spark.webp.codec import (_prefix_token,
+                                                 _write_image)
+
+    def stream(tokens_px, w_px, h, copy_at_start):
+        w2 = _BitWriter()
+        w2.write(w_px - 1, 14); w2.write(h - 1, 14); w2.write(0, 1)
+        w2.write(0, 3); w2.write(0, 1)       # version, no transforms
+        w2.write(0, 1); w2.write(0, 1)       # no cache, no meta
+        g_len = [0] * 280
+        g_len[5] = 1                          # literal green 5
+        g_len[256] = 1                        # length code for value 1..
+        _write_code(w2, g_len, 280)
+        for val in (1, 2, 3):
+            one = [0] * 256
+            one[val] = 1
+            _write_code(w2, one, 256)
+        dist = [0] * 40
+        dist[_prefix_token(1 + 120)[0]] = 1   # dist 1, plain coding
+        _write_code(w2, dist, 40)
+        g_codes = _canonical_codes(g_len)
+        if copy_at_start:                     # copy as FIRST symbol
+            code, ln = g_codes[256]
+            w2.write(_rev(code, ln), ln)
+        else:                                 # literal, then huge copy
+            code, ln = g_codes[5]
+            w2.write(_rev(code, ln), ln)
+            code, ln = g_codes[256]
+            w2.write(_rev(code, ln), ln)
+        payload = b"\x2f" + w2.done()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    with pytest.raises(ValueError, match="before image start|truncated"):
+        decode_webp(stream(None, 4, 1, True))
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        decode_webp(stream(None, 2, 1, False))
+
+
+def test_decode_2d_distance_codes_near_neighborhood():
+    """dist code 1 == pixel above, code 2 == pixel left (the first two
+    entries of the spec's neighborhood map) — decode both from a
+    hand-built stream and check against the map-free plain coding."""
+    img = np.zeros((3, 4, 4), np.uint8)
+    img[0] = [[10, 20, 30, 255]] * 4
+    img[1] = img[0]                           # row copy: dist == width
+    img[2] = img[0]
+    d2 = encode_webp_lossless(img, lz77="2d")
+    dplain = encode_webp_lossless(img, lz77="plain")
+    np.testing.assert_array_equal(decode_webp(d2), img)
+    np.testing.assert_array_equal(decode_webp(dplain), img)
+    assert d2 != dplain                       # genuinely different coding

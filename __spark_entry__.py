@@ -867,6 +867,26 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                ).alias("byte0"))
 
 
+def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pixel decode under the value gate: Motion-JPEG MP4s
+    (every sample a real baseline JPEG muxed by the real ISO BMFF
+    writer) are demuxed AND decoded to pixels by the engine's own
+    from-spec codecs, then reduced to integer per-frame stats. The
+    DuckDB twin recomputes the stats in closed form from the solid
+    frame-value formula — valid because the baseline JPEG round-trip
+    is bit-exact for solid frames at q90 (pinned for all 256 values in
+    test_jpeg) — so a defect anywhere in mux→demux→huffman→IDCT
+    arithmetic flips the hash."""
+    from rastertiler_rs_spark.fixtures import mjpeg_parquet
+    from rastertiler_rs_spark.operators.multimodal import video_frame_stats
+
+    vids = spark.read.parquet(mjpeg_parquet(24))
+    return video_frame_stats(vids, every_n=2).select(
+        "video_id", F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("w").cast("long").alias("w"), F.col("h").cast("long").alias("h"),
+        "n_px", "vsum", "vmin", "vmax", "checksum")
+
+
 def q_audio_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 framing metadata, VALUE-verified: the fixture writes real
     MPEG-1 Layer III frame sequences (valid sync/bitrate/samplerate
@@ -1194,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_probe": q_video_probe,
         "video_frames": q_video_frames,
+        "video_pixels_mjpeg": q_video_pixels,
         "audio_probe_mp3": q_audio_probe_mp3,
         "sessionize": q_sessionize,
         "star_rollup": q_star_rollup,
@@ -1807,6 +1828,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + (i * 7 + fno * 13) % 128 AS BIGINT) AS frame_len,
                    CAST((i + fno) % 256 AS BIGINT) AS byte0
             FROM f WHERE fno % 4 = 0
+        """,
+        # decoded MJPEG pixel stats in closed form: frames are solid
+        # value v = (17i + 29f + 23) % 256, and solid baseline-JPEG
+        # round-trips are bit-exact at q90 (test_jpeg pins all 256)
+        "video_pixels_mjpeg": """
+            WITH p AS (
+              SELECT i,
+                     16 + (i % 3) * 8 AS w,
+                     8 + (i % 4) * 4 AS h,
+                     4 + (i % 3) AS n_frames
+              FROM (SELECT UNNEST(generate_series(0, 23)) AS i) c),
+            f AS (
+              SELECT i, w, h, UNNEST(generate_series(0, n_frames - 1)) AS fno
+              FROM p),
+            s AS (
+              SELECT i, w, h, fno,
+                     (17 * i + 29 * fno + 23) % 256 AS v,
+                     CAST(w AS BIGINT) * h AS n_px
+              FROM f WHERE fno % 2 = 0)
+            SELECT 'mjp' || lpad(CAST(i AS VARCHAR), 8, '0') AS video_id,
+                   CAST(fno AS BIGINT) AS frame_no,
+                   CAST(w AS BIGINT) AS w,
+                   CAST(h AS BIGINT) AS h,
+                   n_px,
+                   CAST(v * n_px AS BIGINT) AS vsum,
+                   CAST(v AS BIGINT) AS vmin,
+                   CAST(v AS BIGINT) AS vmax,
+                   CAST(v * (n_px * (n_px + 1) // 2) AS BIGINT) AS checksum
+            FROM s
         """,
         "audio_probe_mp3": """
             WITH p AS (

@@ -233,6 +233,61 @@ def videos_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return path
 
 
+def mjpeg_params(i: int) -> tuple[int, int, int, int]:
+    """Deterministic per-clip Motion-JPEG parameters: (w, h, fps,
+    n_frames). Integer formulas, SQL-rederivable; fps divides 1000."""
+    w = 16 + (i % 3) * 8
+    h = 8 + (i % 4) * 4
+    fps = (10, 25, 50)[i % 3]
+    n_frames = 4 + (i % 3)
+    return w, h, fps, n_frames
+
+
+def mjpeg_frame_value(i: int, f: int) -> int:
+    """Solid gray value of frame f of MJPEG clip i. Solid frames are
+    DC-only, and the baseline JPEG round-trip is bit-exact for every
+    solid value at quality 90 (pinned in test_jpeg) — which is what
+    lets the DuckDB oracle recompute decoded-pixel stats in closed
+    form despite JPEG being lossy in general."""
+    return (17 * i + 29 * f + 23) % 256
+
+
+def generate_mjpeg_videos(n: int):
+    """Motion-JPEG videos table: every sample payload is a REAL
+    baseline JPEG (jpeg/codec.py) of a solid frame, muxed by the real
+    ISO BMFF writer with the 'jpeg' sample-entry fourcc. End-to-end
+    decodable with the engine's own codecs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .jpeg import encode_jpeg_gray
+    from .media import encode_mp4
+
+    ids, blobs = [], []
+    for i in range(n):
+        w, h, fps, n_frames = mjpeg_params(i)
+        frames = [encode_jpeg_gray(
+            np.full((h, w), mjpeg_frame_value(i, f), np.uint8), quality=90)
+            for f in range(n_frames)]
+        ids.append(f"mjp{i:08d}")
+        blobs.append(encode_mp4(frames, w, h, fps, codec=b"jpeg"))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["mp4;jpeg"] * n, pa.string()),
+    })
+
+
+def mjpeg_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"mjpeg_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_mjpeg_videos(n), path, row_group_size=256)
+    return path
+
+
 def mp3_params(i: int) -> tuple[int, int, int, int, int]:
     """Deterministic per-clip MP3 parameters: (sample_rate, kbps,
     channels, n_frames, pad_every). Integer formulas, SQL-rederivable."""

@@ -9,11 +9,12 @@ from-spec numpy codec (jpeg/codec.py: sequential 8-bit huffman+IDCT,
 gray + YCbCr up to 2x2 sampling). CONTAINER-level audio/video support
 is real too: MP4 probe + sample demux via the from-spec ISO BMFF
 walker and MP3 framing metadata via the Layer III header walk
-(media/mp4.py, media/mp3.py) — only the compressed-payload DECODE of
-those streams is environment-blocked. WebP lossless (VP8L) decode is
+(media/mp4.py, media/mp3.py). Video PIXEL decode is real for
+Motion-JPEG MP4s (video_frame_stats: BMFF demux + baseline JPEG
+decode, both from spec), and WebP lossless (VP8L) decode is fully
 real via the from-spec codec in webp/codec.py. Codecs still absent
-from this container (lossy-VP8 webp pixels, mp4/mp3 payload decode)
-have two clearly-separated modes:
+from this container (lossy-VP8 webp pixels, non-MJPEG mp4 payloads,
+mp3 payload decode) have two clearly-separated modes:
 
 - default: raise NotImplementedError with the batch signature a
   production codec would drop into (honest environment-blocked stub);
@@ -308,6 +309,58 @@ def frame_sample(videos: DataFrame, every_n: int = 30,
             yield pd.DataFrame(frames)
 
     return videos.mapInPandas(fn, "video_id string, frame_no int, frame_bytes binary")
+
+
+def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL end-to-end video pixel decode for Motion-JPEG MP4s.
+
+    Composes two of the engine's from-spec codecs: the ISO BMFF
+    demuxer (media/mp4.py) extracts each sampled frame's stored
+    payload, then the baseline JPEG decoder (jpeg/codec.py) turns it
+    into pixels; integer per-frame stats out (all-integer ⇒
+    bit-identical across engines). The video modality's decode path is
+    therefore no longer a stub for MJPEG streams; other sample-entry
+    codecs (avc1/mp4v/...) raise — their payload decode is genuinely
+    environment-blocked. North-star multimodal extension; the
+    reference engine (rastertiler-rs) has no video surface."""
+    from ..jpeg import decode_jpeg
+    from ..media import demux_mp4, probe_mp4
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_no": [], "w": [], "h": [],
+                   "n_px": [], "vsum": [], "vmin": [], "vmax": [],
+                   "checksum": []}
+            for row in pdf.itertuples(index=False):
+                if not str(row.fmt).startswith("mp4"):
+                    raise NotImplementedError(
+                        f"container parser for {row.fmt!r} not available")
+                data = bytes(row.bytes)
+                codec = probe_mp4(data)["codec"]
+                if codec not in ("jpeg", "mjpa"):
+                    raise NotImplementedError(
+                        f"payload decode for codec {codec!r} not available "
+                        "in this environment (Motion-JPEG only)")
+                for frame_no, payload in enumerate(demux_mp4(data)):
+                    if frame_no % every_n:
+                        continue
+                    px = decode_jpeg(payload)
+                    flat = px.reshape(-1).astype(np.int64)
+                    out["video_id"].append(row.video_id)
+                    out["frame_no"].append(frame_no)
+                    out["h"].append(px.shape[0])
+                    out["w"].append(px.shape[1])
+                    out["n_px"].append(flat.size)
+                    out["vsum"].append(int(flat.sum()))
+                    out["vmin"].append(int(flat.min()))
+                    out["vmax"].append(int(flat.max()))
+                    out["checksum"].append(
+                        int(((np.arange(flat.size) + 1) * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return videos.select("video_id", "bytes", "fmt").mapInPandas(
+        fn, "video_id string, frame_no int, w int, h int, n_px long, "
+            "vsum long, vmin long, vmax long, checksum long")
 
 
 def video_probe(videos: DataFrame) -> DataFrame:

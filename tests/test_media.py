@@ -233,3 +233,61 @@ def test_unknown_container_raises(spark):
         [("x", bytearray(b"1234"), "ogg")], "audio_id string, bytes binary, fmt string")
     with pytest.raises(Exception, match="ogg"):
         audio_probe(df2).collect()
+
+
+def test_video_frame_stats_real_mjpeg_decode(spark):
+    """End-to-end REAL video decode: textured frames jpeg-encoded and
+    muxed, then demux+decode through the operator; stats must equal a
+    direct numpy recompute over decode_jpeg of the same payloads (and
+    for solid frames, the closed form exactly)."""
+    import numpy as np
+
+    from rastertiler_rs_spark.jpeg import decode_jpeg, encode_jpeg_gray
+    from rastertiler_rs_spark.media import encode_mp4
+    from rastertiler_rs_spark.operators.multimodal import video_frame_stats
+
+    rows, expect = [], {}
+    for i in range(3):
+        w, h = 24 + 8 * i, 16 + 4 * i
+        frames = []
+        for f in range(4):
+            if f % 2:                    # textured (lossy) frames
+                band = ((np.add.outer(np.arange(h) * 3, np.arange(w) * 5)
+                         + 31 * i + 7 * f) % 256).astype(np.uint8)
+            else:                        # solid frames: exact round-trip
+                band = np.full((h, w), (50 * i + 13 * f) % 256, np.uint8)
+            frames.append(encode_jpeg_gray(band, quality=90))
+        rows.append((f"v{i}", encode_mp4(frames, w, h, 25, codec=b"jpeg"),
+                     "mp4;jpeg"))
+        for f, payload in enumerate(frames):
+            px = decode_jpeg(payload).reshape(-1).astype(np.int64)
+            expect[(f"v{i}", f)] = (int(px.sum()), int(px.min()), int(px.max()),
+                                    int(((np.arange(px.size) + 1) * px).sum()))
+
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    got = {(r["video_id"], r["frame_no"]): r.asDict()
+           for r in video_frame_stats(df, every_n=1).collect()}
+    assert len(got) == 12
+    for (vid, f), (vsum, vmin, vmax, checksum) in expect.items():
+        g = got[(vid, f)]
+        assert (g["vsum"], g["vmin"], g["vmax"], g["checksum"]) \
+            == (vsum, vmin, vmax, checksum)
+        i = int(vid[1])
+        if f % 2 == 0:                   # solid closed form
+            v = (50 * i + 13 * f) % 256
+            n = g["n_px"]
+            assert g["vsum"] == v * n and g["vmin"] == v == g["vmax"]
+            assert g["checksum"] == v * n * (n + 1) // 2
+
+
+def test_video_frame_stats_non_mjpeg_raises(spark):
+    from rastertiler_rs_spark.fixtures import video_frame_payload
+    from rastertiler_rs_spark.media import encode_mp4
+    from rastertiler_rs_spark.operators.multimodal import video_frame_stats
+
+    frames = [video_frame_payload(0, f) for f in range(3)]
+    df = spark.createDataFrame(
+        [("v0", encode_mp4(frames, 64, 48, 25, codec=b"mp4v"), "mp4;mp4v")],
+        "video_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="mp4v.*not available|Motion-JPEG"):
+        video_frame_stats(df).collect()

@@ -417,6 +417,10 @@ def _write_image(w: _BitWriter, px: np.ndarray, width: int, h: int, *,
             gw, gh = _ceil_div(width, 1 << meta_bits), _ceil_div(h, 1 << meta_bits)
             gx, gy = np.meshgrid(np.arange(gw), np.arange(gh))
             gmap = ((gx + gy) % n_groups).astype(np.uint8)
+            # the decoder derives the group count from the meta image's
+            # max code — a tiny tile grid may never reach group n-1, so
+            # the number of code sets written MUST follow the map
+            n_groups = int(gmap.max()) + 1
             gpx = np.zeros((gh * gw, 4), np.uint8)     # meta code rides
             gpx[:, 1] = gmap.ravel()                   # (r<<8)|g; r=0
             gpx[:, 3] = 255

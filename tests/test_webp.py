@@ -381,3 +381,48 @@ def test_decode_2d_distance_codes_near_neighborhood():
     np.testing.assert_array_equal(decode_webp(d2), img)
     np.testing.assert_array_equal(decode_webp(dplain), img)
     assert d2 != dplain                       # genuinely different coding
+
+
+def test_roundtrip_webp_feature_matrix_property():
+    """Hypothesis sweep: random tiny-to-small images x random feature
+    combinations must round-trip bit-exactly. Deliberately includes
+    1-2 px dims and meta grids with a single tile (the decoder derives
+    the group count from the meta image's max code — the encoder must
+    match, not assume its nominal n_groups)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 20), w=st.integers(1, 20), seed=st.integers(0, 2**32 - 1),
+        flat=st.booleans(),                       # runs for lz77/cache to bite
+        cache=st.sampled_from([0, 1, 4, 10]),
+        lz=st.sampled_from([None, "plain", "2d"]),
+        sg=st.booleans(),
+        pred=st.sampled_from([None, 2, 4]),
+        ct=st.sampled_from([None, 2, 5]),
+        meta=st.sampled_from([None, 2, 6]),
+    )
+    def check(h, w, seed, flat, cache, lz, sg, pred, ct, meta):
+        rng = np.random.default_rng(seed)
+        if flat:
+            img = np.repeat(rng.integers(0, 3, (h, 1, 4), dtype=np.uint8) * 90,
+                            w, axis=1)
+        else:
+            img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        data = encode_webp_lossless(
+            img, cache_bits=cache, lz77=lz, subtract_green=sg,
+            predictor_bits=pred, color_transform_bits=ct, meta_bits=meta)
+        np.testing.assert_array_equal(decode_webp(data), img)
+        assert probe_webp(data)["width"] == w
+
+    check()
+
+
+def test_meta_single_tile_group_count():
+    """Direct regression for the single-tile meta grid: 4x3 image with
+    meta_bits=6 has one tile -> meta max code 0 -> exactly ONE code
+    group on the wire."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    data = encode_webp_lossless(img, meta_bits=6)
+    np.testing.assert_array_equal(decode_webp(data), img)

@@ -48,7 +48,8 @@ def _zoom(v: str) -> int:
 
 
 def cmd_render(args) -> None:
-    from .operators.mbtiles_sink import materialize_mbtiles
+    from .operators.mbtiles_sink import (materialize_mbtiles,
+                                        write_mbtiles_shards)
     from .operators.overview import render_pyramid
     from .operators.render import metadata_table, render
     from .session import get_spark
@@ -90,6 +91,13 @@ def cmd_render(args) -> None:
                  ("attribution", args.attribution or "")]
         extra = [(k, v) for k, v in extra if v]
         meta = meta.unionByName(spark.createDataFrame(extra, meta.schema))
+    if args.shards_dir:
+        manifest = write_mbtiles_shards(fused, meta, args.shards_dir,
+                                        prefix_zoom=args.shard_prefix_zoom)
+        print(f"wrote {len(manifest['shards'])} shards "
+              f"({manifest['total_tiles']} tiles) to {args.shards_dir}")
+        if args.out == "-":
+            return
     try:
         materialize_mbtiles(fused, meta, args.out, max_tiles=args.max_tiles)
     except ValueError as e:
@@ -195,6 +203,12 @@ def main(argv=None) -> None:
                    help="refuse to materialize more tiles than this into "
                         "a single .mbtiles (driver-memory guard); use "
                         "--tiles-dir for larger pyramids")
+    r.add_argument("--shards-dir", default=None,
+                   help="also write a DISTRIBUTED sharded .mbtiles set "
+                        "(one standalone SQLite shard per quadkey subtree, "
+                        "written executor-side); pass OUT as '-' to skip "
+                        "the single-file materialization entirely")
+    r.add_argument("--shard-prefix-zoom", type=int, default=2)
     r.add_argument("--tiles-dir", default=None,
                    help="materialize the pyramid as a zoom-partitioned "
                         "parquet tile table here (the at-scale sink "

@@ -1,17 +1,26 @@
-"""Sinks: distributed parquet tile tables + driver-side .mbtiles file.
+"""Sinks: distributed parquet tile tables, distributed SHARDED
+.mbtiles, and the driver-side single .mbtiles file.
 
-The distributed sink is the (map, images)-shaped parquet pair written
-partitioned by zoom — at 100 TB that's the product. The SQLite
-materialization (DDL per /root/reference/src/mbtiles.rs:13-30) is a
-small-scale golden-comparison convenience, like the reference's final
-single-file flush (/root/reference/src/mbtiles.rs:125-144).
+The distributed sinks are the product at 100 TB: the (map, images)
+parquet pair partitioned by zoom, and `write_mbtiles_shards` — one
+standalone SQLite shard per quadkey subtree, written EXECUTOR-side
+(streamed into sqlite per task, atomic temp+rename commit, idempotent
+retries) so no tile byte ever crosses the driver. The single-file
+SQLite materialization (DDL per /root/reference/src/mbtiles.rs:13-30)
+is a small-scale golden-comparison convenience, like the reference's
+final single-file flush (/root/reference/src/mbtiles.rs:125-144), and
+is guarded by ``max_tiles``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
 
-from ..oracle import write_mbtiles
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import MBTILES_DDL, write_mbtiles
 from .render import blobs_table, tiles_table
 
 
@@ -21,6 +30,162 @@ def write_tile_tables(fused: DataFrame, out_dir: str, mode: str = "overwrite") -
     is hash-keyed and deduped (A5)."""
     tiles_table(fused).write.mode(mode).partitionBy("zoom_level").parquet(f"{out_dir}/map")
     blobs_table(fused).write.mode(mode).parquet(f"{out_dir}/images")
+
+
+def shard_for_tile(z: int, x: int, y: int, prefix_zoom: int = 2) -> int:
+    """Shard id of tile (z, x, y=tile_row) under quadkey sharding: the
+    bit-interleaved quadkey of the tile's z=prefix_zoom ancestor, +1;
+    shard 0 holds every tile above the prefix zoom. A serving layer
+    uses this to open exactly one shard per request; the Spark-side
+    SQL expression in write_mbtiles_shards is this formula verbatim."""
+    if z < prefix_zoom:
+        return 0
+    ax, ay = x >> (z - prefix_zoom), y >> (z - prefix_zoom)
+    s = 0
+    for b in range(prefix_zoom):
+        s |= ((ax >> b) & 1) << (2 * b + 1)
+        s |= ((ay >> b) & 1) << (2 * b)
+    return 1 + s
+
+
+def _quadkey_shard_expr(prefix_zoom: int):
+    """JVM-side column expr twin of shard_for_tile (no python UDF)."""
+    p = prefix_zoom
+    terms = " + ".join(
+        f"((shiftright(shiftright(x, zoom - {p}), {b}) & 1) * {1 << (2 * b + 1)})"
+        f" + ((shiftright(shiftright(tile_row, zoom - {p}), {b}) & 1)"
+        f" * {1 << (2 * b)})"
+        for b in range(p))
+    return F.expr(f"CASE WHEN zoom < {p} THEN 0 ELSE 1 + ({terms}) END")
+
+
+def write_mbtiles_shards(fused: DataFrame, metadata: DataFrame, out_dir: str,
+                         prefix_zoom: int = 2, hash_shards: int = 0) -> dict:
+    """Distributed .mbtiles materialization — the scale path the
+    single-file sink's guard points at.
+
+    Each shard is a COMPLETE standalone .mbtiles (full reference DDL,
+    unique map index, metadata table) covering one z=``prefix_zoom``
+    quadkey subtree (shard 0 = tiles above the prefix zoom), so any
+    one shard serves its subtree with no other file present.
+    ``hash_shards=n`` switches to uniform xxhash64 sharding — balance
+    over locality — with the same writer.
+
+    100 TB shape: one shuffle keyed by the shard id routes every
+    shard's rows to exactly one task (several shards may share a task;
+    sortWithinPartitions cuts them in a single stream); the task
+    STREAMS rows into sqlite executor-side — no collect, no driver
+    bytes — and commits each shard by atomic ``os.replace`` of a
+    temp file, so task retries are idempotent and readers never see a
+    partial shard. The driver writes only the manifest (shard ->
+    row counts). Skew bound: a quadkey shard holds at most the tiles
+    of one z=p subtree; for pathological single-subtree inputs use
+    hash_shards (uniform by construction).
+
+    Returns the manifest dict (also written to ``out_dir``/manifest.json).
+    """
+    meta_rows = [(r["name"], r["value"]) for r in metadata.collect()]
+    os.makedirs(out_dir, exist_ok=True)
+    if hash_shards:
+        n_shards = int(hash_shards)
+        shard_expr = F.pmod(F.xxhash64("zoom", "x", "tile_row"),
+                            F.lit(n_shards))
+        sharding = f"hash:{n_shards}"
+    else:
+        n_shards = 1 + 4 ** prefix_zoom
+        shard_expr = _quadkey_shard_expr(prefix_zoom)
+        sharding = f"quadkey:{prefix_zoom}"
+
+    df = (fused.select("zoom", "x", "tile_row", "tile_hash", "png")
+          .withColumn("shard", shard_expr.cast("int"))
+          .repartition(n_shards, "shard")
+          .sortWithinPartitions("shard", "zoom", "x", "tile_row"))
+
+    def write_partition(batches):
+        import sqlite3
+        import uuid
+
+        import pandas as pd
+
+        state = {"shard": None, "conn": None, "tmp": None,
+                 "n_tiles": 0, "n_blobs": 0}
+        counts = []
+
+        def close_current():
+            conn = state["conn"]
+            conn.execute("CREATE UNIQUE INDEX IF NOT EXISTS map_index ON "
+                         "map (zoom_level, tile_column, tile_row)")
+            conn.commit()
+            conn.close()
+            final = os.path.join(out_dir, f"shard-{state['shard']:05d}.mbtiles")
+            os.replace(state["tmp"], final)
+            counts.append((state["shard"], state["n_tiles"], state["n_blobs"]))
+
+        def open_shard(shard):
+            state.update(shard=shard, n_tiles=0, n_blobs=0)
+            state["tmp"] = os.path.join(
+                out_dir, f".shard-{shard:05d}.tmp-{uuid.uuid4().hex}")
+            conn = sqlite3.connect(state["tmp"])
+            conn.executescript(MBTILES_DDL)
+            conn.executemany(
+                "INSERT INTO metadata (name,value) VALUES (?, ?)", meta_rows)
+            state["conn"] = conn
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.shard != state["shard"]:
+                    if state["conn"] is not None:
+                        close_current()
+                    open_shard(int(row.shard))
+                conn = state["conn"]
+                cur = conn.execute(
+                    "INSERT OR IGNORE INTO images (tile_id, tile_data) "
+                    "VALUES (?, ?)", (int(row.tile_hash), bytes(row.png)))
+                state["n_blobs"] += cur.rowcount
+                conn.execute(
+                    "INSERT INTO map (zoom_level, tile_column, tile_row, "
+                    "tile_id) VALUES (?, ?, ?, ?)",
+                    (int(row.zoom), int(row.x), int(row.tile_row),
+                     int(row.tile_hash)))
+                state["n_tiles"] += 1
+        if state["conn"] is not None:
+            close_current()
+        yield pd.DataFrame(counts, columns=["shard", "n_tiles", "n_blobs"])
+
+    counts = (df.mapInPandas(
+        write_partition, "shard int, n_tiles long, n_blobs long")
+        .collect())
+    manifest = {
+        "sharding": sharding,
+        "n_shards": n_shards,
+        "shards": {int(r["shard"]): {"n_tiles": int(r["n_tiles"]),
+                                     "n_blobs": int(r["n_blobs"])}
+                   for r in counts},
+        "total_tiles": int(sum(r["n_tiles"] for r in counts)),
+        "metadata": dict(meta_rows),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_mbtiles_shards(out_dir: str):
+    """Union every shard back into (tiles, blobs, metadata) — the test
+    / golden-comparison reader (driver-side, small scale)."""
+    import sqlite3
+
+    tiles, blobs, meta = [], {}, {}
+    for name in sorted(os.listdir(out_dir)):
+        if not (name.startswith("shard-") and name.endswith(".mbtiles")):
+            continue
+        conn = sqlite3.connect(os.path.join(out_dir, name))
+        tiles.extend(conn.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_id FROM map"))
+        blobs.update(conn.execute(
+            "SELECT tile_id, tile_data FROM images"))
+        meta.update(conn.execute("SELECT name, value FROM metadata"))
+        conn.close()
+    return tiles, blobs, meta
 
 
 def materialize_mbtiles(fused: DataFrame, metadata: DataFrame, path: str,
@@ -43,7 +208,9 @@ def materialize_mbtiles(fused: DataFrame, metadata: DataFrame, path: str,
             f"materialize_mbtiles: tile count exceeds max_tiles={max_tiles}; "
             "a single .mbtiles file is a driver-side materialization — "
             "use the distributed parquet sink (write_tile_tables / CLI "
-            "--tiles-dir) for large pyramids, or raise max_tiles knowingly")
+            "--tiles-dir) or the sharded .mbtiles sink "
+            "(write_mbtiles_shards / CLI --shards-dir) for large "
+            "pyramids, or raise max_tiles knowingly")
     tiles = [(r["zoom"], r["x"], r["tile_row"], r["tile_hash"]) for r in rows]
     blobs = {r["tile_hash"]: bytes(r["png"]) for r in rows}
     meta = [(r["name"], r["value"]) for r in metadata.collect()]

@@ -2,6 +2,7 @@
 entry points) end-to-end: render two image sets to .mbtiles, merge
 them, and check against the numpy oracle + SQLite-level invariants."""
 
+import os
 import sqlite3
 import sys
 
@@ -173,3 +174,32 @@ def test_cli_mbtiles_driver_memory_guard(spark, tmp_path):
           "--tilesize", "64", "--disable-overviews", "--max-tiles", "500"])
     tiles, _, _ = _mb(out)
     assert 0 < len(tiles) <= 500
+
+
+def test_cli_render_sharded_mbtiles(spark, tmp_path):
+    """--shards-dir writes the distributed sharded sink; OUT='-' skips
+    the single-file materialization; union == single-file render."""
+    import json
+
+    from rastertiler_rs_spark.operators.mbtiles_sink import read_mbtiles_shards
+
+    tbl = generate_images(16, "u8")
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(tbl, src)
+    shards = str(tmp_path / "shards")
+    single = str(tmp_path / "s.mbtiles")
+
+    main(["render", src, "-", "--minzoom", "3", "--maxzoom", "6",
+          "--tilesize", "64", "--disable-overviews", "--shards-dir", shards])
+    main(["render", src, single, "--minzoom", "3", "--maxzoom", "6",
+          "--tilesize", "64", "--disable-overviews"])
+
+    assert not os.path.exists(str(tmp_path / "-"))
+    st, sb, _ = _mb(single)
+    tiles, blobs, meta = read_mbtiles_shards(shards)
+    assert {(z, x, y): h for z, x, y, h in tiles} == st
+    assert {h: bytes(b) for h, b in blobs.items()} \
+        == {h: bytes(b) for h, b in sb.items()}
+    manifest = json.load(open(os.path.join(shards, "manifest.json")))
+    assert manifest["total_tiles"] == len(tiles)
+    assert manifest["sharding"] == "quadkey:2"

@@ -394,6 +394,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold_pct=20, max_df_pct=80)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING under the value gate — the step after pair
+    generation that a production dedup actually ships: connected
+    components over the exact ngram-Jaccard pair graph (min-label
+    propagation, driver-steered rounds, one join + one groupBy-min per
+    round) plus canonical-survivor assignment. The DuckDB twin computes
+    the same components with a recursive transitive-closure CTE over
+    the identical pair SQL — so the oracle value-checks the iterative
+    distributed algorithm against a declarative fixpoint."""
+    from rastertiler_rs_spark.operators.components import dedup_assign
+    from rastertiler_rs_spark.operators.text import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold_pct=20, max_df_pct=80)
+    return dedup_assign(docs.select("doc_id"), pairs)
+
+
 def q_embedding_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer top-k on the SCALE plan: blocked numpy matmul per
     corpus batch + tiny candidate shuffle (dot_topk_int_blocked) — same
@@ -1194,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "embedding_topk_int": q_embedding_topk_int,
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
@@ -2167,6 +2185,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN score_fr = GREATEST(score_en, score_fr, score_de) THEN 'fr'
                         ELSE 'de' END AS lang_guess
             FROM s
+        """,
+        "dedup_components": """
+            WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+            sh0 AS (SELECT DISTINCT doc_id, SUBSTR(text, CAST(pos AS INT), 3) AS shingle
+                    FROM (SELECT doc_id, text,
+                                 UNNEST(generate_series(1, GREATEST(LENGTH(text) - 2, 1))) AS pos
+                          FROM docs)),
+            hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+                    HAVING 100 * COUNT(*) >
+                           80 * (SELECT COUNT(DISTINCT doc_id) FROM docs)),
+            sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 100 * i.inter >= 20 * (sa.sz + sb.sz - i.inter)),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT doc_id AS v, doc_id AS lbl FROM docs
+              UNION
+              SELECT e.dst AS v, r.lbl
+              FROM reach r JOIN edges e ON e.src = r.v)
+            SELECT CAST(v AS BIGINT) AS doc_id,
+                   CAST(MIN(lbl) AS BIGINT) AS component_id,
+                   (v = MIN(lbl)) AS is_canonical
+            FROM reach GROUP BY v
         """,
         "ngram_jaccard": """
             WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),

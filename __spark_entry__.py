@@ -394,6 +394,37 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold_pct=20, max_df_pct=80)
 
 
+def q_tile_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile→image provenance with CAPTION passthrough under the value
+    gate (the north rule's per-row caption-equality invariant): for
+    every z8 tile, the contributing images of the fixture table (the
+    render manifest's cell assignment: with_footprints JVM exprs +
+    tile_range_cols) aggregated with a real caption STRING column
+    (MIN(caption)), caption length sums, and a bit_xor of the phash
+    column — any corruption of captions or phash anywhere in the scan
+    →footprint→cover→join pipeline flips the driver's value hash."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import (tile_range_cols,
+                                                       with_footprints)
+
+    images = spark.read.parquet(images_parquet(64, "u8"))
+    fp = with_footprints(images).withColumn("zoom", F.lit(8))
+    cover = (tile_range_cols(fp)
+             .withColumn("x", F.explode(F.sequence("txmin", "txmax")))
+             .withColumn("y", F.explode(F.sequence("tymin", "tymax"))))
+    return (cover.groupBy("zoom", "x", "y")
+            .agg(F.count("*").alias("n_images"),
+                 F.min("image_id").alias("first_image"),
+                 F.min("caption").alias("first_caption"),
+                 F.sum(F.length("caption")).alias("caption_len_sum"),
+                 F.expr("bit_xor(phash)").alias("phash_xor"))
+            .select(F.col("zoom").cast("long").alias("zoom"),
+                    F.col("x").cast("long").alias("x"),
+                    F.col("y").cast("long").alias("y"),
+                    "n_images", "first_image", "first_caption",
+                    "caption_len_sum", "phash_xor"))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING under the value gate — the step after pair
     generation that a production dedup actually ships: connected
@@ -1212,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
@@ -1462,6 +1494,52 @@ def _doc_fingerprint_oracle_sql(window: int = 8) -> str:
                        UNNEST(generate_series(1, GREATEST(LENGTH(text) - {window - 1}, 1))) AS pos
                 FROM documents))
         GROUP BY doc_id
+    """
+
+
+def _tile_captions_oracle_sql(n: int = 64, zoom: int = 8) -> str:
+    """Embedded per-image constants (footprint, caption, phash) from
+    the SHARED fixture formulas + the z8 cover rederived in SQL; the
+    caption strings ride the hash as real values (per-row caption
+    equality, BASELINE input_hint)."""
+    import numpy as np
+
+    from rastertiler_rs_spark.fixtures import (caption_for_index,
+                                               footprint_from_index,
+                                               splitmix64)
+
+    idx = np.arange(n)
+    minx, miny, maxx, maxy = footprint_from_index(idx)
+    phash = splitmix64(idx.astype(np.uint64)).astype(np.int64)
+    rows = ",\n              ".join(
+        f"('img{i:08d}', '{caption_for_index(i)}', {int(phash[i])}, "
+        f"{minx[i]!r}, {miny[i]!r}, {maxx[i]!r}, {maxy[i]!r})"
+        for i in range(n))
+    zmax = (1 << zoom) - 1
+    zf = float(1 << zoom)
+    return f"""
+        WITH img(image_id, caption, phash, minx, miny, maxx, maxy) AS (VALUES
+              {rows}),
+        rng AS (
+          SELECT image_id, caption, phash,
+            GREATEST(0, LEAST({zmax}, CAST(FLOOR(((minx - (-{_O})) / {_CE}) * {zf!r}) AS BIGINT))) AS txmin,
+            GREATEST(0, LEAST({zmax}, CAST(FLOOR((1.0 - ((maxy - (-{_O})) / {_CE})) * {zf!r}) AS BIGINT))) AS tymin,
+            GREATEST(0, LEAST({zmax}, CAST(FLOOR((((maxx - (-{_O})) / {_CE}) - 1e-11) * {zf!r}) AS BIGINT))) AS txmax,
+            GREATEST(0, LEAST({zmax}, CAST(FLOOR((1.0 - (((miny - (-{_O})) / {_CE}) + 1e-11)) * {zf!r}) AS BIGINT))) AS tymax
+          FROM img),
+        cover AS (
+          SELECT image_id, caption, phash, xs.x AS x, ys.y AS y
+          FROM (SELECT image_id, caption, phash, tymin, tymax,
+                       UNNEST(generate_series(txmin, txmax)) AS x
+                FROM rng) xs(image_id, caption, phash, tymin, tymax, x),
+               LATERAL (SELECT UNNEST(generate_series(xs.tymin, xs.tymax))) ys(y))
+        SELECT CAST({zoom} AS BIGINT) AS zoom, x, y,
+               COUNT(*) AS n_images,
+               MIN(image_id) AS first_image,
+               MIN(caption) AS first_caption,
+               CAST(SUM(LENGTH(caption)) AS BIGINT) AS caption_len_sum,
+               CAST(BIT_XOR(phash) AS BIGINT) AS phash_xor
+        FROM cover GROUP BY x, y
     """
 
 
@@ -2186,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_guess
             FROM s
         """,
+        "tile_captions": _tile_captions_oracle_sql(),
         "dedup_components": """
             WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
             sh0 AS (SELECT DISTINCT doc_id, SUBSTR(text, CAST(pos AS INT), 3) AS shingle

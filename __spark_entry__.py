@@ -425,6 +425,16 @@ def q_tile_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "caption_len_sum", "phash_xor"))
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k distinctive tokens per doc with the integer (tf DESC,
+    df ASC, token ASC) rank rule — the tf-idf ordering without floats,
+    unique by construction, so the window top-k is value-verifiable."""
+    from rastertiler_rs_spark.operators.text import doc_keywords
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return doc_keywords(docs, k=3)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING under the value gate — the step after pair
     generation that a production dedup actually ships: connected
@@ -1243,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
         "embedding_lsh": q_embedding_lsh,
@@ -2263,6 +2274,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN score_fr = GREATEST(score_en, score_fr, score_de) THEN 'fr'
                         ELSE 'de' END AS lang_guess
             FROM s
+        """,
+        "doc_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+', 0)) AS token
+              FROM documents WHERE doc_id % 5 = 0),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            r AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, dfq.df ASC, tf.token ASC) AS rank
+                  FROM tf JOIN dfq USING (token))
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+            FROM r WHERE rank <= 3
         """,
         "tile_captions": _tile_captions_oracle_sql(),
         "dedup_components": """

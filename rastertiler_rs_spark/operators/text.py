@@ -285,6 +285,32 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("n_bpe_tokens"))
 
 
+def doc_keywords(docs: DataFrame, k: int = 3,
+                 text_col: str = "text") -> DataFrame:
+    """Top-k distinctive tokens per document — tf-idf ranking kept
+    fully integer: rank by (tf DESC, corpus df ASC, token ASC).
+    df is monotone in idf, so the ordering equals the float tf-idf
+    one while staying cross-engine exact; the token tie-break makes
+    the top-k total order unique.
+
+    Plan shape (100 TB): explode → hash agg tf(doc, token) → hash agg
+    df(token) → shuffle equi-join on token (df is token-cardinality —
+    NOT broadcastable at corpus scale) → per-doc window top-k. All
+    JVM-side; the window partitions by doc_id, the natural key."""
+    toks = docs.select("doc_id", F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit("[a-z0-9]+"), F.lit(0))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (tf.join(df_, "token")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", F.col("rank").cast("long").alias("rank"),
+                    "token", "tf", "df"))
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Integer quality features (cross-engine deterministic): length,
     punctuation count, digit count, space count, mean word length x100."""

@@ -63,23 +63,26 @@ def connected_components(edges: DataFrame, src: str = "src",
         vcol = vertices.columns[0]
         verts = verts.unionByName(
             vertices.select(F.col(vcol).cast("long").alias("v")))
-    labels = (verts.distinct().select("v", F.col("v").alias("lbl"))
-              .repartition(n_parts, "v").localCheckpoint())
-    prev = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+    try:
+        labels = (verts.distinct().select("v", F.col("v").alias("lbl"))
+                  .repartition(n_parts, "v").localCheckpoint())
+        prev = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
 
-    for _ in range(max_rounds):
-        nbr = (und.join(labels.select(F.col("v").alias("dst"), "lbl"), "dst")
-               .select(F.col("src").alias("v"), "lbl"))
-        labels = (labels.unionByName(nbr)
-                  .groupBy("v").agg(F.min("lbl").alias("lbl"))
-                  .repartition(n_parts, "v")
-                  .localCheckpoint(eager=False))
-        cur = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-        if cur == prev:
-            und.unpersist()
-            return labels
-        prev = cur
-    und.unpersist()
+        for _ in range(max_rounds):
+            nbr = (und.join(labels.select(F.col("v").alias("dst"), "lbl"),
+                            "dst")
+                   .select(F.col("src").alias("v"), "lbl"))
+            labels = (labels.unionByName(nbr)
+                      .groupBy("v").agg(F.min("lbl").alias("lbl"))
+                      .repartition(n_parts, "v")
+                      .localCheckpoint(eager=False))
+            cur = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+            if cur == prev:
+                return labels
+            prev = cur
+    finally:
+        und.unpersist()
     raise ValueError(
         f"connected_components did not converge in {max_rounds} rounds — "
         "graph diameter exceeds the near-dup assumption; raise max_rounds "

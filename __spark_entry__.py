@@ -426,9 +426,10 @@ def q_tile_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k distinctive tokens per doc with the integer (tf DESC,
-    df ASC, token ASC) rank rule — the tf-idf ordering without floats,
-    unique by construction, so the window top-k is value-verifiable."""
+    """Top-k tokens per doc with the integer (tf DESC, df ASC, token
+    ASC) rank rule — frequency-first with rarity tie-breaks (NOT float
+    tf*idf; the deterministic variant), uniquely ordered so the window
+    top-k is value-verifiable."""
     from rastertiler_rs_spark.operators.text import doc_keywords
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)

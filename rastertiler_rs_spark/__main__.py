@@ -91,9 +91,20 @@ def cmd_render(args) -> None:
                  ("attribution", args.attribution or "")]
         extra = [(k, v) for k, v in extra if v]
         meta = meta.unionByName(spark.createDataFrame(extra, meta.schema))
+    if args.out == "-" and not args.shards_dir:
+        sys.exit("ERROR: OUT='-' (skip single-file output) requires "
+                 "--shards-dir")
     if args.shards_dir:
-        manifest = write_mbtiles_shards(fused, meta, args.shards_dir,
-                                        prefix_zoom=args.shard_prefix_zoom)
+        # both sinks consume fused: persist so the render runs ONCE
+        # (lazy-DataFrame forks re-execute the producer otherwise)
+        if args.out != "-":
+            fused = fused.persist()
+        try:
+            manifest = write_mbtiles_shards(
+                fused, meta, args.shards_dir,
+                prefix_zoom=args.shard_prefix_zoom)
+        except ValueError as e:
+            sys.exit(f"ERROR: {e}")
         print(f"wrote {len(manifest['shards'])} shards "
               f"({manifest['total_tiles']} tiles) to {args.shards_dir}")
         if args.out == "-":
@@ -102,6 +113,9 @@ def cmd_render(args) -> None:
         materialize_mbtiles(fused, meta, args.out, max_tiles=args.max_tiles)
     except ValueError as e:
         sys.exit(f"ERROR: {e}")
+    finally:
+        if args.shards_dir:
+            fused.unpersist()
     print(f"wrote {args.out}")
 
 

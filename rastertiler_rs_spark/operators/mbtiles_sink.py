@@ -38,6 +38,8 @@ def shard_for_tile(z: int, x: int, y: int, prefix_zoom: int = 2) -> int:
     shard 0 holds every tile above the prefix zoom. A serving layer
     uses this to open exactly one shard per request; the Spark-side
     SQL expression in write_mbtiles_shards is this formula verbatim."""
+    if not 1 <= prefix_zoom <= 7:
+        raise ValueError(f"prefix_zoom must be in [1, 7], got {prefix_zoom}")
     if z < prefix_zoom:
         return 0
     ax, ay = x >> (z - prefix_zoom), y >> (z - prefix_zoom)
@@ -87,14 +89,25 @@ def write_mbtiles_shards(fused: DataFrame, metadata: DataFrame, out_dir: str,
     meta_rows = [(r["name"], r["value"]) for r in metadata.collect()]
     os.makedirs(out_dir, exist_ok=True)
     if hash_shards:
+        if hash_shards < 1:
+            raise ValueError(f"hash_shards must be >= 1, got {hash_shards}")
         n_shards = int(hash_shards)
         shard_expr = F.pmod(F.xxhash64("zoom", "x", "tile_row"),
                             F.lit(n_shards))
         sharding = f"hash:{n_shards}"
     else:
+        if not 1 <= prefix_zoom <= 7:
+            raise ValueError(
+                f"prefix_zoom must be in [1, 7], got {prefix_zoom}")
         n_shards = 1 + 4 ** prefix_zoom
         shard_expr = _quadkey_shard_expr(prefix_zoom)
         sharding = f"quadkey:{prefix_zoom}"
+    # a reused out_dir must not union with a previous run: clear old
+    # shards, orphan temps, and the manifest before the job starts
+    for name in os.listdir(out_dir):
+        if (name.startswith("shard-") and name.endswith(".mbtiles")) \
+                or name.startswith(".shard-") or name == "manifest.json":
+            os.remove(os.path.join(out_dir, name))
 
     df = (fused.select("zoom", "x", "tile_row", "tile_hash", "png")
           .withColumn("shard", shard_expr.cast("int"))
@@ -131,25 +144,38 @@ def write_mbtiles_shards(fused: DataFrame, metadata: DataFrame, out_dir: str,
                 "INSERT INTO metadata (name,value) VALUES (?, ?)", meta_rows)
             state["conn"] = conn
 
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                if row.shard != state["shard"]:
-                    if state["conn"] is not None:
-                        close_current()
-                    open_shard(int(row.shard))
-                conn = state["conn"]
-                cur = conn.execute(
-                    "INSERT OR IGNORE INTO images (tile_id, tile_data) "
-                    "VALUES (?, ?)", (int(row.tile_hash), bytes(row.png)))
-                state["n_blobs"] += cur.rowcount
-                conn.execute(
-                    "INSERT INTO map (zoom_level, tile_column, tile_row, "
-                    "tile_id) VALUES (?, ?, ?, ?)",
-                    (int(row.zoom), int(row.x), int(row.tile_row),
-                     int(row.tile_hash)))
-                state["n_tiles"] += 1
-        if state["conn"] is not None:
-            close_current()
+        try:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    if row.shard != state["shard"]:
+                        if state["conn"] is not None:
+                            close_current()
+                        open_shard(int(row.shard))
+                    conn = state["conn"]
+                    cur = conn.execute(
+                        "INSERT OR IGNORE INTO images (tile_id, tile_data) "
+                        "VALUES (?, ?)", (int(row.tile_hash), bytes(row.png)))
+                    state["n_blobs"] += cur.rowcount
+                    conn.execute(
+                        "INSERT INTO map (zoom_level, tile_column, tile_row, "
+                        "tile_id) VALUES (?, ?, ?, ?)",
+                        (int(row.zoom), int(row.x), int(row.tile_row),
+                         int(row.tile_hash)))
+                    state["n_tiles"] += 1
+            if state["conn"] is not None:
+                close_current()
+        except BaseException:
+            # failed mid-shard: drop the connection and the temp file so
+            # retries don't accumulate orphans (committed shards keep
+            # their atomic renames)
+            if state["conn"] is not None:
+                state["conn"].close()
+                state["conn"] = None
+                try:
+                    os.remove(state["tmp"])
+                except OSError:
+                    pass
+            raise
         yield pd.DataFrame(counts, columns=["shard", "n_tiles", "n_blobs"])
 
     counts = (df.mapInPandas(

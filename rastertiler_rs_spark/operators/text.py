@@ -287,11 +287,12 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def doc_keywords(docs: DataFrame, k: int = 3,
                  text_col: str = "text") -> DataFrame:
-    """Top-k distinctive tokens per document — tf-idf ranking kept
-    fully integer: rank by (tf DESC, corpus df ASC, token ASC).
-    df is monotone in idf, so the ordering equals the float tf-idf
-    one while staying cross-engine exact; the token tie-break makes
-    the top-k total order unique.
+    """Top-k tokens per document by (tf DESC, corpus df ASC, token
+    ASC) — frequency-first with rarity (df) breaking ties, all integer.
+    NOTE: this is NOT the float tf*idf ordering (which can rank a rare
+    token above a frequent near-stopword); it is the deterministic
+    cross-engine-exact variant, chosen so the window top-k sits under
+    the value gate. The token tie-break makes the order total.
 
     Plan shape (100 TB): explode → hash agg tf(doc, token) → hash agg
     df(token) → shuffle equi-join on token (df is token-cardinality —

@@ -225,7 +225,7 @@ def _write_code(w: _BitWriter, lengths: list[int], alphabet_size: int) -> None:
     # until every alphabet slot is filled, so trailing zeros are
     # emitted as 17/18 zero-runs, never trimmed.
     seq: list[tuple[int, int, int]] = []   # (cl_symbol, extra, extra_bits)
-    i, prev_nz = 0, 8
+    i = 0
     trimmed = list(lengths[:alphabet_size])
     n = len(trimmed)
     while i < n:
@@ -253,7 +253,6 @@ def _write_code(w: _BitWriter, lengths: list[int], alphabet_size: int) -> None:
                 seq.append((16, take - 3, 2))
                 left -= take
             seq.extend([(l, 0, 0)] * left)
-            prev_nz = l
         i += run
 
     cl_freq: dict[int, int] = {}
@@ -531,7 +530,12 @@ def _palettize(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
     palette = np.unique(flat, axis=0)                  # sorted, deterministic
     n_colors = palette.shape[0]
     if n_colors > 256:
-        raise ValueError(f"palette transform needs <= 256 colors, got {n_colors}")
+        raise ValueError(
+            f"palette transform needs <= 256 colors, got {n_colors} "
+            "(note: palette is applied LAST, to the already-transformed "
+            "image — predictor/color-transform residuals usually explode "
+            "color cardinality, so combine palette only with streams "
+            "that stay <= 256 colors after those transforms)")
     lookup = {tuple(c): i for i, c in enumerate(palette)}
     idx = np.fromiter((lookup[tuple(p)] for p in flat),
                       np.int64, flat.shape[0]).reshape(h, w)
@@ -574,7 +578,10 @@ def encode_webp_lossless(rgba: np.ndarray, *, cache_bits: int = 0,
     ``predictor_bits`` / ``color_transform_bits`` / ``palette``
     transforms (written in that read order; forward application
     follows read order so the decoder's reverse-order inverses
-    reconstruct exactly), ``meta_bits`` tiled prefix-code groups."""
+    reconstruct exactly — note ``palette`` therefore palettizes the
+    image AFTER the other requested transforms, whose residuals
+    usually exceed 256 colors; compose them only deliberately),
+    ``meta_bits`` tiled prefix-code groups."""
     if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
         raise ValueError("encode_webp_lossless expects (h, w, 4) uint8")
     h, w_px = rgba.shape[:2]

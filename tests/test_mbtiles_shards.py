@@ -119,3 +119,31 @@ def test_shards_union_equals_single_file(spark, fused, tmp_path):
     assert sorted(tiles) == stiles
     assert {h: bytes(b) for h, b in blobs.items()} \
         == {h: bytes(b) for h, b in sblobs.items()}
+
+
+def test_reused_out_dir_is_cleared(spark, fused, tmp_path):
+    """A rerun into the same out_dir with fewer shards must not union
+    with the previous run's files (stale shard-/tmp/manifest sweep)."""
+    out = str(tmp_path / "reuse")
+    images = spark.read.parquet(images_parquet(48, "u8"))
+    meta = metadata_table(spark, images, 0, 8, "t")
+    write_mbtiles_shards(fused, meta, out, prefix_zoom=2)   # up to 17 shards
+    # plant an orphan temp from a hypothetical dead attempt
+    open(os.path.join(out, ".shard-00001.tmp-dead"), "wb").write(b"x")
+    m2 = write_mbtiles_shards(fused, meta, out, hash_shards=2)
+    names = sorted(os.listdir(out))
+    assert [n for n in names if n.endswith(".mbtiles")] \
+        == [f"shard-{i:05d}.mbtiles" for i in sorted(m2["shards"])]
+    assert not [n for n in names if n.startswith(".shard-")]
+    exp_tiles, _ = _expected(fused)
+    tiles, _, _ = read_mbtiles_shards(out)
+    assert sorted(tiles) == exp_tiles
+
+
+def test_bad_prefix_zoom_rejected(spark, fused, tmp_path):
+    images = spark.read.parquet(images_parquet(48, "u8"))
+    meta = metadata_table(spark, images, 0, 8, "t")
+    with pytest.raises(ValueError, match="prefix_zoom"):
+        write_mbtiles_shards(fused, meta, str(tmp_path / "x"), prefix_zoom=0)
+    with pytest.raises(ValueError, match="prefix_zoom"):
+        shard_for_tile(5, 1, 1, prefix_zoom=0)

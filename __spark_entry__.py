@@ -436,6 +436,28 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(docs, k=3)
 
 
+def q_embedding_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranking semantics as embedding_ivf, but through the
+    PERSISTED index (build_ivf_index: posting-list parquet partitioned
+    by list_id + centroids.json; ivf_query_index probes with partition
+    pruning). The oracle twin is the identical SQL, so the gate
+    value-verifies the build→files→pruned-probe round-trip too."""
+    import os
+
+    from rastertiler_rs_spark.operators.embedding import (build_ivf_index,
+                                                          ivf_query_index)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index_dir = os.path.join(
+        "/root/repo/.fixture_cache",
+        "ivf_" + os.path.basename(sf_dir.rstrip("/")))
+    build_ivf_index(emb.select("vec_id", "embedding"), index_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    return ivf_query_index(spark, index_dir, queries, k=5).select(
+        "qid", "vec_id", "dot", "rank")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING under the value gate — the step after pair
     generation that a production dedup actually ships: connected
@@ -1259,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_int": q_embedding_topk_int,
         "embedding_lsh": q_embedding_lsh,
         "embedding_ivf": q_embedding_ivf,
+        "embedding_ivf_index": q_embedding_ivf_index,
         "embedding_neardup": q_embedding_neardup,
         "phash_near": q_phash_near,
         "render_tile_ids": q_render_tile_ids,
@@ -1854,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "embedding_lsh": _lsh_oracle_sql(),
         "embedding_ivf": _ivf_oracle_sql(),
+        "embedding_ivf_index": _ivf_oracle_sql(),
         "embedding_neardup": _neardup_oracle_sql(),
         "stream_dedup": """
             SELECT md5(text) AS content_key, MIN(doc_id) AS doc_id

@@ -349,6 +349,64 @@ def ivf_topk_int(vectors: DataFrame, queries: DataFrame, k: int,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def build_ivf_index(vectors: DataFrame, index_dir: str, n_lists: int = 8,
+                    iters: int = 2, scale: int = 1024,
+                    dim: int = 64) -> dict:
+    """Persist an IVF index: train once, query many — the ANN shape a
+    100 TB corpus actually runs (re-training the coarse quantizer per
+    query batch would dominate at scale).
+
+    Writes ``index_dir``/vectors parquet PARTITIONED BY list_id (each
+    posting list is its own partition directory, so a probe prunes to
+    nprobe/n_lists of the FILES — partition pruning, not a scan
+    filter) and ``index_dir``/centroids.json (broadcast-sized, stored
+    driver-side). Returns the index metadata dict."""
+    import json
+    import os
+
+    cents = kmeans_int(vectors, n_lists, iters, scale, dim)
+    vb = (vectors.withColumn("vi", _quant(F.col("embedding"), scale))
+          .withColumn("list_id", _argmin_dist(F.col("vi"), cents)))
+    (vb.select("vec_id", "vi", "list_id")
+       .write.mode("overwrite").partitionBy("list_id")
+       .parquet(f"{index_dir}/vectors"))
+    meta = {"n_lists": n_lists, "scale": scale, "dim": dim,
+            "centroids": [[int(x) for x in c] for c in cents]}
+    tmp = f"{index_dir}/centroids.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{index_dir}/centroids.json")
+    return meta
+
+
+def ivf_query_index(spark, index_dir: str, queries: DataFrame, k: int,
+                    nprobe: int = 2) -> DataFrame:
+    """Probe a persisted IVF index (build_ivf_index): quantize queries
+    with the stored scale, rank the stored centroids, and equi-join on
+    list_id against the partitioned posting lists — Catalyst turns the
+    probed-list predicate into PartitionFilters, so only nprobe/n_lists
+    of the index files are read. Identical ranking semantics (and
+    therefore identical results) to ivf_topk_int on the same inputs."""
+    import json
+
+    with open(f"{index_dir}/centroids.json") as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+    vb = spark.read.parquet(f"{index_dir}/vectors")
+    qb = (queries.withColumn("qi", _quant(F.col("qemb"), meta["scale"]))
+          .withColumn("list_id", F.explode(
+              _argmin_ranks(F.col("qi"), cents, nprobe))))
+    scored = vb.join(qb, "list_id").select(
+        "qid", "vec_id",
+        F.aggregate(F.zip_with("vi", "qi", lambda x, y: x * y),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v)
+        .alias("dot"),
+    ).groupBy("qid", "vec_id").agg(F.max("dot").alias("dot"))
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def neardup_pairs_int(vec_int: DataFrame, threshold_x100: int = 90,
                       n_planes: int = 24, n_bands: int = 3,
                       dim: int = 64) -> DataFrame:

@@ -166,3 +166,39 @@ def test_blocked_topk_equals_declarative(spark):
          for r in dot_topk_int_blocked(vecs, queries, k=7).collect()}
     assert len(a) >= 7
     assert a == b
+
+
+def test_ivf_index_persist_and_query(spark, tmp_path):
+    """build_ivf_index -> ivf_query_index equals the train-per-call
+    ivf_topk_int bit-for-bit, and the probe plan prunes the posting-
+    list partitions (dynamic partition pruning on list_id)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.embedding import (
+        build_ivf_index, ivf_query_index, ivf_topk_int)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb.select("vec_id", "embedding"), idx)
+    assert meta["n_lists"] == 8 and len(meta["centroids"]) == 8
+
+    via_index = ivf_query_index(spark, idx, queries, k=5)
+    direct = ivf_topk_int(emb.select("vec_id", "embedding"), queries, k=5)
+    key = lambda r: (r["qid"], r["rank"])
+    a = sorted(((r["qid"], r["rank"], r["vec_id"], r["dot"])
+                for r in via_index.collect()))
+    b = sorted(((r["qid"], r["rank"], r["vec_id"], r["dot"])
+                for r in direct.collect()))
+    assert a == b and len(a) > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        via_index.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert "dynamicpruning" in buf.getvalue()

@@ -176,6 +176,22 @@ def cmd_merge(args) -> None:
     spark = get_spark("rastertiler-merge", cpus=args.workers)
     spark.sparkContext.setLogLevel("ERROR")
 
+    if os.path.isdir(args.left) or os.path.isdir(args.right):
+        # sharded sets: distributed per-shard merge (no driver bytes)
+        if not (os.path.isdir(args.left) and os.path.isdir(args.right)):
+            sys.exit("ERROR: merge inputs must both be .mbtiles files or "
+                     "both be shard directories")
+        from .operators.mbtiles_sink import merge_mbtiles_shards
+
+        try:
+            manifest = merge_mbtiles_shards(spark, args.left, args.right,
+                                            args.out)
+        except (ValueError, OSError) as e:
+            sys.exit(f"ERROR: {e}")
+        print(f"wrote {len(manifest['shards'])} merged shards "
+              f"({manifest['total_tiles']} tiles) to {args.out}")
+        return
+
     map_schema = "zoom_level int, tile_column long, tile_row long, tile_id long"
     img_schema = "tile_id long, tile_data binary"
     lt, lb, lm = _read_mbtiles(args.left)

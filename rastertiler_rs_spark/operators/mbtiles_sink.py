@@ -104,10 +104,7 @@ def write_mbtiles_shards(fused: DataFrame, metadata: DataFrame, out_dir: str,
         sharding = f"quadkey:{prefix_zoom}"
     # a reused out_dir must not union with a previous run: clear old
     # shards, orphan temps, and the manifest before the job starts
-    for name in os.listdir(out_dir):
-        if (name.startswith("shard-") and name.endswith(".mbtiles")) \
-                or name.startswith(".shard-") or name == "manifest.json":
-            os.remove(os.path.join(out_dir, name))
+    _sweep_shard_dir(out_dir)
 
     df = (fused.select("zoom", "x", "tile_row", "tile_hash", "png")
           .withColumn("shard", shard_expr.cast("int"))
@@ -184,6 +181,134 @@ def write_mbtiles_shards(fused: DataFrame, metadata: DataFrame, out_dir: str,
     manifest = {
         "sharding": sharding,
         "n_shards": n_shards,
+        "shards": {int(r["shard"]): {"n_tiles": int(r["n_tiles"]),
+                                     "n_blobs": int(r["n_blobs"])}
+                   for r in counts},
+        "total_tiles": int(sum(r["n_tiles"] for r in counts)),
+        "metadata": dict(meta_rows),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def _sweep_shard_dir(out_dir: str) -> None:
+    for name in os.listdir(out_dir):
+        if (name.startswith("shard-") and name.endswith(".mbtiles")) \
+                or name.startswith(".shard-") or name == "manifest.json":
+            os.remove(os.path.join(out_dir, name))
+
+
+def merge_mbtiles_shards(spark, left_dir: str, right_dir: str,
+                         out_dir: str) -> dict:
+    """Distributed tileset merge over SHARDED .mbtiles sets — the
+    reference's merge pipeline (copy destination, `INSERT OR IGNORE`
+    the source's map+images, min/max-zoom metadata refresh,
+    VACUUM+PRAGMA optimize; /root/reference/src/mbtiles.rs:147-221)
+    applied PER SHARD, executor-side, via sqlite ATTACH.
+
+    Shard routing is a pure function of (z, x, y), so the same tile
+    lands in the same shard id in both sets and the merge is
+    embarrassingly parallel: NO shuffle, no tile bytes through the
+    driver — each task reads exactly two files and commits one output
+    shard atomically (temp + os.replace). Left wins on map-key
+    conflicts (the shards' unique map index + OR IGNORE, exactly the
+    reference's rule); metadata keeps left values with minzoom/maxzoom
+    merged min/max, written into every output shard so each stays a
+    standalone .mbtiles. Both inputs must share the same `sharding`
+    spec (manifest-checked) and ``out_dir`` must be a third directory.
+    """
+    import shutil
+
+    with open(os.path.join(left_dir, "manifest.json")) as f:
+        lman = json.load(f)
+    with open(os.path.join(right_dir, "manifest.json")) as f:
+        rman = json.load(f)
+    if lman["sharding"] != rman["sharding"]:
+        raise ValueError(
+            f"shard layouts differ: {lman['sharding']} vs {rman['sharding']}"
+            " — resharding merge is not supported; rewrite one set first")
+    if any(os.path.realpath(out_dir) == os.path.realpath(d)
+           for d in (left_dir, right_dir)):
+        raise ValueError("merge output must be a distinct directory")
+
+    lmeta, rmeta = dict(lman["metadata"]), dict(rman["metadata"])
+    merged_meta = dict(rmeta)
+    merged_meta.update(lmeta)                  # left wins on shared keys
+    for key, agg in (("minzoom", min), ("maxzoom", max)):
+        vals = [int(m[key]) for m in (lmeta, rmeta) if key in m]
+        if vals:
+            merged_meta[key] = str(agg(vals))
+    meta_rows = sorted(merged_meta.items())
+
+    os.makedirs(out_dir, exist_ok=True)
+    _sweep_shard_dir(out_dir)
+    ids = sorted({int(s) for s in lman["shards"]}
+                 | {int(s) for s in rman["shards"]})
+    n_parts = min(len(ids), spark.sparkContext.defaultParallelism * 2) or 1
+    df = spark.createDataFrame([(s,) for s in ids],
+                               "shard int").repartition(n_parts, "shard")
+
+    def merge_partition(batches):
+        import sqlite3
+        import uuid
+
+        import pandas as pd
+
+        counts = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                shard = int(row.shard)
+                fname = f"shard-{shard:05d}.mbtiles"
+                lp = os.path.join(left_dir, fname)
+                rp = os.path.join(right_dir, fname)
+                base = lp if os.path.exists(lp) else rp
+                other = rp if base == lp and os.path.exists(rp) else None
+                tmp = os.path.join(out_dir,
+                                   f".shard-{shard:05d}.tmp-{uuid.uuid4().hex}")
+                shutil.copyfile(base, tmp)
+                conn = sqlite3.connect(tmp)
+                try:
+                    if other is not None:
+                        conn.execute("ATTACH DATABASE ? AS other", (other,))
+                        conn.execute(
+                            "INSERT OR IGNORE INTO images (tile_id, tile_data)"
+                            " SELECT tile_id, tile_data FROM other.images")
+                        conn.execute(
+                            "INSERT OR IGNORE INTO map (zoom_level, "
+                            "tile_column, tile_row, tile_id) SELECT "
+                            "zoom_level, tile_column, tile_row, tile_id "
+                            "FROM other.map")
+                        conn.commit()
+                        conn.execute("DETACH DATABASE other")
+                    conn.execute("DELETE FROM metadata")
+                    conn.executemany(
+                        "INSERT INTO metadata (name,value) VALUES (?, ?)",
+                        meta_rows)
+                    n_tiles, = conn.execute("SELECT COUNT(*) FROM map").fetchone()
+                    n_blobs, = conn.execute(
+                        "SELECT COUNT(*) FROM images").fetchone()
+                    conn.commit()
+                    conn.executescript("VACUUM; PRAGMA optimize;")
+                    conn.close()
+                    conn = None
+                    os.replace(tmp, os.path.join(out_dir, fname))
+                    counts.append((shard, n_tiles, n_blobs))
+                except BaseException:
+                    if conn is not None:
+                        conn.close()
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
+                    raise
+        yield pd.DataFrame(counts, columns=["shard", "n_tiles", "n_blobs"])
+
+    counts = (df.mapInPandas(
+        merge_partition, "shard int, n_tiles long, n_blobs long").collect())
+    manifest = {
+        "sharding": lman["sharding"],
+        "n_shards": lman["n_shards"],
         "shards": {int(r["shard"]): {"n_tiles": int(r["n_tiles"]),
                                      "n_blobs": int(r["n_blobs"])}
                    for r in counts},

@@ -203,3 +203,32 @@ def test_cli_render_sharded_mbtiles(spark, tmp_path):
     manifest = json.load(open(os.path.join(shards, "manifest.json")))
     assert manifest["total_tiles"] == len(tiles)
     assert manifest["sharding"] == "quadkey:2"
+
+
+def test_cli_merge_shard_dirs_and_mixed_error(spark, tmp_path):
+    from rastertiler_rs_spark.operators.mbtiles_sink import (
+        read_mbtiles_shards, write_mbtiles_shards)
+    from rastertiler_rs_spark.operators.render import (metadata_table,
+                                                       render)
+
+    tbl = generate_images(12, "u8")
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(tbl, src)
+    images = spark.read.parquet(src)
+    fused = render(images, 3, 5, tile_size=64, dtype_tag="u8")
+    meta = metadata_table(spark, images, 3, 5, "t")
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    write_mbtiles_shards(fused, meta, d1, prefix_zoom=1)
+    write_mbtiles_shards(fused, meta, d2, prefix_zoom=1)
+
+    out = str(tmp_path / "merged")
+    main(["merge", d1, d2, out])
+    tiles, _, _ = read_mbtiles_shards(out)
+    assert sorted(tiles) == sorted(
+        (r["zoom"], r["x"], r["tile_row"], r["tile_hash"])
+        for r in fused.collect())                 # self-merge = identity
+
+    f = tmp_path / "x.mbtiles"
+    f.write_bytes(b"")
+    with pytest.raises(SystemExit, match="both"):
+        main(["merge", d1, str(f), str(tmp_path / "o")])

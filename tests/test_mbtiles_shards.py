@@ -147,3 +147,81 @@ def test_bad_prefix_zoom_rejected(spark, fused, tmp_path):
         write_mbtiles_shards(fused, meta, str(tmp_path / "x"), prefix_zoom=0)
     with pytest.raises(ValueError, match="prefix_zoom"):
         shard_for_tile(5, 1, 1, prefix_zoom=0)
+
+
+
+def test_distributed_shard_merge_matches_single_file(spark, tmp_path):
+    """Per-shard ATTACH merge == the single-file merge semantics: left
+    wins on map-key conflicts, blobs unioned, minzoom/maxzoom
+    min/maxed, every output shard standalone + vacuumed."""
+    import pyarrow.parquet as pq
+
+    from rastertiler_rs_spark.fixtures import generate_images
+    from rastertiler_rs_spark.operators.merge import (merge_metadata,
+                                                      merge_tables)
+    from rastertiler_rs_spark.operators.mbtiles_sink import (
+        merge_mbtiles_shards)
+
+    tbl = generate_images(24, "u8")
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(tbl.slice(0, 16), a)
+    pq.write_table(tbl.slice(8, 16), b)          # overlaps a on 8..15
+
+    dirs = {}
+    for name, src, zmin, zmax in (("L", a, 3, 6), ("R", b, 4, 7)):
+        images = spark.read.parquet(src)
+        fused = render(images, zmin, zmax, tile_size=64, dtype_tag="u8")
+        meta = metadata_table(spark, images, zmin, zmax, f"set{name}")
+        d = str(tmp_path / f"shards{name}")
+        write_mbtiles_shards(fused, meta, d, prefix_zoom=2)
+        dirs[name] = d
+
+    out = str(tmp_path / "merged")
+    manifest = merge_mbtiles_shards(spark, dirs["L"], dirs["R"], out)
+    tiles, blobs, meta = read_mbtiles_shards(out)
+
+    # expected: DataFrame-merge semantics over the two shard unions
+    lt, lb, _lm = read_mbtiles_shards(dirs["L"])
+    rt, rb, _rm = read_mbtiles_shards(dirs["R"])
+    ms = "zoom_level int, tile_column long, tile_row long, tile_id long"
+    mm, mi = merge_tables(
+        spark.createDataFrame(lt, ms),
+        spark.createDataFrame([(h, bytes(v)) for h, v in lb.items()],
+                              "tile_id long, tile_data binary"),
+        spark.createDataFrame(rt, ms),
+        spark.createDataFrame([(h, bytes(v)) for h, v in rb.items()],
+                              "tile_id long, tile_data binary"))
+    want_tiles = sorted((r["zoom_level"], r["tile_column"], r["tile_row"],
+                         r["tile_id"]) for r in mm.collect())
+    assert sorted(tiles) == want_tiles
+    assert manifest["total_tiles"] == len(want_tiles)
+    assert set(blobs) == {r["tile_id"] for r in mi.collect()}
+    assert meta["name"] == "setL"               # left wins
+    assert (meta["minzoom"], meta["maxzoom"]) == ("3", "7")
+
+    # every output shard is vacuumed + internally consistent
+    for name in sorted(os.listdir(out)):
+        if not name.endswith(".mbtiles"):
+            continue
+        conn = sqlite3.connect(os.path.join(out, name))
+        assert conn.execute("PRAGMA integrity_check").fetchone()[0] == "ok"
+        assert conn.execute("PRAGMA freelist_count").fetchone()[0] == 0
+        assert conn.execute(
+            "SELECT COUNT(*) FROM map m LEFT JOIN images i "
+            "ON i.tile_id = m.tile_id WHERE i.tile_id IS NULL"
+        ).fetchone()[0] == 0                     # no dangling tile refs
+        conn.close()
+
+
+def test_shard_merge_layout_mismatch_rejected(spark, fused, tmp_path):
+    images = spark.read.parquet(images_parquet(48, "u8"))
+    meta = metadata_table(spark, images, 0, 8, "t")
+    d1, d2 = str(tmp_path / "p2"), str(tmp_path / "h4")
+    write_mbtiles_shards(fused, meta, d1, prefix_zoom=2)
+    write_mbtiles_shards(fused, meta, d2, hash_shards=4)
+    with pytest.raises(ValueError, match="layouts differ"):
+        merge_mbtiles_shards_import = __import__(
+            "rastertiler_rs_spark.operators.mbtiles_sink",
+            fromlist=["merge_mbtiles_shards"])
+        merge_mbtiles_shards_import.merge_mbtiles_shards(
+            spark, d1, d2, str(tmp_path / "out"))

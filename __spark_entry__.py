@@ -436,6 +436,59 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(docs, k=3)
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM-corpus cleaning chain as ONE composed query:
+    quality filter → exact dedup (planted doubles lose to originals) →
+    near-dup clustering (connected components over the exact ngram
+    pair graph) → canonical survivor, emitting a per-doc verdict
+    (quality / exact_dup / near_dup / kept) + component id. Every
+    stage is oracle-verified alone elsewhere; this entry verifies the
+    COMPOSITION — filters feeding joins feeding the iterative
+    clustering — against a single recursive-CTE SQL twin."""
+    from rastertiler_rs_spark.operators.components import dedup_assign
+    from rastertiler_rs_spark.operators.text import (exact_dup_groups,
+                                                     ngram_jaccard_pairs,
+                                                     quality_scores)
+
+    base = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"))
+    planted = (base.filter(F.col("doc_id") % 50 == 0)
+               .select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                       "text"))
+    docs = base.unionByName(planted)
+
+    q = quality_scores(docs).select("doc_id", "n_chars_m")
+    docs_q = (docs.join(q, "doc_id")
+              .withColumn("pass_quality", F.col("n_chars_m") >= 120))
+    surv1 = docs_q.filter("pass_quality").select("doc_id", "text")
+
+    groups = exact_dup_groups(surv1)
+    with_md5 = (surv1.withColumn("content_md5", F.md5("text"))
+                .join(groups.select("content_md5", "keep_doc_id"),
+                      "content_md5"))
+    surv2 = (with_md5.filter(F.col("doc_id") == F.col("keep_doc_id"))
+             .select("doc_id", "text"))
+
+    pairs = ngram_jaccard_pairs(surv2, n=3, threshold_pct=50, max_df_pct=80)
+    comp = dedup_assign(surv2.select("doc_id"), pairs)
+
+    verdict = (docs_q.select("doc_id", "pass_quality")
+               .join(with_md5.select("doc_id", "keep_doc_id"),
+                     "doc_id", "left")
+               .join(comp.select("doc_id", "component_id", "is_canonical"),
+                     "doc_id", "left")
+               .select(
+                   "doc_id",
+                   F.coalesce("component_id",
+                              F.lit(-1).cast("long")).alias("component_id"),
+                   F.when(~F.col("pass_quality"), F.lit("quality"))
+                   .when(F.col("doc_id") != F.col("keep_doc_id"),
+                         F.lit("exact_dup"))
+                   .when(~F.col("is_canonical"), F.lit("near_dup"))
+                   .otherwise(F.lit("kept")).alias("verdict")))
+    return verdict.withColumn("kept", F.col("verdict") == F.lit("kept"))
+
+
 def q_embedding_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same ranking semantics as embedding_ivf, but through the
     PERSISTED index (build_ivf_index: posting-list parquet partitioned
@@ -1276,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "corpus_pipeline": q_corpus_pipeline,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
@@ -2299,6 +2353,66 @@ def oracle_sql() -> dict[str, str]:
                         WHEN score_fr = GREATEST(score_en, score_fr, score_de) THEN 'fr'
                         ELSE 'de' END AS lang_guess
             FROM s
+        """,
+        "corpus_pipeline": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+            docs AS (SELECT doc_id, text FROM base
+                     UNION ALL
+                     SELECT doc_id + 1000000, text FROM base
+                     WHERE doc_id % 50 = 0),
+            q AS (SELECT doc_id, text,
+                         LENGTH(text) >= 120 AS pass_quality FROM docs),
+            surv1 AS (SELECT doc_id, text FROM q WHERE pass_quality),
+            md AS (SELECT doc_id, text,
+                          MIN(doc_id) OVER (PARTITION BY MD5(text))
+                            AS keep_doc_id
+                   FROM surv1),
+            surv2 AS (SELECT doc_id, text FROM md WHERE doc_id = keep_doc_id),
+            sh0 AS (SELECT DISTINCT doc_id,
+                           SUBSTR(text, CAST(pos AS INT), 3) AS shingle
+                    FROM (SELECT doc_id, text,
+                                 UNNEST(generate_series(1,
+                                   GREATEST(LENGTH(text) - 2, 1))) AS pos
+                          FROM surv2)),
+            hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+                    HAVING 100 * COUNT(*) >
+                           80 * (SELECT COUNT(DISTINCT doc_id) FROM surv2)),
+            sh AS (SELECT * FROM sh0
+                   WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.doc_a, i.doc_b FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 100 * i.inter >= 50 * (sa.sz + sb.sz - i.inter)),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT doc_id AS v, doc_id AS lbl FROM surv2
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+            comp AS (SELECT v AS doc_id, MIN(lbl) AS component_id
+                     FROM reach GROUP BY v),
+            v AS (
+              SELECT q.doc_id,
+                     CAST(COALESCE(c.component_id, -1) AS BIGINT)
+                       AS component_id,
+                     CASE WHEN NOT q.pass_quality THEN 'quality'
+                          WHEN q.doc_id <> m.keep_doc_id THEN 'exact_dup'
+                          WHEN q.doc_id <> c.component_id THEN 'near_dup'
+                          ELSE 'kept' END AS verdict
+              FROM q
+              LEFT JOIN md m ON m.doc_id = q.doc_id
+              LEFT JOIN comp c ON c.doc_id = q.doc_id)
+            SELECT doc_id, component_id, verdict,
+                   (verdict = 'kept') AS kept
+            FROM v
         """,
         "doc_keywords": """
             WITH toks AS (

@@ -436,6 +436,24 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(docs, k=3)
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics under the value gate: part-derived zone boxes
+    x the fixture image table through the J3 cell join, REAL PNG
+    decode per matched image, pixel-center-in-zone mask with the
+    shared IEEE op sequence, integer aggregates. The DuckDB twin
+    rederives every pixel from the generation formula + embedded
+    per-image constants — a defect in the join, the decode, the mask
+    arithmetic, or the two-level aggregation flips the hash."""
+    import rastertiler_rs_spark.tilemath as tm
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.zonal import zonal_stats
+
+    zones = _part_boxes(spark, sf_dir, 500).select(
+        F.col("p_partkey").alias("zone_id"), "minx", "miny", "maxx", "maxy")
+    images = spark.read.parquet(images_parquet(64, "u8"))
+    return zonal_stats(zones, images, cell_size=tm.CE / 64)
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-corpus cleaning chain as ONE composed query:
     quality filter → exact dedup (planted doubles lose to originals) →
@@ -1330,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "corpus_pipeline": q_corpus_pipeline,
+        "zonal_stats": q_zonal_stats,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
@@ -1630,6 +1649,46 @@ def _tile_captions_oracle_sql(n: int = 64, zoom: int = 8) -> str:
                CAST(BIT_XOR(phash) AS BIGINT) AS phash_xor
         FROM cover GROUP BY x, y
     """
+
+
+def _zonal_stats_oracle_sql(n_images: int = 64, limit: int = 500) -> str:
+    """Zone boxes (part formula) x embedded image constants; pixels
+    rederived from the generation formula with the SAME IEEE center
+    arithmetic as operators/zonal.py (psx division first, then
+    (c + 0.5) * psx, then the add)."""
+    case = _PIXEL_VALUE_CASE.format(r="rs.r", c="cs.c")
+    return f"""
+        WITH img({_IMG_COLS}) AS (VALUES
+              {_image_consts_values(n_images)}),
+        boxes AS ({_PART_BOXES_SQL.format(limit=limit)}),
+        pairs AS (
+          SELECT b.p_partkey AS zone_id, b.minx AS zxmin, b.miny AS zymin,
+                 b.maxx AS zxmax, b.maxy AS zymax, img.*
+          FROM boxes b JOIN img ON b.minx < img.maxx AND b.maxx > img.minx
+                               AND b.miny < img.maxy AND b.maxy > img.miny),
+        px AS (
+          SELECT zone_id, i, v, xc, yc, zxmin, zxmax, zymin, zymax FROM (
+            SELECT p.*, rs.r, cs.c,
+                   {{case}} AS v,
+                   p.minx + (cs.c + 0.5) * ((p.maxx - p.minx) / p.w) AS xc,
+                   p.maxy - (rs.r + 0.5) * ((p.maxy - p.miny) / p.h) AS yc
+            FROM pairs p,
+                 LATERAL (SELECT UNNEST(generate_series(0, p.h - 1)) AS r) rs(r),
+                 LATERAL (SELECT UNNEST(generate_series(0, p.w - 1)) AS c) cs(c))),
+        filt AS (SELECT * FROM px
+                 WHERE xc >= zxmin AND xc < zxmax
+                   AND yc >= zymin AND yc < zymax AND v <> 0),
+        per_img AS (SELECT zone_id, i, COUNT(*) AS n, SUM(v) AS s,
+                           MIN(v) AS mn, MAX(v) AS mx
+                    FROM filt GROUP BY 1, 2)
+        SELECT CAST(zone_id AS BIGINT) AS zone_id,
+               COUNT(*) AS n_images,
+               CAST(SUM(n) AS BIGINT) AS n_px,
+               CAST(SUM(s) AS BIGINT) AS vsum,
+               CAST(MIN(mn) AS BIGINT) AS vmin,
+               CAST(MAX(mx) AS BIGINT) AS vmax
+        FROM per_img GROUP BY zone_id
+    """.replace("{case}", case)
 
 
 def _render_tile_ids_oracle_sql() -> str:
@@ -2354,6 +2413,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_guess
             FROM s
         """,
+        "zonal_stats": _zonal_stats_oracle_sql(),
         "corpus_pipeline": """
             WITH RECURSIVE base AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

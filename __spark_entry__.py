@@ -454,6 +454,35 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(zones, images, cell_size=tm.CE / 64)
 
 
+def q_zonal_stats_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over POLYGON zones (triangles on the image
+    grid): pixel membership is the true even-odd ray cast — and so is
+    the DuckDB twin, which evaluates the same crossing inequality
+    (x2-x1)*(yc-y1)/(y2-y1)+x1 per non-horizontal edge with COUNT%2
+    parity. Unlike the pip entry (rectangles), the SQL side here
+    exercises the actual ray-cast arithmetic."""
+    import numpy as np
+
+    import rastertiler_rs_spark.tilemath as tm
+    from rastertiler_rs_spark.fixtures import (footprint_from_index,
+                                               images_parquet)
+    from rastertiler_rs_spark.operators.zonal import zonal_stats_poly
+
+    polys = []
+    for i in range(0, 40, 4):
+        minx, miny, maxx, maxy = (v.item() for v in
+                                  footprint_from_index(np.array([i])))
+        # slopes deliberately NOT aligned to the pixel grid: with the
+        # plain bbox diagonal, the 64x64 fixtures put pixel CENTERS
+        # exactly on the edge line and the inside/outside decision
+        # falls to last-ulp float divergence between engines
+        polys.append((i, [(minx - 311.25, miny - 97.5),
+                          (maxx + 1234.5, miny + 777.25),
+                          (minx + 555.125, maxy + 321.75)]))
+    images = spark.read.parquet(images_parquet(64, "u8"))
+    return zonal_stats_poly(polys, images, cell_size=tm.CE / 64)
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-corpus cleaning chain as ONE composed query:
     quality filter → exact dedup (planted doubles lose to originals) →
@@ -1349,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "corpus_pipeline": q_corpus_pipeline,
         "zonal_stats": q_zonal_stats,
+        "zonal_stats_poly": q_zonal_stats_poly,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
@@ -1689,6 +1719,75 @@ def _zonal_stats_oracle_sql(n_images: int = 64, limit: int = 500) -> str:
                CAST(MAX(mx) AS BIGINT) AS vmax
         FROM per_img GROUP BY zone_id
     """.replace("{case}", case)
+
+
+def _zonal_poly_oracle_sql(n_images: int = 64) -> str:
+    """Triangle zones over the image grid with the REAL even-odd test:
+    non-horizontal ring edges embedded in ray_cast's (v[j] -> v[i])
+    orientation (float parity demands the same operand order), pixel
+    membership = odd crossing count."""
+    import numpy as np
+
+    from rastertiler_rs_spark.fixtures import footprint_from_index
+
+    edge_rows, box_rows = [], []
+    for i in range(0, 40, 4):
+        minx, miny, maxx, maxy = (v.item() for v in
+                                  footprint_from_index(np.array([i])))
+        ring = [(minx - 311.25, miny - 97.5),
+                (maxx + 1234.5, miny + 777.25),
+                (minx + 555.125, maxy + 321.75)]
+        n = len(ring)
+        j = n - 1
+        for k in range(n):
+            (x1, y1), (x2, y2) = ring[j], ring[k]
+            j = k
+            if y1 != y2:
+                edge_rows.append(f"({i}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        box_rows.append(f"({i}, {min(xs)!r}, {min(ys)!r}, "
+                        f"{max(xs)!r}, {max(ys)!r})")
+    edges = ",\n              ".join(edge_rows)
+    boxes = ",\n              ".join(box_rows)
+    case = _PIXEL_VALUE_CASE.format(r="rs.r", c="cs.c")
+    return f"""
+        WITH img({_IMG_COLS}) AS (VALUES
+              {_image_consts_values(n_images)}),
+        tri(zone_id, x1, y1, x2, y2) AS (VALUES
+              {edges}),
+        zbox(zone_id, zxmin, zymin, zxmax, zymax) AS (VALUES
+              {boxes}),
+        pairs AS (
+          SELECT z.zone_id, img.*
+          FROM zbox z JOIN img ON z.zxmin < img.maxx AND z.zxmax > img.minx
+                              AND z.zymin < img.maxy AND z.zymax > img.miny),
+        px AS (
+            SELECT p.zone_id, p.i, rs.r, cs.c,
+                   {case} AS v,
+                   p.minx + (cs.c + 0.5) * ((p.maxx - p.minx) / p.w) AS xc,
+                   p.maxy - (rs.r + 0.5) * ((p.maxy - p.miny) / p.h) AS yc
+            FROM pairs p,
+                 LATERAL (SELECT UNNEST(generate_series(0, p.h - 1)) AS r) rs(r),
+                 LATERAL (SELECT UNNEST(generate_series(0, p.w - 1)) AS c) cs(c)),
+        mem AS (
+          SELECT p.zone_id, p.i, p.r, p.c, p.v
+          FROM px p JOIN tri t ON t.zone_id = p.zone_id
+          WHERE (t.y1 > p.yc) <> (t.y2 > p.yc)
+            AND p.xc < ((t.x2 - t.x1) * (p.yc - t.y1)) / (t.y2 - t.y1) + t.x1
+          GROUP BY p.zone_id, p.i, p.r, p.c, p.v
+          HAVING COUNT(*) % 2 = 1),
+        per_img AS (SELECT zone_id, i, COUNT(*) AS n, SUM(v) AS s,
+                           MIN(v) AS mn, MAX(v) AS mx
+                    FROM mem WHERE v <> 0 GROUP BY 1, 2)
+        SELECT CAST(zone_id AS BIGINT) AS zone_id,
+               COUNT(*) AS n_images,
+               CAST(SUM(n) AS BIGINT) AS n_px,
+               CAST(SUM(s) AS BIGINT) AS vsum,
+               CAST(MIN(mn) AS BIGINT) AS vmin,
+               CAST(MAX(mx) AS BIGINT) AS vmax
+        FROM per_img GROUP BY zone_id
+    """
 
 
 def _render_tile_ids_oracle_sql() -> str:
@@ -2414,6 +2513,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "zonal_stats": _zonal_stats_oracle_sql(),
+        "zonal_stats_poly": _zonal_poly_oracle_sql(),
         "corpus_pipeline": """
             WITH RECURSIVE base AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

@@ -91,3 +91,76 @@ def zonal_stats(zones: DataFrame, images: DataFrame, cell_size: float,
                  F.sum("vsum").alias("vsum"),
                  F.min("vmin").alias("vmin"),
                  F.max("vmax").alias("vmax")))
+
+
+def zonal_stats_poly(polygons: list[tuple], images: DataFrame,
+                     cell_size: float, nodata: int = 0) -> DataFrame:
+    """Zonal statistics over ARBITRARY polygon zones: pixel membership
+    is the even-odd ray cast of the pixel CENTER against the ring —
+    the same vectorized `pip.ray_cast` the J5 join uses, so polygon
+    semantics can't drift between the point and raster paths.
+
+    ``polygons`` is the pip list form [(zone_id, [(x, y), ...]), ...]
+    (broadcast-sized prepared geometry, like pip_join); candidate
+    (zone, image) pairs come from the polygon's bbox through the same
+    cell equi-join as the box variant, and the ray cast runs only on
+    candidates' pixels. Same output schema and determinism contract as
+    `zonal_stats` (all the crossing arithmetic is plain IEEE doubles a
+    SQL twin evaluates in the same order)."""
+    from .pip import _prepare, ray_cast
+
+    prepared = _prepare(polygons)
+    spark = images.sparkSession
+    boxes = spark.createDataFrame(
+        [(int(pid), float(xs.min()), float(ys.min()),
+          float(xs.max()), float(ys.max())) for pid, xs, ys in prepared],
+        "zone_id long, minx double, miny double, maxx double, maxy double")
+    rings = {int(pid): (xs, ys) for pid, xs, ys in prepared}
+
+    fp = with_footprints(images).select(
+        "image_id", "bytes", "fmt",
+        F.col("minx").alias("r_minx"), F.col("miny").alias("r_miny"),
+        F.col("maxx").alias("r_maxx"), F.col("maxy").alias("r_maxy"))
+    lz = with_cover_cells(boxes, cell_size)
+    ri = with_cover_cells(fp, cell_size, prefix="r_")
+    residual = (
+        (F.col("minx") < F.col("r_maxx")) & (F.col("maxx") > F.col("r_minx"))
+        & (F.col("miny") < F.col("r_maxy")) & (F.col("maxy") > F.col("r_miny")))
+    pairs = (lz.join(ri, ["cell_x", "cell_y"]).filter(residual)
+             .dropDuplicates(["zone_id", "image_id"]))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"zone_id": [], "n_px": [], "vsum": [],
+                   "vmin": [], "vmax": []}
+            for row in pdf.itertuples(index=False):
+                band = decode_band(bytes(row.bytes), row.fmt)
+                h, w = band.shape
+                psx = (row.r_maxx - row.r_minx) / w
+                psy = (row.r_maxy - row.r_miny) / h
+                xc = row.r_minx + (np.arange(w) + 0.5) * psx
+                yc = row.r_maxy - (np.arange(h) + 0.5) * psy
+                gx = np.broadcast_to(xc, (h, w)).ravel()
+                gy = np.broadcast_to(yc[:, None], (h, w)).ravel()
+                xs, ys = rings[int(row.zone_id)]
+                inside = ray_cast(gx, gy, xs, ys).reshape(h, w)
+                vals = band[inside & (band != nodata)]
+                if vals.size == 0:
+                    continue
+                v64 = vals.astype(np.int64)
+                out["zone_id"].append(row.zone_id)
+                out["n_px"].append(int(v64.size))
+                out["vsum"].append(int(v64.sum()))
+                out["vmin"].append(int(v64.min()))
+                out["vmax"].append(int(v64.max()))
+            yield pd.DataFrame(out)
+
+    partials = pairs.select("zone_id", "bytes", "fmt", "r_minx", "r_miny",
+                            "r_maxx", "r_maxy").mapInPandas(
+        fn, "zone_id long, n_px long, vsum long, vmin long, vmax long")
+    return (partials.groupBy("zone_id")
+            .agg(F.count("*").alias("n_images"),
+                 F.sum("n_px").alias("n_px"),
+                 F.sum("vsum").alias("vsum"),
+                 F.min("vmin").alias("vmin"),
+                 F.max("vmax").alias("vmax")))

@@ -58,3 +58,42 @@ def test_zonal_stats_matches_numpy(spark):
     want = _expected(zones, n)
     assert got == want
     assert 99 not in got and len(got) >= 3
+
+
+def test_zonal_stats_poly_matches_numpy(spark):
+    """Pentagon zone over a known image: operator == direct numpy
+    ray-cast recompute (shared ray_cast ⇒ parity by construction,
+    this pins the plumbing: join, decode, broadcast rings, agg)."""
+    from rastertiler_rs_spark.operators.pip import ray_cast
+    from rastertiler_rs_spark.operators.zonal import zonal_stats_poly
+
+    n = 16
+    images = spark.read.parquet(images_parquet(n, "u8"))
+    polys, want = [], {}
+    for i in (1, 5):
+        minx, miny, maxx, maxy = (v.item() for v in
+                                  footprint_from_index(np.array([i])))
+        cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+        ring = [(minx - 500.0, cy), (cx, miny - 750.0),
+                (maxx + 250.0, cy + 123.0), (cx + 77.0, maxy + 400.0),
+                (minx + 33.0, maxy - 111.0)]
+        polys.append((i, ring))
+        w, h = int(_W_CYCLE[i % 4]), int(_H_CYCLE[i % 4])
+        band = pixel_band(i, w, h, "u8")
+        psx, psy = (maxx - minx) / w, (maxy - miny) / h
+        xc = minx + (np.arange(w) + 0.5) * psx
+        yc = maxy - (np.arange(h) + 0.5) * psy
+        gx = np.broadcast_to(xc, (h, w)).ravel()
+        gy = np.broadcast_to(yc[:, None], (h, w)).ravel()
+        xs = np.array([p[0] for p in ring])
+        ys = np.array([p[1] for p in ring])
+        inside = ray_cast(gx, gy, xs, ys).reshape(h, w)
+        vals = band[inside & (band != NODATA)].astype(np.int64)
+        if vals.size:
+            want[i] = (1, vals.size, int(vals.sum()),
+                       int(vals.min()), int(vals.max()))
+    got = {r["zone_id"]: (r["n_images"], r["n_px"], r["vsum"],
+                          r["vmin"], r["vmax"])
+           for r in zonal_stats_poly(polys, images,
+                                     cell_size=tm.CE / 256).collect()}
+    assert got == want and len(want) >= 1

@@ -483,6 +483,20 @@ def q_zonal_stats_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats_poly(polys, images, cell_size=tm.CE / 64)
 
 
+def q_zonal_stats_u32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The u32 twin of zonal_stats: same zones, png;u32 images (24-bit
+    values through the RGB-packed decode path) — puts the u32 decode
+    under the zonal aggregation gate as well."""
+    import rastertiler_rs_spark.tilemath as tm
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.zonal import zonal_stats
+
+    zones = _part_boxes(spark, sf_dir, 500).select(
+        F.col("p_partkey").alias("zone_id"), "minx", "miny", "maxx", "maxy")
+    images = spark.read.parquet(images_parquet(64, "u32"))
+    return zonal_stats(zones, images, cell_size=tm.CE / 64)
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-corpus cleaning chain as ONE composed query:
     quality filter → exact dedup (planted doubles lose to originals) →
@@ -1379,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "zonal_stats": q_zonal_stats,
         "zonal_stats_poly": q_zonal_stats_poly,
+        "zonal_stats_u32": q_zonal_stats_u32,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
@@ -1681,12 +1696,14 @@ def _tile_captions_oracle_sql(n: int = 64, zoom: int = 8) -> str:
     """
 
 
-def _zonal_stats_oracle_sql(n_images: int = 64, limit: int = 500) -> str:
+def _zonal_stats_oracle_sql(n_images: int = 64, limit: int = 500,
+                           u32: bool = False) -> str:
     """Zone boxes (part formula) x embedded image constants; pixels
     rederived from the generation formula with the SAME IEEE center
     arithmetic as operators/zonal.py (psx division first, then
     (c + 0.5) * psx, then the add)."""
-    case = _PIXEL_VALUE_CASE.format(r="rs.r", c="cs.c")
+    tmpl = _PIXEL_VALUE_CASE_U32 if u32 else _PIXEL_VALUE_CASE
+    case = tmpl.format(r="rs.r", c="cs.c")
     return f"""
         WITH img({_IMG_COLS}) AS (VALUES
               {_image_consts_values(n_images)}),
@@ -2514,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zonal_stats": _zonal_stats_oracle_sql(),
         "zonal_stats_poly": _zonal_poly_oracle_sql(),
+        "zonal_stats_u32": _zonal_stats_oracle_sql(u32=True),
         "corpus_pipeline": """
             WITH RECURSIVE base AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

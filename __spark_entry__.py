@@ -565,7 +565,11 @@ def q_embedding_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = os.path.join(
         "/root/repo/.fixture_cache",
         "ivf_" + os.path.basename(sf_dir.rstrip("/")))
-    build_ivf_index(emb.select("vec_id", "embedding"), index_dir)
+    # build-if-missing, like every other .fixture_cache artifact: the
+    # index content is deterministic, and an unconditional overwrite
+    # could yank part-files from under a concurrent reader's snapshot
+    if not os.path.exists(os.path.join(index_dir, "centroids.json")):
+        build_ivf_index(emb.select("vec_id", "embedding"), index_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
     return ivf_query_index(spark, index_dir, queries, k=5).select(

@@ -233,8 +233,10 @@ def merge_mbtiles_shards(spark, left_dir: str, right_dir: str,
         raise ValueError("merge output must be a distinct directory")
 
     lmeta, rmeta = dict(lman["metadata"]), dict(rman["metadata"])
-    merged_meta = dict(rmeta)
-    merged_meta.update(lmeta)                  # left wins on shared keys
+    # single-file merge_metadata semantics (mbtiles.rs:181-207): the
+    # destination's keys only, with minzoom/maxzoom merged min/max —
+    # right-only keys do NOT leak into the output
+    merged_meta = dict(lmeta)
     for key, agg in (("minzoom", min), ("maxzoom", max)):
         vals = [int(m[key]) for m in (lmeta, rmeta) if key in m]
         if vals:
@@ -269,6 +271,12 @@ def merge_mbtiles_shards(spark, left_dir: str, right_dir: str,
                 shutil.copyfile(base, tmp)
                 conn = sqlite3.connect(tmp)
                 try:
+                    # defensive, as the reference does before its
+                    # anti-inserts (mbtiles.rs:155-158): left-wins
+                    # depends on this unique index existing
+                    conn.execute(
+                        "CREATE UNIQUE INDEX IF NOT EXISTS map_index ON "
+                        "map (zoom_level, tile_column, tile_row)")
                     if other is not None:
                         conn.execute("ATTACH DATABASE ? AS other", (other,))
                         conn.execute(

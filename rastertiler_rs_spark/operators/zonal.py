@@ -2,9 +2,10 @@
 
 The classic raster↔vector analytics op (north-star extension; the
 reference's window-intersection semantics, dataset.rs:163-166,
-generalized from tiles to arbitrary zone boxes): for every zone,
-aggregate the non-nodata pixels of every intersecting image whose
-pixel CENTER falls inside the zone.
+generalized from tiles to arbitrary zones): for every zone, aggregate
+the non-nodata pixels whose CENTERS fall inside the zone — box zones
+(`zonal_stats`) or polygon zones via the same even-odd ray cast as
+the J5 join (`zonal_stats_poly`, shared `pip.ray_cast`).
 
 Plan shape (100 TB): zones × image footprints through the J3
 cell-indexed equi-join (with_cover_cells — no all-pairs, skew handled
@@ -13,13 +14,17 @@ zone-cell tasks (same idiom as the render's cell stage: compressed
 source bytes, not raw pixels), each (zone, image) pair decodes its
 PNG once task-local and reduces to a single partial row, and the only
 post-join shuffle is a tiny groupBy(zone_id) over O(pairs) partials
-with map-side combine.
+with map-side combine. Polygon rings travel as a sparkContext
+broadcast (once per executor, not per task).
 
-Determinism contract: pixel membership is "center in [zmin, zmax)"
-evaluated with the exact same IEEE double sequence on both engines —
-psx = (maxx - minx) / w, center = minx + (c + 0.5) * psx — so the
-DuckDB oracle (which rederives pixels from the generation formula)
-hash-matches the engine's REAL decoded-pixel aggregation.
+Determinism contract: pixel membership is evaluated with the exact
+same IEEE double sequence on both engines — psx = (maxx - minx) / w,
+center = minx + (c + 0.5) * psx, and for polygons the ray-cast
+crossing inequality in `pip.ray_cast`'s operand order — so the DuckDB
+oracles (which rederive pixels from the generation formula)
+hash-match the engine's REAL decoded-pixel aggregation. The shared
+`_pixel_centers` helper is the single home of that arithmetic for
+both variants.
 """
 
 from __future__ import annotations
@@ -34,18 +39,14 @@ from ..png import decode_band
 from .render import with_footprints
 from .spatial_join import with_cover_cells
 
+_PARTIAL_SCHEMA = "zone_id long, n_px long, vsum long, vmin long, vmax long"
 
-def zonal_stats(zones: DataFrame, images: DataFrame, cell_size: float,
-                nodata: int = 0) -> DataFrame:
-    """(zone_id, n_images, n_px, vsum, vmin, vmax) — integer stats of
-    the non-nodata pixels whose centers fall in each zone.
 
-    ``zones``: (zone_id, minx, miny, maxx, maxy); ``images``: the
-    engine's image table (footprints derived via with_footprints, or
-    pre-georeferenced minx..maxy columns). ``n_images`` counts images
-    contributing at least one valid pixel to the zone; zones with no
-    valid pixels produce no row (mirrored by the oracle twin).
-    """
+def _zone_image_pairs(zones: DataFrame, images: DataFrame,
+                      cell_size: float) -> DataFrame:
+    """Candidate (zone, image) pairs via the J3 cell equi-join + bbox
+    residual, deduped on the pair key; carries the zone box, image
+    footprint, and image bytes."""
     fp = with_footprints(images).select(
         "image_id", "bytes", "fmt",
         F.col("minx").alias("r_minx"), F.col("miny").alias("r_miny"),
@@ -55,42 +56,73 @@ def zonal_stats(zones: DataFrame, images: DataFrame, cell_size: float,
     residual = (
         (F.col("minx") < F.col("r_maxx")) & (F.col("maxx") > F.col("r_minx"))
         & (F.col("miny") < F.col("r_maxy")) & (F.col("maxy") > F.col("r_miny")))
-    pairs = (lz.join(ri, ["cell_x", "cell_y"]).filter(residual)
-             .dropDuplicates(["zone_id", "image_id"]))
+    return (lz.join(ri, ["cell_x", "cell_y"]).filter(residual)
+            .dropDuplicates(["zone_id", "image_id"])
+            .select("zone_id", "minx", "miny", "maxx", "maxy",
+                    "bytes", "fmt", "r_minx", "r_miny", "r_maxx", "r_maxy"))
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"zone_id": [], "n_px": [], "vsum": [],
-                   "vmin": [], "vmax": []}
-            for row in pdf.itertuples(index=False):
-                band = decode_band(bytes(row.bytes), row.fmt)
-                h, w = band.shape
-                psx = (row.r_maxx - row.r_minx) / w
-                psy = (row.r_maxy - row.r_miny) / h
-                xc = row.r_minx + (np.arange(w) + 0.5) * psx
-                yc = row.r_maxy - (np.arange(h) + 0.5) * psy
-                cm = (xc >= row.minx) & (xc < row.maxx)
-                rm = (yc >= row.miny) & (yc < row.maxy)
-                sub = band[np.ix_(rm, cm)]
-                vals = sub[sub != nodata]
-                if vals.size == 0:
-                    continue
-                v64 = vals.astype(np.int64)
-                out["zone_id"].append(row.zone_id)
-                out["n_px"].append(int(v64.size))
-                out["vsum"].append(int(v64.sum()))
-                out["vmin"].append(int(v64.min()))
-                out["vmax"].append(int(v64.max()))
-            yield pd.DataFrame(out)
 
-    partials = pairs.mapInPandas(
-        fn, "zone_id long, n_px long, vsum long, vmin long, vmax long")
+def _pixel_centers(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(band, xc, yc) for one pair row — THE cross-engine pixel-center
+    arithmetic (mirrored verbatim by the DuckDB oracle twins; do not
+    reorder the float ops)."""
+    band = decode_band(bytes(row.bytes), row.fmt)
+    h, w = band.shape
+    psx = (row.r_maxx - row.r_minx) / w
+    psy = (row.r_maxy - row.r_miny) / h
+    xc = row.r_minx + (np.arange(w) + 0.5) * psx
+    yc = row.r_maxy - (np.arange(h) + 0.5) * psy
+    return band, xc, yc
+
+
+def _emit_partial(out: dict, zone_id, band: np.ndarray, inside: np.ndarray,
+                  nodata: int) -> None:
+    vals = band[inside & (band != nodata)]
+    if vals.size == 0:
+        return
+    v64 = vals.astype(np.int64)
+    out["zone_id"].append(zone_id)
+    out["n_px"].append(int(v64.size))
+    out["vsum"].append(int(v64.sum()))
+    out["vmin"].append(int(v64.min()))
+    out["vmax"].append(int(v64.max()))
+
+
+def _finalize(partials: DataFrame) -> DataFrame:
     return (partials.groupBy("zone_id")
             .agg(F.count("*").alias("n_images"),
                  F.sum("n_px").alias("n_px"),
                  F.sum("vsum").alias("vsum"),
                  F.min("vmin").alias("vmin"),
                  F.max("vmax").alias("vmax")))
+
+
+def zonal_stats(zones: DataFrame, images: DataFrame, cell_size: float,
+                nodata: int = 0) -> DataFrame:
+    """(zone_id, n_images, n_px, vsum, vmin, vmax) — integer stats of
+    the non-nodata pixels whose centers fall in each box zone.
+
+    ``zones``: (zone_id, minx, miny, maxx, maxy); ``images``: the
+    engine's image table (footprints derived via with_footprints, or
+    pre-georeferenced minx..maxy columns). ``n_images`` counts images
+    contributing at least one valid pixel to the zone; zones with no
+    valid pixels produce no row (mirrored by the oracle twin)."""
+    pairs = _zone_image_pairs(zones, images, cell_size)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"zone_id": [], "n_px": [], "vsum": [],
+                   "vmin": [], "vmax": []}
+            for row in pdf.itertuples(index=False):
+                band, xc, yc = _pixel_centers(row)
+                inside = np.ix_((yc >= row.miny) & (yc < row.maxy),
+                                (xc >= row.minx) & (xc < row.maxx))
+                sub = band[inside]
+                _emit_partial(out, row.zone_id, sub,
+                              np.ones(sub.shape, dtype=bool), nodata)
+            yield pd.DataFrame(out)
+
+    return _finalize(pairs.mapInPandas(fn, _PARTIAL_SCHEMA))
 
 
 def zonal_stats_poly(polygons: list[tuple], images: DataFrame,
@@ -100,13 +132,12 @@ def zonal_stats_poly(polygons: list[tuple], images: DataFrame,
     the same vectorized `pip.ray_cast` the J5 join uses, so polygon
     semantics can't drift between the point and raster paths.
 
-    ``polygons`` is the pip list form [(zone_id, [(x, y), ...]), ...]
-    (broadcast-sized prepared geometry, like pip_join); candidate
-    (zone, image) pairs come from the polygon's bbox through the same
-    cell equi-join as the box variant, and the ray cast runs only on
-    candidates' pixels. Same output schema and determinism contract as
-    `zonal_stats` (all the crossing arithmetic is plain IEEE doubles a
-    SQL twin evaluates in the same order)."""
+    ``polygons`` is the pip list form [(zone_id, [(x, y), ...]), ...];
+    the prepared rings are a sparkContext broadcast, candidate pairs
+    come from the polygon bboxes through the same cell equi-join as
+    the box variant, and the ray cast runs only on candidates'
+    pixels. Same output schema and determinism contract as
+    `zonal_stats`."""
     from .pip import _prepare, ray_cast
 
     prepared = _prepare(polygons)
@@ -115,52 +146,25 @@ def zonal_stats_poly(polygons: list[tuple], images: DataFrame,
         [(int(pid), float(xs.min()), float(ys.min()),
           float(xs.max()), float(ys.max())) for pid, xs, ys in prepared],
         "zone_id long, minx double, miny double, maxx double, maxy double")
-    rings = {int(pid): (xs, ys) for pid, xs, ys in prepared}
+    rings_bc = spark.sparkContext.broadcast(
+        {int(pid): (xs, ys) for pid, xs, ys in prepared})
 
-    fp = with_footprints(images).select(
-        "image_id", "bytes", "fmt",
-        F.col("minx").alias("r_minx"), F.col("miny").alias("r_miny"),
-        F.col("maxx").alias("r_maxx"), F.col("maxy").alias("r_maxy"))
-    lz = with_cover_cells(boxes, cell_size)
-    ri = with_cover_cells(fp, cell_size, prefix="r_")
-    residual = (
-        (F.col("minx") < F.col("r_maxx")) & (F.col("maxx") > F.col("r_minx"))
-        & (F.col("miny") < F.col("r_maxy")) & (F.col("maxy") > F.col("r_miny")))
-    pairs = (lz.join(ri, ["cell_x", "cell_y"]).filter(residual)
-             .dropDuplicates(["zone_id", "image_id"]))
+    pairs = _zone_image_pairs(boxes, images, cell_size).select(
+        "zone_id", "bytes", "fmt", "r_minx", "r_miny", "r_maxx", "r_maxy")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings = rings_bc.value
         for pdf in batches:
             out = {"zone_id": [], "n_px": [], "vsum": [],
                    "vmin": [], "vmax": []}
             for row in pdf.itertuples(index=False):
-                band = decode_band(bytes(row.bytes), row.fmt)
+                band, xc, yc = _pixel_centers(row)
                 h, w = band.shape
-                psx = (row.r_maxx - row.r_minx) / w
-                psy = (row.r_maxy - row.r_miny) / h
-                xc = row.r_minx + (np.arange(w) + 0.5) * psx
-                yc = row.r_maxy - (np.arange(h) + 0.5) * psy
                 gx = np.broadcast_to(xc, (h, w)).ravel()
                 gy = np.broadcast_to(yc[:, None], (h, w)).ravel()
                 xs, ys = rings[int(row.zone_id)]
                 inside = ray_cast(gx, gy, xs, ys).reshape(h, w)
-                vals = band[inside & (band != nodata)]
-                if vals.size == 0:
-                    continue
-                v64 = vals.astype(np.int64)
-                out["zone_id"].append(row.zone_id)
-                out["n_px"].append(int(v64.size))
-                out["vsum"].append(int(v64.sum()))
-                out["vmin"].append(int(v64.min()))
-                out["vmax"].append(int(v64.max()))
+                _emit_partial(out, row.zone_id, band, inside, nodata)
             yield pd.DataFrame(out)
 
-    partials = pairs.select("zone_id", "bytes", "fmt", "r_minx", "r_miny",
-                            "r_maxx", "r_maxy").mapInPandas(
-        fn, "zone_id long, n_px long, vsum long, vmin long, vmax long")
-    return (partials.groupBy("zone_id")
-            .agg(F.count("*").alias("n_images"),
-                 F.sum("n_px").alias("n_px"),
-                 F.sum("vsum").alias("vsum"),
-                 F.min("vmin").alias("vmin"),
-                 F.max("vmax").alias("vmax")))
+    return _finalize(pairs.mapInPandas(fn, _PARTIAL_SCHEMA))

@@ -158,7 +158,7 @@ def test_distributed_shard_merge_matches_single_file(spark, tmp_path):
 
     from rastertiler_rs_spark.fixtures import generate_images
     from rastertiler_rs_spark.operators.merge import (merge_metadata,
-                                                      merge_tables)
+                                                      merge_tables)  # noqa
     from rastertiler_rs_spark.operators.mbtiles_sink import (
         merge_mbtiles_shards)
 
@@ -198,6 +198,13 @@ def test_distributed_shard_merge_matches_single_file(spark, tmp_path):
     assert set(blobs) == {r["tile_id"] for r in mi.collect()}
     assert meta["name"] == "setL"               # left wins
     assert (meta["minzoom"], meta["maxzoom"]) == ("3", "7")
+    # single-file merge_metadata semantics: LEFT's key set only (plus
+    # merged zooms) — right-only keys must not leak into the output
+    want_meta = {r["name"]: r["value"] for r in merge_metadata(
+        spark.createDataFrame(sorted(_lm.items()), "name string, value string"),
+        spark.createDataFrame(sorted(_rm.items()), "name string, value string"),
+    ).collect()}
+    assert meta == want_meta
 
     # every output shard is vacuumed + internally consistent
     for name in sorted(os.listdir(out)):

@@ -497,6 +497,57 @@ def q_zonal_stats_u32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(zones, images, cell_size=tm.CE / 64)
 
 
+def q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile sink round-trip under the value gate: customer
+    points → per-tile MVT blobs (from-spec protobuf + geometry-command
+    encoder, mvt/codec.py) → decoded BACK by the from-spec parser;
+    per-tile aggregates of the DECODED local coordinates and feature
+    ids against a SQL twin of the tile-assignment + MVT quantization
+    math. Wire framing, zigzag deltas, and the command stream must all
+    survive the round trip for the hash to match."""
+    from rastertiler_rs_spark.functions.columns import geo_to_mercator_cols
+    from rastertiler_rs_spark.mvt import decode_mvt
+    from rastertiler_rs_spark.operators.vector_tiles import points_to_mvt
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 800)
+    lon = (F.col("c_custkey") % 3600) / F.lit(10.0) - F.lit(180.0) + F.lit(0.05)
+    lat = (F.col("c_custkey") % 1700) / F.lit(10.0) - F.lit(85.0) + F.lit(0.05)
+    mx, my = geo_to_mercator_cols(lon, lat)
+    pts = c.select(F.col("c_custkey").alias("pid"),
+                   _rnd(mx, 1e6).alias("px"), _rnd(my, 1e6).alias("py"))
+    tiles = points_to_mvt(pts, zoom=6)
+
+    def decode_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "tile_row": [], "n_features": [],
+                   "sum_lx": [], "sum_ly": [], "min_fid": [], "max_fid": []}
+            for row in pdf.itertuples(index=False):
+                layer = decode_mvt(bytes(row.mvt))[0]
+                assert layer["extent"] == 4096 and layer["version"] == 2
+                fids, lxs, lys = [], [], []
+                for f in layer["features"]:
+                    (_, pts_), = f["geometry"]
+                    (lx, ly), = pts_
+                    fids.append(f["id"])
+                    lxs.append(lx)
+                    lys.append(ly)
+                out["zoom"].append(6)
+                out["x"].append(int(row.x))
+                out["tile_row"].append(int(row.tile_row))
+                out["n_features"].append(len(fids))
+                out["sum_lx"].append(sum(lxs))
+                out["sum_ly"].append(sum(lys))
+                out["min_fid"].append(min(fids))
+                out["max_fid"].append(max(fids))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(
+        decode_fn, "zoom long, x long, tile_row long, n_features long, "
+                   "sum_lx long, sum_ly long, min_fid long, max_fid long")
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-corpus cleaning chain as ONE composed query:
     quality filter → exact dedup (planted doubles lose to originals) →
@@ -1398,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "zonal_stats_poly": q_zonal_stats_poly,
         "zonal_stats_u32": q_zonal_stats_u32,
+        "vector_tiles": q_vector_tiles,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
@@ -2536,6 +2588,38 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": _zonal_stats_oracle_sql(),
         "zonal_stats_poly": _zonal_poly_oracle_sql(),
         "zonal_stats_u32": _zonal_stats_oracle_sql(u32=True),
+        "vector_tiles": """
+            WITH pts AS (
+              SELECT c_custkey,
+                GREATEST(-180.0, LEAST(180.0, (c_custkey % 3600) / 10.0 - 180.0 + 0.05)) AS lon,
+                GREATEST(-85.051129, LEAST(85.051129, (c_custkey % 1700) / 10.0 - 85.0 + 0.05)) AS lat
+              FROM customer WHERE c_custkey <= 800),
+            merc AS (
+              SELECT c_custkey,
+                floor((lon * 111319.49079327358) * 1e6 + 0.5) / 1e6 AS mx,
+                floor((6378137.0 * ln(tan(0.7853981633974483 + 0.008726646259971648 * lat))) * 1e6 + 0.5) / 1e6 AS my
+              FROM pts),
+            t AS (
+              SELECT c_custkey, mx, my,
+                GREATEST(0, LEAST(63, CAST(FLOOR((mx + 20037508.342789244) / 40075016.68557849 * 64.0) AS BIGINT))) AS x,
+                GREATEST(0, LEAST(63, CAST(FLOOR((20037508.342789244 - my) / 40075016.68557849 * 64.0) AS BIGINT))) AS y
+              FROM merc),
+            loc AS (
+              SELECT c_custkey, x, y,
+                GREATEST(0, LEAST(4095, CAST(FLOOR(
+                  (mx - ((-20037508.342789244) + CAST(x AS DOUBLE) * 626172.1357121639)) / 626172.1357121639 * 4096.0) AS BIGINT))) AS lx,
+                GREATEST(0, LEAST(4095, CAST(FLOOR(
+                  ((20037508.342789244 - CAST(y AS DOUBLE) * 626172.1357121639) - my) / 626172.1357121639 * 4096.0) AS BIGINT))) AS ly
+              FROM t)
+            SELECT CAST(6 AS BIGINT) AS zoom, x,
+                   63 - y AS tile_row,
+                   COUNT(*) AS n_features,
+                   CAST(SUM(lx) AS BIGINT) AS sum_lx,
+                   CAST(SUM(ly) AS BIGINT) AS sum_ly,
+                   MIN(c_custkey) AS min_fid,
+                   MAX(c_custkey) AS max_fid
+            FROM loc GROUP BY x, y
+        """,
         "corpus_pipeline": """
             WITH RECURSIVE base AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

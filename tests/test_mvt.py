@@ -1,0 +1,101 @@
+"""MVT 2.1 codec + vector-tile sink: wire-format round-trips, geometry
+command streams, value table dedup, and the Spark points->tiles path."""
+
+import numpy as np
+import pytest
+
+import rastertiler_rs_spark.tilemath as tm
+from rastertiler_rs_spark.mvt import decode_mvt, encode_mvt
+from rastertiler_rs_spark.mvt.codec import (GEOM_LINESTRING, GEOM_POINT,
+                                            GEOM_POLYGON, _unzigzag,
+                                            _varint, _zigzag)
+
+
+def test_varint_zigzag_edges():
+    from rastertiler_rs_spark.mvt.codec import _Reader
+
+    for v in (0, 1, 127, 128, 300, 2**31, 2**63 - 1):
+        r = _Reader(_varint(v))
+        assert r.varint() == v
+    for v in (0, -1, 1, -64, 63, -2**31, 2**31, -2**62):
+        assert _unzigzag(_zigzag(v)) == v
+    with pytest.raises(ValueError, match="negative"):
+        _varint(-1)
+
+
+def test_point_multipoint_roundtrip():
+    feats = [
+        (7, GEOM_POINT, [[(25, 17)]], {"name": "a", "rank": 3}),
+        (9, GEOM_POINT, [[(5, 5), (100, 2000), (4095, 0)]], {"flag": True}),
+    ]
+    tiles = decode_mvt(encode_mvt([("pts", 4096, feats)]))
+    assert len(tiles) == 1
+    layer = tiles[0]
+    assert (layer["name"], layer["extent"], layer["version"]) \
+        == ("pts", 4096, 2)
+    f0, f1 = layer["features"]
+    assert f0["id"] == 7 and f0["type"] == GEOM_POINT
+    assert f0["geometry"] == [("MoveTo", [(25, 17)])]
+    assert f0["attrs"] == {"name": "a", "rank": 3}
+    assert f1["geometry"] == [("MoveTo", [(5, 5), (100, 2000), (4095, 0)])]
+    assert f1["attrs"] == {"flag": True}
+
+
+def test_linestring_polygon_roundtrip():
+    feats = [
+        (1, GEOM_LINESTRING, [[(2, 2), (2, 10), (10, 10)]], {}),
+        (2, GEOM_POLYGON, [[(0, 0), (8, 0), (8, 8), (0, 8)]],
+         {"area": 64.0}),
+    ]
+    layer = decode_mvt(encode_mvt([("geo", 256, feats)]))[0]
+    line, poly = layer["features"]
+    assert line["geometry"] == [("MoveTo", [(2, 2)]),
+                                ("LineTo", [(2, 10), (10, 10)])]
+    assert poly["geometry"] == [("MoveTo", [(0, 0)]),
+                                ("LineTo", [(8, 0), (8, 8), (0, 8)]),
+                                ("ClosePath", [])]
+    assert poly["attrs"] == {"area": 64.0}
+
+
+def test_multi_layer_and_value_dedup():
+    feats_a = [(i, GEOM_POINT, [[(i, i)]], {"kind": "x"}) for i in range(5)]
+    feats_b = [(1, GEOM_POINT, [[(9, 9)]], {"kind": "y", "n": -12})]
+    data = encode_mvt([("a", 4096, feats_a), ("b", 512, feats_b)])
+    tiles = decode_mvt(data)
+    assert [t["name"] for t in tiles] == ["a", "b"]
+    assert all(f["attrs"] == {"kind": "x"} for f in tiles[0]["features"])
+    assert tiles[1]["features"][0]["attrs"] == {"kind": "y", "n": -12}
+    # shared key "kind" appears once in layer a's key table: the tag
+    # indices in 5 features all reference it (cheap proxy: size check)
+    assert data.count(b"kind") == 2            # once per layer
+
+
+def test_sink_points_to_mvt(spark):
+    from rastertiler_rs_spark.operators.vector_tiles import points_to_mvt
+
+    rng = np.random.default_rng(5)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        rng.uniform(-tm.ORIGIN * 0.99, tm.ORIGIN * 0.99, (500, 2)))]
+    df = spark.createDataFrame(pts, "pid long, px double, py double")
+    out = points_to_mvt(df, zoom=3).collect()
+    assert sum(r["n_features"] for r in out) == 500
+
+    n = 1 << 3
+    span = tm.CE / n
+    seen = 0
+    for r in out:
+        tiles = decode_mvt(bytes(r["mvt"]))
+        assert len(tiles) == 1 and tiles[0]["extent"] == 4096
+        y = n - 1 - r["tile_row"]              # un-flip TMS
+        tminx = -tm.ORIGIN + r["x"] * span
+        tmaxy = tm.ORIGIN - y * span
+        for f in tiles[0]["features"]:
+            (op, pts_), = f["geometry"]
+            (lx, ly), = pts_
+            pid, px, py = pts[f["id"]]
+            assert lx == min(4095, max(0, int(
+                np.floor((px - tminx) / span * 4096.0))))
+            assert ly == min(4095, max(0, int(
+                np.floor((tmaxy - py) / span * 4096.0))))
+            seen += 1
+    assert seen == 500

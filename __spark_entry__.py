@@ -548,6 +548,51 @@ def q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "sum_lx long, sum_ly long, min_fid long, max_fid long")
 
 
+def q_vector_tiles_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon vector tiles under the value gate: part-derived boxes →
+    per-tile CLIPPED polygon features (tile_range_cols cover + JVM
+    clip/quantize, MVT v2 exterior-ring winding + ClosePath) → decoded
+    BACK; per-tile sums of the decoded ring coordinates vs a SQL twin
+    of the cover/clip/quantization chain."""
+    from rastertiler_rs_spark.mvt import decode_mvt
+    from rastertiler_rs_spark.operators.vector_tiles import boxes_to_mvt
+
+    boxes = _part_boxes(spark, sf_dir, 200).select(
+        F.col("p_partkey").alias("box_id"), "minx", "miny", "maxx", "maxy")
+    tiles = boxes_to_mvt(boxes, zoom=5)
+
+    def decode_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "tile_row": [], "n_features": [],
+                   "sum_rx": [], "sum_ry": [], "min_fid": [], "max_fid": []}
+            for row in pdf.itertuples(index=False):
+                layer = decode_mvt(bytes(row.mvt))[0]
+                fids, rx, ry = [], 0, 0
+                for f in layer["features"]:
+                    ops = f["geometry"]
+                    assert [op for op, _ in ops]                         == ["MoveTo", "LineTo", "ClosePath"]
+                    ring = ops[0][1] + ops[1][1]
+                    assert len(ring) == 4
+                    rx += sum(p[0] for p in ring)
+                    ry += sum(p[1] for p in ring)
+                    fids.append(f["id"])
+                out["zoom"].append(5)
+                out["x"].append(int(row.x))
+                out["tile_row"].append(int(row.tile_row))
+                out["n_features"].append(len(fids))
+                out["sum_rx"].append(rx)
+                out["sum_ry"].append(ry)
+                out["min_fid"].append(min(fids))
+                out["max_fid"].append(max(fids))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(
+        decode_fn, "zoom long, x long, tile_row long, n_features long, "
+                   "sum_rx long, sum_ry long, min_fid long, max_fid long")
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-corpus cleaning chain as ONE composed query:
     quality filter → exact dedup (planted doubles lose to originals) →
@@ -1450,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_poly": q_zonal_stats_poly,
         "zonal_stats_u32": q_zonal_stats_u32,
         "vector_tiles": q_vector_tiles,
+        "vector_tiles_poly": q_vector_tiles_poly,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
@@ -1860,6 +1906,72 @@ def _zonal_poly_oracle_sql(n_images: int = 64) -> str:
                CAST(MIN(mn) AS BIGINT) AS vmin,
                CAST(MAX(mx) AS BIGINT) AS vmax
         FROM per_img GROUP BY zone_id
+    """
+
+
+def _vector_tiles_poly_oracle_sql(limit: int = 200, zoom: int = 5) -> str:
+    """Cover + clip + MVT quantization twin for the polygon sink; the
+    ring-corner sums are 2*(lx0+lx1) / 2*(ly0+ly1) because the emitted
+    rectangle ring visits each corner coordinate twice."""
+    n = 1 << zoom
+    span = repr(40075016.68557849 / n)
+    # the shared _PART_BOXES_SQL leaves its literals DECIMAL — exact
+    # decimal arithmetic diverges from the engine's chained double
+    # roundings by an ulp, which the 4096-level quantization floor can
+    # see; recompute the same formula with every operand forced DOUBLE
+    # (verified bit-identical to the JVM/python chain)
+    return f"""
+        WITH boxes AS (
+          SELECT p_partkey AS box_id,
+                 CAST(-{_O} AS DOUBLE)
+                   + (CAST(p_partkey % 47 AS DOUBLE) + CAST(0.3 AS DOUBLE))
+                     * CAST({_CELL} AS DOUBLE) AS minx,
+                 CAST(-{_O} AS DOUBLE)
+                   + (CAST(p_partkey % 31 AS DOUBLE) + CAST(0.2 AS DOUBLE))
+                     * CAST({_CELL} AS DOUBLE) AS miny,
+                 (CAST(-{_O} AS DOUBLE)
+                   + (CAST(p_partkey % 47 AS DOUBLE) + CAST(0.3 AS DOUBLE))
+                     * CAST({_CELL} AS DOUBLE))
+                   + (CAST(0.4 AS DOUBLE) + CAST(p_partkey % 3 AS DOUBLE))
+                     * CAST({_CELL} AS DOUBLE) AS maxx,
+                 (CAST(-{_O} AS DOUBLE)
+                   + (CAST(p_partkey % 31 AS DOUBLE) + CAST(0.2 AS DOUBLE))
+                     * CAST({_CELL} AS DOUBLE))
+                   + (CAST(0.3 AS DOUBLE) + CAST(p_partkey % 5 AS DOUBLE))
+                     * CAST({_CELL} AS DOUBLE) AS maxy
+          FROM part WHERE p_partkey <= {limit}),
+        rng AS (
+          SELECT box_id, minx, miny, maxx, maxy,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR(((minx - (-{_O})) / {_CE}) * {float(n)!r}) AS BIGINT))) AS txmin,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR((1.0 - ((maxy - (-{_O})) / {_CE})) * {float(n)!r}) AS BIGINT))) AS tymin,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR((((maxx - (-{_O})) / {_CE}) - 1e-11) * {float(n)!r}) AS BIGINT))) AS txmax,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR((1.0 - (((miny - (-{_O})) / {_CE}) + 1e-11)) * {float(n)!r}) AS BIGINT))) AS tymax
+          FROM boxes),
+        cover AS (
+          SELECT box_id, minx, miny, maxx, maxy, xs.tx AS tx, ys.ty AS ty
+          FROM (SELECT *, UNNEST(generate_series(txmin, txmax)) AS tx
+                FROM rng) xs,
+               LATERAL (SELECT UNNEST(generate_series(xs.tymin, xs.tymax))) ys(ty)),
+        geom AS (
+          SELECT box_id, tx, ty, minx, miny, maxx, maxy,
+            (-{_O}) + CAST(tx AS DOUBLE) * {span} AS tminx,
+            {_O} - CAST(ty AS DOUBLE) * {span} AS tmaxy
+          FROM cover),
+        q AS (
+          SELECT box_id, tx, ty,
+            GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR((GREATEST(minx, tminx) - tminx) / {span} * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS lx0,
+            GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR((LEAST(maxx, tminx + {span}) - tminx) / {span} * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS lx1,
+            GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR((tmaxy - LEAST(maxy, tmaxy)) / {span} * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS ly0,
+            GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR((tmaxy - GREATEST(miny, tmaxy - {span})) / {span} * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS ly1
+          FROM geom)
+        SELECT CAST({zoom} AS BIGINT) AS zoom, tx AS x,
+               {n - 1} - ty AS tile_row,
+               COUNT(*) AS n_features,
+               CAST(SUM(2 * (lx0 + lx1)) AS BIGINT) AS sum_rx,
+               CAST(SUM(2 * (ly0 + ly1)) AS BIGINT) AS sum_ry,
+               MIN(box_id) AS min_fid,
+               MAX(box_id) AS max_fid
+        FROM q GROUP BY tx, ty
     """
 
 
@@ -2606,10 +2718,10 @@ def oracle_sql() -> dict[str, str]:
               FROM merc),
             loc AS (
               SELECT c_custkey, x, y,
-                GREATEST(0, LEAST(4095, CAST(FLOOR(
-                  (mx - ((-20037508.342789244) + CAST(x AS DOUBLE) * 626172.1357121639)) / 626172.1357121639 * 4096.0) AS BIGINT))) AS lx,
-                GREATEST(0, LEAST(4095, CAST(FLOOR(
-                  ((20037508.342789244 - CAST(y AS DOUBLE) * 626172.1357121639) - my) / 626172.1357121639 * 4096.0) AS BIGINT))) AS ly
+                GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR(
+                  (mx - ((-20037508.342789244) + CAST(x AS DOUBLE) * 626172.1357121639)) / 626172.1357121639 * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS lx,
+                GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR(
+                  ((20037508.342789244 - CAST(y AS DOUBLE) * 626172.1357121639) - my) / 626172.1357121639 * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS ly
               FROM t)
             SELECT CAST(6 AS BIGINT) AS zoom, x,
                    63 - y AS tile_row,
@@ -2620,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
                    MAX(c_custkey) AS max_fid
             FROM loc GROUP BY x, y
         """,
+        "vector_tiles_poly": _vector_tiles_poly_oracle_sql(),
         "corpus_pipeline": """
             WITH RECURSIVE base AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

@@ -29,6 +29,19 @@ import rastertiler_rs_spark.tilemath as tm
 from ..mvt import encode_mvt
 
 
+def _quant_local(delta, span: float, extent: int):
+    """Tile-local MVT quantization with the repo's boundary-tie rule:
+    round the scaled value to 1e-6 BEFORE the discretizing floor (the
+    point_tiles mercator trick) — geometry edges that sit exactly on a
+    quantization boundary in exact math otherwise flip on last-ulp
+    double divergence between engines. Mirrored verbatim in the
+    vector-tile oracle SQL."""
+    v = delta / F.lit(span) * F.lit(float(extent))
+    snapped = F.floor(v * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return F.greatest(F.lit(0), F.least(
+        F.lit(extent - 1), F.floor(snapped).cast("long")))
+
+
 def points_to_mvt(points: DataFrame, zoom: int, extent: int = 4096,
                   layer: str = "points", id_col: str = "pid",
                   x_col: str = "px", y_col: str = "py") -> DataFrame:
@@ -49,14 +62,8 @@ def points_to_mvt(points: DataFrame, zoom: int, extent: int = 4096,
                               * F.lit(float(n))).cast("long")))
     tminx = F.lit(-tm.ORIGIN) + tx.cast("double") * F.lit(span)
     tmaxy = F.lit(tm.ORIGIN) - ty.cast("double") * F.lit(span)
-    lx = F.greatest(F.lit(0), F.least(
-        F.lit(extent - 1),
-        F.floor((px - tminx) / F.lit(span) * F.lit(float(extent)))
-        .cast("long")))
-    ly = F.greatest(F.lit(0), F.least(
-        F.lit(extent - 1),
-        F.floor((tmaxy - py) / F.lit(span) * F.lit(float(extent)))
-        .cast("long")))
+    lx = _quant_local(px - tminx, span, extent)
+    ly = _quant_local(tmaxy - py, span, extent)
 
     assigned = points.select(
         F.col(id_col).cast("long").alias("fid"),
@@ -75,6 +82,69 @@ def points_to_mvt(points: DataFrame, zoom: int, extent: int = 4096,
                     (int(f["fid"]), 1,
                      [[(int(f["local_x"]), int(f["local_y"]))]], {})
                     for f in row.feats]
+                blob = encode_mvt([(layer, extent, features)])
+                out["zoom"].append(zoom)
+                out["x"].append(int(row.tile_x))
+                out["tile_row"].append((1 << zoom) - 1 - int(row.tile_y))
+                out["n_features"].append(len(features))
+                out["mvt"].append(blob)
+            yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(
+        fn, "zoom int, x long, tile_row long, n_features long, mvt binary")
+
+
+def boxes_to_mvt(boxes: DataFrame, zoom: int, extent: int = 4096,
+                 layer: str = "boxes", id_col: str = "box_id") -> DataFrame:
+    """boxes (id, mercator minx..maxy) -> per-tile MVT POLYGON blobs.
+
+    Each box explodes to its covering z tiles (the raster manifest's
+    G3/G5 tile_range_cols), is CLIPPED to the tile, and its four
+    corners quantize into tile-local coordinates; the emitted ring
+    (lx0,ly0)->(lx1,ly0)->(lx1,ly1)->(lx0,ly1) has positive shoelace
+    area in the MVT y-down frame, i.e. a spec-conformant v2 exterior
+    ring, closed by ClosePath. All geometry math is JVM exprs; python
+    only protobuf-encodes the per-tile feature lists."""
+    from .render import tile_range_cols
+
+    n = 1 << zoom
+    span = tm.CE / n
+    cover = (tile_range_cols(boxes.withColumn("zoom", F.lit(zoom)))
+             .withColumn("tx", F.explode(F.sequence("txmin", "txmax")))
+             .withColumn("ty", F.explode(F.sequence("tymin", "tymax"))))
+    tminx = F.lit(-tm.ORIGIN) + F.col("tx").cast("double") * F.lit(span)
+    tmaxy = F.lit(tm.ORIGIN) - F.col("ty").cast("double") * F.lit(span)
+    cxmin = F.greatest(F.col("minx"), tminx)
+    cxmax = F.least(F.col("maxx"), tminx + F.lit(span))
+    cymin = F.greatest(F.col("miny"), tmaxy - F.lit(span))
+    cymax = F.least(F.col("maxy"), tmaxy)
+
+    def quant(delta):
+        return _quant_local(delta, span, extent)
+
+    assigned = cover.select(
+        F.col(id_col).cast("long").alias("fid"),
+        F.col("tx").alias("tile_x"), F.col("ty").alias("tile_y"),
+        quant(cxmin - tminx).alias("lx0"), quant(cxmax - tminx).alias("lx1"),
+        quant(tmaxy - cymax).alias("ly0"), quant(tmaxy - cymin).alias("ly1"))
+    grouped = (assigned.groupBy("tile_x", "tile_y")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   "fid", "lx0", "ly0", "lx1", "ly1"))).alias("feats")))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..mvt.codec import GEOM_POLYGON
+
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "tile_row": [],
+                   "n_features": [], "mvt": []}
+            for row in pdf.itertuples(index=False):
+                features = []
+                for f in row.feats:
+                    x0, x1 = int(f["lx0"]), int(f["lx1"])
+                    y0, y1 = int(f["ly0"]), int(f["ly1"])
+                    ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+                    features.append((int(f["fid"]), GEOM_POLYGON,
+                                     [ring], {}))
                 blob = encode_mvt([(layer, extent, features)])
                 out["zoom"].append(zoom)
                 out["x"].append(int(row.tile_x))

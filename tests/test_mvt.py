@@ -93,9 +93,37 @@ def test_sink_points_to_mvt(spark):
             (op, pts_), = f["geometry"]
             (lx, ly), = pts_
             pid, px, py = pts[f["id"]]
-            assert lx == min(4095, max(0, int(
-                np.floor((px - tminx) / span * 4096.0))))
-            assert ly == min(4095, max(0, int(
-                np.floor((tmaxy - py) / span * 4096.0))))
+            def q(delta):
+                v = delta / span * 4096.0
+                return min(4095, max(0, int(np.floor(
+                    np.floor(v * 1e6 + 0.5) / 1e6))))
+            assert lx == q(px - tminx)
+            assert ly == q(tmaxy - py)
             seen += 1
     assert seen == 500
+
+
+def test_sink_boxes_to_mvt_polygons(spark):
+    from rastertiler_rs_spark.operators.vector_tiles import boxes_to_mvt
+
+    boxes = spark.createDataFrame(
+        [(1, -2e6, -1e6, 3e6, 2.5e6), (2, 4e6, 4e6, 4.5e6, 4.4e6 + 1e6)],
+        "box_id long, minx double, miny double, maxx double, maxy double")
+    out = boxes_to_mvt(boxes, zoom=4).collect()
+    assert sum(r["n_features"] for r in out) >= 4   # box 1 spans tiles
+    n = 1 << 4
+    span = tm.CE / n
+    for r in out:
+        layer = decode_mvt(bytes(r["mvt"]))[0]
+        for f in layer["features"]:
+            ops = f["geometry"]
+            assert [op for op, _ in ops] == ["MoveTo", "LineTo", "ClosePath"]
+            ring = ops[0][1] + ops[1][1]
+            assert len(ring) == 4
+            xs = [p[0] for p in ring]
+            ys = [p[1] for p in ring]
+            # v2 exterior winding: positive shoelace area in y-down coords
+            area = sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                       for i in range(4))
+            assert area >= 0
+            assert all(0 <= v <= 4095 for v in xs + ys)

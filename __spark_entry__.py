@@ -593,6 +593,19 @@ def q_vector_tiles_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "sum_rx long, sum_ry long, min_fid long, max_fid long")
 
 
+def q_raster_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stencil raster op under the value gate: central-difference
+    gradient magnitude over real decoded pixels, per-image integer
+    aggregates; the twin rederives every neighbor from the generation
+    formula with SHIFTED indices — an off-by-one anywhere in the
+    neighborhood access flips the hash."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.zonal import raster_gradient_stats
+
+    return raster_gradient_stats(
+        spark.read.parquet(images_parquet(64, "u8")))
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-corpus cleaning chain as ONE composed query:
     quality filter → exact dedup (planted doubles lose to originals) →
@@ -1496,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_u32": q_zonal_stats_u32,
         "vector_tiles": q_vector_tiles,
         "vector_tiles_poly": q_vector_tiles_poly,
+        "raster_gradient": q_raster_gradient,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
@@ -1972,6 +1986,37 @@ def _vector_tiles_poly_oracle_sql(limit: int = 200, zoom: int = 5) -> str:
                MIN(box_id) AS min_fid,
                MAX(box_id) AS max_fid
         FROM q GROUP BY tx, ty
+    """
+
+
+def _raster_gradient_oracle_sql(n_images: int = 64) -> str:
+    """Interior stencil from the pixel formula with shifted (r, c)."""
+    def v(r, c):
+        return "(" + _PIXEL_VALUE_CASE.format(r=r, c=c) + ")"
+
+    return f"""
+        WITH img({_IMG_COLS}) AS (VALUES
+              {_image_consts_values(n_images)}),
+        px AS (
+          SELECT i,
+                 {v("rs.r", "cs.c")} AS vc,
+                 {v("rs.r", "(cs.c + 1)")} AS ve,
+                 {v("rs.r", "(cs.c - 1)")} AS vw,
+                 {v("(rs.r + 1)", "cs.c")} AS vs,
+                 {v("(rs.r - 1)", "cs.c")} AS vn
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(1, h - 2)) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(1, w - 2)) AS c) cs(c)
+          WHERE w >= 3 AND h >= 3),
+        g AS (
+          SELECT i, (ve - vw) * (ve - vw) + (vs - vn) * (vs - vn) AS g2
+          FROM px
+          WHERE vc <> 0 AND ve <> 0 AND vw <> 0 AND vs <> 0 AND vn <> 0)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+               COUNT(*) AS n_valid,
+               CAST(SUM(g2) AS BIGINT) AS sum_g2,
+               CAST(MAX(g2) AS BIGINT) AS max_g2
+        FROM g GROUP BY i
     """
 
 
@@ -2697,6 +2742,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_guess
             FROM s
         """,
+        "raster_gradient": _raster_gradient_oracle_sql(),
         "zonal_stats": _zonal_stats_oracle_sql(),
         "zonal_stats_poly": _zonal_poly_oracle_sql(),
         "zonal_stats_u32": _zonal_stats_oracle_sql(u32=True),

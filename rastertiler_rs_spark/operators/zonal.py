@@ -125,6 +125,51 @@ def zonal_stats(zones: DataFrame, images: DataFrame, cell_size: float,
     return _finalize(pairs.mapInPandas(fn, _PARTIAL_SCHEMA))
 
 
+def raster_gradient_stats(images: DataFrame, nodata: int = 0) -> DataFrame:
+    """Neighborhood (stencil) raster op: central-difference gradient
+    magnitude over each image's interior — gx = v[r,c+1] - v[r,c-1],
+    gy = v[r+1,c] - v[r-1,c], g2 = gx² + gy², aggregated per image
+    over interior pixels whose center AND all four neighbors are
+    valid (non-nodata). All-integer outputs; the DuckDB twin
+    re-derives every neighbor from the generation formula with
+    shifted indices, so the stencil indexing itself is value-checked.
+
+    Plan shape: map-only (decode + numpy shifts per image, no shuffle
+    at all) — per-image reductions need no grouping. At tile scale the
+    same stencil runs per tile with 1-pixel halos from the cell
+    group's neighbors (the render's cell shuffle already co-locates
+    them)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "n_valid": [], "sum_g2": [],
+                   "max_g2": []}
+            for row in pdf.itertuples(index=False):
+                band = decode_band(bytes(row.bytes), row.fmt) \
+                    .astype(np.int64)
+                if band.shape[0] < 3 or band.shape[1] < 3:
+                    continue
+                c = band[1:-1, 1:-1]
+                gx = band[1:-1, 2:] - band[1:-1, :-2]
+                gy = band[2:, 1:-1] - band[:-2, 1:-1]
+                valid = ((c != nodata)
+                         & (band[1:-1, 2:] != nodata)
+                         & (band[1:-1, :-2] != nodata)
+                         & (band[2:, 1:-1] != nodata)
+                         & (band[:-2, 1:-1] != nodata))
+                if not valid.any():
+                    continue
+                g2 = (gx * gx + gy * gy)[valid]
+                out["image_id"].append(row.image_id)
+                out["n_valid"].append(int(valid.sum()))
+                out["sum_g2"].append(int(g2.sum()))
+                out["max_g2"].append(int(g2.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, "image_id string, n_valid long, sum_g2 long, max_g2 long")
+
+
 def zonal_stats_poly(polygons: list[tuple], images: DataFrame,
                      cell_size: float, nodata: int = 0) -> DataFrame:
     """Zonal statistics over ARBITRARY polygon zones: pixel membership

@@ -97,3 +97,30 @@ def test_zonal_stats_poly_matches_numpy(spark):
            for r in zonal_stats_poly(polys, images,
                                      cell_size=tm.CE / 256).collect()}
     assert got == want and len(want) >= 1
+
+
+def test_raster_gradient_matches_numpy(spark):
+    from rastertiler_rs_spark.operators.zonal import raster_gradient_stats
+
+    n = 12
+    images = spark.read.parquet(images_parquet(n, "u8"))
+    got = {r["image_id"]: (r["n_valid"], r["sum_g2"], r["max_g2"])
+           for r in raster_gradient_stats(images).collect()}
+    checked = 0
+    for i in range(n):
+        w, h = int(_W_CYCLE[i % 4]), int(_H_CYCLE[i % 4])
+        band = pixel_band(i, w, h, "u8").astype(np.int64)
+        c = band[1:-1, 1:-1]
+        gx = band[1:-1, 2:] - band[1:-1, :-2]
+        gy = band[2:, 1:-1] - band[:-2, 1:-1]
+        valid = ((c != NODATA) & (band[1:-1, 2:] != NODATA)
+                 & (band[1:-1, :-2] != NODATA) & (band[2:, 1:-1] != NODATA)
+                 & (band[:-2, 1:-1] != NODATA))
+        key = f"img{i:08d}"
+        if not valid.any():
+            assert key not in got
+            continue
+        g2 = (gx * gx + gy * gy)[valid]
+        assert got[key] == (int(valid.sum()), int(g2.sum()), int(g2.max()))
+        checked += 1
+    assert checked >= 8

@@ -606,6 +606,21 @@ def q_raster_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(images_parquet(64, "u8")))
 
 
+def q_tile_halo_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HALO-EXCHANGE stencil under the value gate: the engine sees only
+    the 48 PNG tiles of a 1024x768 canvas and must reconstruct
+    cross-tile-border gradients by shuffling 1-pixel edge strips to
+    their neighbors (operators/halo.py); the DuckDB twin computes the
+    same gradient over the UNPARTITIONED canvas formula grouped by the
+    owning tile — any halo routing or orientation bug flips the border
+    tiles' sums."""
+    from rastertiler_rs_spark.fixtures import tiled_canvas_parquet
+    from rastertiler_rs_spark.operators.halo import tile_halo_gradient
+
+    tiles = spark.read.parquet(tiled_canvas_parquet(1024, 768, 128, 5))
+    return tile_halo_gradient(tiles, 128)
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-corpus cleaning chain as ONE composed query:
     quality filter → exact dedup (planted doubles lose to originals) →
@@ -1510,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles": q_vector_tiles,
         "vector_tiles_poly": q_vector_tiles_poly,
         "raster_gradient": q_raster_gradient,
+        "tile_halo_gradient": q_tile_halo_gradient,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
@@ -2017,6 +2033,43 @@ def _raster_gradient_oracle_sql(n_images: int = 64) -> str:
                CAST(SUM(g2) AS BIGINT) AS sum_g2,
                CAST(MAX(g2) AS BIGINT) AS max_g2
         FROM g GROUP BY i
+    """
+
+
+def _halo_gradient_oracle_sql(w: int = 1024, h: int = 768,
+                              ts: int = 128, seed: int = 5) -> str:
+    """Unpartitioned-canvas gradient grouped by owning tile — the twin
+    never sees tiles, so it checks the engine's halo exchange."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+
+    def v(r, c):
+        return "(" + _PIXEL_VALUE_CASE.format(r=r, c=c) + ")"
+
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 {v("rs.r", "cs.c")} AS vc,
+                 {v("rs.r", "(cs.c + 1)")} AS ve,
+                 {v("rs.r", "(cs.c - 1)")} AS vw,
+                 {v("(rs.r + 1)", "cs.c")} AS vs,
+                 {v("(rs.r - 1)", "cs.c")} AS vn
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(1, {h - 2})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(1, {w - 2})) AS c) cs(c)),
+        g AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty,
+                 (ve - vw) * (ve - vw) + (vs - vn) * (vs - vn) AS g2
+          FROM px
+          WHERE vc <> 0 AND ve <> 0 AND vw <> 0 AND vs <> 0 AND vn <> 0)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(g2) AS BIGINT) AS sum_g2,
+               CAST(MAX(g2) AS BIGINT) AS max_g2
+        FROM g GROUP BY tx, ty
     """
 
 
@@ -2743,6 +2796,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "raster_gradient": _raster_gradient_oracle_sql(),
+        "tile_halo_gradient": _halo_gradient_oracle_sql(),
         "zonal_stats": _zonal_stats_oracle_sql(),
         "zonal_stats_poly": _zonal_poly_oracle_sql(),
         "zonal_stats_u32": _zonal_stats_oracle_sql(u32=True),

@@ -378,3 +378,63 @@ def images_parquet(n: int, dtype_tag: str = "u8", cache_dir: str = "/root/repo/.
         # a single-row-group fixture would serialize every source scan)
         pq.write_table(generate_images(n, dtype_tag), path, row_group_size=256)
     return path
+
+
+def canvas_params(w: int = 1024, h: int = 768, seed: int = 5):
+    """Single virtual canvas for the halo-exchange entries: same value
+    and hole rules as pixel_band(i=seed) but at canvas dims. Returns
+    (ph, all_nd, hr0, hr1, hc0, hc1) for the SQL twin."""
+    g = int(splitmix64(np.uint64(seed)))
+    ph = g & 0xFF
+    hole = (g >> 34) & 7
+    if hole == 7:
+        return ph, 1, 0, 0, 0, 0
+    if hole != 0:
+        p = min((g >> 37) & 7, 5)
+        q = min((g >> 40) & 7, 5)
+        return ph, 0, h * q // 8, h * (q + 3) // 8, w * p // 8, w * (p + 3) // 8
+    return ph, 0, 0, 0, 0, 0
+
+
+def canvas_band(w: int = 1024, h: int = 768, seed: int = 5) -> np.ndarray:
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+    r, c = np.indices((h, w))
+    band = ((r * 31 + c * 17 + ph) % 255 + 1).astype(np.uint8)
+    if all_nd:
+        band[:] = NODATA
+    elif hr1 > hr0:
+        band[hr0:hr1, hc0:hc1] = NODATA
+    return band
+
+
+def tiled_canvas_parquet(w: int = 1024, h: int = 768, ts: int = 128,
+                         seed: int = 5,
+                         cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    """The canvas split into ts x ts PNG tiles: (tx, ty, png). The
+    engine only ever sees the TILES — reconstructing cross-border
+    stencils is the halo operator's job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .png import encode_grayscale8
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"canvas_{w}x{h}_{ts}_{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    if w % ts or h % ts:
+        raise ValueError("canvas dims must be multiples of the tile size")
+    band = canvas_band(w, h, seed)
+    txs, tys, pngs = [], [], []
+    for ty in range(h // ts):
+        for tx in range(w // ts):
+            tile = band[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            txs.append(tx)
+            tys.append(ty)
+            pngs.append(encode_grayscale8(tile, NODATA))
+    pq.write_table(pa.table({
+        "tx": pa.array(txs, pa.int64()),
+        "ty": pa.array(tys, pa.int64()),
+        "png": pa.array(pngs, pa.binary()),
+    }), path, row_group_size=256)
+    return path

@@ -1,0 +1,51 @@
+"""Halo-exchange stencil: per-tile results must equal the global
+(unpartitioned) gradient restricted to each tile — borders included."""
+
+import numpy as np
+import pytest
+
+from rastertiler_rs_spark.fixtures import (NODATA, canvas_band,
+                                           tiled_canvas_parquet)
+from rastertiler_rs_spark.operators.halo import tile_halo_gradient
+
+
+def _global_expect(band, ts):
+    band = band.astype(np.int64)
+    c = band[1:-1, 1:-1]
+    gx = band[1:-1, 2:] - band[1:-1, :-2]
+    gy = band[2:, 1:-1] - band[:-2, 1:-1]
+    valid = ((c != NODATA) & (band[1:-1, 2:] != NODATA)
+             & (band[1:-1, :-2] != NODATA) & (band[2:, 1:-1] != NODATA)
+             & (band[:-2, 1:-1] != NODATA))
+    g2 = gx * gx + gy * gy
+    want = {}
+    h, w = band.shape
+    for r in range(1, h - 1):
+        for cc in range(1, w - 1):
+            if not valid[r - 1, cc - 1]:
+                continue
+            key = (cc // ts, r // ts)
+            n, s, m = want.get(key, (0, 0, 0))
+            v = int(g2[r - 1, cc - 1])
+            want[key] = (n + 1, s + v, max(m, v))
+    return want
+
+
+def test_halo_gradient_equals_global(spark):
+    ts = 64
+    path = tiled_canvas_parquet(256, 192, ts, seed=5)
+    tiles = spark.read.parquet(path)
+    got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+           for r in tile_halo_gradient(tiles, ts).collect()}
+    want = _global_expect(canvas_band(256, 192, seed=5), ts)
+    assert got == want
+    # border pixels genuinely contribute: without halos, each interior
+    # tile would lose its edge rows/cols — check a border pixel count
+    assert any(n == ts * ts for (n, _, _) in got.values()) or len(got) > 1
+
+
+def test_halo_gradient_rejects_bad_tile_size(spark):
+    path = tiled_canvas_parquet(256, 192, 64, seed=5)
+    tiles = spark.read.parquet(path)
+    with pytest.raises(Exception, match="expected"):
+        tile_halo_gradient(tiles, 128).collect()

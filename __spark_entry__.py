@@ -593,6 +593,75 @@ def q_vector_tiles_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "sum_rx long, sum_ry long, min_fid long, max_fid long")
 
 
+_CLIP_ZOOM = 5
+
+
+def _clip_triangles() -> list[tuple[int, list[tuple[float, float]]]]:
+    """Deterministic mercator triangles for the polygon-clip gate —
+    part-box-style placement with 'ugly' metre offsets that keep every
+    vertex, every edge×tile-boundary intersection, and every covered
+    tile corner off the 4096-level quantization boundaries (the repo's
+    off-grid fixture rule). Each triangle spans multiple z5 tiles so
+    the clipper produces partial polygons, full-tile windows, and
+    bbox-covered-but-disjoint tiles."""
+    tris = []
+    for i in range(48):
+        k = i + 1
+        minx = -ORIGIN + (((k * 7) % 47) + 0.3) * CELL
+        miny = -ORIGIN + (((k * 11) % 31) + 0.2) * CELL
+        w = (0.9 + (k % 3)) * (1.7 * CELL)
+        h = (0.8 + (k % 5)) * (1.3 * CELL)
+        tris.append((k, [(minx - 311.25, miny - 97.5),
+                         (minx + w + 1234.5, miny + 777.25),
+                         (minx + 555.125, miny + h + 321.75)]))
+    return tris
+
+
+def q_vector_tiles_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-polygon vector tiles under the value gate: triangle
+    features → per-tile Sutherland–Hodgman clip + quantize + MVT
+    encode (operators/vector_tiles.polys_to_mvt) → decoded BACK; per
+    (tile, feature) the DISTINCT decoded vertex set is compared
+    against a SQL twin that derives the clipped polygon's vertices
+    from the convex∩box decomposition (original vertices inside the
+    box ∪ edge×box-edge intersections ∪ box corners inside the
+    triangle — exactly the Sutherland–Hodgman output set for convex
+    input in general position), quantized with the same
+    snap-then-floor rule."""
+    from rastertiler_rs_spark.mvt import decode_mvt
+    from rastertiler_rs_spark.operators.vector_tiles import polys_to_mvt
+
+    rows = [(fid, [{"x": x, "y": y} for x, y in ring])
+            for fid, ring in _clip_triangles()]
+    polys = spark.createDataFrame(
+        rows, "poly_id long, ring array<struct<x: double, y: double>>")
+    tiles = polys_to_mvt(polys, zoom=_CLIP_ZOOM)
+
+    def decode_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "tile_row": [], "fid": [],
+                   "n_vtx": [], "sum_lx": [], "sum_ly": []}
+            for row in pdf.itertuples(index=False):
+                layer = decode_mvt(bytes(row.mvt))[0]
+                assert layer["extent"] == 4096 and layer["version"] == 2
+                for f in layer["features"]:
+                    vset = {p for _, pts_ in f["geometry"] for p in pts_}
+                    out["zoom"].append(_CLIP_ZOOM)
+                    out["x"].append(int(row.x))
+                    out["tile_row"].append(int(row.tile_row))
+                    out["fid"].append(int(f["id"]))
+                    out["n_vtx"].append(len(vset))
+                    out["sum_lx"].append(sum(p[0] for p in vset))
+                    out["sum_ly"].append(sum(p[1] for p in vset))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(
+        decode_fn, "zoom long, x long, tile_row long, fid long, "
+                   "n_vtx long, sum_lx long, sum_ly long")
+
+
 def q_raster_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stencil raster op under the value gate: central-difference
     gradient magnitude over real decoded pixels, per-image integer
@@ -619,6 +688,20 @@ def q_tile_halo_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = spark.read.parquet(tiled_canvas_parquet(1024, 768, 128, 5))
     return tile_halo_gradient(tiles, 128)
+
+
+def q_tile_halo_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-NEIGHBOR halo-exchange stencil under the value gate: the
+    Sobel gradient needs DIAGONAL neighbors, so the exchange ships the
+    four corner pixels as well as the edge strips (operators/halo.py
+    corners=True); the DuckDB twin computes the same Sobel over the
+    unpartitioned canvas formula grouped by owning tile — a missing or
+    misrouted corner halo flips exactly the tile-corner pixels' sums."""
+    from rastertiler_rs_spark.fixtures import tiled_canvas_parquet
+    from rastertiler_rs_spark.operators.halo import tile_halo_sobel
+
+    tiles = spark.read.parquet(tiled_canvas_parquet(1024, 768, 128, 5))
+    return tile_halo_sobel(tiles, 128)
 
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,23 +1029,27 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pos = np.arange(target * target, dtype=np.int64).reshape(target, target)
         for pdf in batches:
-            o = {k: [] for k in ("image_id", "n_data", "vsum", "vmin",
-                                 "vmax", "pos_sum")}
+            o = {k: [] for k in ("image_id", "n_pixels", "n_data", "vsum",
+                                 "vmin", "vmax", "mean_x100", "pos_sum")}
             for row in pdf.itertuples(index=False):
                 band = decode_band(bytes(row.bytes), "png;u8").astype(np.int64)
                 mask = band != 0
                 vals = band[mask]
+                vsum = int(vals.sum())
                 o["image_id"].append(row.image_id)
+                o["n_pixels"].append(int(band.size))
                 o["n_data"].append(int(vals.size))
-                o["vsum"].append(int(vals.sum()))
+                o["vsum"].append(vsum)
                 o["vmin"].append(int(vals.min()) if vals.size else 0)
                 o["vmax"].append(int(vals.max()) if vals.size else 0)
+                o["mean_x100"].append(vsum * 100 // vals.size
+                                      if vals.size else 0)
                 o["pos_sum"].append(int((vals * pos[mask]).sum()))
             yield pd.DataFrame(o)
 
     return out.mapInPandas(
-        stats_fn, "image_id string, n_data long, vsum long, vmin long, "
-                  "vmax long, pos_sum long")
+        stats_fn, "image_id string, n_pixels long, n_data long, vsum long, "
+                  "vmin long, vmax long, mean_x100 long, pos_sum long")
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,24 +1082,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 == 0).select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="stream_dedup_")
     inp, out = f"{work}/in", f"{work}/out"
-    docs.coalesce(1).write.parquet(inp)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")  # gate-sized state
-    try:
-        q = stream_dedup_first_seen(spark, inp, out, max_files_per_trigger=8)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "stream_dedup did not drain within 300s — refusing to read "
-                "partial output as a result")
+    try:  # temp workdir must be reclaimed on EVERY exit, incl. timeouts
+        docs.coalesce(1).write.parquet(inp)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")  # gate-sized state
+        try:
+            q = stream_dedup_first_seen(spark, inp, out,
+                                        max_files_per_trigger=8)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "stream_dedup did not drain within 300s — refusing to "
+                    "read partial output as a result")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        # driver-side materialization is contract plumbing, not a data
+        # path: the unique set is bounded by the filtered doc count (100
+        # rows at sf0.01) and the temp dir must be reclaimed before return
+        result = (spark.read.parquet(f"{out}/unique")
+                  .select("content_key", "doc_id").collect())
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    # driver-side materialization is contract plumbing, not a data
-    # path: the unique set is bounded by the filtered doc count (100
-    # rows at sf0.01) and the temp dir must be reclaimed before return
-    result = (spark.read.parquet(f"{out}/unique")
-              .select("content_key", "doc_id").collect())
-    shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(result, "content_key string, doc_id long")
 
 
@@ -1032,26 +1122,29 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
     work = tempfile.mkdtemp(prefix="stream_window_")
     inp, out = f"{work}/in", f"{work}/out"
-    ev.coalesce(1).write.parquet(inp)
     # the state store inherits shuffle.partitions at stream start; this
     # gate-sized stream wants few state partitions, not the session's
     # render-sized setting (fresh checkpoint per call, so safe to pin)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = stream_window_counts(spark, inp, out, window="1 hour",
-                                 watermark="2 hours", max_files_per_trigger=8)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "stream_window did not drain within 300s — refusing to read "
-                "partial output as a result")
+    try:  # temp workdir must be reclaimed on EVERY exit, incl. timeouts
+        ev.coalesce(1).write.parquet(inp)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = stream_window_counts(spark, inp, out, window="1 hour",
+                                     watermark="2 hours",
+                                     max_files_per_trigger=8)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "stream_window did not drain within 300s — refusing to "
+                    "read partial output as a result")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        result = (spark.read.parquet(f"{out}/counts")
+                  .select("win_start", "win_end", "event_type", "n_events",
+                          "value_cents").collect())
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    result = (spark.read.parquet(f"{out}/counts")
-              .select("win_start", "win_end", "event_type", "n_events",
-                      "value_cents").collect())
-    shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         result, "win_start timestamp, win_end timestamp, "
                 "event_type string, n_events long, value_cents long")
@@ -1081,28 +1174,32 @@ def q_stream_render_tile_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_id").isin(ids))
     work = tempfile.mkdtemp(prefix="stream_render_")
     inp, out = f"{work}/in", f"{work}/out"
-    os.makedirs(inp, exist_ok=True)
-    idx = F.expr("cast(substring(image_id, 4) as bigint)")
-    for k in range(3):  # three files = three ingest units
-        images.filter(idx % 3 == k).coalesce(1).write.mode("append").parquet(inp)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # gate-sized merges
-    try:
-        # the render() inside each micro-batch re-reads the multiplier,
-        # so the pin must span the whole drain
-        with _gate_cell_mult():
-            q = stream_render(spark, inp, out, 7, 9, tile_size=128,
-                              max_files_per_trigger=1)
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError(
-                    "stream_render did not drain within 300s — refusing to "
-                    "read partial output as a result")
+    try:  # temp workdir must be reclaimed on EVERY exit, incl. timeouts
+        os.makedirs(inp, exist_ok=True)
+        idx = F.expr("cast(substring(image_id, 4) as bigint)")
+        for k in range(3):  # three files = three ingest units
+            images.filter(idx % 3 == k).coalesce(1).write.mode(
+                "append").parquet(inp)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")  # gate-sized
+        try:
+            # the render() inside each micro-batch re-reads the multiplier,
+            # so the pin must span the whole drain
+            with _gate_cell_mult():
+                q = stream_render(spark, inp, out, 7, 9, tile_size=128,
+                                  max_files_per_trigger=1)
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise RuntimeError(
+                        "stream_render did not drain within 300s — refusing "
+                        "to read partial output as a result")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        result = (spark.read.parquet(f"{out}/tiles")
+                  .select(F.col("zoom").cast("int"), "x", "y")
+                  .distinct().collect())
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    result = (spark.read.parquet(f"{out}/tiles")
-              .select(F.col("zoom").cast("int"), "x", "y").distinct().collect())
-    shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(result, "zoom int, x long, y long")
 
 
@@ -1480,6 +1577,177 @@ def q_render_pyramid_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# consolidated (multi-leg) contract entries
+#
+# The round driver executes at most the first 50 queries() keys, so the
+# registry folds same-oracle / same-schema variants into single entries
+# with a `variant` tag column — every leg still runs and every leg's
+# values still cross the hash, but the whole surface fits the driver's
+# window. The per-leg q_* functions above stay as the documented units
+# (and as pytest surface); these wrappers only union them.
+# ---------------------------------------------------------------------------
+
+def _union_variants(*legs: tuple[str, DataFrame]) -> DataFrame:
+    out = None
+    for name, df in legs:
+        tagged = df.select(F.lit(name).alias("variant"), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def _variant_union_sql(*legs: tuple[str, str]) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS variant, * FROM ({sql})" for name, sql in legs)
+
+
+def q_render_tile_ids_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four tile-ID invariant twins under ONE driver row: the u8,
+    u32, and colormap renders plus the overview-cascade pyramid each
+    emit their (zoom, x, y) set, tagged by variant; every leg must
+    equal the same exact SQL tile cover (the legs share one oracle by
+    construction — fully-opaque footprints make the cover exact for
+    all encoder classes and for the cascade's parent closure)."""
+    return _union_variants(
+        ("u8", q_render_tile_ids(spark, sf_dir)),
+        ("u32", q_render_tile_ids_u32(spark, sf_dir)),
+        ("colormap", q_render_tile_ids_colormap(spark, sf_dir)),
+        ("pyramid", q_render_pyramid_tile_ids(spark, sf_dir)))
+
+
+def q_zonal_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three zonal-statistics gates (u8 boxes, u32 boxes, polygon
+    ray-cast) as one tagged union — same schema, dtype/geometry
+    variants of the same decode→mask→aggregate pipeline."""
+    return _union_variants(
+        ("u8", q_zonal_stats(spark, sf_dir)),
+        ("u32", q_zonal_stats_u32(spark, sf_dir)),
+        ("poly", q_zonal_stats_poly(spark, sf_dir)))
+
+
+def q_embedding_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN twice — the in-memory train+probe path and the persisted
+    posting-list index with dynamic partition pruning — both against
+    the identical k-means SQL twin."""
+    return _union_variants(
+        ("mem", q_embedding_ivf(spark, sf_dir)),
+        ("index", q_embedding_ivf_index(spark, sf_dir)))
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis profile per document: token counts (whitespace +
+    BPE-ish regex), integer quality features, and marker-based
+    language-ID scores joined into one wide row — the per-doc feature
+    vector a corpus pipeline actually materializes (one row per doc,
+    doc_id equi-joins that AQE broadcasts at gate scale and that stay
+    co-partitioned shuffles at corpus scale)."""
+    from rastertiler_rs_spark.operators.text import (lang_scores,
+                                                     quality_scores,
+                                                     token_counts)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (token_counts(docs)
+            .join(quality_scores(docs), "doc_id")
+            .join(lang_scores(docs), "doc_id"))
+
+
+def q_vector_tiles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both MVT sink round-trips (point features at z6, clipped
+    box-polygon features at z5) as one tagged union; the decoded local
+    coordinate sums are renamed to the shared (sum_cx, sum_cy)."""
+    pts = (q_vector_tiles(spark, sf_dir)
+           .withColumnRenamed("sum_lx", "sum_cx")
+           .withColumnRenamed("sum_ly", "sum_cy"))
+    poly = (q_vector_tiles_poly(spark, sf_dir)
+            .withColumnRenamed("sum_rx", "sum_cx")
+            .withColumnRenamed("sum_ry", "sum_cy"))
+    return _union_variants(("points", pts), ("poly", poly))
+
+
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-probe surface as one tagged union over a shared
+    (media_id, dim_a, dim_b, n_units, duration_ms, codec) shape:
+    video = MP4 moov parse (dim = width/height, n_units = frames),
+    mp3 = Layer-III frame walk (dim = rate/channels, n_units =
+    samples), frames = per-sample demux rows (dim_a = payload length,
+    dim_b = first byte, n_units = frame_no, duration 0)."""
+    video = q_video_probe(spark, sf_dir).select(
+        F.lit("video").alias("variant"),
+        F.col("video_id").alias("media_id"),
+        F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
+        F.col("n_frames").alias("n_units"), "duration_ms", "codec")
+    mp3 = q_audio_probe_mp3(spark, sf_dir).select(
+        F.lit("mp3").alias("variant"),
+        F.col("audio_id").alias("media_id"),
+        F.col("sample_rate").alias("dim_a"), F.col("channels").alias("dim_b"),
+        F.col("n_samples").alias("n_units"), "duration_ms",
+        F.col("container").alias("codec"))
+    frames = q_video_frames(spark, sf_dir).select(
+        F.lit("frames").alias("variant"),
+        F.col("video_id").alias("media_id"),
+        F.col("frame_len").alias("dim_a"), F.col("byte0").alias("dim_b"),
+        F.col("frame_no").alias("n_units"),
+        F.lit(0).cast("long").alias("duration_ms"),
+        F.lit("demux").alias("codec"))
+    return video.unionByName(mp3).unionByName(frames)
+
+
+def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Structured-Streaming event gates under one driver row, in a
+    long (variant, ekey, n, v) shape: dedup = first-seen unique set
+    (ekey = content key, n = surviving doc_id), window = finalized
+    watermarked hour buckets (ekey = event_type@epoch(win_start),
+    n = count, v = cents). Each leg still runs its full availableNow
+    stream with a fresh checkpoint."""
+    ded = q_stream_dedup(spark, sf_dir).select(
+        F.lit("dedup").alias("variant"),
+        F.col("content_key").alias("ekey"),
+        F.col("doc_id").alias("n"),
+        F.lit(0).cast("long").alias("v"))
+    win = q_stream_window(spark, sf_dir).select(
+        F.lit("window").alias("variant"),
+        F.concat(F.col("event_type"), F.lit("@"),
+                 F.col("win_start").cast("long").cast("string")).alias("ekey"),
+        F.col("n_events").alias("n"),
+        F.col("value_cents").alias("v"))
+    return ded.unionByName(win)
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature-extraction and resize gates as one tagged union
+    over the full shared stats schema (n_pixels, n_data, vmin, vmax,
+    vsum, mean_x100, pos_sum): `features` decodes the original PNGs,
+    `resize` decodes the K2-resampled 32x32 outputs — both against
+    pixel-formula SQL twins."""
+    feats = q_image_features(spark, sf_dir)
+    resized = q_image_resize(spark, sf_dir)
+    return _union_variants(("features", feats), ("resize", resized))
+
+
+def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoded-PIXEL value gates for all three render families —
+    u8 (z8-12), u32 adaptive palette/RGB (z8-12), and the overview
+    cascade pyramid (z4-9) — as one tagged union; each leg's per-tile
+    integer stats must match its own full SQL transcription of the
+    window arithmetic + mosaic + (for the pyramid) the strided
+    decimation identity."""
+    return _union_variants(
+        ("u8", q_render_pixel_stats(spark, sf_dir)),
+        ("u32", q_render_pixel_stats_u32(spark, sf_dir)),
+        ("pyramid", q_render_pyramid_pixel_stats(spark, sf_dir)))
+
+
+def q_render_tiles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only PNG-byte surface (tile_hash values are engine hashes,
+    byte parity pinned in pytest): the u8/u32/colormap renders and the
+    overview-cascade pyramid as one tagged union."""
+    return _union_variants(
+        ("u8", q_render_tiles(spark, sf_dir)),
+        ("u32", q_render_tiles_u32(spark, sf_dir)),
+        ("colormap", q_render_tiles_colormap(spark, sf_dir)),
+        ("pyramid", q_render_pyramid_overview(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1496,6 +1764,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 entries, all value-verified except the final PNG-byte union —
+    sized to fit the round driver's 50-key CORRECTNESS window so every
+    oracle gets a driver row every round. Same-oracle / same-schema
+    variants are folded into tagged unions (see the consolidated
+    section above); each underlying leg still executes in full."""
     return {
         "tile_cover": q_tile_cover,
         "mercator_bounds": q_mercator_bounds,
@@ -1513,57 +1786,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_agg": q_window_agg,
         "knn": q_knn,
         "pip": q_pip,
-        "doc_tokens": q_doc_tokens,
-        "doc_quality": q_doc_quality,
-        "lang_id": q_lang_id,
+        "doc_stats": q_doc_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "corpus_pipeline": q_corpus_pipeline,
-        "zonal_stats": q_zonal_stats,
-        "zonal_stats_poly": q_zonal_stats_poly,
-        "zonal_stats_u32": q_zonal_stats_u32,
-        "vector_tiles": q_vector_tiles,
-        "vector_tiles_poly": q_vector_tiles_poly,
+        "zonal_stats": q_zonal_stats_all,
+        "vector_tiles": q_vector_tiles_all,
+        "vector_tiles_clip": q_vector_tiles_clip,
         "raster_gradient": q_raster_gradient,
         "tile_halo_gradient": q_tile_halo_gradient,
+        "tile_halo_sobel": q_tile_halo_sobel,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
         "embedding_lsh": q_embedding_lsh,
-        "embedding_ivf": q_embedding_ivf,
-        "embedding_ivf_index": q_embedding_ivf_index,
+        "embedding_ivf": q_embedding_ivf_all,
         "embedding_neardup": q_embedding_neardup,
         "phash_near": q_phash_near,
-        "render_tile_ids": q_render_tile_ids,
-        "render_tile_ids_u32": q_render_tile_ids_u32,
-        "render_tile_ids_colormap": q_render_tile_ids_colormap,
-        "render_pixel_stats": q_render_pixel_stats,
-        "render_pixel_stats_u32": q_render_pixel_stats_u32,
-        "render_pyramid_pixel_stats": q_render_pyramid_pixel_stats,
+        "render_tile_ids": q_render_tile_ids_all,
+        "render_pixel_stats": q_render_pixel_stats_all,
         "stream_render_tile_ids": q_stream_render_tile_ids,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_cosine": q_embedding_cosine,
         "image_meta": q_image_meta,
+        "image_stats": q_image_stats,
         "audio_features": q_audio_features,
-        "video_probe": q_video_probe,
-        "video_frames": q_video_frames,
+        "media_probe": q_media_probe,
         "video_pixels_mjpeg": q_video_pixels,
-        "audio_probe_mp3": q_audio_probe_mp3,
         "sessionize": q_sessionize,
         "star_rollup": q_star_rollup,
-        "stream_dedup": q_stream_dedup,
-        "stream_window": q_stream_window,
-        "render_pyramid_tile_ids": q_render_pyramid_tile_ids,
-        # rows-only (no oracle_sql entry — PNG bytes / engine hashes /
-        # splitmix64-derived pixels):
-        "image_resize": q_image_resize,
-        "image_features": q_image_features,
-        "render_tiles": q_render_tiles,
-        "render_tiles_u32": q_render_tiles_u32,
-        "render_tiles_colormap": q_render_tiles_colormap,
-        "render_pyramid_overview": q_render_pyramid_overview,
+        "stream_events": q_stream_events,
+        # rows-only (no oracle_sql entry — PNG bytes / engine hashes):
+        "render_tiles": q_render_tiles_all,
     }
 
 
@@ -1939,6 +2195,43 @@ def _zonal_poly_oracle_sql(n_images: int = 64) -> str:
     """
 
 
+# tile-assignment + MVT quantization twin for the point sink (decoded
+# local coordinates per z6 tile); column names pre-rename — the
+# vector_tiles union aliases sum_lx/sum_ly to the shared sum_cx/sum_cy
+_VECTOR_TILES_POINTS_SQL = """
+    WITH pts AS (
+      SELECT c_custkey,
+        GREATEST(-180.0, LEAST(180.0, (c_custkey % 3600) / 10.0 - 180.0 + 0.05)) AS lon,
+        GREATEST(-85.051129, LEAST(85.051129, (c_custkey % 1700) / 10.0 - 85.0 + 0.05)) AS lat
+      FROM customer WHERE c_custkey <= 800),
+    merc AS (
+      SELECT c_custkey,
+        floor((lon * 111319.49079327358) * 1e6 + 0.5) / 1e6 AS mx,
+        floor((6378137.0 * ln(tan(0.7853981633974483 + 0.008726646259971648 * lat))) * 1e6 + 0.5) / 1e6 AS my
+      FROM pts),
+    t AS (
+      SELECT c_custkey, mx, my,
+        GREATEST(0, LEAST(63, CAST(FLOOR((mx + 20037508.342789244) / 40075016.68557849 * 64.0) AS BIGINT))) AS x,
+        GREATEST(0, LEAST(63, CAST(FLOOR((20037508.342789244 - my) / 40075016.68557849 * 64.0) AS BIGINT))) AS y
+      FROM merc),
+    loc AS (
+      SELECT c_custkey, x, y,
+        GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR(
+          (mx - ((-20037508.342789244) + CAST(x AS DOUBLE) * 626172.1357121639)) / 626172.1357121639 * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS lx,
+        GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR(
+          ((20037508.342789244 - CAST(y AS DOUBLE) * 626172.1357121639) - my) / 626172.1357121639 * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS ly
+      FROM t)
+    SELECT CAST(6 AS BIGINT) AS zoom, x,
+           63 - y AS tile_row,
+           COUNT(*) AS n_features,
+           CAST(SUM(lx) AS BIGINT) AS sum_lx,
+           CAST(SUM(ly) AS BIGINT) AS sum_ly,
+           MIN(c_custkey) AS min_fid,
+           MAX(c_custkey) AS max_fid
+    FROM loc GROUP BY x, y
+"""
+
+
 def _vector_tiles_poly_oracle_sql(limit: int = 200, zoom: int = 5) -> str:
     """Cover + clip + MVT quantization twin for the polygon sink; the
     ring-corner sums are 2*(lx0+lx1) / 2*(ly0+ly1) because the emitted
@@ -2073,6 +2366,155 @@ def _halo_gradient_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _halo_sobel_oracle_sql(w: int = 1024, h: int = 768,
+                           ts: int = 128, seed: int = 5) -> str:
+    """Unpartitioned-canvas SOBEL grouped by owning tile — 8-neighbor
+    twin of _halo_gradient_oracle_sql; integer throughout."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+
+    def v(r, c):
+        return "(" + _PIXEL_VALUE_CASE.format(r=r, c=c) + ")"
+
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 {v("rs.r", "cs.c")} AS vc,
+                 {v("rs.r", "(cs.c + 1)")} AS ve,
+                 {v("rs.r", "(cs.c - 1)")} AS vw,
+                 {v("(rs.r + 1)", "cs.c")} AS vs,
+                 {v("(rs.r - 1)", "cs.c")} AS vn,
+                 {v("(rs.r - 1)", "(cs.c - 1)")} AS vnw,
+                 {v("(rs.r - 1)", "(cs.c + 1)")} AS vne,
+                 {v("(rs.r + 1)", "(cs.c - 1)")} AS vsw,
+                 {v("(rs.r + 1)", "(cs.c + 1)")} AS vse
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(1, {h - 2})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(1, {w - 2})) AS c) cs(c)),
+        g AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty,
+                 ((vne + 2 * ve + vse) - (vnw + 2 * vw + vsw))
+                   * ((vne + 2 * ve + vse) - (vnw + 2 * vw + vsw))
+                 + ((vsw + 2 * vs + vse) - (vnw + 2 * vn + vne))
+                   * ((vsw + 2 * vs + vse) - (vnw + 2 * vn + vne)) AS g2
+          FROM px
+          WHERE vc <> 0 AND ve <> 0 AND vw <> 0 AND vs <> 0 AND vn <> 0
+            AND vnw <> 0 AND vne <> 0 AND vsw <> 0 AND vse <> 0)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(g2) AS BIGINT) AS sum_g2,
+               CAST(MAX(g2) AS BIGINT) AS max_g2
+        FROM g GROUP BY tx, ty
+    """
+
+
+def _vector_tiles_clip_oracle_sql(zoom: int = 5, extent: int = 4096) -> str:
+    """Convex∩box vertex-set twin of q_vector_tiles_clip: for every
+    (triangle, covered z-tile) pair, the clipped polygon's vertex set
+    is (a) triangle vertices inside the tile box ∪ (b) triangle-edge ×
+    box-edge segment intersections ∪ (c) box corners strictly inside
+    the triangle — the Sutherland–Hodgman output set for convex input
+    in general position. Intersections use the same two-op IEEE form
+    as clip_ring_to_box; quantization is the shared snap-then-floor
+    rule, so composite-intersection last-ulp drift snaps away. The
+    cover rng mirrors tile_range_cols (ε = 1e-11, clamp order)."""
+    n = 1 << zoom
+    span = repr(CE / n)
+    tri_rows = ",\n              ".join(
+        f"({fid}, {ax!r}, {ay!r}, {bx!r}, {by!r}, {cx!r}, {cy!r})"
+        for fid, ((ax, ay), (bx, by), (cx, cy)) in _clip_triangles())
+    qx = ("GREATEST(0, LEAST({m}, CAST(FLOOR(FLOOR("
+          "(vx - tminx) / {span} * {e}.0 * 1e6 + 0.5) / 1e6) AS BIGINT)))"
+          ).format(m=extent - 1, span=span, e=extent)
+    qy = ("GREATEST(0, LEAST({m}, CAST(FLOOR(FLOOR("
+          "(tmaxy - vy) / {span} * {e}.0 * 1e6 + 0.5) / 1e6) AS BIGINT)))"
+          ).format(m=extent - 1, span=span, e=extent)
+    # edge×boundary intersections: same  q1 + (bound - p1)/(p2 - p1)
+    # * (q2 - q1)  op order as clip_ring_to_box's x_cross/y_cross
+    xb = ("SELECT fid, tx, ty, tminx, tmaxy, {bound} AS vx, "
+          "y1 + (({bound}) - x1) / (x2 - x1) * (y2 - y1) AS vy "
+          "FROM edges WHERE (x1 < ({bound})) <> (x2 < ({bound}))")
+    yb = ("SELECT fid, tx, ty, tminx, tmaxy, "
+          "x1 + (({bound}) - y1) / (y2 - y1) * (x2 - x1) AS vx, "
+          "{bound} AS vy "
+          "FROM edges WHERE (y1 < ({bound})) <> (y2 < ({bound}))")
+    crossings = "\n          UNION ALL ".join([
+        xb.format(bound="tminx"),
+        xb.format(bound=f"tminx + {span}"),
+        yb.format(bound=f"tmaxy - {span}"),
+        yb.format(bound="tmaxy"),
+    ])
+    return f"""
+        WITH tri(fid, ax, ay, bx, by, cx, cy) AS (VALUES
+              {tri_rows}),
+        bb AS (
+          SELECT *, LEAST(ax, bx, cx) AS minx, LEAST(ay, by, cy) AS miny,
+                 GREATEST(ax, bx, cx) AS maxx, GREATEST(ay, by, cy) AS maxy
+          FROM tri),
+        rng AS (
+          SELECT *,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR(((minx - (-{_O})) / {_CE}) * {float(n)!r}) AS BIGINT))) AS txmin,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR((1.0 - ((maxy - (-{_O})) / {_CE})) * {float(n)!r}) AS BIGINT))) AS tymin,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR((((maxx - (-{_O})) / {_CE}) - 1e-11) * {float(n)!r}) AS BIGINT))) AS txmax,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR((1.0 - (((miny - (-{_O})) / {_CE}) + 1e-11)) * {float(n)!r}) AS BIGINT))) AS tymax
+          FROM bb),
+        cover AS (
+          SELECT r.*, xs.tx AS tx, ys.ty AS ty,
+                 (-{_O}) + CAST(xs.tx AS DOUBLE) * {span} AS tminx,
+                 {_O} - CAST(ys.ty AS DOUBLE) * {span} AS tmaxy
+          FROM rng r,
+               LATERAL (SELECT UNNEST(generate_series(r.txmin, r.txmax))) xs(tx),
+               LATERAL (SELECT UNNEST(generate_series(r.tymin, r.tymax))) ys(ty)),
+        verts AS (  -- class (a): triangle vertices inside the tile box
+          SELECT fid, tx, ty, tminx, tmaxy, ax AS vx, ay AS vy FROM cover
+          UNION ALL SELECT fid, tx, ty, tminx, tmaxy, bx, by FROM cover
+          UNION ALL SELECT fid, tx, ty, tminx, tmaxy, cx, cy FROM cover),
+        va AS (
+          SELECT * FROM verts
+          WHERE vx >= tminx AND vx <= tminx + {span}
+            AND vy >= tmaxy - {span} AND vy <= tmaxy),
+        edges AS (
+          SELECT fid, tx, ty, tminx, tmaxy, ax AS x1, ay AS y1, bx AS x2, by AS y2 FROM cover
+          UNION ALL SELECT fid, tx, ty, tminx, tmaxy, bx, by, cx, cy FROM cover
+          UNION ALL SELECT fid, tx, ty, tminx, tmaxy, cx, cy, ax, ay FROM cover),
+        vbraw AS (  -- class (b): edge × box-boundary line crossings
+          {crossings}),
+        vb AS (  -- restrict to the box-edge SEGMENT
+          SELECT * FROM vbraw
+          WHERE vx >= tminx AND vx <= tminx + {span}
+            AND vy >= tmaxy - {span} AND vy <= tmaxy),
+        corners AS (
+          SELECT c.*, cn.vx, cn.vy FROM cover c,
+               LATERAL (SELECT UNNEST([c.tminx, c.tminx + {span},
+                                       c.tminx, c.tminx + {span}]) AS vx,
+                        UNNEST([c.tmaxy, c.tmaxy,
+                                c.tmaxy - {span}, c.tmaxy - {span}]) AS vy) cn),
+        vc AS (  -- class (c): box corners strictly inside the triangle
+          SELECT fid, tx, ty, tminx, tmaxy, vx, vy FROM (
+            SELECT *,
+              (bx - ax) * (vy - ay) - (by - ay) * (vx - ax) AS s1,
+              (cx - bx) * (vy - by) - (cy - by) * (vx - bx) AS s2,
+              (ax - cx) * (vy - cy) - (ay - cy) * (vx - cx) AS s3
+            FROM corners)
+          WHERE (s1 > 0 AND s2 > 0 AND s3 > 0)
+             OR (s1 < 0 AND s2 < 0 AND s3 < 0)),
+        allv AS (
+          SELECT * FROM va UNION ALL SELECT * FROM vb
+          UNION ALL SELECT * FROM vc),
+        q AS (
+          SELECT DISTINCT fid, tx, ty, {qx} AS lx, {qy} AS ly FROM allv)
+        SELECT CAST({zoom} AS BIGINT) AS zoom, tx AS x,
+               {n - 1} - ty AS tile_row, fid,
+               COUNT(*) AS n_vtx,
+               CAST(SUM(lx) AS BIGINT) AS sum_lx,
+               CAST(SUM(ly) AS BIGINT) AS sum_ly
+        FROM q GROUP BY fid, tx, ty HAVING COUNT(*) >= 3
+    """
+
+
 def _render_tile_ids_oracle_sql() -> str:
     _, minx, miny, maxx, maxy = _nohole_image_rows(256)
     rows = ",\n              ".join(
@@ -2158,6 +2600,7 @@ def _image_features_oracle_sql(n: int = 64) -> str:
               {_image_consts_values(n)}),
         px AS (
           SELECT i, w, h,
+                 (r * w + c) AS pos,
                  {v} AS v
           FROM img,
                LATERAL (SELECT UNNEST(generate_series(0, img.h - 1))) tr(r),
@@ -2167,11 +2610,13 @@ def _image_features_oracle_sql(n: int = 64) -> str:
                  CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_data,
                  COALESCE(CAST(MIN(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmin,
                  COALESCE(CAST(MAX(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmax,
-                 CAST(SUM(v) AS BIGINT) AS vsum
+                 CAST(SUM(v) AS BIGINT) AS vsum,
+                 CAST(SUM(v * pos) AS BIGINT) AS pos_sum
           FROM px GROUP BY i, w, h)
         SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
                n_pixels, n_data, vmin, vmax, vsum,
-               CASE WHEN n_data = 0 THEN 0 ELSE vsum * 100 // n_data END AS mean_x100
+               CASE WHEN n_data = 0 THEN 0 ELSE vsum * 100 // n_data END AS mean_x100,
+               pos_sum
         FROM s
     """
 
@@ -2192,14 +2637,20 @@ def _image_resize_oracle_sql(n: int = 64, target: int = 32) -> str:
         val AS (
           SELECT i, ti, tj,
                  {v} AS v
-          FROM px)
-        SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
-               CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_data,
-               CAST(SUM(v) AS BIGINT) AS vsum,
-               COALESCE(CAST(MIN(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmin,
-               COALESCE(CAST(MAX(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmax,
-               CAST(SUM(v * (ti * {target} + tj)) AS BIGINT) AS pos_sum
-        FROM val GROUP BY i
+          FROM px),
+        agg AS (
+          SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+                 CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_data,
+                 CAST(SUM(v) AS BIGINT) AS vsum,
+                 COALESCE(CAST(MIN(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmin,
+                 COALESCE(CAST(MAX(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmax,
+                 CAST(SUM(v * (ti * {target} + tj)) AS BIGINT) AS pos_sum
+          FROM val GROUP BY i)
+        SELECT image_id, CAST({target * target} AS BIGINT) AS n_pixels,
+               n_data, vmin, vmax, vsum,
+               CASE WHEN n_data = 0 THEN 0 ELSE vsum * 100 // n_data END AS mean_x100,
+               pos_sum
+        FROM agg
     """
 
 
@@ -2371,16 +2822,14 @@ def oracle_sql() -> dict[str, str]:
     part_boxes_2000 = _PART_BOXES_SQL.format(limit=2000)
     return {
         "embedding_lsh": _lsh_oracle_sql(),
-        "embedding_ivf": _ivf_oracle_sql(),
-        "embedding_ivf_index": _ivf_oracle_sql(),
+        "embedding_ivf": _variant_union_sql(
+            ("mem", _ivf_oracle_sql()), ("index", _ivf_oracle_sql())),
         "embedding_neardup": _neardup_oracle_sql(),
-        "stream_dedup": """
-            SELECT md5(text) AS content_key, MIN(doc_id) AS doc_id
-            FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
-        """,
-        # finalized windows == hour buckets ending at or before the
-        # final watermark (max ts - 2h); single batch ⇒ no late drops
-        "stream_window": """
+        # dedup = first-seen unique set; window = finalized hour buckets
+        # ending at or before the final watermark (max ts - 2h); single
+        # batch ⇒ no late drops. Long (variant, ekey, n, v) shape shared
+        # with q_stream_events.
+        "stream_events": """
             WITH f AS (SELECT * FROM events WHERE event_id % 3 = 0),
             m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM f),
             w AS (SELECT
@@ -2390,7 +2839,14 @@ def oracle_sql() -> dict[str, str]:
                     COUNT(*) AS n_events,
                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
                   FROM f GROUP BY 1, 2, 3)
-            SELECT win_start, win_end, event_type, n_events, value_cents
+            SELECT 'dedup' AS variant, md5(text) AS ekey,
+                   MIN(doc_id) AS n, CAST(0 AS BIGINT) AS v
+            FROM documents WHERE doc_id % 5 = 0 GROUP BY 2
+            UNION ALL
+            SELECT 'window' AS variant,
+                   event_type || '@' ||
+                     CAST(CAST(epoch(win_start) AS BIGINT) AS VARCHAR) AS ekey,
+                   n_events AS n, value_cents AS v
             FROM w, m WHERE w.win_end <= m.wm
         """,
         "star_rollup": """
@@ -2424,37 +2880,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM t GROUP BY 1, 2
         """,
-        # audio stats straight from the sample formula (the Spark side
-        # goes through real WAV bytes — encode→parse round-trip checked)
-        "video_probe": """
-            WITH p AS (
+        # container probes in the shared (variant, media_id, dim_a,
+        # dim_b, n_units, duration_ms, codec) shape of q_media_probe;
+        # every field rederived from the generation formulas, so the
+        # mux→parse round-trips stay value-checked.
+        "media_probe": """
+            WITH vp AS (
               SELECT i,
                      160 + (i % 5) * 32 AS width,
                      120 + (i % 4) * 24 AS height,
                      8 + (i * 11) % 17 AS n_frames,
                      CASE i % 5 WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25
                                 WHEN 3 THEN 40 ELSE 50 END AS fps
-              FROM (SELECT UNNEST(generate_series(0, 63)) AS i) c)
-            SELECT 'vid' || lpad(CAST(i AS VARCHAR), 8, '0') AS video_id,
-                   CAST(width AS BIGINT) AS width,
-                   CAST(height AS BIGINT) AS height,
-                   CAST(n_frames AS BIGINT) AS n_frames,
-                   CAST(n_frames * (1000 // fps) AS BIGINT) AS duration_ms,
-                   'mp4v' AS codec
-            FROM p
-        """,
-        "video_frames": """
-            WITH p AS (
+              FROM (SELECT UNNEST(generate_series(0, 63)) AS i) c),
+            mp AS (
+              SELECT i,
+                     CASE i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                ELSE 32000 END AS sample_rate,
+                     1 + (i % 2) AS channels,
+                     5 + (i * 13) % 20 AS n_frames
+              FROM (SELECT UNNEST(generate_series(0, 47)) AS i) c),
+            fp AS (
               SELECT i, 8 + (i * 11) % 17 AS n_frames
               FROM (SELECT UNNEST(generate_series(0, 31)) AS i) c),
-            f AS (
+            ff AS (
               SELECT i, UNNEST(generate_series(0, n_frames - 1)) AS fno
-              FROM p)
-            SELECT 'vid' || lpad(CAST(i AS VARCHAR), 8, '0') AS video_id,
-                   CAST(fno AS BIGINT) AS frame_no,
-                   CAST(64 + (i * 7 + fno * 13) % 128 AS BIGINT) AS frame_len,
-                   CAST((i + fno) % 256 AS BIGINT) AS byte0
-            FROM f WHERE fno % 4 = 0
+              FROM fp)
+            SELECT 'video' AS variant,
+                   'vid' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
+                   CAST(width AS BIGINT) AS dim_a,
+                   CAST(height AS BIGINT) AS dim_b,
+                   CAST(n_frames AS BIGINT) AS n_units,
+                   CAST(n_frames * (1000 // fps) AS BIGINT) AS duration_ms,
+                   'mp4v' AS codec
+            FROM vp
+            UNION ALL
+            SELECT 'mp3',
+                   'mp3' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(sample_rate AS BIGINT),
+                   CAST(channels AS BIGINT),
+                   CAST(n_frames * 1152 AS BIGINT),
+                   CAST((n_frames * 1152 * 1000) // sample_rate AS BIGINT),
+                   'mp3'
+            FROM mp
+            UNION ALL
+            SELECT 'frames',
+                   'vid' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(64 + (i * 7 + fno * 13) % 128 AS BIGINT),
+                   CAST((i + fno) % 256 AS BIGINT),
+                   CAST(fno AS BIGINT),
+                   CAST(0 AS BIGINT),
+                   'demux'
+            FROM ff WHERE fno % 4 = 0
         """,
         # decoded MJPEG pixel stats in closed form: frames are solid
         # value v = (17i + 29f + 23) % 256, and solid baseline-JPEG
@@ -2485,23 +2962,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v * (n_px * (n_px + 1) // 2) AS BIGINT) AS checksum
             FROM s
         """,
-        "audio_probe_mp3": """
-            WITH p AS (
-              SELECT i,
-                     CASE i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                                ELSE 32000 END AS sample_rate,
-                     1 + (i % 2) AS channels,
-                     5 + (i * 13) % 20 AS n_frames
-              FROM (SELECT UNNEST(generate_series(0, 47)) AS i) c)
-            SELECT 'mp3' || lpad(CAST(i AS VARCHAR), 8, '0') AS audio_id,
-                   'mp3' AS container,
-                   CAST(sample_rate AS BIGINT) AS sample_rate,
-                   CAST(channels AS BIGINT) AS channels,
-                   CAST(n_frames * 1152 AS BIGINT) AS n_samples,
-                   CAST((n_frames * 1152 * 1000) // sample_rate AS BIGINT)
-                     AS duration_ms
-            FROM p
-        """,
         "audio_features": """
             WITH p AS (
               SELECT i, 8000 * (1 + i % 3) AS sample_rate,
@@ -2523,18 +2983,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(smp * smp) AS BIGINT) AS sum_sq
             FROM v GROUP BY 1, 2, 3, 4, 5
         """,
-        "render_tile_ids": _render_tile_ids_oracle_sql(),
-        "render_tile_ids_u32": _render_tile_ids_oracle_sql(),
-        "render_tile_ids_colormap": _render_tile_ids_oracle_sql(),
-        "render_pixel_stats": _render_pixel_stats_oracle_sql(),
-        "render_pixel_stats_u32": _render_pixel_stats_oracle_sql("u32"),
-        "render_pyramid_pixel_stats": _render_pyramid_pixel_stats_oracle_sql(),
-        "image_features": _image_features_oracle_sql(),
-        "image_resize": _image_resize_oracle_sql(),
+        # all four tile-ID legs share ONE exact-cover twin by design
+        "render_tile_ids": _variant_union_sql(
+            ("u8", _render_tile_ids_oracle_sql()),
+            ("u32", _render_tile_ids_oracle_sql()),
+            ("colormap", _render_tile_ids_oracle_sql()),
+            ("pyramid", _render_tile_ids_oracle_sql())),
+        "render_pixel_stats": _variant_union_sql(
+            ("u8", _render_pixel_stats_oracle_sql()),
+            ("u32", _render_pixel_stats_oracle_sql("u32")),
+            ("pyramid", _render_pyramid_pixel_stats_oracle_sql())),
+        "image_stats": _variant_union_sql(
+            ("features", _image_features_oracle_sql()),
+            ("resize", _image_resize_oracle_sql())),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
-        "render_pyramid_tile_ids": _render_tile_ids_oracle_sql(),
         "stream_render_tile_ids": _render_tile_ids_oracle_sql(),
         # strict-left-fold cosine: same IEEE op sequence as the Spark
         # F.aggregate folds, so ordering (score DESC, vec_id) is exact
@@ -2759,24 +3223,24 @@ def oracle_sql() -> dict[str, str]:
               AND CAST((c.c_custkey * 29) % 100 AS DOUBLE) + 0.1 > 7.0 * r.r_regionkey + 1.5
               AND CAST((c.c_custkey * 29) % 100 AS DOUBLE) + 0.1 < 7.0 * r.r_regionkey + 21.75
         """,
-        "doc_tokens": r"""
-            SELECT doc_id,
-                   LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
-                   LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
-            FROM documents
-        """,
-        "doc_quality": r"""
-            SELECT doc_id,
-                   LENGTH(text) AS n_chars_m,
-                   LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-                   LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_space,
-                   CAST(FLOOR((LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))) * 100
-                        / LEN(regexp_split_to_array(TRIM(text), '\s+'))) AS BIGINT) AS mean_wordlen_x100
-            FROM documents
-        """,
-        "lang_id": """
-            WITH t AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS tt FROM documents),
+        # token counts + quality features + language-ID scores joined
+        # into the per-doc profile row of q_doc_stats
+        "doc_stats": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+                     LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
+              FROM documents),
+            qual AS (
+              SELECT doc_id,
+                     LENGTH(text) AS n_chars_m,
+                     LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                     LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                     LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_space,
+                     CAST(FLOOR((LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))) * 100
+                          / LEN(regexp_split_to_array(TRIM(text), '\s+'))) AS BIGINT) AS mean_wordlen_x100
+              FROM documents),
+            t AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS tt FROM documents),
             s AS (SELECT doc_id,
               CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' the ', ''))) / 5
                  + (LENGTH(tt) - LENGTH(REPLACE(tt, ' and ', ''))) / 5
@@ -2787,52 +3251,37 @@ def oracle_sql() -> dict[str, str]:
               CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' der ', ''))) / 5
                  + (LENGTH(tt) - LENGTH(REPLACE(tt, ' und ', ''))) / 5
                  + (LENGTH(tt) - LENGTH(REPLACE(tt, ' die ', ''))) / 5 AS BIGINT) AS score_de
-              FROM t)
-            SELECT doc_id, score_en, score_fr, score_de,
-                   CASE WHEN GREATEST(score_en, score_fr, score_de) = 0 THEN 'und'
-                        WHEN score_en = GREATEST(score_en, score_fr, score_de) THEN 'en'
-                        WHEN score_fr = GREATEST(score_en, score_fr, score_de) THEN 'fr'
-                        ELSE 'de' END AS lang_guess
-            FROM s
+              FROM t),
+            lang AS (
+              SELECT doc_id, score_en, score_fr, score_de,
+                     CASE WHEN GREATEST(score_en, score_fr, score_de) = 0 THEN 'und'
+                          WHEN score_en = GREATEST(score_en, score_fr, score_de) THEN 'en'
+                          WHEN score_fr = GREATEST(score_en, score_fr, score_de) THEN 'fr'
+                          ELSE 'de' END AS lang_guess
+              FROM s)
+            SELECT tok.doc_id, tok.n_tokens, tok.n_bpe_tokens,
+                   qual.n_chars_m, qual.n_punct, qual.n_digit, qual.n_space,
+                   qual.mean_wordlen_x100,
+                   lang.score_en, lang.score_fr, lang.score_de, lang.lang_guess
+            FROM tok
+            JOIN qual ON qual.doc_id = tok.doc_id
+            JOIN lang ON lang.doc_id = tok.doc_id
         """,
         "raster_gradient": _raster_gradient_oracle_sql(),
         "tile_halo_gradient": _halo_gradient_oracle_sql(),
-        "zonal_stats": _zonal_stats_oracle_sql(),
-        "zonal_stats_poly": _zonal_poly_oracle_sql(),
-        "zonal_stats_u32": _zonal_stats_oracle_sql(u32=True),
-        "vector_tiles": """
-            WITH pts AS (
-              SELECT c_custkey,
-                GREATEST(-180.0, LEAST(180.0, (c_custkey % 3600) / 10.0 - 180.0 + 0.05)) AS lon,
-                GREATEST(-85.051129, LEAST(85.051129, (c_custkey % 1700) / 10.0 - 85.0 + 0.05)) AS lat
-              FROM customer WHERE c_custkey <= 800),
-            merc AS (
-              SELECT c_custkey,
-                floor((lon * 111319.49079327358) * 1e6 + 0.5) / 1e6 AS mx,
-                floor((6378137.0 * ln(tan(0.7853981633974483 + 0.008726646259971648 * lat))) * 1e6 + 0.5) / 1e6 AS my
-              FROM pts),
-            t AS (
-              SELECT c_custkey, mx, my,
-                GREATEST(0, LEAST(63, CAST(FLOOR((mx + 20037508.342789244) / 40075016.68557849 * 64.0) AS BIGINT))) AS x,
-                GREATEST(0, LEAST(63, CAST(FLOOR((20037508.342789244 - my) / 40075016.68557849 * 64.0) AS BIGINT))) AS y
-              FROM merc),
-            loc AS (
-              SELECT c_custkey, x, y,
-                GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR(
-                  (mx - ((-20037508.342789244) + CAST(x AS DOUBLE) * 626172.1357121639)) / 626172.1357121639 * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS lx,
-                GREATEST(0, LEAST(4095, CAST(FLOOR(FLOOR(
-                  ((20037508.342789244 - CAST(y AS DOUBLE) * 626172.1357121639) - my) / 626172.1357121639 * 4096.0 * 1e6 + 0.5) / 1e6) AS BIGINT))) AS ly
-              FROM t)
-            SELECT CAST(6 AS BIGINT) AS zoom, x,
-                   63 - y AS tile_row,
-                   COUNT(*) AS n_features,
-                   CAST(SUM(lx) AS BIGINT) AS sum_lx,
-                   CAST(SUM(ly) AS BIGINT) AS sum_ly,
-                   MIN(c_custkey) AS min_fid,
-                   MAX(c_custkey) AS max_fid
-            FROM loc GROUP BY x, y
-        """,
-        "vector_tiles_poly": _vector_tiles_poly_oracle_sql(),
+        "tile_halo_sobel": _halo_sobel_oracle_sql(),
+        "zonal_stats": _variant_union_sql(
+            ("u8", _zonal_stats_oracle_sql()),
+            ("u32", _zonal_stats_oracle_sql(u32=True)),
+            ("poly", _zonal_poly_oracle_sql())),
+        "vector_tiles_clip": _vector_tiles_clip_oracle_sql(),
+        "vector_tiles": (
+            "SELECT 'points' AS variant, zoom, x, tile_row, n_features, "
+            "sum_lx AS sum_cx, sum_ly AS sum_cy, min_fid, max_fid FROM ("
+            + _VECTOR_TILES_POINTS_SQL + ")\nUNION ALL\n"
+            "SELECT 'poly' AS variant, zoom, x, tile_row, n_features, "
+            "sum_rx AS sum_cx, sum_ry AS sum_cy, min_fid, max_fid FROM ("
+            + _vector_tiles_poly_oracle_sql() + ")"),
         "corpus_pipeline": """
             WITH RECURSIVE base AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

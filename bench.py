@@ -103,7 +103,14 @@ def main() -> None:
                 .filter(F.col("doc_id") % 5 == 0))
         return lsh_candidate_pairs(docs, num_perms=16, band_size=4)
 
-    qs = dict(qs, minhash_lsh=_minhash_production)
+    # doc_quality: keep the r1-comparable single-operator timing (the
+    # contract entry is now the joined doc_stats profile)
+    def _doc_quality(spark, sf_dir):
+        from rastertiler_rs_spark.operators.text import quality_scores
+        return quality_scores(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    qs = dict(qs, minhash_lsh=_minhash_production, doc_quality=_doc_quality)
     for name in ["bbox_join", "knn", "dedup_exact", "window_agg", "histogram",
                  "minhash_lsh", "ngram_jaccard", "embedding_topk_int",
                  "embedding_cosine", "doc_quality", "tile_cover"]:

@@ -2,25 +2,26 @@
 boundaries, the distributed form of raster_gradient_stats.
 
 A stencil at a tile-border pixel needs pixels the neighboring tile
-owns. The distributed idiom: every tile emits its four 1-pixel edge
-strips keyed to the neighbor that needs them (a shuffle of thin
-strips — ~4·ts pixels per tile, trivially small next to the tile
-itself), then one groupBy(tile) assembles a (ts+2)² padded canvas
-(own pixels + received halos, absent neighbors padded with nodata)
-and the stencil runs task-local over the tile's OWN pixels. Exactly
-one shuffle, keyed by the owning tile; strips and tiles ride it
-together via a unified row shape.
+owns. The distributed idiom: every tile emits its 1-pixel edge strips
+(and, for 8-neighbor kernels, its 4 corner pixels) keyed to the
+neighbor that needs them (a shuffle of thin strips — ~4·ts+4 pixels
+per tile, trivially small next to the tile itself), then one
+groupBy(tile) assembles a (ts+2)² padded canvas (own pixels +
+received halos, absent neighbors padded with nodata) and the stencil
+runs task-local over the tile's OWN pixels. Exactly one shuffle,
+keyed by the owning tile; strips and tiles ride it together via a
+unified row shape.
 
 Correctness contract: summed per tile, the result equals the stencil
 over the UNPARTITIONED canvas restricted to each tile's pixels — the
-oracle entry checks that identity against a DuckDB twin that never
-sees tiles at all (any halo routing/orientation bug flips the border
+oracle entries check that identity against DuckDB twins that never
+see tiles at all (any halo routing/orientation bug flips the border
 sums).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -28,23 +29,26 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..png import decode_band
 
+_STATS_SCHEMA = "tx long, ty long, n_valid long, sum_g2 long, max_g2 long"
+_EMPTY_STATS = {"tx": "int64", "ty": "int64", "n_valid": "int64",
+                "sum_g2": "int64", "max_g2": "int64"}
 
-def tile_halo_gradient(tiles: DataFrame, tile_size: int,
-                       nodata: int = 0) -> DataFrame:
-    """tiles (tx, ty, png of a ts×ts band) -> per-tile integer stats
-    of the central-difference gradient magnitude gx² + gy², where
-    border pixels use HALOS exchanged from the 4-neighbor tiles.
 
-    A pixel contributes iff its center and all four neighbors are
-    valid (non-nodata); pixels on the global canvas boundary (no
-    neighbor tile) are excluded by the nodata padding. Output:
-    (tx, ty, n_valid, sum_g2, max_g2)."""
+def _halo_stats(tiles: DataFrame, tile_size: int, nodata: int,
+                corners: bool,
+                stencil: Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]],
+                ) -> DataFrame:
+    """Shared halo-exchange plumbing: explode strips (+ corner pixels
+    when the kernel is 8-neighbor), one shuffle on the owning tile,
+    assemble the padded canvas, run `stencil(pad) -> (valid, g2)` over
+    the tile's own pixels, reduce to integer stats."""
     ts = int(tile_size)
 
     def explode_strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # unified rows: kind 'C' = the tile itself (png payload);
-        # 'N'/'S'/'E'/'W' = the strip arriving at (tx, ty) FROM that
-        # side, raw ts bytes of the neighbor's facing edge
+        # 'N'/'S'/'E'/'W' = the 1-pixel strip arriving at (tx, ty)
+        # FROM that side; 'NW'/'NE'/'SW'/'SE' = single corner pixels
+        # (emitted only for 8-neighbor kernels)
         for pdf in batches:
             out = {"tx": [], "ty": [], "kind": [], "payload": []}
             for row in pdf.itertuples(index=False):
@@ -61,62 +65,122 @@ def tile_halo_gradient(tiles: DataFrame, tile_size: int,
                 # attaches to: my top edge pads the SOUTH side of the
                 # tile above me, my left column the EAST side of the
                 # tile to my left, etc.
-                for dtx, dty, kind, strip in (
-                        (0, -1, "S", band[0, :]),      # to tile above
-                        (0, +1, "N", band[ts - 1, :]),  # to tile below
-                        (-1, 0, "E", band[:, 0]),      # to tile left
-                        (+1, 0, "W", band[:, ts - 1]),  # to tile right
-                ):
+                emits = [
+                    (0, -1, "S", band[0, :]),       # to tile above
+                    (0, +1, "N", band[ts - 1, :]),  # to tile below
+                    (-1, 0, "E", band[:, 0]),       # to tile left
+                    (+1, 0, "W", band[:, ts - 1]),  # to tile right
+                ]
+                if corners:
+                    # my corner pixel pads the OPPOSITE corner of the
+                    # diagonal neighbor: top-left -> SE pad of the tile
+                    # up-left, bottom-right -> NW pad of down-right, …
+                    emits += [
+                        (-1, -1, "SE", band[0:1, 0]),
+                        (+1, -1, "SW", band[0:1, ts - 1]),
+                        (-1, +1, "NE", band[ts - 1:ts, 0]),
+                        (+1, +1, "NW", band[ts - 1:ts, ts - 1]),
+                    ]
+                for dtx, dty, kind, strip in emits:
                     out["tx"].append(int(row.tx) + dtx)
                     out["ty"].append(int(row.ty) + dty)
                     out["kind"].append(kind)
-                    out["payload"].append(strip.tobytes())
+                    out["payload"].append(np.ascontiguousarray(strip).tobytes())
             yield pd.DataFrame(out)
 
     unified = tiles.select("tx", "ty", "png").mapInPandas(
         explode_strips, "tx long, ty long, kind string, payload binary")
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # fully-annotated signature (key + frame): a partial hint makes
+    # pyspark's eval-type inference warn and fall back
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         center = pdf[pdf["kind"] == "C"]
         if center.empty:
             # strips addressed to a tile that does not exist (canvas
             # boundary) — nothing to compute
-            return pd.DataFrame({"tx": [], "ty": [], "n_valid": [],
-                                 "sum_g2": [], "max_g2": []}).astype(
-                {"tx": "int64", "ty": "int64", "n_valid": "int64",
-                 "sum_g2": "int64", "max_g2": "int64"})
+            return pd.DataFrame(
+                {k: [] for k in _EMPTY_STATS}).astype(_EMPTY_STATS)
         band = decode_band(bytes(center.iloc[0]["payload"]), "png;u8")
         ts_ = band.shape[0]
         pad = np.full((ts_ + 2, ts_ + 2), nodata, dtype=np.int64)
         pad[1:-1, 1:-1] = band
-        for _, row in pdf[pdf["kind"] != "C"].iterrows():
-            strip = np.frombuffer(bytes(row["payload"]), dtype=band.dtype)
-            if row["kind"] == "N":
-                pad[0, 1:-1] = strip
-            elif row["kind"] == "S":
-                pad[ts_ + 1, 1:-1] = strip
-            elif row["kind"] == "W":
-                pad[1:-1, 0] = strip
-            elif row["kind"] == "E":
-                pad[1:-1, ts_ + 1] = strip
+        slots = {"N": (slice(0, 1), slice(1, ts_ + 1)),
+                 "S": (slice(ts_ + 1, ts_ + 2), slice(1, ts_ + 1)),
+                 "W": (slice(1, ts_ + 1), slice(0, 1)),
+                 "E": (slice(1, ts_ + 1), slice(ts_ + 1, ts_ + 2)),
+                 "NW": (slice(0, 1), slice(0, 1)),
+                 "NE": (slice(0, 1), slice(ts_ + 1, ts_ + 2)),
+                 "SW": (slice(ts_ + 1, ts_ + 2), slice(0, 1)),
+                 "SE": (slice(ts_ + 1, ts_ + 2), slice(ts_ + 1, ts_ + 2))}
+        strips = pdf[pdf["kind"] != "C"]
+        for kind, payload in zip(strips["kind"].to_numpy(),
+                                 strips["payload"].to_numpy()):
+            rs, cs = slots[kind]
+            strip = np.frombuffer(bytes(payload), dtype=band.dtype)
+            pad[rs, cs] = strip.reshape(rs.stop - rs.start,
+                                        cs.stop - cs.start)
+        valid, g2 = stencil(pad)
+        if not valid.any():
+            return pd.DataFrame(
+                {k: [] for k in _EMPTY_STATS}).astype(_EMPTY_STATS)
+        vg2 = g2[valid]
+        return pd.DataFrame({"tx": [tx], "ty": [ty],
+                             "n_valid": [int(valid.sum())],
+                             "sum_g2": [int(vg2.sum())],
+                             "max_g2": [int(vg2.max())]})
+
+    return unified.groupBy("tx", "ty").applyInPandas(assemble, _STATS_SCHEMA)
+
+
+def tile_halo_gradient(tiles: DataFrame, tile_size: int,
+                       nodata: int = 0) -> DataFrame:
+    """tiles (tx, ty, png of a ts×ts band) -> per-tile integer stats
+    of the central-difference gradient magnitude gx² + gy², where
+    border pixels use HALOS exchanged from the 4-neighbor tiles.
+
+    A pixel contributes iff its center and all four neighbors are
+    valid (non-nodata); pixels on the global canvas boundary (no
+    neighbor tile) are excluded by the nodata padding. Output:
+    (tx, ty, n_valid, sum_g2, max_g2)."""
+
+    def stencil(pad: np.ndarray):
         c = pad[1:-1, 1:-1]
         gx = pad[1:-1, 2:] - pad[1:-1, :-2]
         gy = pad[2:, 1:-1] - pad[:-2, 1:-1]
         valid = ((c != nodata)
                  & (pad[1:-1, 2:] != nodata) & (pad[1:-1, :-2] != nodata)
                  & (pad[2:, 1:-1] != nodata) & (pad[:-2, 1:-1] != nodata))
-        if not valid.any():
-            return pd.DataFrame({"tx": [], "ty": [], "n_valid": [],
-                                 "sum_g2": [], "max_g2": []}).astype(
-                {"tx": "int64", "ty": "int64", "n_valid": "int64",
-                 "sum_g2": "int64", "max_g2": "int64"})
-        g2 = (gx * gx + gy * gy)[valid]
-        return pd.DataFrame({"tx": [tx], "ty": [ty],
-                             "n_valid": [int(valid.sum())],
-                             "sum_g2": [int(g2.sum())],
-                             "max_g2": [int(g2.max())]})
+        return valid, gx * gx + gy * gy
 
-    return (unified.groupBy("tx", "ty").applyInPandas(
-        assemble, "tx long, ty long, n_valid long, sum_g2 long, "
-                  "max_g2 long"))
+    return _halo_stats(tiles, tile_size, nodata, corners=False,
+                       stencil=stencil)
+
+
+def tile_halo_sobel(tiles: DataFrame, tile_size: int,
+                    nodata: int = 0) -> DataFrame:
+    """8-NEIGHBOR halo stencil: the Sobel gradient magnitude
+    gx² + gy² with gx = (ne + 2e + se) - (nw + 2w + sw) and
+    gy = (sw + 2s + se) - (nw + 2n + ne), where border pixels use
+    edge strips AND single-pixel corner halos from the 8 neighbor
+    tiles (diagonal kernels need the corners — a 4-neighbor exchange
+    mis-pads exactly the four tile-corner pixels).
+
+    A pixel contributes iff its center and all EIGHT neighbors are
+    valid (non-nodata). Output: (tx, ty, n_valid, sum_g2, max_g2)."""
+
+    def stencil(pad: np.ndarray):
+        c = pad[1:-1, 1:-1]
+        n_, s_ = pad[:-2, 1:-1], pad[2:, 1:-1]
+        w_, e_ = pad[1:-1, :-2], pad[1:-1, 2:]
+        nw, ne = pad[:-2, :-2], pad[:-2, 2:]
+        sw, se = pad[2:, :-2], pad[2:, 2:]
+        gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+        gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+        valid = (c != nodata)
+        for nb in (n_, s_, w_, e_, nw, ne, sw, se):
+            valid &= nb != nodata
+        return valid, gx * gx + gy * gy
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil)

@@ -71,7 +71,19 @@ def knn_join(
     loop_shuffle_partitions≈cores/4`` and save ~25%% of knn wall.
     Defaults (None) leave the session conf untouched — the scale-safe
     choice: at 100 TB the loop's window shuffle wants the session's
-    partitioning and AQE exactly as configured.
+    partitioning and AQE exactly as configured. NOTE: the overrides
+    mutate SESSION-global SQL conf for the loop's duration — they
+    assume a single driver thread; any query planned concurrently on
+    the same SparkSession (e.g. a live streaming micro-batch) would
+    plan under the tweaked conf, so don't pass them with active
+    streams (check spark.streams.active).
+
+    Every round plans with the SAME shape: the probe radius rides the
+    pending rows as a `_r` column (doubled in place each round on the
+    checkpoint-truncated lineage) instead of a per-round literal, so
+    round 2+ hits the whole-stage-codegen source cache compiled by
+    round 1 — per-round driver cost is scheduling, not re-compiling a
+    new plan family.
 
     Phase 2 probes only the ANNULUS beyond each query's phase-1 box
     (cells at Chebyshev distance in (r_probe, final_r]) and unions the
@@ -119,7 +131,7 @@ def knn_join(
         # broadcast in every lineage; any r0 yields the same exact
         # result, only the round count differs)
         q = q.withColumn(
-            "_r0",
+            "_r",
             F.lit(max(1, min(int(start_radius), max_final_r))).cast("long"))
     else:
         stats = cells.agg(
@@ -134,9 +146,9 @@ def knn_join(
                         - F.lit(1.0)) / F.lit(2.0)),
             ) + F.lit(1),
             F.lit(8), F.lit(max_final_r)).cast("long")
-        q = q.crossJoin(F.broadcast(stats.select(r0.alias("_r0"))))
+        q = q.crossJoin(F.broadcast(stats.select(r0.alias("_r"))))
         # degenerate inputs (no points, zero estimate) → null: fall back to 1
-        q = q.withColumn("_r0", F.coalesce(F.col("_r0"), F.lit(1).cast("long")))
+        q = q.withColumn("_r", F.coalesce(F.col("_r"), F.lit(1).cast("long")))
         # truncate the stats lineage once: without this every later job
         # that touches q (pending anti-joins, found, phase 2) re-runs the
         # full points scan + aggregate behind the broadcast
@@ -168,8 +180,8 @@ def knn_join(
         spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_shuffle_partitions)))
     try:
         for i in range(max_rounds):
-            r_col = (F.col("_r0") * F.lit(1 << i)).cast("long")
-            cand = _candidates(pending, cells, r_col).withColumn("d2", d2)
+            cand = _candidates(pending, cells,
+                               F.col("_r")).withColumn("d2", d2)
             ranked_all = (
                 cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
@@ -193,13 +205,24 @@ def knn_join(
             # data where the phase-1 box already sufficed.
             done_q = (
                 pending.join(kth, query_id)
-                .withColumn("r_probe", r_col)
+                .withColumn("r_probe", F.col("_r"))
+                # ulp margin on the quotient: kth_dist is a computed
+                # sqrt and /cs adds another rounding — a kth distance
+                # within ~1 ulp above an exact cell multiple would
+                # otherwise floor one ring short and drop a true
+                # neighbor; widening is the rare path, so the margin
+                # costs nothing on the dense case
                 .withColumn("final_r",
-                            (F.floor(F.col("kth_dist") / F.lit(cs)) + 1).cast("long"))
+                            (F.floor((F.col("kth_dist") / F.lit(cs))
+                                     * F.lit(1.0 + 4e-16)) + 1).cast("long"))
             )
             found = done_q if found is None else found.unionByName(done_q)
             found = found.localCheckpoint(eager=False)
-            pending = pending.join(kth.select(query_id), query_id, "left_anti")
+            pending = (
+                pending.join(kth.select(query_id), query_id, "left_anti")
+                # double the probe radius IN the rows: next round's plan
+                # is shape-identical to this one (see docstring)
+                .withColumn("_r", (F.col("_r") * F.lit(2)).cast("long")))
             pending = pending.localCheckpoint(eager=False)
             guard = (
                 pending.agg(F.count("*").alias("n_pending"))

@@ -178,6 +178,23 @@ def write_mbtiles_shards(fused: DataFrame, metadata: DataFrame, out_dir: str,
     counts = (df.mapInPandas(
         write_partition, "shard int, n_tiles long, n_blobs long")
         .collect())
+    # SHARED-FILESYSTEM CONTRACT: executors wrote the shard files into
+    # out_dir and the driver writes the manifest beside them — correct
+    # on local[*] and on clusters whose executors and driver mount one
+    # filesystem (NFS/lustre/fuse-mounted object store). Fail fast
+    # before publishing a manifest that names shards the driver cannot
+    # see (non-shared disks), instead of leaving a silently-broken dir.
+    missing = [int(r["shard"]) for r in counts
+               if not os.path.exists(
+                   os.path.join(out_dir, f"shard-{int(r['shard']):05d}.mbtiles"))]
+    if missing:
+        raise RuntimeError(
+            f"shards {missing[:8]}{'...' if len(missing) > 8 else ''} were "
+            f"committed executor-side but are not visible from the driver "
+            f"at {out_dir!r} — write_mbtiles_shards requires a filesystem "
+            f"shared by driver and executors (local[*], NFS, or a mounted "
+            f"object store); refusing to write a manifest naming unreadable "
+            f"shards")
     manifest = {
         "sharding": sharding,
         "n_shards": n_shards,

@@ -149,10 +149,12 @@ def resize_images(images: DataFrame, target: int,
 def image_features(images: DataFrame, fake_codecs: bool = False) -> DataFrame:
     """Feature extraction over the opaque binary column: integer pixel
     statistics per image — (image_id, n_pixels, n_data, vmin, vmax,
-    vsum, mean_x100). nodata (0) pixels are excluded from the value
-    stats; an all-nodata image reports vmin=vmax=mean_x100=0. All
-    outputs integer ⇒ deterministic across runs/engines; values are
-    pinned exactly against a numpy recomputation in tests.
+    vsum, mean_x100, pos_sum). nodata (0) pixels are excluded from the
+    value stats; an all-nodata image reports vmin=vmax=mean_x100=0.
+    pos_sum is a position-weighted checksum (sum of v * row-major
+    index) that pins WHERE each pixel sits, not just the histogram.
+    All outputs integer ⇒ deterministic across runs/engines; values
+    are pinned exactly against a numpy recomputation in tests.
 
     Real decode for PNG (u8 and u32), baseline JPEG, and lossless WebP
     (VP8L, webp/codec.py); lossy webp goes through the deterministic
@@ -161,11 +163,14 @@ def image_features(images: DataFrame, fake_codecs: bool = False) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"image_id": [], "n_pixels": [], "n_data": [],
-                   "vmin": [], "vmax": [], "vsum": [], "mean_x100": []}
+                   "vmin": [], "vmax": [], "vsum": [], "mean_x100": [],
+                   "pos_sum": []}
             for row in pdf.itertuples(index=False):
                 band = _decode_any(bytes(row.bytes), row.fmt, row.w, row.h,
                                    fake_codecs)
-                vals = band[band != NODATA].astype(np.int64)
+                flat = band.reshape(-1).astype(np.int64)
+                mask = flat != NODATA
+                vals = flat[mask]
                 n_data = int(vals.size)
                 vsum = int(vals.sum()) if n_data else 0
                 out["image_id"].append(row.image_id)
@@ -175,11 +180,13 @@ def image_features(images: DataFrame, fake_codecs: bool = False) -> DataFrame:
                 out["vmax"].append(int(vals.max()) if n_data else 0)
                 out["vsum"].append(vsum)
                 out["mean_x100"].append(vsum * 100 // n_data if n_data else 0)
+                out["pos_sum"].append(int(
+                    (vals * np.flatnonzero(mask)).sum()) if n_data else 0)
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         fn, "image_id string, n_pixels long, n_data long, vmin long, "
-            "vmax long, vsum long, mean_x100 long")
+            "vmax long, vsum long, mean_x100 long, pos_sum long")
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int, channels: int) -> bytes:

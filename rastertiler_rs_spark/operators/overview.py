@@ -276,7 +276,6 @@ def _fragment_emit_fn(top_zoom: int, minzoom: int, tile_size: int,
     fragments assemble into canvases value-identical to the
     level-by-level cascade's (byte-identical PNGs; pinned by
     tests/test_overview_salt.py::test_fragment_cascade_byte_parity)."""
-    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         colormap = Colormap.parse(colormap_str, nodata) if colormap_str else None

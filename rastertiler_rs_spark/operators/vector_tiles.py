@@ -29,6 +29,25 @@ import rastertiler_rs_spark.tilemath as tm
 from ..mvt import encode_mvt
 
 
+def _cap_per_tile(assigned: DataFrame, max_features_per_tile) -> DataFrame:
+    """Hot-tile guard: deterministically truncate a tile's feature list
+    to the `max_features_per_tile` LOWEST feature ids (a documented
+    drop, like the raster sink's --max-tiles guard — a pathological
+    hot tile at low zoom would otherwise grow one task's aggregation
+    buffer without bound). The row_number window partitions by the
+    same (tile_x, tile_y) keys the downstream groupBy shuffles on, so
+    Spark reuses one exchange — the cap costs a sort, not a second
+    shuffle."""
+    if max_features_per_tile is None:
+        return assigned
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tile_x", "tile_y").orderBy("fid")
+    return (assigned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_features_per_tile))
+            .drop("_rn"))
+
+
 def _quant_local(delta, span: float, extent: int):
     """Tile-local MVT quantization with the repo's boundary-tie rule:
     round the scaled value to 1e-6 BEFORE the discretizing floor (the
@@ -44,7 +63,8 @@ def _quant_local(delta, span: float, extent: int):
 
 def points_to_mvt(points: DataFrame, zoom: int, extent: int = 4096,
                   layer: str = "points", id_col: str = "pid",
-                  x_col: str = "px", y_col: str = "py") -> DataFrame:
+                  x_col: str = "px", y_col: str = "py",
+                  max_features_per_tile: int | None = None) -> DataFrame:
     """points (id, mercator x, y) -> one MVT blob per owning z tile.
 
     Tile ownership is floor((p + O) / CE * 2^z) clamped to the grid;
@@ -65,10 +85,10 @@ def points_to_mvt(points: DataFrame, zoom: int, extent: int = 4096,
     lx = _quant_local(px - tminx, span, extent)
     ly = _quant_local(tmaxy - py, span, extent)
 
-    assigned = points.select(
+    assigned = _cap_per_tile(points.select(
         F.col(id_col).cast("long").alias("fid"),
         tx.alias("tile_x"), ty.alias("tile_y"),
-        lx.alias("local_x"), ly.alias("local_y"))
+        lx.alias("local_x"), ly.alias("local_y")), max_features_per_tile)
     grouped = (assigned.groupBy("tile_x", "tile_y")
                .agg(F.sort_array(F.collect_list(
                    F.struct("fid", "local_x", "local_y"))).alias("feats")))
@@ -94,8 +114,153 @@ def points_to_mvt(points: DataFrame, zoom: int, extent: int = 4096,
         fn, "zoom int, x long, tile_row long, n_features long, mvt binary")
 
 
+def clip_ring_to_box(ring: list[tuple[float, float]],
+                     bx0: float, by0: float,
+                     bx1: float, by1: float) -> list[tuple[float, float]]:
+    """Sutherland–Hodgman polygon clip against an axis-aligned box:
+    the subject ring (arbitrary simple polygon, open — no repeated
+    closing vertex) is clipped against the four half-planes in turn
+    (x>=bx0, x<=bx1, y>=by0, y<=by1). Intersection points use the
+    param-free two-op form  q = q1 + (bound - p1) / (p2 - p1) * (q2 -
+    q1)  — the exact IEEE sequence the vector_tiles_clip oracle twin
+    states in SQL (composite intersections created by later stages
+    land on the same exact-math points; the 1e-6 snap in the local
+    quantizer absorbs their last-ulp drift). Returns [] when the
+    polygon misses the box."""
+
+    def pass_(poly, inside, cross):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, nxt = poly[i], poly[(i + 1) % n]
+            cin, nin = inside(cur), inside(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(cross(cur, nxt))
+            elif nin:
+                out.append(cross(cur, nxt))
+        return out
+
+    def x_cross(bound):
+        return lambda a, b: (
+            bound, a[1] + (bound - a[0]) / (b[0] - a[0]) * (b[1] - a[1]))
+
+    def y_cross(bound):
+        return lambda a, b: (
+            a[0] + (bound - a[1]) / (b[1] - a[1]) * (b[0] - a[0]), bound)
+
+    poly = list(ring)
+    for inside, cross in (
+            (lambda p: p[0] >= bx0, x_cross(bx0)),
+            (lambda p: p[0] <= bx1, x_cross(bx1)),
+            (lambda p: p[1] >= by0, y_cross(by0)),
+            (lambda p: p[1] <= by1, y_cross(by1))):
+        poly = pass_(poly, inside, cross)
+        if not poly:
+            return []
+    return poly
+
+
+def polys_to_mvt(polys: DataFrame, zoom: int, extent: int = 4096,
+                 layer: str = "polys", id_col: str = "poly_id",
+                 ring_col: str = "ring",
+                 max_features_per_tile: int | None = None) -> DataFrame:
+    """ARBITRARY polygons (id, ring array<struct<x,y>> in mercator,
+    open simple ring) -> per-tile MVT POLYGON blobs with true
+    Sutherland–Hodgman clipping against each covering tile.
+
+    Plan shape: the ring's bbox and the z-tile cover are JVM column
+    exprs (array_min/max over the ring + the raster manifest's
+    tile_range_cols), so candidate (tile, polygon) pairs explode
+    without Python; ONE shuffle groups candidates by owning tile; the
+    per-tile Python stage clips each candidate ring to the tile box,
+    quantizes with the shared snap-then-floor rule, drops degenerate
+    clips (< 3 distinct quantized vertices), orients the exterior ring
+    to positive MVT (y-down) shoelace area, and protobuf-encodes.
+    Features whose bbox covers a tile they don't actually reach clip
+    to [] and emit nothing; a tile with no surviving features emits no
+    row."""
+    from .render import tile_range_cols
+
+    n = 1 << zoom
+    span = tm.CE / n
+    ring = F.col(ring_col)
+    withbox = polys.select(
+        F.col(id_col).cast("long").alias("fid"), ring.alias("ring"),
+        F.array_min(F.transform(ring, lambda p: p.x)).alias("minx"),
+        F.array_min(F.transform(ring, lambda p: p.y)).alias("miny"),
+        F.array_max(F.transform(ring, lambda p: p.x)).alias("maxx"),
+        F.array_max(F.transform(ring, lambda p: p.y)).alias("maxy"),
+    ).withColumn("zoom", F.lit(zoom))
+    cover = (tile_range_cols(withbox)
+             .withColumn("tx", F.explode(F.sequence("txmin", "txmax")))
+             .withColumn("ty", F.explode(F.sequence("tymin", "tymax"))))
+    assigned = _cap_per_tile(
+        cover.select("fid", F.col("tx").alias("tile_x"),
+                     F.col("ty").alias("tile_y"), "ring"),
+        max_features_per_tile)
+    grouped = (assigned.groupBy("tile_x", "tile_y")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("fid", "ring"))).alias("feats")))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from ..mvt.codec import GEOM_POLYGON
+
+        def quant(v: float) -> int:
+            snapped = math.floor(v * 1e6 + 0.5) / 1e6
+            return max(0, min(extent - 1, int(math.floor(snapped))))
+
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "tile_row": [],
+                   "n_features": [], "mvt": []}
+            for row in pdf.itertuples(index=False):
+                tx, ty = int(row.tile_x), int(row.tile_y)
+                tminx = -tm.ORIGIN + tx * span
+                tmaxy = tm.ORIGIN - ty * span
+                features = []
+                for f in row.feats:
+                    src = [(p["x"], p["y"]) for p in f["ring"]]
+                    clipped = clip_ring_to_box(
+                        src, tminx, tmaxy - span, tminx + span, tmaxy)
+                    if not clipped:
+                        continue
+                    q = [(quant((vx - tminx) / span * extent),
+                          quant((tmaxy - vy) / span * extent))
+                         for vx, vy in clipped]
+                    if len(set(q)) < 3:
+                        continue  # degenerate after quantization
+                    ring_q = [p for i, p in enumerate(q)
+                              if p != q[(i - 1) % len(q)]]
+                    # MVT v2 exterior ring: positive shoelace in the
+                    # y-down tile frame
+                    area2 = sum(
+                        ring_q[i][0] * ring_q[(i + 1) % len(ring_q)][1]
+                        - ring_q[(i + 1) % len(ring_q)][0] * ring_q[i][1]
+                        for i in range(len(ring_q)))
+                    if area2 < 0:
+                        ring_q.reverse()
+                    features.append((int(f["fid"]), GEOM_POLYGON,
+                                     [ring_q], {}))
+                if not features:
+                    continue
+                blob = encode_mvt([(layer, extent, features)])
+                out["zoom"].append(zoom)
+                out["x"].append(tx)
+                out["tile_row"].append(n - 1 - ty)
+                out["n_features"].append(len(features))
+                out["mvt"].append(blob)
+            yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(
+        fn, "zoom int, x long, tile_row long, n_features long, mvt binary")
+
+
 def boxes_to_mvt(boxes: DataFrame, zoom: int, extent: int = 4096,
-                 layer: str = "boxes", id_col: str = "box_id") -> DataFrame:
+                 layer: str = "boxes", id_col: str = "box_id",
+                 max_features_per_tile: int | None = None) -> DataFrame:
     """boxes (id, mercator minx..maxy) -> per-tile MVT POLYGON blobs.
 
     Each box explodes to its covering z tiles (the raster manifest's
@@ -122,11 +287,12 @@ def boxes_to_mvt(boxes: DataFrame, zoom: int, extent: int = 4096,
     def quant(delta):
         return _quant_local(delta, span, extent)
 
-    assigned = cover.select(
+    assigned = _cap_per_tile(cover.select(
         F.col(id_col).cast("long").alias("fid"),
         F.col("tx").alias("tile_x"), F.col("ty").alias("tile_y"),
         quant(cxmin - tminx).alias("lx0"), quant(cxmax - tminx).alias("lx1"),
-        quant(tmaxy - cymax).alias("ly0"), quant(tmaxy - cymin).alias("ly1"))
+        quant(tmaxy - cymax).alias("ly0"), quant(tmaxy - cymin).alias("ly1")),
+        max_features_per_tile)
     grouped = (assigned.groupBy("tile_x", "tile_y")
                .agg(F.sort_array(F.collect_list(F.struct(
                    "fid", "lx0", "ly0", "lx1", "ly1"))).alias("feats")))

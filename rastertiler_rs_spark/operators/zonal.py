@@ -45,8 +45,17 @@ _PARTIAL_SCHEMA = "zone_id long, n_px long, vsum long, vmin long, vmax long"
 def _zone_image_pairs(zones: DataFrame, images: DataFrame,
                       cell_size: float) -> DataFrame:
     """Candidate (zone, image) pairs via the J3 cell equi-join + bbox
-    residual, deduped on the pair key; carries the zone box, image
-    footprint, and image bytes."""
+    residual; carries the zone box, image footprint, and image bytes.
+
+    Pair dedup uses the REFERENCE-POINT rule, not a dropDuplicates
+    exchange: a pair that overlaps shares every cell covering the
+    intersection, so exactly ONE covering cell — the one containing
+    the intersection's min corner, floor(max(minx, r_minx) / cs) —
+    is made responsible for emitting it. The filter is evaluated on
+    the join output in place, so the byte-carrying rows cross only
+    the single cell-join shuffle (a second full shuffle of compressed
+    image bytes at 100 TB was the round-4 watch-item)."""
+    cs = F.lit(float(cell_size))
     fp = with_footprints(images).select(
         "image_id", "bytes", "fmt",
         F.col("minx").alias("r_minx"), F.col("miny").alias("r_miny"),
@@ -56,8 +65,13 @@ def _zone_image_pairs(zones: DataFrame, images: DataFrame,
     residual = (
         (F.col("minx") < F.col("r_maxx")) & (F.col("maxx") > F.col("r_minx"))
         & (F.col("miny") < F.col("r_maxy")) & (F.col("maxy") > F.col("r_miny")))
-    return (lz.join(ri, ["cell_x", "cell_y"]).filter(residual)
-            .dropDuplicates(["zone_id", "image_id"])
+    # same floor(coord / cs) arithmetic as with_cover_cells, applied to
+    # the intersection min corner — deterministic within one engine, so
+    # the equality below picks exactly one of the shared cells
+    ref_cell = (
+        (F.col("cell_x") == F.floor(F.greatest("minx", "r_minx") / cs))
+        & (F.col("cell_y") == F.floor(F.greatest("miny", "r_miny") / cs)))
+    return (lz.join(ri, ["cell_x", "cell_y"]).filter(residual & ref_cell)
             .select("zone_id", "minx", "miny", "maxx", "maxy",
                     "bytes", "fmt", "r_minx", "r_miny", "r_maxx", "r_maxy"))
 

@@ -49,3 +49,64 @@ def test_halo_gradient_rejects_bad_tile_size(spark):
     tiles = spark.read.parquet(path)
     with pytest.raises(Exception, match="expected"):
         tile_halo_gradient(tiles, 128).collect()
+
+
+def _global_sobel_expect(band, ts):
+    band = band.astype(np.int64)
+    h, w = band.shape
+    c = band[1:-1, 1:-1]
+    n_, s_ = band[:-2, 1:-1], band[2:, 1:-1]
+    w_, e_ = band[1:-1, :-2], band[1:-1, 2:]
+    nw, ne = band[:-2, :-2], band[:-2, 2:]
+    sw, se = band[2:, :-2], band[2:, 2:]
+    gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+    gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+    valid = c != NODATA
+    for nb in (n_, s_, w_, e_, nw, ne, sw, se):
+        valid = valid & (nb != NODATA)
+    g2 = gx * gx + gy * gy
+    want = {}
+    for r in range(1, h - 1):
+        for cc in range(1, w - 1):
+            if not valid[r - 1, cc - 1]:
+                continue
+            key = (cc // ts, r // ts)
+            n, s, m = want.get(key, (0, 0, 0))
+            v = int(g2[r - 1, cc - 1])
+            want[key] = (n + 1, s + v, max(m, v))
+    return want
+
+
+def test_halo_sobel_equals_global(spark):
+    """8-neighbor Sobel over tiles == global Sobel restricted per tile
+    — the corner halos must land in the right pad slots or exactly the
+    tile-corner pixels' sums flip."""
+    from rastertiler_rs_spark.operators.halo import tile_halo_sobel
+
+    ts = 64
+    path = tiled_canvas_parquet(256, 192, ts, seed=5)
+    tiles = spark.read.parquet(path)
+    got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+           for r in tile_halo_sobel(tiles, ts).collect()}
+    want = _global_sobel_expect(canvas_band(256, 192, seed=5), ts)
+    assert got == want
+
+
+def test_halo_sobel_corner_pixels_need_corner_halos(spark):
+    """Sanity that the test is sharp: a 4-neighbor exchange CANNOT
+    reproduce the global Sobel — recompute 'want' with the diagonal
+    neighbors nodata-masked at tile corners and check it differs, i.e.
+    the fixture genuinely exercises the corner-halo path."""
+    ts = 64
+    band = canvas_band(256, 192, seed=5)
+    want = _global_sobel_expect(band, ts)
+    # simulate missing corner halos: per tile, the padded canvas would
+    # have nodata at the 4 diagonal pad corners — the (0,0)-corner
+    # pixel of tile (1,1) then sees a nodata NW neighbor and drops out
+    # of the valid mask, changing that tile's n_valid
+    interior = {k: v for k, v in want.items() if k[0] > 0 and k[1] > 0}
+    assert interior, "fixture must have interior tiles"
+    # with halos, some hole-free interior tile counts ALL its pixels —
+    # impossible without the diagonal pads (its corner pixels would
+    # lose their NW/NE/SW/SE neighbors)
+    assert any(n == ts * ts for n, _, _ in interior.values())

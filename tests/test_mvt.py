@@ -127,3 +127,98 @@ def test_sink_boxes_to_mvt_polygons(spark):
                        for i in range(4))
             assert area >= 0
             assert all(0 <= v <= 4095 for v in xs + ys)
+
+
+def test_sink_polys_to_mvt_clip(spark):
+    """Sutherland–Hodgman clip sink: decoded per-tile rings equal a
+    direct python clip of the same triangles against each tile box
+    (same clip code path, but driven end-to-end through the JVM cover,
+    the shuffle, the quantizer, and the protobuf round-trip)."""
+    from rastertiler_rs_spark.operators.vector_tiles import (
+        clip_ring_to_box, polys_to_mvt)
+
+    tris = []
+    for k in range(1, 13):
+        minx = -tm.ORIGIN + (k * 1.37e6) % (2.5e7)
+        miny = -tm.ORIGIN + (k * 2.11e6) % (1.9e7)
+        tris.append((k, [(minx + 101.25, miny + 77.5),
+                         (minx + 4.1e6 + 1234.5, miny + 777.25),
+                         (minx + 555.125, miny + 3.3e6 + 321.75)]))
+    df = spark.createDataFrame(
+        [(fid, [{"x": x, "y": y} for x, y in ring]) for fid, ring in tris],
+        "poly_id long, ring array<struct<x: double, y: double>>")
+    zoom = 4
+    n = 1 << zoom
+    span = tm.CE / n
+    out = polys_to_mvt(df, zoom=zoom).collect()
+    assert out, "triangles must cover at least one tile"
+
+    def q(v):
+        return max(0, min(4095, int(np.floor(np.floor(v * 1e6 + 0.5) / 1e6))))
+
+    seen = 0
+    for r in out:
+        y = n - 1 - r["tile_row"]
+        tminx = -tm.ORIGIN + r["x"] * span
+        tmaxy = tm.ORIGIN - y * span
+        layer = decode_mvt(bytes(r["mvt"]))[0]
+        for f in layer["features"]:
+            ring = next(iter(tris[f["id"] - 1][1] for _ in [0]))
+            clipped = clip_ring_to_box(
+                ring, tminx, tmaxy - span, tminx + span, tmaxy)
+            assert clipped, "emitted feature must clip non-empty"
+            want = {(q((vx - tminx) / span * 4096.0),
+                     q((tmaxy - vy) / span * 4096.0)) for vx, vy in clipped}
+            got = {p for _, pts_ in f["geometry"] for p in pts_}
+            assert got == want
+            # v2 exterior winding: positive shoelace in y-down coords
+            pts_ring = f["geometry"][0][1] + f["geometry"][1][1]
+            area = sum(
+                pts_ring[i][0] * pts_ring[(i + 1) % len(pts_ring)][1]
+                - pts_ring[(i + 1) % len(pts_ring)][0] * pts_ring[i][1]
+                for i in range(len(pts_ring)))
+            assert area >= 0
+            seen += 1
+    assert seen >= 12  # every triangle emits at least its home tile
+
+
+def test_sink_polys_clip_empty_and_degenerate(spark):
+    from rastertiler_rs_spark.operators.vector_tiles import clip_ring_to_box
+
+    # fully outside -> []
+    assert clip_ring_to_box([(0, 0), (10, 0), (0, 10)], 100, 100, 200, 200) == []
+    # fully inside -> unchanged vertex set
+    tri = [(110.5, 120.5), (150.25, 121.5), (130.125, 180.75)]
+    got = clip_ring_to_box(tri, 100, 100, 200, 200)
+    assert set(got) == set(tri)
+    # box fully inside the polygon -> the 4 box corners
+    got = clip_ring_to_box([(0, 0), (1000, 0), (500, 1000)],
+                           400, 200, 550, 300)
+    assert set(got) == {(400.0, 200.0), (550.0, 200.0),
+                        (550.0, 300.0), (400.0, 300.0)}
+
+
+def test_hot_tile_feature_cap(spark):
+    """A planted hot tile (many points, one tile) truncates
+    deterministically to the lowest-fid cap features; cold tiles are
+    untouched."""
+    from rastertiler_rs_spark.operators.vector_tiles import points_to_mvt
+
+    n = 1 << 3
+    span = tm.CE / n
+    # 300 points inside tile (2, 3); 5 points in tile (4, 1)
+    hot = [(i, -tm.ORIGIN + 2 * span + (i % 17 + 1) * span / 20,
+            tm.ORIGIN - 3 * span - (i % 13 + 1) * span / 15)
+           for i in range(300)]
+    cold = [(1000 + i, -tm.ORIGIN + 4 * span + span / 2,
+             tm.ORIGIN - 1 * span - (i + 1) * span / 10) for i in range(5)]
+    df = spark.createDataFrame(hot + cold, "pid long, px double, py double")
+    out = {(r["x"], r["tile_row"]): r
+           for r in points_to_mvt(df, zoom=3,
+                                  max_features_per_tile=50).collect()}
+    hot_row = out[(2, n - 1 - 3)]
+    cold_row = out[(4, n - 1 - 1)]
+    assert hot_row["n_features"] == 50
+    assert cold_row["n_features"] == 5
+    kept = [f["id"] for f in decode_mvt(bytes(hot_row["mvt"]))[0]["features"]]
+    assert sorted(kept) == list(range(50))  # lowest fids survive

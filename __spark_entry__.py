@@ -310,10 +310,15 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf-dir inputs are known-small: skip AQE replanning and shrink the
     # loop's shuffle fan-out (driver-steered bookkeeping jobs dominate
     # knn wall at this scale — see knn_join docstring). Library defaults
-    # stay scale-safe for 100 TB callers.
+    # stay scale-safe for 100 TB callers. start_radius=2 is the exact
+    # value the density heuristic derives for this synthetic grid at
+    # EVERY sf (uniform ~(0.15·sf·1e6)/100 points per 10x10 cell, k=5
+    # → r0 = 2): passing it skips the stats scan+broadcast job and
+    # drops that lineage from every later plan in the loop. Any r0
+    # yields the same exact result — only the round count changes.
     return knn_join(points, queries, k=5, cell_size=10.0,
                     loop_adaptive=False, loop_shuffle_partitions=8,
-                    ).select("qid", "pid", "rank")
+                    start_radius=2).select("qid", "pid", "rank")
 
 
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,22 +154,44 @@ def knn_join(
         # full points scan + aggregate behind the broadcast
         q = q.localCheckpoint(eager=False)
 
-    # ONE job per round: ranked_all (the window over the round's
-    # candidates, the only expensive computation) is checkpointed
-    # LAZILY, and the round's single action is a 1-row convergence
-    # aggregate — pending count crossJoined with the phase-2 guard
-    # stats over found-so-far — which materializes the checkpoint as a
-    # side effect. Done/pending bookkeeping derives from ranked_all as
-    # cheap small joins (a query is done iff it has a rank-k row), and
-    # the guard riding the round aggregate means convergence exits with
-    # the phase-2 decision already in hand: no separate isEmpty job per
-    # round and no post-loop guard job. In a cold session each distinct
-    # job plan costs ~0.5-1 s (codegen + scheduling), so job count —
+    # ONE job AND ONE plan family per round: the round's candidates go
+    # through a single Window exec computing BOTH the rank and the
+    # per-query candidate count (same partition spec — one shuffle),
+    # so done/pending/top-k/phase-2 bookkeeping all derive from
+    # ranked_all COLUMNS instead of per-round semi/anti joins. The
+    # round's single action is a 1-row aggregate over ranked_all
+    # (crossJoined with the pending count), which materializes the
+    # lazy checkpoint as a side effect and carries the phase-2 guard,
+    # so convergence exits with the widening decision in hand. The
+    # anti-join building next round's pending is only PLANNED when a
+    # round actually leaves queries pending — on the common converged
+    # path the whole call compiles one candidates+window plan and one
+    # scalar aggregate, nothing else. In a cold session each distinct
+    # job plan costs ~0.5-1 s (codegen + scheduling), so plan count —
     # not data volume — dominates knn wall time at bench scale.
+    # ranked_all carries qx/qy/qcx/qcy/_r through the window shuffle
+    # (~40 extra bytes per candidate row) so phase 2 never re-joins
+    # the query table.
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # exact cell bound for radius D: a point within distance D of the
+    # query can sit at most floor(D/cs)+1 cells away in Chebyshev
+    # terms (the query sits at offset a ∈ [0,1) inside its cell; the
+    # worst case floor(a ± D/cs) lands floor(D/cs)+1 cells out, never
+    # more). ceil(D/cs)+1 — the earlier bound — is one full ring wider
+    # whenever D/cs is fractional. The (1+4e-16) factor is a 1-ulp
+    # margin: kth_dist is a computed sqrt and /cs adds another
+    # rounding — a kth distance within ~1 ulp above an exact cell
+    # multiple would otherwise floor one ring short and drop a true
+    # neighbor; widening is the rare path, so the margin is free.
+    final_r_expr = (F.floor((F.sqrt("d2") / F.lit(cs))
+                            * F.lit(1.0 + 4e-16)) + 1).cast("long")
+    is_kth = F.col("rank") == k  # a rank-k row exists iff the query is done
+
     pending = q
-    found = None      # (query cols..., kth_dist, r_probe, final_r) per done query
-    topk = None       # (query_id, point_id, d2, rank) phase-1 box top-k
-    guard = None
+    topk_parts: list[DataFrame] = []
+    widen_parts: list[DataFrame] = []
+    widest: int | None = None
+    n_widen_total = 0
     spark = points.sparkSession
     _saved: dict[str, str] = {}
     if loop_adaptive is not None:
@@ -184,80 +206,69 @@ def knn_join(
                                F.col("_r")).withColumn("d2", d2)
             ranked_all = (
                 cand.withColumn("rank", F.row_number().over(w))
+                .withColumn("n_cand", F.count("*").over(wall))
                 .filter(F.col("rank") <= k)
-                .select(query_id, point_id, "d2", "rank")
+                .select(query_id, point_id, "d2", "rank",
+                        (F.col("n_cand") >= k).alias("_done"),
+                        "qx", "qy", "qcx", "qcy", "_r")
                 .localCheckpoint(eager=False)
             )
-            kth = (
-                ranked_all.filter(F.col("rank") == k)
-                .select(query_id, F.sqrt("d2").alias("kth_dist"))
-            )
-            ranked = ranked_all.join(kth.select(query_id), query_id, "left_semi")
-            topk = ranked if topk is None else topk.unionByName(ranked)
-            topk = topk.localCheckpoint(eager=False)
-            # exact cell bound for radius D: a point within distance D of
-            # the query can sit at most floor(D/cs)+1 cells away in
-            # Chebyshev terms (the query sits at offset a ∈ [0,1) inside
-            # its cell; the worst case floor(a ± D/cs) lands floor(D/cs)+1
-            # cells out, never more). ceil(D/cs)+1 — the previous bound —
-            # is one full ring wider whenever D/cs is fractional, which
-            # forced a phase-2 widening for nearly every query on dense
-            # data where the phase-1 box already sufficed.
-            done_q = (
-                pending.join(kth, query_id)
-                .withColumn("r_probe", F.col("_r"))
-                # ulp margin on the quotient: kth_dist is a computed
-                # sqrt and /cs adds another rounding — a kth distance
-                # within ~1 ulp above an exact cell multiple would
-                # otherwise floor one ring short and drop a true
-                # neighbor; widening is the rare path, so the margin
-                # costs nothing on the dense case
-                .withColumn("final_r",
-                            (F.floor((F.col("kth_dist") / F.lit(cs))
-                                     * F.lit(1.0 + 4e-16)) + 1).cast("long"))
-            )
-            found = done_q if found is None else found.unionByName(done_q)
-            found = found.localCheckpoint(eager=False)
+            guard = (
+                ranked_all.agg(
+                    F.count(F.when(is_kth, 1)).alias("n_done"),
+                    F.max(F.when(is_kth, final_r_expr)).alias("r"),
+                    F.count(F.when(is_kth & (final_r_expr > F.col("_r")), 1)
+                            ).alias("n_widen"))
+                .crossJoin(pending.agg(F.count("*").alias("n_in")))
+            ).collect()[0]
+            topk_parts.append(ranked_all.filter("_done").select(
+                query_id, point_id, "d2", "rank"))
+            widen_parts.append(
+                ranked_all.filter(is_kth)
+                .withColumn("final_r", final_r_expr)
+                .filter(F.col("final_r") > F.col("_r"))
+                .select(query_id, "qx", "qy", "qcx", "qcy",
+                        F.col("_r").alias("r_probe"), "final_r"))
+            if guard["r"] is not None:
+                widest = guard["r"] if widest is None else max(widest, guard["r"])
+            n_widen_total += guard["n_widen"]
+            if guard["n_in"] - guard["n_done"] == 0:
+                break
             pending = (
-                pending.join(kth.select(query_id), query_id, "left_anti")
+                pending.join(ranked_all.filter(is_kth).select(query_id),
+                             query_id, "left_anti")
                 # double the probe radius IN the rows: next round's plan
                 # is shape-identical to this one (see docstring)
                 .withColumn("_r", (F.col("_r") * F.lit(2)).cast("long")))
             pending = pending.localCheckpoint(eager=False)
-            guard = (
-                pending.agg(F.count("*").alias("n_pending"))
-                .crossJoin(found.agg(
-                    F.max("final_r").alias("r"),
-                    F.count(F.when(F.col("final_r") > F.col("r_probe"), 1)
-                            ).alias("n_widen")))
-            ).collect()[0]
-            if guard["n_pending"] == 0:
-                break
         else:
             raise ValueError(f"kNN did not converge in {max_rounds} rounds (k too large?)")
     finally:
         for key, val in _saved.items():
             spark.conf.set(key, val)
 
+    topk = topk_parts[0]
+    for part in topk_parts[1:]:
+        topk = topk.unionByName(part)
+
     # phase 2: annulus-only exact pass (see docstring proof); the guard
     # stats collected with the last round double as the all-settled
     # short-circuit, so the common dense case (phase-1 box already
     # covers the kth radius for every query) returns the checkpointed
     # top-k with no further jobs at all.
-    final = found
-    widest = guard["r"]
     if widest is not None and widest > max_final_r:
         raise ValueError(
             f"kNN phase-2 ring {widest} exceeds max_final_r={max_final_r}: "
             f"data too sparse for cell_size={cs} — increase cell_size "
             f"(or raise max_final_r knowingly; probe cost grows as r^2)")
-    if not guard["n_widen"]:
+    if not n_widen_total:
         return topk
 
-    settled_ids = final.filter(F.col("final_r") <= F.col("r_probe")).select(query_id)
-    settled = topk.join(settled_ids, query_id, "left_semi")
+    widen = widen_parts[0]
+    for part in widen_parts[1:]:
+        widen = widen.unionByName(part)
+    settled = topk.join(widen.select(query_id), query_id, "left_anti")
 
-    widen = final.filter(F.col("final_r") > F.col("r_probe"))
     annulus = (
         widen.withColumn("probe_x", F.explode(
             F.sequence(F.col("qcx") - F.col("final_r"), F.col("qcx") + F.col("final_r"))))

@@ -667,6 +667,77 @@ def q_vector_tiles_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "n_vtx long, sum_lx long, sum_ly long")
 
 
+def _clip_lines() -> list[tuple[int, list[tuple[float, float]]]]:
+    """Deterministic mercator polylines for the line-clip gate: 4-point
+    paths with 'ugly' metre offsets (no axis-parallel segments, no
+    vertices or crossings on quantization boundaries), each spanning
+    several z5 tiles so Liang–Barsky produces interior, entering,
+    leaving, and crossing segments."""
+    lns = []
+    for i in range(32):
+        k = i + 1
+        x = -ORIGIN + (((k * 13) % 43) + 0.35) * CELL + 101.25
+        y = -ORIGIN + (((k * 17) % 29) + 0.25) * CELL + 77.5
+        pts = [(x, y)]
+        for j in range(3):
+            x = x + (0.7 + ((k + j) % 3)) * (1.31 * CELL) + 251.125
+            y = y + (0.4 + ((k * 2 + j) % 5)) * (0.77 * CELL) \
+                - (1234.5 if j % 2 else -97.25)
+            pts.append((x, y))
+        lns.append((k, pts))
+    return lns
+
+
+def q_vector_tiles_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYLINE vector tiles under the value gate: paths → per-tile
+    Liang–Barsky-clipped MVT LINESTRING blobs (the clip is pure JVM
+    parametric math — operators/vector_tiles.lines_to_mvt) → decoded
+    BACK; per (tile, line) the segment count and endpoint-coordinate
+    sums are compared against a SQL twin stating the identical
+    closed-form entry/exit times and snap-then-floor quantization."""
+    from rastertiler_rs_spark.mvt import decode_mvt
+    from rastertiler_rs_spark.operators.vector_tiles import lines_to_mvt
+
+    rows = [(fid, [{"x": x, "y": y} for x, y in pts])
+            for fid, pts in _clip_lines()]
+    lines = spark.createDataFrame(
+        rows, "line_id long, pts array<struct<x: double, y: double>>")
+    tiles = lines_to_mvt(lines, zoom=_CLIP_ZOOM)
+
+    def decode_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "tile_row": [], "fid": [],
+                   "n_seg": [], "sum_lx": [], "sum_ly": []}
+            for row in pdf.itertuples(index=False):
+                layer = decode_mvt(bytes(row.mvt))[0]
+                for f in layer["features"]:
+                    n_seg, sx, sy = 0, 0, 0
+                    part: list = []
+                    for op, pts_ in f["geometry"]:
+                        if op == "MoveTo":
+                            part = list(pts_)
+                        else:  # LineTo extends the current part
+                            for p in pts_:
+                                q0, part = part[-1], part + [p]
+                                n_seg += 1
+                                sx += q0[0] + p[0]
+                                sy += q0[1] + p[1]
+                    out["zoom"].append(_CLIP_ZOOM)
+                    out["x"].append(int(row.x))
+                    out["tile_row"].append(int(row.tile_row))
+                    out["fid"].append(int(f["id"]))
+                    out["n_seg"].append(n_seg)
+                    out["sum_lx"].append(sx)
+                    out["sum_ly"].append(sy)
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(
+        decode_fn, "zoom long, x long, tile_row long, fid long, "
+                   "n_seg long, sum_lx long, sum_ly long")
+
+
 def q_raster_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stencil raster op under the value gate: central-difference
     gradient magnitude over real decoded pixels, per-image integer
@@ -1769,7 +1840,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries, all value-verified except the final PNG-byte union —
+    """50 entries, all value-verified except the final PNG-byte union —
     sized to fit the round driver's 50-key CORRECTNESS window so every
     oracle gets a driver row every round. Same-oracle / same-schema
     variants are folded into tagged unions (see the consolidated
@@ -1798,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats_all,
         "vector_tiles": q_vector_tiles_all,
         "vector_tiles_clip": q_vector_tiles_clip,
+        "vector_tiles_lines": q_vector_tiles_lines,
         "raster_gradient": q_raster_gradient,
         "tile_halo_gradient": q_tile_halo_gradient,
         "tile_halo_sobel": q_tile_halo_sobel,
@@ -2517,6 +2589,78 @@ def _vector_tiles_clip_oracle_sql(zoom: int = 5, extent: int = 4096) -> str:
                CAST(SUM(lx) AS BIGINT) AS sum_lx,
                CAST(SUM(ly) AS BIGINT) AS sum_ly
         FROM q GROUP BY fid, tx, ty HAVING COUNT(*) >= 3
+    """
+
+
+def _vector_tiles_lines_oracle_sql(zoom: int = 5, extent: int = 4096) -> str:
+    """Liang–Barsky twin of q_vector_tiles_lines: the fixture segments
+    are embedded pre-exploded; the parametric entry/exit times, the
+    clipped endpoints p + t·d, and the snap-then-floor quantization
+    state the exact op order of lines_to_mvt's JVM expressions (dx, dy
+    are never zero by fixture construction, so the axis-parallel CASE
+    never fires in the twin)."""
+    n = 1 << zoom
+    span = repr(CE / n)
+    seg_rows = []
+    for fid, pts in _clip_lines():
+        for i in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[i], pts[i + 1]
+            seg_rows.append(f"({fid}, {i}, {ax!r}, {ay!r}, {bx!r}, {by!r})")
+    segs = ",\n              ".join(seg_rows)
+    qv = ("GREATEST(0, LEAST({m}, CAST(FLOOR(FLOOR("
+          "({v}) / {span} * {e}.0 * 1e6 + 0.5) / 1e6) AS BIGINT)))")
+
+    def q(v):
+        return qv.format(m=extent - 1, span=span, e=extent, v=v)
+
+    return f"""
+        WITH seg(fid, seg_idx, x1, y1, x2, y2) AS (VALUES
+              {segs}),
+        bb AS (
+          SELECT *, LEAST(x1, x2) AS minx, LEAST(y1, y2) AS miny,
+                 GREATEST(x1, x2) AS maxx, GREATEST(y1, y2) AS maxy
+          FROM seg),
+        rng AS (
+          SELECT *,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR(((minx - (-{_O})) / {_CE}) * {float(n)!r}) AS BIGINT))) AS txmin,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR((1.0 - ((maxy - (-{_O})) / {_CE})) * {float(n)!r}) AS BIGINT))) AS tymin,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR((((maxx - (-{_O})) / {_CE}) - 1e-11) * {float(n)!r}) AS BIGINT))) AS txmax,
+            GREATEST(0, LEAST({n - 1}, CAST(FLOOR((1.0 - (((miny - (-{_O})) / {_CE}) + 1e-11)) * {float(n)!r}) AS BIGINT))) AS tymax
+          FROM bb),
+        cover AS (
+          SELECT r.*, xs.tx AS tx, ys.ty AS ty,
+                 (-{_O}) + CAST(xs.tx AS DOUBLE) * {span} AS tminx,
+                 {_O} - CAST(ys.ty AS DOUBLE) * {span} AS tmaxy
+          FROM rng r,
+               LATERAL (SELECT UNNEST(generate_series(r.txmin, r.txmax))) xs(tx),
+               LATERAL (SELECT UNNEST(generate_series(r.tymin, r.tymax))) ys(ty)),
+        ts AS (
+          SELECT *,
+            LEAST((tminx - x1) / (x2 - x1), (tminx + {span} - x1) / (x2 - x1)) AS tex,
+            GREATEST((tminx - x1) / (x2 - x1), (tminx + {span} - x1) / (x2 - x1)) AS tlx,
+            LEAST((tmaxy - {span} - y1) / (y2 - y1), (tmaxy - y1) / (y2 - y1)) AS tey,
+            GREATEST((tmaxy - {span} - y1) / (y2 - y1), (tmaxy - y1) / (y2 - y1)) AS tly
+          FROM cover),
+        tt AS (
+          SELECT *, GREATEST(0.0, tex, tey) AS t0, LEAST(1.0, tlx, tly) AS t1
+          FROM ts),
+        c AS (
+          SELECT fid, seg_idx, tx, ty, tminx, tmaxy,
+                 x1 + t0 * (x2 - x1) AS cx1, y1 + t0 * (y2 - y1) AS cy1,
+                 x1 + t1 * (x2 - x1) AS cx2, y1 + t1 * (y2 - y1) AS cy2
+          FROM tt WHERE t0 <= t1),
+        q AS (
+          SELECT fid, seg_idx, tx, ty,
+                 {q("cx1 - tminx")} AS lx1, {q("tmaxy - cy1")} AS ly1,
+                 {q("cx2 - tminx")} AS lx2, {q("tmaxy - cy2")} AS ly2
+          FROM c)
+        SELECT CAST({zoom} AS BIGINT) AS zoom, tx AS x,
+               {n - 1} - ty AS tile_row, fid,
+               COUNT(*) AS n_seg,
+               CAST(SUM(lx1 + lx2) AS BIGINT) AS sum_lx,
+               CAST(SUM(ly1 + ly2) AS BIGINT) AS sum_ly
+        FROM q WHERE NOT (lx1 = lx2 AND ly1 = ly2)
+        GROUP BY fid, tx, ty
     """
 
 
@@ -3280,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
             ("u32", _zonal_stats_oracle_sql(u32=True)),
             ("poly", _zonal_poly_oracle_sql())),
         "vector_tiles_clip": _vector_tiles_clip_oracle_sql(),
+        "vector_tiles_lines": _vector_tiles_lines_oracle_sql(),
         "vector_tiles": (
             "SELECT 'points' AS variant, zoom, x, tile_row, n_features, "
             "sum_lx AS sum_cx, sum_ly AS sum_cy, min_fid, max_fid FROM ("

@@ -435,7 +435,7 @@ def render_pyramid_to_sink(
     dtype_tag: str = "u8",
     colormap_str: str | None = None,
     overview_below: int | None = None,
-    salt_buckets: int | None = None,
+    salt_buckets: int | None | str = "auto",
 ) -> DataFrame:
     """The 100 TB realization of render_pyramid: materialize the fork
     at the SINK instead of executor memory. Direct zooms
@@ -482,7 +482,7 @@ def render_pyramid(
     dtype_tag: str = "u8",
     colormap_str: str | None = None,
     overview_below: int | None = None,
-    salt_buckets: int | None = None,
+    salt_buckets: int | None | str = "auto",
     persisted: list | None = None,
 ) -> DataFrame:
     """Full pyramid with the overview cascade below ``overview_below``:

@@ -420,6 +420,16 @@ def _merge_encode_fn(tile_size: int, dtype_tag: str, colormap_str: str | None):
     return fn
 
 
+# auto-routing threshold: a plain mosaic task costs ~30-60 µs per
+# contribution, so keys below ~8k contributions finish in <~0.5 s and
+# the two-phase path's winner-array partials (9x the canvas bytes per
+# bucket) would cost more than they save; above it the single task is
+# a genuine serial tail (65k contributions ≈ 2-4 s; at 10^12 rows, an
+# OOM). Relative sizing doesn't matter at corpus scale — every
+# sub-partition-zoom tile is astronomically past any threshold.
+_AUTO_SALT_THRESHOLD = 8192
+
+
 def render(
     images: DataFrame,
     minzoom: int,
@@ -427,9 +437,9 @@ def render(
     tile_size: int = 512,
     dtype_tag: str = "u8",
     colormap_str: str | None = None,
-    salt_buckets: int | None = None,
+    salt_buckets: int | None | str = "auto",
     partition_zoom: int | None | str = "auto",
-    salt_threshold: int | None = None,
+    salt_threshold: int | None | str = "auto",
 ) -> DataFrame:
     """images table → fused tile table
     (zoom int, x long, y long, tile_row long, tile_hash long, png binary)
@@ -452,6 +462,20 @@ def render(
     ``partition_zoom="auto"`` picks min(8, maxzoom); None disables the
     cell path. Both paths produce byte-identical tiles (pinned by the
     parity tests).
+
+    Salting defaults to ``"auto"``: tile keys whose contribution count
+    crosses ``_AUTO_SALT_THRESHOLD`` render through the two-phase
+    salted mosaic (buckets = defaultParallelism), the long tail through
+    the plain single-pass one — a z0-z2 tile over a dense corpus
+    otherwise aggregates every image in ONE task, a serial tail that
+    flattens N→4N scaling (and at 10^12 rows would simply OOM). The
+    routing count is one extra driver action over the persisted block
+    stream (the kernel python stage still runs exactly once); see the
+    in-function comment for the measured-and-rejected zero-action
+    alternatives. ``salt_buckets=None`` forces the plain path;
+    explicit ints keep their round-3 semantics (salt everything, or
+    route with an explicit integer ``salt_threshold``). Salted and
+    plain output is byte-identical (tests/test_overview_salt.py).
 
     pz tradeoff at 10^12 rows: higher pz → more groups (up to 4^pz,
     plenty of parallelism) and smaller per-group tile counts, but more
@@ -533,47 +557,41 @@ def render(
             return _finish(cell_tiles)
         maxzoom = pz - 1  # blocks path covers the remaining low zooms
 
-    # the repartition costs one pass of source bytes but balances the
-    # decode+kernel across n_parts tasks (scan splits alone are skewed by
-    # row-group byte sizes); measured faster than scan-aligned execution
-    blocks = src.repartition(n_parts_map, "image_id").mapInPandas(
-        _kernel_all_zooms_fn(minzoom, maxzoom, tile_size), _KERNEL_SCHEMA)
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+    cores = spark.sparkContext.defaultParallelism
 
-    cold_tiles = None
-    if salt_buckets and salt_buckets > 1:
-        # Skew path (north-star: salted repartition by (zoom, cell)):
-        # a dense tile key — worst case z0 receiving every image — first
-        # folds into <= salt_buckets bounded partials in parallel, then a
-        # tiny second aggregate merges them. Both aggregates are the same
-        # shuffle key family (zoom, x, y [, salt]) so AQE can split
-        # residual skew further.
-        #
-        # With salt_threshold set, salting is ROUTED: blocks are cached,
-        # per-key contribution counts identify hot tiles, and only those
-        # take the two-phase path (winner-array partials cost ~9x the
-        # canvas bytes — pure overhead on the long tail of 1-2
-        # contribution tiles). Cold keys run the plain mosaic.
-        np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
-        if salt_threshold is not None:
-            blocks = blocks.persist()
-            hot = (blocks.groupBy("zoom", "x", "y").count()
-                   .filter(F.col("count") >= salt_threshold)
-                   .select("zoom", "x", "y"))
-            cold = blocks.join(F.broadcast(hot), ["zoom", "x", "y"], "left_anti")
-            cold_tiles = cold.repartition(n_parts, "zoom", "x", "y").groupBy(
-                "zoom", "x", "y").agg(
-                F.collect_list(
-                    F.struct("image_id", "left", "top", "bw", "bh", "block")
-                ).alias("contribs")
-            ).mapInPandas(
-                _encode_batch_fn(tile_size, dtype_tag, colormap_str),
-                "zoom int, x long, y long, png binary",
-            )
-            blocks = blocks.join(F.broadcast(hot), ["zoom", "x", "y"], "left_semi")
-        salted = blocks.withColumn(
-            "salt", F.pmod(F.col("img_ord"), F.lit(salt_buckets))
+    def _blocks(zlo: int, zhi: int) -> DataFrame:
+        # the repartition costs one pass of source bytes but balances
+        # the decode+kernel across tasks (scan splits alone are skewed
+        # by row-group byte sizes); measured faster than scan-aligned
+        return src.repartition(n_parts_map, "image_id").mapInPandas(
+            _kernel_all_zooms_fn(zlo, zhi, tile_size), _KERNEL_SCHEMA)
+
+    def _plain_mosaic(blocks: DataFrame) -> DataFrame:
+        # mosaic+encode stage at cores*2, not the cell stage's cores*8:
+        # python tasks pay ~10 ms of serial dispatch each, and in the
+        # default config this stage only handles the zooms below pz
+        # (bounded tile count — at most 4^pz/3 tiles exist there), so
+        # per-tile cost is even and tail-packing buys nothing
+        return blocks.repartition(n_parts_map, "zoom", "x", "y").groupBy(
+            "zoom", "x", "y").agg(
+            F.collect_list(
+                F.struct("image_id", "left", "top", "bw", "bh", "block")
+            ).alias("contribs")
+        ).mapInPandas(
+            _encode_batch_fn(tile_size, dtype_tag, colormap_str),
+            "zoom int, x long, y long, png binary",
         )
-        partials = salted.repartition(n_parts, "zoom", "x", "y", "salt").groupBy(
+
+    def _salted_mosaic(blocks: DataFrame, buckets: int,
+                       n_salt: int, n_merge: int) -> DataFrame:
+        # Skew path (north-star: salted repartition by (zoom, cell)):
+        # a dense tile key — worst case z0 receiving every image —
+        # first folds into <= buckets bounded partials in parallel,
+        # then a tiny second aggregate merges them.
+        salted = blocks.withColumn(
+            "salt", F.pmod(F.col("img_ord"), F.lit(buckets)))
+        partials = salted.repartition(n_salt, "zoom", "x", "y", "salt").groupBy(
             "zoom", "x", "y", "salt").agg(
             F.collect_list(
                 F.struct("img_ord", "left", "top", "bw", "bh", "block")
@@ -582,31 +600,57 @@ def render(
             _partial_mosaic_fn(tile_size, np_dtype),
             "zoom int, x long, y long, canvas binary, winner binary",
         )
-        tiles = partials.repartition(n_parts, "zoom", "x", "y").groupBy(
+        return partials.repartition(n_merge, "zoom", "x", "y").groupBy(
             "zoom", "x", "y").agg(
             F.collect_list(F.struct("canvas", "winner")).alias("partials")
         ).mapInPandas(
             _merge_encode_fn(tile_size, dtype_tag, colormap_str),
             "zoom int, x long, y long, png binary",
         )
+
+    if salt_buckets == "auto":
+        # AUTO = the data-dependent router below with scale-safe
+        # defaults. Alternatives measured and rejected at n=65536:
+        # a lazy filter-split of one block stream re-executes the
+        # kernel python stage per branch (Catalyst/AQE cannot reuse
+        # exchanges under MapInPandas consumers — accumulator-verified,
+        # same wall as the round-3 pyramid fork), and a kernel-range
+        # split at the source decodes every image twice (~2-4 s of
+        # kernel CPU per extra pass at 32c). The router's persist
+        # keeps ONE decode; its only overhead is the hot-count driver
+        # round-trip over already-computed blocks.
+        salt_buckets = cores
+        salt_threshold = _AUTO_SALT_THRESHOLD
+    if salt_buckets and salt_buckets > 1 and salt_threshold is not None \
+            and salt_threshold != "auto":
+        # DATA-DEPENDENT routing — per-key counts split hot tiles from
+        # the long tail (winner-array partials cost ~9x the canvas
+        # bytes — pure overhead on 1-2-contribution keys). Costs one
+        # extra action (the hot count) that doubles as the persist
+        # materialization of the shared block stream.
+        blocks = _blocks(minzoom, maxzoom).persist()
+        hot = (blocks.groupBy("zoom", "x", "y").count()
+               .filter(F.col("count") >= salt_threshold)
+               .select("zoom", "x", "y"))
+        n_hot = hot.count()
+        if n_hot:
+            cold = blocks.join(F.broadcast(hot), ["zoom", "x", "y"], "left_anti")
+            hot_blocks = blocks.join(F.broadcast(hot), ["zoom", "x", "y"],
+                                     "left_semi")
+            tiles = _salted_mosaic(
+                hot_blocks, salt_buckets,
+                n_salt=max(min(n_parts, n_hot * salt_buckets), cores),
+                n_merge=max(min(n_parts, n_hot), 1),
+            ).unionByName(_plain_mosaic(cold))
+        else:
+            tiles = _plain_mosaic(blocks)
+    elif salt_buckets and salt_buckets > 1:
+        # explicit buckets, no threshold: every key two-phase
+        tiles = _salted_mosaic(_blocks(minzoom, maxzoom), salt_buckets,
+                               n_salt=n_parts, n_merge=n_parts)
     else:
-        # mosaic+encode stage at cores*2, not the cell stage's cores*8:
-        # python tasks pay ~10 ms of serial dispatch each, and in the
-        # default config this stage only handles the zooms below pz
-        # (bounded tile count — at most 4^pz/3 tiles exist there), so
-        # per-tile cost is even and tail-packing buys nothing
-        grouped = blocks.repartition(n_parts_map, "zoom", "x", "y").groupBy(
-            "zoom", "x", "y").agg(
-            F.collect_list(
-                F.struct("image_id", "left", "top", "bw", "bh", "block")
-            ).alias("contribs")
-        )
-        tiles = grouped.mapInPandas(
-            _encode_batch_fn(tile_size, dtype_tag, colormap_str),
-            "zoom int, x long, y long, png binary",
-        )
-    if cold_tiles is not None:
-        tiles = tiles.unionByName(cold_tiles)
+        tiles = _plain_mosaic(_blocks(minzoom, maxzoom))
+
     if cell_tiles is not None:
         tiles = tiles.unionByName(cell_tiles)
     return _finish(tiles)

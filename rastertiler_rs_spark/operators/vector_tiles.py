@@ -29,7 +29,8 @@ import rastertiler_rs_spark.tilemath as tm
 from ..mvt import encode_mvt
 
 
-def _cap_per_tile(assigned: DataFrame, max_features_per_tile) -> DataFrame:
+def _cap_per_tile(assigned: DataFrame, max_features_per_tile,
+                  order_cols: tuple[str, ...] = ("fid",)) -> DataFrame:
     """Hot-tile guard: deterministically truncate a tile's feature list
     to the `max_features_per_tile` LOWEST feature ids (a documented
     drop, like the raster sink's --max-tiles guard — a pathological
@@ -37,12 +38,14 @@ def _cap_per_tile(assigned: DataFrame, max_features_per_tile) -> DataFrame:
     buffer without bound). The row_number window partitions by the
     same (tile_x, tile_y) keys the downstream groupBy shuffles on, so
     Spark reuses one exchange — the cap costs a sort, not a second
-    shuffle."""
+    shuffle. `order_cols` must be a per-tile UNIQUE key (the line sink
+    passes (fid, seg_idx) — rows there are segments, and a tie on fid
+    alone would truncate nondeterministically)."""
     if max_features_per_tile is None:
         return assigned
     from pyspark.sql import Window
 
-    w = Window.partitionBy("tile_x", "tile_y").orderBy("fid")
+    w = Window.partitionBy("tile_x", "tile_y").orderBy(*order_cols)
     return (assigned.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= int(max_features_per_tile))
             .drop("_rn"))
@@ -250,6 +253,120 @@ def polys_to_mvt(polys: DataFrame, zoom: int, extent: int = 4096,
                 out["zoom"].append(zoom)
                 out["x"].append(tx)
                 out["tile_row"].append(n - 1 - ty)
+                out["n_features"].append(len(features))
+                out["mvt"].append(blob)
+            yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(
+        fn, "zoom int, x long, tile_row long, n_features long, mvt binary")
+
+
+def lines_to_mvt(lines: DataFrame, zoom: int, extent: int = 4096,
+                 layer: str = "lines", id_col: str = "line_id",
+                 pts_col: str = "pts",
+                 max_features_per_tile: int | None = None) -> DataFrame:
+    """POLYLINES (id, pts array<struct<x,y>> in mercator) -> per-tile
+    MVT LINESTRING blobs with Liang–Barsky segment clipping.
+
+    Unlike the polygon sink, the clip itself is PURE JVM column math:
+    per segment, the parametric entry/exit times against the tile box
+    are closed-form —
+
+        t0 = max(0, min((b - p1)/d over each axis' entering bound))
+        t1 = min(1, ...)   (segment clipped iff t0 <= t1)
+
+    — so candidate explode (segment bbox x tile cover via
+    tile_range_cols), clip, and quantization all run in whole-stage
+    codegen; Python only protobuf-encodes per-tile feature lists (one
+    MULTILINESTRING feature per source line, its clipped segments as
+    2-point parts in seg order). Zero-length quantized segments drop
+    on both engines. One shuffle on the owning tile; the oracle twin
+    states the identical parametric arithmetic in SQL.
+
+    NOTE: here ``max_features_per_tile`` bounds SEGMENT rows per tile
+    (the aggregation-buffer unit), truncating deterministically by
+    (fid, seg_idx)."""
+    from .render import tile_range_cols
+
+    n = 1 << zoom
+    span = tm.CE / n
+    seg_expr = (f"zip_with(slice({pts_col}, 1, size({pts_col}) - 1), "
+                f"slice({pts_col}, 2, size({pts_col}) - 1), "
+                f"(a, b) -> struct(a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2))")
+    segs = (lines.select(F.col(id_col).cast("long").alias("fid"),
+                         F.posexplode(F.expr(seg_expr)).alias("seg_idx", "s"))
+            .select("fid", "seg_idx", "s.x1", "s.y1", "s.x2", "s.y2"))
+    withbox = (segs
+               .withColumn("minx", F.least("x1", "x2"))
+               .withColumn("miny", F.least("y1", "y2"))
+               .withColumn("maxx", F.greatest("x1", "x2"))
+               .withColumn("maxy", F.greatest("y1", "y2"))
+               .withColumn("zoom", F.lit(zoom)))
+    cover = (tile_range_cols(withbox)
+             .withColumn("tx", F.explode(F.sequence("txmin", "txmax")))
+             .withColumn("ty", F.explode(F.sequence("tymin", "tymax"))))
+    tminx = F.lit(-tm.ORIGIN) + F.col("tx").cast("double") * F.lit(span)
+    tmaxy = F.lit(tm.ORIGIN) - F.col("ty").cast("double") * F.lit(span)
+    x1, y1, x2, y2 = (F.col(c) for c in ("x1", "y1", "x2", "y2"))
+    dx, dy = x2 - x1, y2 - y1
+    inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+
+    def axis_ts(p1, d, lo, hi):
+        ta, tb = (lo - p1) / d, (hi - p1) / d
+        enter = F.when(d != 0, F.least(ta, tb)).otherwise(
+            F.when((p1 >= lo) & (p1 <= hi), ninf).otherwise(inf))
+        exit_ = F.when(d != 0, F.greatest(ta, tb)).otherwise(
+            F.when((p1 >= lo) & (p1 <= hi), inf).otherwise(ninf))
+        return enter, exit_
+
+    ex, lx_ = axis_ts(x1, dx, tminx, tminx + F.lit(span))
+    ey, ly_ = axis_ts(y1, dy, tmaxy - F.lit(span), tmaxy)
+    t0 = F.greatest(F.lit(0.0), ex, ey)
+    t1 = F.least(F.lit(1.0), lx_, ly_)
+    clipped = (cover
+               .withColumn("_t0", t0).withColumn("_t1", t1)
+               .filter(F.col("_t0") <= F.col("_t1"))
+               .withColumn("cx1", x1 + F.col("_t0") * dx)
+               .withColumn("cy1", y1 + F.col("_t0") * dy)
+               .withColumn("cx2", x1 + F.col("_t1") * dx)
+               .withColumn("cy2", y1 + F.col("_t1") * dy))
+
+    def quant(delta):
+        return _quant_local(delta, span, extent)
+
+    q = clipped.select(
+        "fid", "seg_idx",
+        F.col("tx").alias("tile_x"), F.col("ty").alias("tile_y"),
+        quant(F.col("cx1") - tminx).alias("lx1"),
+        quant(tmaxy - F.col("cy1")).alias("ly1"),
+        quant(F.col("cx2") - tminx).alias("lx2"),
+        quant(tmaxy - F.col("cy2")).alias("ly2"),
+    ).filter(~((F.col("lx1") == F.col("lx2"))
+               & (F.col("ly1") == F.col("ly2"))))
+    assigned = _cap_per_tile(q, max_features_per_tile,
+                             order_cols=("fid", "seg_idx"))
+    grouped = (assigned.groupBy("tile_x", "tile_y")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   "fid", "seg_idx", "lx1", "ly1", "lx2", "ly2"))).alias("feats")))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..mvt.codec import GEOM_LINESTRING
+
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "tile_row": [],
+                   "n_features": [], "mvt": []}
+            for row in pdf.itertuples(index=False):
+                per_line: dict[int, list] = {}
+                for s in row.feats:  # sort_array: (fid, seg_idx) order
+                    per_line.setdefault(int(s["fid"]), []).append(
+                        [(int(s["lx1"]), int(s["ly1"])),
+                         (int(s["lx2"]), int(s["ly2"]))])
+                features = [(fid, GEOM_LINESTRING, parts, {})
+                            for fid, parts in per_line.items()]
+                blob = encode_mvt([(layer, extent, features)])
+                out["zoom"].append(zoom)
+                out["x"].append(int(row.tile_x))
+                out["tile_row"].append((1 << zoom) - 1 - int(row.tile_y))
                 out["n_features"].append(len(features))
                 out["mvt"].append(blob)
             yield pd.DataFrame(out)

@@ -222,3 +222,74 @@ def test_hot_tile_feature_cap(spark):
     assert cold_row["n_features"] == 5
     kept = [f["id"] for f in decode_mvt(bytes(hot_row["mvt"]))[0]["features"]]
     assert sorted(kept) == list(range(50))  # lowest fids survive
+
+
+def test_sink_lines_to_mvt_clip(spark):
+    """Liang–Barsky polyline sink: decoded per-tile segments equal a
+    direct python parametric clip of the same segments."""
+    from rastertiler_rs_spark.operators.vector_tiles import lines_to_mvt
+
+    paths = []
+    for k in range(1, 9):
+        x = -tm.ORIGIN + (k * 2.13e6) % 2.4e7 + 101.25
+        y = -tm.ORIGIN + (k * 3.31e6) % 1.7e7 + 77.5
+        pts = [(x, y)]
+        for j in range(3):
+            x += 1.9e6 + k * 1.37e5 + 251.125
+            y += 1.1e6 - (j % 2) * 2.2e6 + 97.25
+            pts.append((x, y))
+        paths.append((k, pts))
+    df = spark.createDataFrame(
+        [(fid, [{"x": x, "y": y} for x, y in pts]) for fid, pts in paths],
+        "line_id long, pts array<struct<x: double, y: double>>")
+    zoom = 4
+    n = 1 << zoom
+    span = tm.CE / n
+    out = lines_to_mvt(df, zoom=zoom).collect()
+    assert out
+
+    def q(v):
+        return max(0, min(4095, int(np.floor(np.floor(v * 1e6 + 0.5) / 1e6))))
+
+    def clip_seg(p1, p2, bx0, by0, bx1, by1):
+        (x1, y1), (x2, y2) = p1, p2
+        dx, dy = x2 - x1, y2 - y1
+        tex, tlx = sorted(((bx0 - x1) / dx, (bx1 - x1) / dx))
+        tey, tly = sorted(((by0 - y1) / dy, (by1 - y1) / dy))
+        t0, t1 = max(0.0, tex, tey), min(1.0, tlx, tly)
+        if t0 > t1:
+            return None
+        return ((x1 + t0 * dx, y1 + t0 * dy), (x1 + t1 * dx, y1 + t1 * dy))
+
+    seen = 0
+    for r in out:
+        y = n - 1 - r["tile_row"]
+        tminx = -tm.ORIGIN + r["x"] * span
+        tmaxy = tm.ORIGIN - y * span
+        layer = decode_mvt(bytes(r["mvt"]))[0]
+        for f in layer["features"]:
+            pts = paths[f["id"] - 1][1]
+            want = []
+            for i in range(len(pts) - 1):
+                c = clip_seg(pts[i], pts[i + 1], tminx, tmaxy - span,
+                             tminx + span, tmaxy)
+                if c is None:
+                    continue
+                a = (q((c[0][0] - tminx) / span * 4096.0),
+                     q((tmaxy - c[0][1]) / span * 4096.0))
+                b = (q((c[1][0] - tminx) / span * 4096.0),
+                     q((tmaxy - c[1][1]) / span * 4096.0))
+                if a != b:
+                    want.append([a, b])
+            got = []
+            part = []
+            for op, pp in f["geometry"]:
+                if op == "MoveTo":
+                    part = list(pp)
+                else:
+                    for p in pp:
+                        got.append([part[-1], p])
+                        part.append(p)
+            assert got == want
+            seen += 1
+    assert seen >= 8

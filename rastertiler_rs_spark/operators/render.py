@@ -392,6 +392,107 @@ def _partial_mosaic_fn(tile_size: int, np_dtype):
     return fn
 
 
+def _route_mosaic_fn(tile_size: int, dtype_tag: str,
+                     colormap_str: str | None):
+    """Unified stage B of the hot-routed mosaic: rows are (zoom, x, y,
+    salt, is_hot, contribs). COLD groups (salt 0, not hot) hold their
+    tile's ENTIRE contribution list — mosaic + encode to a finished
+    png here (one-pass, exactly the plain path's math). HOT groups are
+    one salt bucket of a hot tile — fold to a (canvas, winner) partial
+    for stage C's argmax merge. Output rows carry either png or
+    canvas+winner, never both."""
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        colormap = Colormap.parse(colormap_str, NODATA) if colormap_str else None
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "y": [], "png": [],
+                   "canvas": [], "winner": []}
+            for row in pdf.itertuples(index=False):
+                if not row.is_hot:
+                    contribs = [
+                        (int(c["img_ord"]), int(c["left"]), int(c["top"]),
+                         int(c["bw"]), int(c["bh"]),
+                         np.frombuffer(c["block"], dtype=np_dtype)
+                         .reshape(int(c["bh"]), int(c["bw"])))
+                        for c in row.contribs
+                    ]
+                    canvas = mosaic(contribs, tile_size, NODATA, np_dtype)
+                    if canvas is None:
+                        continue
+                    out["zoom"].append(int(row.zoom))
+                    out["x"].append(int(row.x))
+                    out["y"].append(int(row.y))
+                    out["png"].append(
+                        encode_tile(canvas, dtype_tag, NODATA, colormap))
+                    out["canvas"].append(None)
+                    out["winner"].append(None)
+                    continue
+                canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
+                winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
+                contribs = sorted(row.contribs, key=lambda c: int(c["img_ord"]))
+                for c in contribs:
+                    left, top = int(c["left"]), int(c["top"])
+                    bw, bh = int(c["bw"]), int(c["bh"])
+                    block = np.frombuffer(c["block"], dtype=np_dtype).reshape(bh, bw)
+                    mask = block != NODATA
+                    if not mask.any():
+                        continue
+                    canvas[top:top + bh, left:left + bw][mask] = block[mask]
+                    winner[top:top + bh, left:left + bw][mask] = int(c["img_ord"])
+                if (winner == -1).all():
+                    continue
+                out["zoom"].append(int(row.zoom))
+                out["x"].append(int(row.x))
+                out["y"].append(int(row.y))
+                out["png"].append(None)
+                out["canvas"].append(canvas.tobytes())
+                out["winner"].append(winner.tobytes())
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _merge_or_pass_fn(tile_size: int, dtype_tag: str,
+                      colormap_str: str | None):
+    """Unified stage C: finished cold PNGs pass straight through;
+    hot tiles argmax-merge their salt partials and encode."""
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        colormap = Colormap.parse(colormap_str, NODATA) if colormap_str else None
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "y": [], "png": []}
+            for row in pdf.itertuples(index=False):
+                parts = row.partials
+                if len(parts) == 1 and parts[0]["png"] is not None:
+                    out["zoom"].append(int(row.zoom))
+                    out["x"].append(int(row.x))
+                    out["y"].append(int(row.y))
+                    out["png"].append(bytes(parts[0]["png"]))
+                    continue
+                canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
+                winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
+                for p in parts:
+                    c = np.frombuffer(p["canvas"], dtype=np_dtype).reshape(
+                        tile_size, tile_size)
+                    w = np.frombuffer(p["winner"], dtype=np.int64).reshape(
+                        tile_size, tile_size)
+                    take = w > winner
+                    canvas[take] = c[take]
+                    winner[take] = w[take]
+                if (winner == -1).all():
+                    continue
+                out["zoom"].append(int(row.zoom))
+                out["x"].append(int(row.x))
+                out["y"].append(int(row.y))
+                out["png"].append(
+                    encode_tile(canvas, dtype_tag, NODATA, colormap))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 def _merge_encode_fn(tile_size: int, dtype_tag: str, colormap_str: str | None):
     """Phase 2: pixelwise argmax-merge of salt partials, then encode."""
     np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
@@ -609,18 +710,74 @@ def render(
         )
 
     if salt_buckets == "auto":
-        # AUTO = the data-dependent router below with scale-safe
-        # defaults. Alternatives measured and rejected at n=65536:
-        # a lazy filter-split of one block stream re-executes the
-        # kernel python stage per branch (Catalyst/AQE cannot reuse
-        # exchanges under MapInPandas consumers — accumulator-verified,
-        # same wall as the round-3 pyramid fork), and a kernel-range
-        # split at the source decodes every image twice (~2-4 s of
-        # kernel CPU per extra pass at 32c). The router's persist
-        # keeps ONE decode; its only overhead is the hot-count driver
-        # round-trip over already-computed blocks.
-        salt_buckets = cores
-        salt_threshold = _AUTO_SALT_THRESHOLD
+        # AUTO routing, ONE linear dataflow. Hot keys are detected
+        # from the pure-JVM cover counts (tile_manifest explode — no
+        # decode, no python; a superset of the kernel's emitted blocks,
+        # which is exactly right for routing and costs a sub-second
+        # driver job bounded by the sub-pz tile count). The tiny hot
+        # keyset broadcast-marks the single block stream — no lazy
+        # fork — and the mosaic runs as a unified two-stage pipeline:
+        # stage B encodes COLD tiles outright (plain-path math, one
+        # pass) and folds HOT salt buckets to (canvas, winner)
+        # partials; stage C passes finished PNGs through and
+        # argmax-merges the partials. Cold tiles pay one extra shuffle
+        # hop of their finished PNG (KBs); hot tiles parallelize
+        # across buckets instead of serializing one task per dense
+        # tile (at 10^12 rows, the z0 group would OOM it).
+        #
+        # Alternatives measured and rejected at n=65536: a lazy
+        # filter-split of the block stream re-executes the kernel
+        # python stage per branch (Catalyst/AQE cannot reuse exchanges
+        # under MapInPandas consumers — accumulator-verified, same
+        # wall as the round-3 pyramid fork); a kernel-range split at
+        # the source decodes every image twice (~2-4 s of kernel CPU
+        # per pass at 32c); a persist+count router serializes a full
+        # kernel pre-pass before the main job (~7 s at 32c/65k — more
+        # than the serial tail it removes).
+        hot_rows = (
+            tile_manifest(src, minzoom, maxzoom)
+            .groupBy("zoom", "tx", "ty").count()
+            .filter(F.col("count") >= _AUTO_SALT_THRESHOLD)
+            .select("zoom", F.col("tx").alias("x"), F.col("ty").alias("y"))
+        ).collect()  # bounded by the sub-pz tile count (<= 4^pz/3)
+        if hot_rows:
+            hot_keys = spark.createDataFrame(
+                [(int(r["zoom"]), int(r["x"]), int(r["y"])) for r in hot_rows],
+                "zoom int, x long, y long")
+            marked = _blocks(minzoom, maxzoom).join(
+                F.broadcast(hot_keys.withColumn("_h", F.lit(True))),
+                ["zoom", "x", "y"], "left")
+            salted = marked.select(
+                "*",
+                F.coalesce("_h", F.lit(False)).alias("is_hot"),
+                F.when(F.coalesce("_h", F.lit(False)),
+                       F.pmod(F.col("img_ord"), F.lit(cores)))
+                .otherwise(F.lit(0)).cast("int").alias("salt"))
+            stage_b = salted.repartition(
+                n_parts_map, "zoom", "x", "y", "salt").groupBy(
+                "zoom", "x", "y", "salt", "is_hot").agg(
+                F.collect_list(
+                    F.struct("img_ord", "left", "top", "bw", "bh", "block")
+                ).alias("contribs")
+            ).mapInPandas(
+                _route_mosaic_fn(tile_size, dtype_tag, colormap_str),
+                "zoom int, x long, y long, png binary, "
+                "canvas binary, winner binary",
+            )
+            tiles = stage_b.repartition(
+                n_parts_map, "zoom", "x", "y").groupBy(
+                "zoom", "x", "y").agg(
+                F.collect_list(F.struct("png", "canvas", "winner"))
+                .alias("partials")
+            ).mapInPandas(
+                _merge_or_pass_fn(tile_size, dtype_tag, colormap_str),
+                "zoom int, x long, y long, png binary",
+            )
+        else:
+            tiles = _plain_mosaic(_blocks(minzoom, maxzoom))
+        if cell_tiles is not None:
+            tiles = tiles.unionByName(cell_tiles)
+        return _finish(tiles)
     if salt_buckets and salt_buckets > 1 and salt_threshold is not None \
             and salt_threshold != "auto":
         # DATA-DEPENDENT routing — per-key counts split hot tiles from

@@ -1364,23 +1364,27 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video pixel decode under the value gate: Motion-JPEG MP4s
-    (every sample a real baseline JPEG muxed by the real ISO BMFF
-    writer) are demuxed AND decoded to pixels by the engine's own
+    """REAL video pixel decode under the value gate, for BOTH
+    containers: Motion-JPEG MP4s AND Motion-JPEG AVIs (every stored
+    frame a real baseline JPEG muxed by the real ISO BMFF / RIFF
+    writers) are demuxed AND decoded to pixels by the engine's own
     from-spec codecs, then reduced to integer per-frame stats. The
     DuckDB twin recomputes the stats in closed form from the solid
-    frame-value formula — valid because the baseline JPEG round-trip
+    frame-value formulas — valid because the baseline JPEG round-trip
     is bit-exact for solid frames at q90 (pinned for all 256 values in
     test_jpeg) — so a defect anywhere in mux→demux→huffman→IDCT
-    arithmetic flips the hash."""
-    from rastertiler_rs_spark.fixtures import mjpeg_parquet
+    arithmetic, in either container walk, flips the hash."""
+    from rastertiler_rs_spark.fixtures import avi_mjpeg_parquet, mjpeg_parquet
     from rastertiler_rs_spark.operators.multimodal import video_frame_stats
 
-    vids = spark.read.parquet(mjpeg_parquet(24))
-    return video_frame_stats(vids, every_n=2).select(
-        "video_id", F.col("frame_no").cast("long").alias("frame_no"),
-        F.col("w").cast("long").alias("w"), F.col("h").cast("long").alias("h"),
-        "n_px", "vsum", "vmin", "vmax", "checksum")
+    cols = ["video_id", F.col("frame_no").cast("long").alias("frame_no"),
+            F.col("w").cast("long").alias("w"),
+            F.col("h").cast("long").alias("h"),
+            "n_px", "vsum", "vmin", "vmax", "checksum"]
+    mp4 = spark.read.parquet(mjpeg_parquet(24))
+    avi = spark.read.parquet(avi_mjpeg_parquet(16))
+    return (video_frame_stats(mp4, every_n=2).select(*cols)
+            .unionByName(video_frame_stats(avi, every_n=2).select(*cols)))
 
 
 def q_audio_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1739,13 +1743,50 @@ def q_vector_tiles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _union_variants(("points", pts), ("poly", poly))
 
 
+def q_avi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI container probe — the RIFF twin of q_video_probe: the
+    fixture muxes real AVI files (media/avi.py — hdrl/movi/idx1 with
+    internally cross-checked avih/strh/strf headers), the engine parses
+    them back, and the DuckDB twin rederives every field from the
+    generation formulas, so the RIFF mux→parse round-trip is
+    value-checked."""
+    from rastertiler_rs_spark.fixtures import avi_videos_parquet
+    from rastertiler_rs_spark.operators.multimodal import video_probe
+
+    vids = spark.read.parquet(avi_videos_parquet(48))
+    return video_probe(vids).select(
+        "video_id", "width", "height", "n_frames", "duration_ms", "codec")
+
+
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real AVI demultiplexing under the oracle: frame_sample walks
+    LIST('movi') cross-checked against idx1 and emits every 3rd stored
+    chunk payload; the twin rederives each sampled frame's byte length
+    AND first byte from the deterministic payload formulas — an
+    alignment error anywhere in the RIFF walk (odd-length chunks force
+    pad bytes) scrambles both."""
+    from rastertiler_rs_spark.fixtures import avi_videos_parquet
+    from rastertiler_rs_spark.operators.multimodal import frame_sample
+
+    vids = spark.read.parquet(avi_videos_parquet(24))
+    frames = frame_sample(vids, every_n=3)
+    return frames.select(
+        "video_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.expr("cast(conv(hex(substring(frame_bytes, 1, 1)), 16, 10) as bigint)"
+               ).alias("byte0"))
+
+
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-probe surface as one tagged union over a shared
     (media_id, dim_a, dim_b, n_units, duration_ms, codec) shape:
     video = MP4 moov parse (dim = width/height, n_units = frames),
     mp3 = Layer-III frame walk (dim = rate/channels, n_units =
-    samples), frames = per-sample demux rows (dim_a = payload length,
-    dim_b = first byte, n_units = frame_no, duration 0)."""
+    samples), frames = per-sample MP4 demux rows (dim_a = payload
+    length, dim_b = first byte, n_units = frame_no, duration 0), and
+    the RIFF twins aviprobe/aviframes = the same two shapes driven
+    through media/avi.py."""
     video = q_video_probe(spark, sf_dir).select(
         F.lit("video").alias("variant"),
         F.col("video_id").alias("media_id"),
@@ -1764,7 +1805,20 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").alias("n_units"),
         F.lit(0).cast("long").alias("duration_ms"),
         F.lit("demux").alias("codec"))
-    return video.unionByName(mp3).unionByName(frames)
+    aviprobe = q_avi_probe(spark, sf_dir).select(
+        F.lit("aviprobe").alias("variant"),
+        F.col("video_id").alias("media_id"),
+        F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
+        F.col("n_frames").alias("n_units"), "duration_ms", "codec")
+    aviframes = q_avi_frames(spark, sf_dir).select(
+        F.lit("aviframes").alias("variant"),
+        F.col("video_id").alias("media_id"),
+        F.col("frame_len").alias("dim_a"), F.col("byte0").alias("dim_b"),
+        F.col("frame_no").alias("n_units"),
+        F.lit(0).cast("long").alias("duration_ms"),
+        F.lit("demux").alias("codec"))
+    return (video.unionByName(mp3).unionByName(frames)
+            .unionByName(aviprobe).unionByName(aviframes))
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3054,7 +3108,21 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT UNNEST(generate_series(0, 31)) AS i) c),
             ff AS (
               SELECT i, UNNEST(generate_series(0, n_frames - 1)) AS fno
-              FROM fp)
+              FROM fp),
+            ap AS (
+              SELECT i,
+                     128 + (i % 4) * 16 AS width,
+                     96 + (i % 3) * 16 AS height,
+                     6 + (i * 7) % 11 AS n_frames,
+                     CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 25
+                                WHEN 2 THEN 40 ELSE 125 END AS fps
+              FROM (SELECT UNNEST(generate_series(0, 47)) AS i) c),
+            afp AS (
+              SELECT i, 6 + (i * 7) % 11 AS n_frames
+              FROM (SELECT UNNEST(generate_series(0, 23)) AS i) c),
+            aff AS (
+              SELECT i, UNNEST(generate_series(0, n_frames - 1)) AS fno
+              FROM afp)
             SELECT 'video' AS variant,
                    'vid' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
                    CAST(width AS BIGINT) AS dim_a,
@@ -3081,9 +3149,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT),
                    'demux'
             FROM ff WHERE fno % 4 = 0
+            UNION ALL
+            SELECT 'aviprobe',
+                   'avv' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(width AS BIGINT),
+                   CAST(height AS BIGINT),
+                   CAST(n_frames AS BIGINT),
+                   CAST(n_frames * (1000 // fps) AS BIGINT),
+                   'rawv'
+            FROM ap
+            UNION ALL
+            SELECT 'aviframes',
+                   'avv' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(48 + (i * 11 + fno * 17) % 160 AS BIGINT),
+                   CAST((3 * i + 5 * fno) % 256 AS BIGINT),
+                   CAST(fno AS BIGINT),
+                   CAST(0 AS BIGINT),
+                   'demux'
+            FROM aff WHERE fno % 3 = 0
         """,
-        # decoded MJPEG pixel stats in closed form: frames are solid
-        # value v = (17i + 29f + 23) % 256, and solid baseline-JPEG
+        # decoded MJPEG pixel stats in closed form, BOTH containers:
+        # mp4 frames are solid v = (17i + 29f + 23) % 256, avi frames
+        # solid v = (31i + 13f + 7) % 256, and solid baseline-JPEG
         # round-trips are bit-exact at q90 (test_jpeg pins all 256)
         "video_pixels_mjpeg": """
             WITH p AS (
@@ -3099,7 +3186,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT i, w, h, fno,
                      (17 * i + 29 * fno + 23) % 256 AS v,
                      CAST(w AS BIGINT) * h AS n_px
-              FROM f WHERE fno % 2 = 0)
+              FROM f WHERE fno % 2 = 0),
+            ap AS (
+              SELECT i,
+                     16 + (i % 4) * 8 AS w,
+                     8 + (i % 3) * 8 AS h,
+                     3 + (i % 4) AS n_frames
+              FROM (SELECT UNNEST(generate_series(0, 15)) AS i) c),
+            af AS (
+              SELECT i, w, h, UNNEST(generate_series(0, n_frames - 1)) AS fno
+              FROM ap),
+            avs AS (
+              SELECT i, w, h, fno,
+                     (31 * i + 13 * fno + 7) % 256 AS v,
+                     CAST(w AS BIGINT) * h AS n_px
+              FROM af WHERE fno % 2 = 0)
             SELECT 'mjp' || lpad(CAST(i AS VARCHAR), 8, '0') AS video_id,
                    CAST(fno AS BIGINT) AS frame_no,
                    CAST(w AS BIGINT) AS w,
@@ -3110,6 +3211,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v AS BIGINT) AS vmax,
                    CAST(v * (n_px * (n_px + 1) // 2) AS BIGINT) AS checksum
             FROM s
+            UNION ALL
+            SELECT 'avj' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(fno AS BIGINT),
+                   CAST(w AS BIGINT),
+                   CAST(h AS BIGINT),
+                   n_px,
+                   CAST(v * n_px AS BIGINT),
+                   CAST(v AS BIGINT),
+                   CAST(v AS BIGINT),
+                   CAST(v * (n_px * (n_px + 1) // 2) AS BIGINT)
+            FROM avs
         """,
         "audio_features": """
             WITH p AS (

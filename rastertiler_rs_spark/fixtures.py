@@ -288,6 +288,118 @@ def mjpeg_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return path
 
 
+def avi_params(i: int) -> tuple[int, int, int, int]:
+    """Deterministic per-clip AVI parameters: (w, h, fps, n_frames).
+    Pure integer formulas, distinct from video_params so the two
+    container fixtures never alias; fps always divides 1000 (integral
+    durations — see media/avi.encode_avi)."""
+    w = 128 + (i % 4) * 16
+    h = 96 + (i % 3) * 16
+    fps = (8, 25, 40, 125)[i % 4]
+    n_frames = 6 + (i * 7) % 11
+    return w, h, fps, n_frames
+
+
+def avi_frame_payload(i: int, f: int) -> bytes:
+    """Deterministic stored payload for frame f of AVI clip i. Length
+    (48 + (11i+17f) % 160 — odd lengths occur, exercising RIFF word
+    alignment) and first byte ((3i+5f) % 256) are SQL-expressible; the
+    tail is an LCG fill."""
+    length = 48 + (i * 11 + f * 17) % 160
+    first = (3 * i + 5 * f) % 256
+    x = (i * 2_000_003 + f) & (2**64 - 1)
+    body = bytearray([first])
+    for _ in range(length - 1):
+        x = (x * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        body.append((x >> 33) & 0xFF)
+    return bytes(body)
+
+
+def generate_avi_videos(n: int):
+    """AVI videos table (video_id, bytes=real RIFF AVI, fmt): real
+    container structure (hdrl/movi/idx1) around deterministic filler
+    payloads, so probe AND demux outputs are rederivable in SQL."""
+    import pyarrow as pa
+
+    from .media import encode_avi
+
+    ids, blobs = [], []
+    for i in range(n):
+        w, h, fps, n_frames = avi_params(i)
+        frames = [avi_frame_payload(i, f) for f in range(n_frames)]
+        ids.append(f"avv{i:08d}")
+        blobs.append(encode_avi(frames, w, h, fps, codec=b"rawv"))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["avi;rawv"] * n, pa.string()),
+    })
+
+
+def avi_videos_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"avi_videos_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_avi_videos(n), path, row_group_size=256)
+    return path
+
+
+def avi_mjpeg_params(i: int) -> tuple[int, int, int, int]:
+    """Deterministic per-clip AVI Motion-JPEG parameters: (w, h, fps,
+    n_frames). Integer formulas, SQL-rederivable; fps divides 1000."""
+    w = 16 + (i % 4) * 8
+    h = 8 + (i % 3) * 8
+    fps = (8, 20, 40)[i % 3]
+    n_frames = 3 + (i % 4)
+    return w, h, fps, n_frames
+
+
+def avi_mjpeg_frame_value(i: int, f: int) -> int:
+    """Solid gray value of frame f of AVI MJPEG clip i (distinct
+    formula from the MP4 fixture). Solid baseline-JPEG round-trips are
+    bit-exact at q90 (test_jpeg pins all 256 values), which is what
+    lets the oracle state decoded stats in closed form."""
+    return (31 * i + 13 * f + 7) % 256
+
+
+def generate_avi_mjpeg(n: int):
+    """Motion-JPEG AVI table: every '00dc' chunk is a REAL baseline
+    JPEG (jpeg/codec.py) of a solid frame, muxed by the real RIFF
+    writer with the MJPG handler fourcc. End-to-end decodable with the
+    engine's own codecs — the non-MP4 twin of generate_mjpeg_videos."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .jpeg import encode_jpeg_gray
+    from .media import encode_avi
+
+    ids, blobs = [], []
+    for i in range(n):
+        w, h, fps, n_frames = avi_mjpeg_params(i)
+        frames = [encode_jpeg_gray(
+            np.full((h, w), avi_mjpeg_frame_value(i, f), np.uint8), quality=90)
+            for f in range(n_frames)]
+        ids.append(f"avj{i:08d}")
+        blobs.append(encode_avi(frames, w, h, fps, codec=b"MJPG"))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["avi;MJPG"] * n, pa.string()),
+    })
+
+
+def avi_mjpeg_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"avi_mjpeg_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_avi_mjpeg(n), path, row_group_size=256)
+    return path
+
+
 def mp3_params(i: int) -> tuple[int, int, int, int, int]:
     """Deterministic per-clip MP3 parameters: (sample_rate, kbps,
     channels, n_frames, pad_every). Integer formulas, SQL-rederivable."""

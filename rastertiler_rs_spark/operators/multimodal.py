@@ -8,12 +8,14 @@ engine codec (png/codec.py), and baseline JPEG likewise via the
 from-spec numpy codec (jpeg/codec.py: sequential 8-bit huffman+IDCT,
 gray + YCbCr up to 2x2 sampling). CONTAINER-level audio/video support
 is real too: MP4 probe + sample demux via the from-spec ISO BMFF
-walker and MP3 framing metadata via the Layer III header walk
-(media/mp4.py, media/mp3.py). Video PIXEL decode is real for
-Motion-JPEG MP4s (video_frame_stats: BMFF demux + baseline JPEG
-decode, both from spec), and WebP lossless (VP8L) decode is fully
-real via the from-spec codec in webp/codec.py. Codecs still absent
-from this container (lossy-VP8 webp pixels, non-MJPEG mp4 payloads,
+walker, AVI probe + frame demux via the from-spec RIFF walker (movi
+chunk walk cross-checked against idx1), and MP3 framing metadata via
+the Layer III header walk (media/mp4.py, media/avi.py, media/mp3.py).
+Video PIXEL decode is real for Motion-JPEG in BOTH containers
+(video_frame_stats: BMFF or RIFF demux + baseline JPEG decode, all
+from spec), and WebP lossless (VP8L) decode is fully real via the
+from-spec codec in webp/codec.py. Codecs still absent from this
+container (lossy-VP8 webp pixels, non-MJPEG video payloads,
 mp3 payload decode) have two clearly-separated modes:
 
 - default: raise NotImplementedError with the batch signature a
@@ -278,21 +280,24 @@ def frame_sample(videos: DataFrame, every_n: int = 30,
     """Video frame sampling: binary column in, exploded
     (video_id, frame_no, frame_bytes) out.
 
-    MP4 input (``fmt`` starting with "mp4") is REAL: the engine's own
-    ISO BMFF demuxer (media/mp4.py) walks stsz/stsc/stco and emits the
-    byte-exact stored payload of every ``every_n``-th sample — that is
-    container demultiplexing, not decoding; turning those payloads into
-    pixels stays environment-blocked. Other container formats raise by
-    default; ``fake_codecs=True`` swaps in the DETERMINISTIC FAKE
+    MP4 input (``fmt`` starting with "mp4") and AVI input (``fmt``
+    starting with "avi") are REAL: the engine's own ISO BMFF demuxer
+    (media/mp4.py) walks stsz/stsc/stco, and the RIFF demuxer
+    (media/avi.py) walks LIST('movi') cross-checked against idx1 —
+    each emits the byte-exact stored payload of every ``every_n``-th
+    sample. That is container demultiplexing, not decoding; turning
+    those payloads into pixels stays environment-blocked except
+    Motion-JPEG (see video_frame_stats). Other container formats raise
+    by default; ``fake_codecs=True`` swaps in the DETERMINISTIC FAKE
     demuxer (frame count = payload_len // 256, each sampled frame a
     crc32-seeded 16x16 PNG) so the explode shape, schema, and batching
     stay testable. A production build plugs pyav/ffmpeg into
     ``_extract`` and changes nothing else."""
-    from ..media import demux_mp4
+    from ..media import demux_avi, demux_mp4
 
     def _extract(data: bytes, fmt: str, every_n: int):
-        if fmt.startswith("mp4"):
-            samples = demux_mp4(data)
+        if fmt.startswith("mp4") or fmt.startswith("avi"):
+            samples = demux_mp4(data) if fmt.startswith("mp4") else demux_avi(data)
             for frame_no in range(0, len(samples), every_n):
                 yield frame_no, samples[frame_no]
             return
@@ -319,19 +324,20 @@ def frame_sample(videos: DataFrame, every_n: int = 30,
 
 
 def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
-    """REAL end-to-end video pixel decode for Motion-JPEG MP4s.
+    """REAL end-to-end video pixel decode for Motion-JPEG, in BOTH
+    containers the engine muxes/demuxes (ISO BMFF .mp4 and RIFF .avi).
 
-    Composes two of the engine's from-spec codecs: the ISO BMFF
-    demuxer (media/mp4.py) extracts each sampled frame's stored
-    payload, then the baseline JPEG decoder (jpeg/codec.py) turns it
-    into pixels; integer per-frame stats out (all-integer ⇒
-    bit-identical across engines). The video modality's decode path is
-    therefore no longer a stub for MJPEG streams; other sample-entry
-    codecs (avc1/mp4v/...) raise — their payload decode is genuinely
-    environment-blocked. North-star multimodal extension; the
+    Composes the engine's from-spec codecs: the matching container
+    demuxer (media/mp4.py or media/avi.py) extracts each sampled
+    frame's stored payload, then the baseline JPEG decoder
+    (jpeg/codec.py) turns it into pixels; integer per-frame stats out
+    (all-integer ⇒ bit-identical across engines). The video modality's
+    decode path is therefore no longer a stub for MJPEG streams; other
+    sample-entry codecs (avc1/mp4v/...) raise — their payload decode is
+    genuinely environment-blocked. North-star multimodal extension; the
     reference engine (rastertiler-rs) has no video surface."""
     from ..jpeg import decode_jpeg
-    from ..media import demux_mp4, probe_mp4
+    from ..media import demux_avi, demux_mp4, probe_avi, probe_mp4
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -339,16 +345,21 @@ def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
                    "n_px": [], "vsum": [], "vmin": [], "vmax": [],
                    "checksum": []}
             for row in pdf.itertuples(index=False):
-                if not str(row.fmt).startswith("mp4"):
+                fmt = str(row.fmt)
+                if fmt.startswith("mp4"):
+                    probe, demux = probe_mp4, demux_mp4
+                elif fmt.startswith("avi"):
+                    probe, demux = probe_avi, demux_avi
+                else:
                     raise NotImplementedError(
                         f"container parser for {row.fmt!r} not available")
                 data = bytes(row.bytes)
-                codec = probe_mp4(data)["codec"]
-                if codec not in ("jpeg", "mjpa"):
+                codec = probe(data)["codec"]
+                if codec not in ("jpeg", "mjpa", "MJPG"):
                     raise NotImplementedError(
                         f"payload decode for codec {codec!r} not available "
                         "in this environment (Motion-JPEG only)")
-                for frame_no, payload in enumerate(demux_mp4(data)):
+                for frame_no, payload in enumerate(demux(data)):
                     if frame_no % every_n:
                         continue
                     px = decode_jpeg(payload)
@@ -372,25 +383,34 @@ def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
 
 def video_probe(videos: DataFrame) -> DataFrame:
     """Container metadata for the video modality — REAL for MP4 via the
-    engine's ISO BMFF parser (media/mp4.py): width/height from tkhd,
-    sample count from stsz, duration from mvhd (movie timescale
-    normalized to ms), codec fourcc from stsd. No payload decode.
-    All-integer outputs ⇒ bit-identical across engines."""
-    from ..media import probe_mp4
+    engine's ISO BMFF parser (media/mp4.py: width/height from tkhd,
+    sample count from stsz, duration from mvhd normalized to ms, codec
+    fourcc from stsd) AND for AVI via the RIFF parser (media/avi.py:
+    avih geometry cross-checked against strf, frame count from strh
+    dwLength, duration from the scale/rate clock, handler fourcc). No
+    payload decode. All-integer outputs ⇒ bit-identical across
+    engines."""
+    from ..media import probe_avi, probe_mp4
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"video_id": [], "width": [], "height": [],
                    "n_frames": [], "duration_ms": [], "codec": []}
             for row in pdf.itertuples(index=False):
-                if not str(row.fmt).startswith("mp4"):
+                fmt = str(row.fmt)
+                if fmt.startswith("mp4"):
+                    meta = probe_mp4(bytes(row.bytes))
+                    n_frames = meta["n_samples"]
+                elif fmt.startswith("avi"):
+                    meta = probe_avi(bytes(row.bytes))
+                    n_frames = meta["n_frames"]
+                else:
                     raise NotImplementedError(
                         f"container parser for {row.fmt!r} not available")
-                meta = probe_mp4(bytes(row.bytes))
                 out["video_id"].append(row.video_id)
                 out["width"].append(meta["width"])
                 out["height"].append(meta["height"])
-                out["n_frames"].append(meta["n_samples"])
+                out["n_frames"].append(n_frames)
                 out["duration_ms"].append(meta["duration_ms"])
                 out["codec"].append(meta["codec"])
             yield pd.DataFrame(out)

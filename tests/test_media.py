@@ -1,14 +1,17 @@
-"""Container-codec tests: ISO BMFF (MP4) mux/probe/demux and MPEG-1
-Layer III framing — plus the Spark operators built on them."""
+"""Container-codec tests: ISO BMFF (MP4) and RIFF (AVI) mux/probe/demux
+and MPEG-1 Layer III framing — plus the Spark operators built on them."""
 
 import struct
 
 import pytest
 
 from rastertiler_rs_spark.media import (
-    demux_mp4, encode_mp3, encode_mp4, probe_mp3, probe_mp4)
+    demux_avi, demux_mp4, encode_avi, encode_mp3, encode_mp4,
+    probe_avi, probe_mp3, probe_mp4)
 from rastertiler_rs_spark.media.mp3 import _frame_len
 from rastertiler_rs_spark.fixtures import (
+    avi_frame_payload, avi_mjpeg_frame_value, avi_mjpeg_params,
+    avi_mjpeg_parquet, avi_params, avi_videos_parquet,
     mp3_params, mp3_parquet, video_frame_payload, video_params,
     videos_parquet)
 
@@ -163,6 +166,107 @@ def test_mp3_corruption_raises():
         probe_mp3(bytes(bad))
 
 
+# ---------------------------------------------------------------- avi
+
+def test_avi_roundtrip_probe_and_demux():
+    # mixed odd/even payload lengths exercise RIFF word alignment
+    frames = [bytes([i % 256]) * (49 + i * 7) for i in range(9)]
+    data = encode_avi(frames, 320, 240, fps=25, codec=b"MJPG")
+    meta = probe_avi(data)
+    assert meta["width"] == 320 and meta["height"] == 240
+    assert meta["n_frames"] == 9
+    assert meta["duration_ms"] == 9 * 40
+    assert meta["codec"] == "MJPG"
+    assert meta["has_index"] and meta["usec_per_frame"] == 40000
+    assert demux_avi(data) == frames
+
+
+def test_avi_empty_single_and_fps_guard():
+    assert demux_avi(encode_avi([b"zz"], 8, 8, fps=10)) == [b"zz"]
+    assert probe_avi(encode_avi([], 8, 8, fps=10))["n_frames"] == 0
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi([b"x"], 8, 8, fps=30)  # 30 does not divide 1000
+    with pytest.raises(ValueError, match="fourcc"):
+        encode_avi([b"x"], 8, 8, fps=10, codec=b"toolong")
+
+
+def test_avi_header_cross_check_raises():
+    data = encode_avi([b"ab", b"cde"], 64, 48, fps=25)
+    avih = data.index(b"avih") + 8
+    bad = bytearray(data)
+    struct.pack_into("<I", bad, avih + 16, 7)  # dwTotalFrames != strh length
+    with pytest.raises(ValueError, match="dwTotalFrames"):
+        probe_avi(bytes(bad))
+    strf = data.index(b"strf") + 8
+    bad = bytearray(data)
+    struct.pack_into("<i", bad, strf + 4, 65)  # biWidth != avih width
+    with pytest.raises(ValueError, match="geometry"):
+        probe_avi(bytes(bad))
+    bad = bytearray(data)
+    bad[strf + 16] ^= 0xFF  # biCompression != strh handler
+    with pytest.raises(ValueError, match="biCompression"):
+        probe_avi(bytes(bad))
+
+
+def test_avi_idx1_cross_check_and_indexless_demux():
+    frames = [b"odd" * 7, b"even" * 8]
+    data = encode_avi(frames, 32, 32, fps=50)
+    idx = data.rindex(b"idx1") + 8
+    bad = bytearray(data)
+    struct.pack_into("<I", bad, idx + 12, 999)  # entry-0 size lies
+    with pytest.raises(ValueError, match="size"):
+        demux_avi(bytes(bad))
+    bad = bytearray(data)
+    struct.pack_into("<I", bad, idx + 8, 2)  # entry-0 offset lies
+    with pytest.raises(ValueError, match="offset"):
+        demux_avi(bytes(bad))
+    # with the index chunk dropped entirely, the movi walk stands alone
+    idx_chunk_start = data.rindex(b"idx1")
+    noidx = bytearray(data[:idx_chunk_start])
+    struct.pack_into("<I", noidx, 4, len(noidx) - 8)  # fix RIFF size
+    assert demux_avi(bytes(noidx)) == frames
+
+
+def test_avi_absolute_idx1_offsets_accepted():
+    # some muxers write idx1 offsets as absolute file positions; the
+    # parser accepts both conventions
+    frames = [b"a" * 10, b"b" * 11, b"c" * 12]
+    data = encode_avi(frames, 16, 16, fps=10)
+    movi_fourcc_pos = data.index(b"movi")
+    idx = data.rindex(b"idx1") + 8
+    out = bytearray(data)
+    for i in range(3):
+        off, = struct.unpack_from("<I", data, idx + 16 * i + 8)
+        struct.pack_into("<I", out, idx + 16 * i + 8, movi_fourcc_pos + off)
+    assert demux_avi(bytes(out)) == frames
+
+
+def test_avi_rec_list_grouping_demux():
+    """'00dc' chunks nested in LIST('rec ') groups (the interleaved-
+    stream convention) are demuxed in order."""
+    from rastertiler_rs_spark.media.avi import _chunk, _list
+
+    frames = [b"one", b"twoo", b"three"]
+    base = encode_avi(frames, 16, 16, fps=10)
+    movi_start = base.index(b"LIST", base.index(b"movi") - 8)
+    hdr_part = base[:movi_start]
+    rec = _list(b"rec ", b"".join(_chunk(b"00dc", f) for f in frames))
+    movi = _list(b"movi", rec)
+    body = hdr_part[12:] + movi  # drop idx1; walk alone suffices
+    data = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    assert demux_avi(data) == frames
+
+
+def test_avi_truncation_raises():
+    data = encode_avi([b"xy" * 40], 16, 16, fps=10)
+    with pytest.raises(ValueError):
+        probe_avi(data[:20])
+    with pytest.raises(ValueError, match="RIFF"):
+        probe_avi(b"JUNK" + data[4:])
+    with pytest.raises(ValueError, match="corrupt|overruns"):
+        demux_avi(data[: len(data) // 2])
+
+
 # ------------------------------------------------------- Spark operators
 
 def test_video_probe_operator(spark):
@@ -290,4 +394,64 @@ def test_video_frame_stats_non_mjpeg_raises(spark):
         [("v0", encode_mp4(frames, 64, 48, 25, codec=b"mp4v"), "mp4;mp4v")],
         "video_id string, bytes binary, fmt string")
     with pytest.raises(Exception, match="mp4v.*not available|Motion-JPEG"):
+        video_frame_stats(df).collect()
+
+
+def test_avi_operator_probe_and_demux(spark):
+    from rastertiler_rs_spark.operators.multimodal import (
+        frame_sample, video_probe)
+
+    vids = spark.read.parquet(avi_videos_parquet(12))
+    rows = {r["video_id"]: r for r in video_probe(vids).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        w, h, fps, n_frames = avi_params(i)
+        r = rows[f"avv{i:08d}"]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_frames"] == n_frames
+        assert r["duration_ms"] == n_frames * (1000 // fps)
+        assert r["codec"] == "rawv"
+
+    out = frame_sample(vids, every_n=3).collect()
+    by_key = {(r["video_id"], r["frame_no"]): bytes(r["frame_bytes"])
+              for r in out}
+    total = 0
+    for i in range(12):
+        _, _, _, n_frames = avi_params(i)
+        for f in range(0, n_frames, 3):
+            assert by_key[(f"avv{i:08d}", f)] == avi_frame_payload(i, f)
+            total += 1
+    assert len(out) == total
+
+
+def test_avi_video_frame_stats_real_mjpeg_decode(spark):
+    """The non-MP4 end of the real video decode path: RIFF demux +
+    baseline JPEG decode, solid closed form exact (q90 round-trip is
+    bit-exact for all 256 solid values, pinned in test_jpeg)."""
+    from rastertiler_rs_spark.operators.multimodal import video_frame_stats
+
+    vids = spark.read.parquet(avi_mjpeg_parquet(8))
+    got = {(r["video_id"], r["frame_no"]): r.asDict()
+           for r in video_frame_stats(vids, every_n=1).collect()}
+    total = 0
+    for i in range(8):
+        w, h, _, n_frames = avi_mjpeg_params(i)
+        for f in range(n_frames):
+            g = got[(f"avj{i:08d}", f)]
+            v, n = avi_mjpeg_frame_value(i, f), w * h
+            assert (g["w"], g["h"], g["n_px"]) == (w, h, n)
+            assert g["vsum"] == v * n and g["vmin"] == v == g["vmax"]
+            assert g["checksum"] == v * n * (n + 1) // 2
+            total += 1
+    assert len(got) == total
+
+
+def test_avi_video_frame_stats_non_mjpeg_raises(spark):
+    from rastertiler_rs_spark.operators.multimodal import video_frame_stats
+
+    frames = [avi_frame_payload(0, f) for f in range(3)]
+    df = spark.createDataFrame(
+        [("v0", encode_avi(frames, 64, 48, 25, codec=b"rawv"), "avi;rawv")],
+        "video_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="rawv.*not available|Motion-JPEG"):
         video_frame_stats(df).collect()

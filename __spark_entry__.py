@@ -1052,12 +1052,16 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs under the value gate, not just pytest. And a REAL-WEBP slice:
     16 bands muxed by the from-spec VP8L lossless encoder
     (webp/codec.py) whose 14-bit header dims the probe must read back
-    — the webp container path under the value gate too."""
+    — the webp container path under the value gate too. And a
+    PROGRESSIVE-JPEG slice: 16 bands through the Annex-G encoder
+    (SOF2, spectral selection + successive approximation) whose frame
+    header the progressive parse path must read back."""
     import numpy as np
 
     from rastertiler_rs_spark.fixtures import (_H_CYCLE, _W_CYCLE,
                                                images_parquet, pixel_band)
     from rastertiler_rs_spark.jpeg import encode_jpeg_gray
+    from rastertiler_rs_spark.jpeg.codec import encode_jpeg_gray_progressive
     from rastertiler_rs_spark.operators.multimodal import image_metadata
     from rastertiler_rs_spark.webp import encode_webp_lossless
 
@@ -1070,6 +1074,14 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                       w, h, "jpeg"))
     jpegs = spark.createDataFrame(
         jrows, "image_id string, bytes binary, w int, h int, fmt string")
+    prows = []
+    for i in range(16):
+        w, h = 24 + (i % 4) * 8, 16 + (i % 4) * 8
+        prows.append((f"pjp{i:08d}",
+                      encode_jpeg_gray_progressive(pixel_band(i, w, h, "u8"), 90),
+                      w, h, "jpeg"))
+    pjpegs = spark.createDataFrame(
+        prows, "image_id string, bytes binary, w int, h int, fmt string")
     wrows = []
     for i in range(16):
         w, h = 16 + (i % 4) * 16, 12 + (i % 4) * 8
@@ -1079,6 +1091,7 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     webps = spark.createDataFrame(
         wrows, "image_id string, bytes binary, w int, h int, fmt string")
     return (image_metadata(images).unionByName(image_metadata(jpegs))
+            .unionByName(image_metadata(pjpegs))
             .unionByName(image_metadata(webps)))
 
 
@@ -3301,6 +3314,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 512 END AS INT) AS actual_h,
                    TRUE AS dims_match
             FROM idx
+            UNION ALL
+            SELECT 'pjp' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+                   'jpeg' AS fmt,
+                   CAST(24 + (i % 4) * 8 AS INT) AS decl_w,
+                   CAST(16 + (i % 4) * 8 AS INT) AS decl_h,
+                   CAST(24 + (i % 4) * 8 AS INT) AS actual_w,
+                   CAST(16 + (i % 4) * 8 AS INT) AS actual_h,
+                   TRUE AS dims_match
+            FROM (SELECT UNNEST(generate_series(0, 15)) AS i) t4(i)
             UNION ALL
             SELECT 'wbp' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
                    'webp' AS fmt,

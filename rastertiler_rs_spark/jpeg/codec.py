@@ -4,13 +4,19 @@ multimodal operators' jpeg path is implemented from the public spec the
 same way png/codec.py is (the reference gets its codecs from crates;
 SURVEY.md §2 E-group analog for the multimodal extension).
 
-Scope (honest): baseline sequential only — SOI/APPn/COM/DQT/SOF0/DHT/
-DRI/SOS/RSTn/EOI, 8-bit samples, grayscale or YCbCr with arbitrary
-sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0 replication upsample
-on decode). Progressive (SOF2), arithmetic coding, and 12-bit raise
-ValueError. The encoder emits grayscale or 4:4:4 YCbCr with the Annex
-K example quantization/Huffman tables, scaled by a libjpeg-style
-quality factor.
+Scope (honest): baseline sequential (SOI/APPn/COM/DQT/SOF0/DHT/DRI/
+SOS/RSTn/EOI, 8-bit samples, grayscale or YCbCr with arbitrary
+sampling factors up to 2x2 — 4:4:4, 4:2:2, 4:2:0 replication upsample
+on decode) AND progressive (SOF2, T.81 Annex G: spectral selection +
+successive approximation, huffman-coded — DC first/refine, AC
+first/refine with EOB-run and correction-bit semantics, interleaved DC
+scans, restart markers). Arithmetic coding and 12-bit raise
+ValueError. The sequential encoder emits grayscale or 4:4:4 YCbCr with
+the Annex K example quantization/Huffman tables, scaled by a
+libjpeg-style quality factor; the progressive encoder reuses the same
+quantized coefficients (so progressive and baseline encodes of one
+image DECODE BIT-IDENTICALLY — pinned in tests) with per-scan
+flat-canonical huffman tables.
 
 JPEG is lossy: decode(encode(x)) is only quantization-close (tests pin
 PSNR and exact dims); decode itself is deterministic, so fixture bytes
@@ -173,14 +179,21 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
+def _quantize_zz(blocks: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantize a (n,8,8) block stack → (n,64) zigzag-
+    order coefficients (shared by the sequential and progressive
+    encoders, which is what makes their decodes bit-identical)."""
+    shifted = blocks.astype(np.float64) - 128.0
+    coef = np.einsum("ux,nxy,vy->nuv", _C, shifted, _C)
+    q = np.round(coef / quant).astype(np.int32)
+    return q.reshape(-1, 64)[:, _ZIGZAG]
+
+
 def _encode_blocks(bw: _BitWriter, blocks: np.ndarray, quant: np.ndarray,
                    dc_codes, ac_codes, pred: int) -> int:
     """Forward DCT + quantize + entropy-code a (n,8,8) block stack of
     one component; returns the updated DC predictor."""
-    shifted = blocks.astype(np.float64) - 128.0
-    coef = np.einsum("ux,nxy,vy->nuv", _C, shifted, _C)
-    q = np.round(coef / quant).astype(np.int32)
-    zz = q.reshape(-1, 64)[:, _ZIGZAG]
+    zz = _quantize_zz(blocks, quant)
     for row in zz:
         dc = int(row[0])
         diff = dc - pred
@@ -297,6 +310,239 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 90) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+# (Ss, Se, Ah, Al, kind): a 3-level successive-approximation script that
+# exercises every Annex-G codepath — interleaved DC first + refine, AC
+# first at Al=2, and two chained AC refinement passes.
+_PROG_SCRIPT = [
+    (0, 0, 0, 1, "dc"),
+    (1, 5, 0, 2, "ac"),
+    (6, 63, 0, 2, "ac"),
+    (1, 5, 2, 1, "ac"),
+    (6, 63, 2, 1, "ac"),
+    (0, 0, 1, 0, "dc"),
+    (1, 5, 1, 0, "ac"),
+    (6, 63, 1, 0, "ac"),
+]
+
+
+class _Events:
+    """Per-scan entropy event stream: huffman symbols interleaved with
+    raw bit runs, buffered so the scan's table can be built from the
+    symbols it actually uses before any bit is written."""
+
+    def __init__(self):
+        self.items: list[tuple] = []
+        self.symbols: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.items.append(("s", s))
+        self.symbols.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.items.append(("b", v, n))
+
+    def write(self, bw: _BitWriter, codes) -> None:
+        for it in self.items:
+            if it[0] == "s":
+                code, length = codes[it[1]]
+                bw.write(code, length)
+            else:
+                bw.write(it[1], it[2])
+
+
+def _flat_huff_spec(symbols) -> tuple[list, list]:
+    """A valid (BITS, HUFFVAL) giving every used symbol the same code
+    length L with 2^L > n (the all-ones code stays unused, as T.81
+    requires). Compression is not the point of the fixture encoder;
+    validity and coverage are."""
+    syms = sorted(symbols) or [0]
+    L = 1
+    while (1 << L) < len(syms) + 1:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+def _enc_dc_scan(ev: _Events, comps_zz: list[np.ndarray], ah: int, al: int) -> None:
+    """Interleaved DC scan over 1x1-sampled components (MCU = one block
+    per component, row-major). First pass (ah==0) huffman-codes diffs of
+    the point-transformed DC (arithmetic >> al); refinement emits the
+    raw al-th bit per block."""
+    n = comps_zz[0].shape[0]
+    preds = [0] * len(comps_zz)
+    for m in range(n):
+        for c, zz in enumerate(comps_zz):
+            dc = int(zz[m, 0]) >> al
+            if ah == 0:
+                diff = dc - preds[c]
+                preds[c] = dc
+                cat, bits = _magnitude(diff)
+                ev.sym(cat)
+                ev.bits(bits, cat)
+            else:
+                ev.bits(dc & 1, 1)
+
+
+def _enc_ac_scan(ev: _Events, zz: np.ndarray, ss: int, se: int,
+                 ah: int, al: int) -> None:
+    """Single-component AC scan (progressive AC is never interleaved).
+    ah==0: first pass with EOB-run coding of all-zero bands; ah>0:
+    refinement with ZRL-over-history, buffered correction bits, and
+    EOB-run-deferred correction bits (T.81 G.1.2.2/G.1.2.3)."""
+    eobrun = 0
+    bebuf: list[int] = []  # correction bits owed to the pending EOB run
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ev.sym(r << 4)
+            ev.bits(eobrun - (1 << r), r)
+            for b in bebuf:
+                ev.bits(b, 1)
+            bebuf.clear()
+            eobrun = 0
+
+    for row in zz:
+        band = [int(v) for v in row[ss : se + 1]]
+        if ah == 0:
+            vals = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for v in vals:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ev.sym(0xF0)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                ev.sym((run << 4) | cat)
+                ev.bits(bits, cat)
+                run = 0
+            if run > 0:
+                eobrun += 1
+        else:
+            absv = [abs(v) >> al for v in band]
+            eob = -1  # index of the last newly-significant coefficient
+            for k, t in enumerate(absv):
+                if t == 1:
+                    eob = k
+            run = 0
+            brbuf: list[int] = []
+            for k, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    flush_eobrun()
+                    ev.sym(0xF0)
+                    run -= 16
+                    for b in brbuf:
+                        ev.bits(b, 1)
+                    brbuf.clear()
+                if t > 1:
+                    brbuf.append(t & 1)  # history-nonzero: correction bit
+                    continue
+                flush_eobrun()
+                ev.sym((run << 4) | 1)
+                ev.bits(1 if band[k] >= 0 else 0, 1)
+                for b in brbuf:
+                    ev.bits(b, 1)
+                brbuf.clear()
+                run = 0
+            if run > 0 or brbuf:
+                eobrun += 1
+                bebuf.extend(brbuf)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+    flush_eobrun()
+
+
+def _encode_progressive(planes: list[np.ndarray], quants: list[np.ndarray],
+                        h: int, w: int) -> bytes:
+    """Shared progressive emitter for 1 or 3 components, all 1x1
+    sampling. Each scan gets its own flat-canonical DHT built from the
+    symbols it actually emits."""
+    comps_zz = [_quantize_zz(_tile_blocks(p), q) for p, q in zip(planes, quants)]
+    nc = len(planes)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for t in range(min(nc, 2)):
+        out += _marker(0xFFDB, bytes([t])
+                       + bytes(quants[t].flatten()[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, min(i, 1)])
+    out += _marker(0xFFC2, sof)
+    for ss, se, ah, al, kind in _PROG_SCRIPT:
+        if kind == "dc":
+            ev = _Events()
+            _enc_dc_scan(ev, comps_zz, ah, al)
+            codes = {}
+            if ah == 0:  # DC refinement scans are raw bits, no table
+                spec = _flat_huff_spec(ev.symbols)
+                out += _marker(0xFFC4, _dht_payload(0x00, spec))
+                codes = _build_code_table(*spec)
+            hdr = struct.pack(">B", nc)
+            for i in range(nc):
+                hdr += bytes([i + 1, 0x00])
+            out += _marker(0xFFDA, hdr + bytes([ss, se, (ah << 4) | al]))
+            bw = _BitWriter()
+            ev.write(bw, codes)
+            bw.flush()
+            out += bw.out
+        else:  # one non-interleaved AC scan per component
+            for i in range(nc):
+                ev = _Events()
+                _enc_ac_scan(ev, comps_zz[i], ss, se, ah, al)
+                spec = _flat_huff_spec(ev.symbols)
+                out += _marker(0xFFC4, _dht_payload(0x10, spec))
+                out += _marker(0xFFDA, struct.pack(">B", 1) + bytes([i + 1, 0x00])
+                               + bytes([ss, se, (ah << 4) | al]))
+                bw = _BitWriter()
+                ev.write(bw, _build_code_table(*spec))
+                bw.flush()
+                out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray_progressive(band: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive (SOF2) grayscale JPEG from a uint8 HxW array — same
+    quantized coefficients as encode_jpeg_gray at the same quality, so
+    the two encodes decode bit-identically."""
+    band = np.asarray(band, dtype=np.uint8)
+    h, w = band.shape
+    return _encode_progressive([band], [_quality_scale(_QL, quality)], h, w)
+
+
+def encode_jpeg_rgb_progressive(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive (SOF2) 4:4:4 YCbCr JPEG from a uint8 HxWx3 array —
+    same color transform and coefficients as encode_jpeg_rgb."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+    ql, qc = _quality_scale(_QL, quality), _quality_scale(_QC, quality)
+    return _encode_progressive(planes, [ql, qc, qc], h, w)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -368,11 +614,9 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
             pos += 1
             continue
         tag = data[pos + 1]
-        if tag in (0xC0, 0xC1):
+        if tag in (0xC0, 0xC1, 0xC2):
             _, h, w, nc = struct.unpack(">BHHB", data[pos + 4 : pos + 10])
             return w, h, nc
-        if tag == 0xC2:
-            raise ValueError("progressive JPEG not supported (baseline only)")
         if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
             pos += 2
             continue
@@ -420,8 +664,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-        elif tag == 0xC2:
-            raise ValueError("progressive JPEG not supported (baseline only)")
+        elif tag == 0xC2:  # SOF2: hand the whole stream to the Annex-G path
+            return _decode_progressive(data)
         elif tag == 0xC4:  # DHT
             off = 0
             while off < len(payload):
@@ -503,6 +747,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         c["coef"][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu_count += 1
 
+    return _finish_planes(order, hmax, vmax, h, w)
+
+
+def _finish_planes(order, hmax: int, vmax: int, h: int, w: int) -> np.ndarray:
+    """Pixel-plane tail shared by the sequential and progressive
+    decoders: replication upsample, crop, and (for 3 components) the
+    JFIF/BT.601 inverse color transform."""
     planes = []
     for c in order:
         p = c["coef"]
@@ -517,3 +768,265 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoder (T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Index of the first marker that is not a stuffed 0x00, a fill
+    byte, or an RSTn at/after ``pos`` — the end of one scan's
+    entropy-coded segment."""
+    p = pos
+    while p < len(data) - 1:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1]
+        if nxt == 0x00:
+            p += 2
+        elif nxt == 0xFF:  # fill byte
+            p += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            p += 2
+        else:
+            return p
+    return len(data)
+
+
+def _dc_unit(br: "_BitReader", c: dict, blk: np.ndarray, ah: int, al: int,
+             huff) -> None:
+    """One block's DC contribution: first pass decodes a huffman diff
+    of the point-transformed DC; refinement appends one raw bit."""
+    if ah == 0:
+        cat = br.read_symbol(huff[(0, c["td"])])
+        c["pred"] += _extend(br.read_bits(cat), cat)
+        blk[0] = c["pred"] << al
+    elif br.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _progressive_scan(seg: bytes, scan_comps: list, ss: int, se: int,
+                      ah: int, al: int, huff, ri: int,
+                      mcux: int, mcuy: int) -> None:
+    """Decode one SOS's entropy segment into the components' persistent
+    zigzag coefficient stores (T.81 G.2: DC scans may interleave, AC
+    scans are single-component over the component's own block grid)."""
+    br = _BitReader(seg)
+
+    def resync() -> None:
+        br.n = 0
+        p, d = br.pos, br.data
+        while p < len(d) - 1 and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        br.pos = p + 2
+        for c in scan_comps:
+            c["pred"] = 0
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        for c in scan_comps:
+            c["pred"] = 0
+        mcu = 0
+        if len(scan_comps) > 1:  # interleaved DC MCU walk
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and mcu and mcu % ri == 0:
+                        resync()
+                    for c in scan_comps:
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                _dc_unit(br, c,
+                                         c["zz"][my * c["v"] + v,
+                                                 mx * c["h"] + hh], ah, al, huff)
+                    mcu += 1
+        else:  # non-interleaved: the component's own block grid
+            c = scan_comps[0]
+            for by in range(c["nby"]):
+                for bx in range(c["nbx"]):
+                    if ri and mcu and mcu % ri == 0:
+                        resync()
+                    _dc_unit(br, c, c["zz"][by, bx], ah, al, huff)
+                    mcu += 1
+        return
+
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+    c = scan_comps[0]
+    table = huff[(1, c["ta"])]
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    mcu = 0
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            if ri and mcu and mcu % ri == 0:
+                resync()
+                eobrun = 0
+            mcu += 1
+            blk = c["zz"][by, bx]
+            if ah == 0:  # G.1.2.2 first pass with EOB runs
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.read_symbol(table)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1  # current block consumed
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow")
+                    blk[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # G.1.2.3 refinement with correction bits
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.read_symbol(table)
+                        r, s = rs >> 4, rs & 15
+                        sval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError("bad refinement magnitude")
+                            sval = p1 if br.read_bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        while k <= se:
+                            cur = int(blk[k])
+                            if cur != 0:
+                                if br.read_bit() and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if sval:
+                            if k > se:
+                                raise ValueError("refinement index overflow")
+                            blk[k] = sval
+                        k += 1
+                if eobrun > 0:  # finish the band under the EOB run
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if br.read_bit() and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2) → uint8 array. Scans accumulate into
+    per-component zigzag coefficient stores; dequantization + IDCT run
+    once at EOI. Shares the huffman/extend/IDCT/color machinery with
+    the sequential decoder, so a progressive and a baseline encode of
+    the same quantized coefficients decode bit-identically."""
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    h = w = 0
+    hmax = vmax = mcux = mcuy = 1
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        tag = data[pos + 1]
+        if tag == 0xD9:
+            break
+        if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + ln]
+        if tag == 0xDB:
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                t = np.zeros(64, dtype=np.int32)
+                t[_ZIGZAG] = np.frombuffer(payload[off + 1 : off + 65], np.uint8)
+                quant[tq] = t.reshape(8, 8)
+                off += 65
+        elif tag == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
+                              "tq": tq, "td": 0, "ta": 0, "pred": 0})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                comp_w = -(-(w * c["h"]) // hmax)
+                comp_h = -(-(h * c["v"]) // vmax)
+                c["nbx"] = -(-comp_w // 8)
+                c["nby"] = -(-comp_h // 8)
+                c["zz"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                   dtype=np.int32)
+        elif tag in (0xC0, 0xC1, 0xC3):
+            raise ValueError("mixed SOF markers in progressive stream")
+        elif tag == 0xC4:
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0xF
+                bits = list(payload[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + nv])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                off += 17 + nv
+        elif tag == 0xDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif tag == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF2")
+            ns = payload[0]
+            by_id = {c["id"]: c for c in comps}
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = payload[1 + 2 * i : 3 + 2 * i]
+                c = by_id[cs]
+                c["td"], c["ta"] = tt >> 4, tt & 0xF
+                scan_comps.append(c)
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            start = pos + 2 + ln
+            end = _entropy_end(data, start)
+            _progressive_scan(data[start:end], scan_comps, ss, se,
+                              ahal >> 4, ahal & 0xF, huff,
+                              restart_interval, mcux, mcuy)
+            pos = end
+            continue
+        pos += 2 + ln
+    if comps is None:
+        raise ValueError("missing SOF2")
+
+    for c in comps:
+        dq = quant[c["tq"]].astype(np.float64)
+        zz = c["zz"].reshape(-1, 64).astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz
+        blocks = nat.reshape(-1, 8, 8) * dq
+        px = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + 128.0
+        nby, nbx = c["zz"].shape[:2]
+        c["coef"] = (px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+                     .reshape(nby * 8, nbx * 8))
+    return _finish_planes(comps, hmax, vmax, h, w)

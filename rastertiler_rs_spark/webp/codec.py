@@ -21,8 +21,8 @@ needs:
   distance neighborhood, color cache, meta prefix images, and simple /
   code-length-coded prefix codes (both the max-symbol and plain
   forms). Only lossy VP8/VP8X pixel decode raises NotImplementedError
-  (honest boundary, same shape as jpeg/codec.py rejecting progressive
-  scans).
+  (honest boundary, same shape as jpeg/codec.py rejecting arithmetic
+  coding).
 - ``probe_webp``: container + header metadata (format variant, dims,
   alpha hint) for VP8L, VP8 (lossy) and VP8X (extended) containers —
   metadata for all three, pixels only for the VP8L subset.

@@ -54,14 +54,14 @@ def test_decode_is_deterministic():
     assert np.array_equal(a, b)
 
 
-def test_rejects_non_baseline():
+def test_rejects_malformed_streams():
     img = np.zeros((8, 8), np.uint8)
     data = bytearray(encode_jpeg_gray(img, 90))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
-        jpeg_dims(bytes(data))
-    with pytest.raises(ValueError, match="progressive"):
+    data[i + 1] = 0xC2  # relabel SOF0 as SOF2: dims still parse, but the
+    # baseline scan header (Ss=0, Se=63) is illegal for progressive
+    assert jpeg_dims(bytes(data)) == (8, 8, 1)
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00\x01\x02")
@@ -103,5 +103,86 @@ def test_multimodal_real_jpeg_path(spark):
         vals = dec[dec != 0]
         f = feats[f"jpg{i}"]
         assert f["n_pixels"] == 48 * 32
+        assert f["n_data"] == int(vals.size)
+        assert f["vsum"] == int(vals.sum())
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """Progressive and baseline encode the SAME quantized coefficients
+    (shared _quantize_zz), so their decodes must be bit-identical —
+    any defect in the Annex-G scan coding (EOB runs, correction bits,
+    successive approximation) breaks the equality."""
+    from rastertiler_rs_spark.jpeg.codec import (
+        encode_jpeg_gray_progressive, encode_jpeg_rgb_progressive)
+
+    rng = np.random.default_rng(7)
+    for (h, w) in [(8, 8), (16, 24), (17, 9), (40, 33), (7, 50)]:
+        for q in (90, 75, 35):
+            x = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            prog = encode_jpeg_gray_progressive(x, q)
+            assert jpeg_dims(prog) == (w, h, 1)
+            assert np.array_equal(decode_jpeg(prog),
+                                  decode_jpeg(encode_jpeg_gray(x, q)))
+    for (h, w) in [(16, 16), (25, 18)]:
+        for q in (90, 50):
+            x = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg_rgb_progressive(x, q)),
+                decode_jpeg(encode_jpeg_rgb(x, q)))
+
+
+def test_progressive_solid_exact_and_eob_runs():
+    """Solid images: every AC band is all-zero, so every block folds
+    into multi-block EOB runs in BOTH first and refinement AC scans —
+    and the decode must still be exactly the solid value (DC-only at
+    q90 round-trips bit-exactly)."""
+    from rastertiler_rs_spark.jpeg.codec import encode_jpeg_gray_progressive
+
+    for v in (0, 1, 77, 128, 254, 255):
+        x = np.full((24, 40), v, np.uint8)  # 15 blocks -> EOBRUN=15
+        assert np.array_equal(decode_jpeg(encode_jpeg_gray_progressive(x, 90)), x)
+
+
+def test_progressive_correction_bits_under_eob_runs():
+    """One high-energy block followed by all-flat blocks: the hot
+    block's history-nonzero coefficients owe correction bits that must
+    ride the deferred EOB-run buffer in refinement scans; gradients
+    straddle the Al thresholds so every refinement level flips bits."""
+    from rastertiler_rs_spark.jpeg.codec import encode_jpeg_gray_progressive
+
+    x = np.full((32, 64), 90, np.uint8)
+    x[:8, :8] = (np.add.outer(np.arange(8) * 29, np.arange(8) * 17) % 256)
+    x[10, 30] = 95  # a tiny lone coefficient in a mid-grid block
+    for q in (90, 60, 30):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_gray_progressive(x, q)),
+            decode_jpeg(encode_jpeg_gray(x, q)))
+
+
+def test_progressive_through_multimodal_operators(spark):
+    """Progressive payloads flow through the image operators
+    transparently (decode_jpeg dispatches on SOF2)."""
+    from rastertiler_rs_spark.jpeg.codec import encode_jpeg_gray_progressive
+    from rastertiler_rs_spark.operators.multimodal import (image_features,
+                                                           image_metadata)
+
+    rows = []
+    for i in range(3):
+        band = pixel_band(i, 32, 24, "u8")
+        rows.append((f"pjp{i}", encode_jpeg_gray_progressive(band, 95),
+                     32, 24, "jpeg"))
+    imgs = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    meta = {r["image_id"]: r.asDict() for r in image_metadata(imgs).collect()}
+    assert all(m["dims_match"] and m["actual_w"] == 32 and m["actual_h"] == 24
+               for m in meta.values())
+    feats = {r["image_id"]: r.asDict() for r in image_features(imgs).collect()}
+    for i in range(3):
+        dec = decode_jpeg(bytes(rows[i][1])).astype(np.int64)
+        vals = dec[dec != 0]
+        f = feats[f"pjp{i}"]
+        assert f["n_pixels"] == 32 * 24
         assert f["n_data"] == int(vals.size)
         assert f["vsum"] == int(vals.sum())

@@ -972,6 +972,20 @@ _ND_VARIANT_OFFSET = 10_000_000
 _ND_THRESHOLD_X100 = 90
 
 
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (embedding.py pq_topk_int): the
+    compressed-codes exhaustive scan — m=8 per-subspace Lloyd's
+    codebooks, codes-only scan side, broadcast per-query ADC tables —
+    integer end to end, so training AND scoring are DuckDB-verifiable."""
+    from rastertiler_rs_spark.operators.embedding import pq_topk_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    return pq_topk_int(emb.select("vec_id", "embedding"), queries, k=5).select(
+        "qid", "vec_id", "dot", "rank")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family): banded
     hyperplane-LSH blocking (24 integer planes → 3 bands × 8 sign bits,
@@ -1718,12 +1732,15 @@ def q_zonal_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN twice — the in-memory train+probe path and the persisted
-    posting-list index with dynamic partition pruning — both against
-    the identical k-means SQL twin."""
+    """Quantizer-based ANN, three ways under one driver row — the
+    in-memory IVF train+probe path, the persisted posting-list index
+    with dynamic partition pruning (both vs the identical k-means SQL
+    twin), and the PQ asymmetric-distance compressed scan (vs its own
+    per-subspace k-means twin)."""
     return _union_variants(
         ("mem", q_embedding_ivf(spark, sf_dir)),
-        ("index", q_embedding_ivf_index(spark, sf_dir)))
+        ("index", q_embedding_ivf_index(spark, sf_dir)),
+        ("pq", q_embedding_pq(spark, sf_dir)))
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2095,6 +2112,71 @@ def _ivf_oracle_sql(k: int = 5, n_lists: int = 8, nprobe: int = 2,
                MAX(CAST(list_sum(list_transform(list_zip(va.vi, qp.qi),
                    z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS BIGINT)) AS dot
         FROM va JOIN qp ON va.cid = qp.cid GROUP BY 1, 2)""")
+    body = ",\n".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT qid, vec_id, dot, rank FROM (
+          SELECT qid, vec_id, dot,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
+def _pq_oracle_sql(k: int = 5, m: int = 8, ksub: int = 4, iters: int = 2,
+                   dim: int = 64, scale: int = 1024) -> str:
+    """DuckDB twin of pq_topk_int: the per-subspace k-means (same init/
+    tie/mean conventions as _ivf_oracle_sql, partitioned by subspace m),
+    code assignment, per-query ADC partial-product table, and the
+    (m, cid) join + sum that realizes the asymmetric distance."""
+    dsub = dim // m
+    qexpr = (f"list_transform(embedding, x -> "
+             f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+    d2 = ("CAST(list_sum(list_transform(list_zip({v}, {c}), "
+          "z -> (CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)) * "
+          "(CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)))) AS BIGINT)")
+    mean = (f"list_transform(generate_series(1, {dsub}), d -> "
+            f"CAST(FLOOR(CAST(list_sum(list_transform(q.svs, v -> "
+            f"CAST(v[d] AS BIGINT))) AS DOUBLE) * 1.0 / len(q.svs)) AS BIGINT))")
+    ctes = [
+        f"vi AS (SELECT vec_id, {qexpr} AS vi FROM embeddings)",
+        f"""sv AS (SELECT vec_id, ms.m,
+                     vi[ms.m * {dsub} + 1 : ms.m * {dsub} + {dsub}] AS sv
+              FROM vi, (SELECT UNNEST(generate_series(0, {m - 1})) AS m) ms)""",
+        f"""c0 AS (SELECT m, rn - 1 AS cid, sv AS c FROM (
+               SELECT m, sv,
+                      ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+               FROM sv) WHERE rn <= {ksub})""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+            SELECT vec_id, m, sv, cid FROM (
+              SELECT s.vec_id, s.m, s.sv, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+                       ORDER BY {d2.format(v='s.sv', c='c.c')}, c.cid) AS rn
+              FROM sv s JOIN {prev} c ON s.m = c.m) WHERE rn = 1)""")
+        ctes.append(f"m{it} AS (SELECT m, cid, LIST(sv) AS svs "
+                    f"FROM a{it} GROUP BY m, cid)")
+        ctes.append(f"""c{it} AS (
+            SELECT p.m, p.cid,
+                   CASE WHEN q.cid IS NULL THEN p.c ELSE {mean} END AS c
+            FROM {prev} p LEFT JOIN m{it} q ON p.m = q.m AND p.cid = q.cid)""")
+        prev = f"c{it}"
+    ctes.append(f"""codes AS (
+        SELECT vec_id, m, cid FROM (
+          SELECT s.vec_id, s.m, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+                   ORDER BY {d2.format(v='s.sv', c='c.c')}, c.cid) AS rn
+          FROM sv s JOIN {prev} c ON s.m = c.m) WHERE rn = 1)""")
+    ctes.append(f"""qtab AS (
+        SELECT s.vec_id AS qid, s.m, c.cid,
+               CAST(list_sum(list_transform(list_zip(s.sv, c.c),
+                   z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS BIGINT) AS pdot
+        FROM sv s JOIN {prev} c ON s.m = c.m WHERE s.vec_id % 100 = 0)""")
+    ctes.append("""scored AS (
+        SELECT t.qid, v.vec_id, CAST(SUM(t.pdot) AS BIGINT) AS dot
+        FROM codes v JOIN qtab t ON v.m = t.m AND v.cid = t.cid
+        GROUP BY 1, 2)""")
     body = ",\n".join(ctes)
     return f"""
         WITH {body}
@@ -3039,7 +3121,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "embedding_lsh": _lsh_oracle_sql(),
         "embedding_ivf": _variant_union_sql(
-            ("mem", _ivf_oracle_sql()), ("index", _ivf_oracle_sql())),
+            ("mem", _ivf_oracle_sql()), ("index", _ivf_oracle_sql()),
+            ("pq", _pq_oracle_sql())),
         "embedding_neardup": _neardup_oracle_sql(),
         # dedup = first-seen unique set; window = finalized hour buckets
         # ending at or before the final watermark (max ts - 2h); single

@@ -407,6 +407,120 @@ def ivf_query_index(spark, index_dir: str, queries: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def _pq_subvectors(vi_df: DataFrame, m: int, dsub: int) -> DataFrame:
+    """Explode quantized vectors into (vec_id, m, sv) subspace rows —
+    the row shape both PQ training and encoding scan."""
+    return vi_df.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(mm).cast("int").alias("m"),
+                     F.slice("vi", mm * dsub + 1, dsub).alias("sv"))
+            for mm in range(m)])).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_argmin(sv_col, m_col, cents: list[list[list[int]]]):
+    """Nearest sub-codeword id by integer squared L2 within the row's
+    subspace (ties → lower cid). The codebooks ride along as ONE
+    literal [m][cid][dsub] array indexed by the subspace column, so
+    assignment stays a pure JVM expression over the exploded rows."""
+    lit3d = F.array(*[
+        F.array(*[F.array(*[F.lit(v).cast("long") for v in c]) for c in cm])
+        for cm in cents])
+    cm = F.element_at(lit3d, m_col + F.lit(1))
+    alts = []
+    for cid in range(len(cents[0])):
+        carr = F.element_at(cm, cid + 1)
+        d2 = F.aggregate(F.zip_with(sv_col, carr, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0).cast("long"), lambda acc, v: acc + v)
+        alts.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*alts))["cid"]
+
+
+def pq_train(vectors: DataFrame, m: int = 8, ksub: int = 4, iters: int = 2,
+             scale: int = 1024, dim: int = 64) -> list[list[list[int]]]:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): ONE Lloyd's
+    k-means per subspace, trained jointly over the exploded
+    (vec_id, m, sv) rows so all m quantizers share each iteration's
+    single assignment scan + single groupBy — same deterministic
+    conventions as kmeans_int (init = the ksub lowest vec_ids' slices,
+    ties → lower cid, update = per-dim floor(sum/count)), so the whole
+    training is DuckDB-expressible. Returns cents[m][cid] → dsub ints."""
+    dsub = dim // m
+    vi = vectors.select("vec_id", _quant(F.col("embedding"), scale).alias("vi"))
+    init_rows = vi.orderBy("vec_id").limit(ksub).collect()
+    cents = [[list(r["vi"])[mm * dsub:(mm + 1) * dsub] for r in init_rows]
+             for mm in range(m)]
+    sv = _pq_subvectors(vi, m, dsub)
+    for _ in range(iters):
+        assigned = sv.withColumn("cid", _pq_argmin(F.col("sv"), F.col("m"), cents))
+        sums = (assigned.select("m", "cid", F.posexplode("sv").alias("pos", "v"))
+                .groupBy("m", "cid", "pos")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect())  # m*ksub*dsub rows — driver-side by design
+        by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_key.setdefault((r["m"], r["cid"]), {})[r["pos"]] = (r["s"], r["n"])
+        new_cents = []
+        for mm in range(m):
+            row = []
+            for cid in range(ksub):
+                d = by_key.get((mm, cid))
+                if d:
+                    # floor(sum/count) via double: exact for these
+                    # magnitudes, same expression in the oracle (see
+                    # kmeans_int for the ulp argument)
+                    row.append([int(math.floor(d[p][0] * 1.0 / d[p][1]))
+                                for p in range(dsub)])
+                else:  # empty cluster keeps its previous codeword
+                    row.append(cents[mm][cid])
+            new_cents.append(row)
+        cents = new_cents
+    return cents
+
+
+def pq_topk_int(vectors: DataFrame, queries: DataFrame, k: int,
+                m: int = 8, ksub: int = 4, iters: int = 2,
+                scale: int = 1024, dim: int = 64) -> DataFrame:
+    """PQ asymmetric-distance top-k — the compressed-domain exhaustive
+    scan that complements IVF at 100 TB: after training, the scan side
+    carries only m small codes per vector (vs dim raw components —
+    16× lighter at these defaults), and each query precomputes its ADC
+    table (m·ksub partial inner products against the codebooks) ONCE.
+    approx_dot(q, v) = Σ_m ⟨q_sub_m, codeword(v.code_m)⟩, realized as a
+    broadcast equi-join of the exploded code rows against the tiny
+    (qid, m, cid, pdot) table + a groupBy sum — no raw-vector reads, no
+    all-pairs arithmetic beyond the m-term sum. Integer end to end ⇒
+    bit-identical across engines (DuckDB-oracle-checkable)."""
+    dsub = dim // m
+    cents = pq_train(vectors, m, ksub, iters, scale, dim)
+    vi = vectors.select("vec_id", _quant(F.col("embedding"), scale).alias("vi"))
+    codes = _pq_subvectors(vi, m, dsub).select(
+        "vec_id", "m", _pq_argmin(F.col("sv"), F.col("m"), cents).alias("cid"))
+    qi = queries.select("qid", _quant(F.col("qemb"), scale).alias("qi"))
+    legs = []
+    for mm in range(m):
+        for cid in range(ksub):
+            carr = F.array(*[F.lit(v).cast("long") for v in cents[mm][cid]])
+            pdot = F.aggregate(
+                F.zip_with(F.slice("qi", mm * dsub + 1, dsub), carr,
+                           lambda x, y: x * y),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            legs.append(F.struct(F.lit(mm).cast("int").alias("m"),
+                                 F.lit(cid).cast("int").alias("cid"),
+                                 pdot.alias("pdot")))
+    qtab = qi.select("qid", F.explode(F.array(*legs)).alias("t")).select(
+        "qid", F.col("t.m").alias("m"), F.col("t.cid").alias("cid"),
+        F.col("t.pdot").alias("pdot"))
+    scored = (codes.join(F.broadcast(qtab), ["m", "cid"])
+              .groupBy("qid", "vec_id")
+              .agg(F.sum("pdot").alias("dot")))
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def neardup_pairs_int(vec_int: DataFrame, threshold_x100: int = 90,
                       n_planes: int = 24, n_bands: int = 3,
                       dim: int = 64) -> DataFrame:

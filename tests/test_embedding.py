@@ -202,3 +202,67 @@ def test_ivf_index_persist_and_query(spark, tmp_path):
         via_index.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
     assert "dynamicpruning" in buf.getvalue()
+
+
+def test_pq_adc_matches_numpy_twin(spark):
+    """PQ-ADC end to end: the distributed train→encode→ADC-join path
+    must reproduce, exactly, a driver-side numpy recomputation from the
+    same codebooks (codes by (d2, cid)-argmin, approx dot = Σ_m partial
+    products, top-k by (dot DESC, vec_id)) — and keep decent recall vs
+    the exact integer brute force."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.embedding import (dot_topk_int,
+                                                          pq_topk_int,
+                                                          pq_train)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vectors = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    m, ksub, dsub, scale, k = 8, 4, 8, 1024, 5
+
+    got = sorted((r["qid"], r["rank"], r["vec_id"], r["dot"])
+                 for r in pq_topk_int(vectors, queries, k=k).collect())
+
+    cents = pq_train(vectors, m=m, ksub=ksub)
+    rows = vectors.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.floor(np.array([r["embedding"] for r in rows], dtype=np.float64)
+                 * scale).astype(np.int64)
+    C = np.array(cents, dtype=np.int64)          # [m][ksub][dsub]
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for mm in range(m):
+        sub = V[:, mm * dsub:(mm + 1) * dsub]
+        d2 = ((sub[:, None, :] - C[mm][None, :, :]) ** 2).sum(axis=2)
+        codes[:, mm] = d2.argmin(axis=1)         # argmin takes lowest index on ties
+    want = []
+    for qpos, qid in enumerate(ids):
+        if qid % 10 != 0:
+            continue
+        q = V[qpos]
+        adot = np.zeros(len(ids), dtype=np.int64)
+        for mm in range(m):
+            pd = (C[mm] * q[mm * dsub:(mm + 1) * dsub][None, :]).sum(axis=1)
+            adot += pd[codes[:, mm]]
+        order = sorted(range(len(ids)), key=lambda i: (-adot[i], ids[i]))[:k]
+        want.extend((qid, rank + 1, ids[i], int(adot[i]))
+                    for rank, i in enumerate(order))
+    assert got == sorted(want)
+
+    exact = {}
+    for r in dot_topk_int(vectors, queries, k=k).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    approx = {}
+    for qid, _rank, vec_id, _dot in got:
+        approx.setdefault(qid, set()).add(vec_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    # m=8 × ksub=4 is only 16 bits/vector, and the fixture embeddings
+    # are near-random (no cluster structure for the codebooks to
+    # exploit) — 0.25 measured deterministically; the parity assert
+    # above is the real contract, this floor just catches collapse
+    assert hits / total >= 0.2, f"PQ recall {hits / total:.2f}"

@@ -1816,7 +1816,14 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples), frames = per-sample MP4 demux rows (dim_a = payload
     length, dim_b = first byte, n_units = frame_no, duration 0), and
     the RIFF twins aviprobe/aviframes = the same two shapes driven
-    through media/avi.py."""
+    through media/avi.py; l3spec = REAL Layer III PAYLOAD decode
+    (media/mp3.py decode_mp3_spectra: side info, scalefactors, count1
+    table-B Huffman, requantization) reduced to per-granule integer
+    spectral stats (dim_a = granule index 4f+2g+c, dim_b =
+    position-weighted spectrum checksum, n_units = nonzero lines,
+    duration_ms = requantized-spectrum sum — exact integers because the
+    fixture pins gain to 210+4g), the twin recomputing all four from
+    the fixture's closed-form line formulas."""
     video = q_video_probe(spark, sf_dir).select(
         F.lit("video").alias("variant"),
         F.col("video_id").alias("media_id"),
@@ -1847,8 +1854,22 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").alias("n_units"),
         F.lit(0).cast("long").alias("duration_ms"),
         F.lit("demux").alias("codec"))
+    from rastertiler_rs_spark.fixtures import mp3_payload_parquet
+    from rastertiler_rs_spark.operators.multimodal import audio_spectral_stats
+
+    clips = spark.read.parquet(mp3_payload_parquet(24))
+    l3spec = audio_spectral_stats(clips).select(
+        F.lit("l3spec").alias("variant"),
+        F.col("audio_id").alias("media_id"),
+        (F.col("frame_no") * 4 + F.col("granule") * 2
+         + F.col("channel")).alias("dim_a"),
+        F.col("pos_sum").alias("dim_b"),
+        F.col("n_nonzero").alias("n_units"),
+        F.col("xr_sum").alias("duration_ms"),
+        F.lit("l3spec").alias("codec"))
     return (video.unionByName(mp3).unionByName(frames)
-            .unionByName(aviprobe).unionByName(aviframes))
+            .unionByName(aviprobe).unionByName(aviframes)
+            .unionByName(l3spec))
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3218,7 +3239,34 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT UNNEST(generate_series(0, 23)) AS i) c),
             aff AS (
               SELECT i, UNNEST(generate_series(0, n_frames - 1)) AS fno
-              FROM afp)
+              FROM afp),
+            lp AS (
+              SELECT i, 1 + (i % 2) AS channels, 3 + (i * 5) % 6 AS n_frames
+              FROM (SELECT UNNEST(generate_series(0, 23)) AS i) c),
+            lf AS (
+              SELECT i, channels, UNNEST(generate_series(0, n_frames - 1)) AS f
+              FROM lp),
+            lg AS (
+              SELECT i, channels, f, UNNEST(generate_series(0, 1)) AS g
+              FROM lf),
+            lc AS (
+              SELECT i, f, g, UNNEST(generate_series(0, channels - 1)) AS ch
+              FROM lg),
+            ll AS (
+              SELECT i, f, g, ch,
+                     UNNEST(generate_series(
+                       0, 4 * (2 + ((i + 2*f + 3*g + 5*ch) % 4)) - 1)) AS p
+              FROM lc),
+            lv AS (
+              SELECT i, f, g, ch, p,
+                     ((7*i + 3*f + 5*g + 11*ch + p) % 3) - 1 AS v
+              FROM ll),
+            ls AS (
+              SELECT i, f, g, ch,
+                     SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS n_nonzero,
+                     SUM((p + 1) * v) AS pos_sum,
+                     SUM(v) AS sum_is
+              FROM lv GROUP BY i, f, g, ch)
             SELECT 'video' AS variant,
                    'vid' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
                    CAST(width AS BIGINT) AS dim_a,
@@ -3263,6 +3311,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT),
                    'demux'
             FROM aff WHERE fno % 3 = 0
+            UNION ALL
+            SELECT 'l3spec',
+                   'mps' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(f * 4 + g * 2 + ch AS BIGINT),
+                   CAST(pos_sum AS BIGINT),
+                   CAST(n_nonzero AS BIGINT),
+                   CAST(sum_is * (1 << ((i + f + g + ch) % 3)) AS BIGINT),
+                   'l3spec'
+            FROM ls
         """,
         # decoded MJPEG pixel stats in closed form, BOTH containers:
         # mp4 frames are solid v = (17i + 29f + 23) % 256, avi frames

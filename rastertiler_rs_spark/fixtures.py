@@ -451,6 +451,68 @@ def mp3_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return path
 
 
+def mp3_payload_params(i: int) -> tuple[int, int, int]:
+    """Deterministic per-clip parameters for the PAYLOAD-family fixture:
+    (sample_rate, channels, n_frames). Integer formulas, SQL-rederivable."""
+    return (44100, 48000, 32000)[i % 3], 1 + (i % 2), 3 + (i * 5) % 6
+
+
+def generate_mp3_payload(n: int):
+    """MP3 clips whose granule PAYLOADS are real Layer III Huffman data
+    (count1 table-B family, media/mp3.py encode_mp3_l3). Spectral values
+    follow closed-form integer formulas so a SQL twin can recompute the
+    decoded stats: for clip i, frame f, granule g, channel c the granule
+    carries nq = 2 + ((i + 2f + 3g + 5c) % 4) quadruples, value at line
+    p (p < 4*nq) is ((7i + 3f + 5g + 11c + p) % 3) - 1, and global_gain
+    is 210 + 4*((i + f + g + c) % 3) so the requantized spectrum is the
+    integer spectrum times 2^((i+f+g+c)%3) exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .media import encode_mp3_l3
+
+    ids, blobs, rates, chans, nfs = [], [], [], [], []
+    for i in range(n):
+        sr, ch, n_frames, = mp3_payload_params(i)
+        frames = []
+        for f in range(n_frames):
+            gr = []
+            for g in range(2):
+                chs = []
+                for c in range(ch):
+                    nq = 2 + ((i + 2 * f + 3 * g + 5 * c) % 4)
+                    p = np.arange(4 * nq, dtype=np.int64)
+                    vals = (7 * i + 3 * f + 5 * g + 11 * c + p) % 3 - 1
+                    chs.append({"values": vals,
+                                "global_gain": 210 + 4 * ((i + f + g + c) % 3)})
+                gr.append(chs)
+            frames.append(gr)
+        ids.append(f"mps{i:08d}")
+        blobs.append(encode_mp3_l3(frames, sr, ch))
+        rates.append(sr)
+        chans.append(ch)
+        nfs.append(n_frames)
+    return pa.table({
+        "audio_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["mp3"] * n, pa.string()),
+        "sample_rate": pa.array(rates, pa.int32()),
+        "channels": pa.array(chans, pa.int32()),
+        "n_frames": pa.array(nfs, pa.int32()),
+    })
+
+
+def mp3_payload_parquet(n: int,
+                        cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"mp3_payload_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_mp3_payload(n), path, row_group_size=256)
+    return path
+
+
 def generate_images(n: int, dtype_tag: str = "u8"):
     """Build the images table as a pyarrow Table (schema = input_hint)."""
     import pyarrow as pa

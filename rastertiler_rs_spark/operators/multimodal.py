@@ -458,3 +458,56 @@ def audio_probe(audio: DataFrame) -> DataFrame:
     return audio.select("audio_id", "bytes", "fmt").mapInPandas(
         fn, "audio_id string, container string, sample_rate long, "
             "channels long, n_samples long, duration_ms long")
+
+
+def audio_spectral_stats(audio: DataFrame) -> DataFrame:
+    """REAL MP3 payload decode for the verified Layer III family — the
+    audio analog of video_frame_stats' MJPEG path.
+
+    Each clip's Huffman-coded granule payloads are decoded by the
+    engine's from-spec Layer III pipeline (media/mp3.py
+    decode_mp3_spectra: side-info bit layout, scalefactor parse, count1
+    table-B Huffman, requantization) to the 576-line spectrum, then
+    reduced to integer per-granule stats: nonzero-line count, signed
+    sum of the Huffman integers, a position-weighted placement
+    checksum, and the requantized-spectrum sum (exact when global_gain
+    is 210+4g and scalefactors are zero — |±1|^(4/3)*2^g is an
+    integer). All-int64 ⇒ bit-identical across engines. Streams outside
+    the family (bit reservoir, big-values tables, count1 table A,
+    window switching) fail fast with the exact reason — exactness is
+    never traded for completion."""
+    from ..media import decode_mp3_spectra
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "frame_no": [], "granule": [],
+                   "channel": [], "n_nonzero": [], "sum_is": [],
+                   "pos_sum": [], "xr_sum": []}
+            for row in pdf.itertuples(index=False):
+                if not str(row.fmt).startswith("mp3"):
+                    raise NotImplementedError(
+                        f"spectral decode for {row.fmt!r} not available")
+                dec = decode_mp3_spectra(bytes(row.bytes))
+                for ent in dec["granules"]:
+                    iv = ent["is_values"]
+                    xr = ent["xr"]
+                    out["audio_id"].append(row.audio_id)
+                    out["frame_no"].append(ent["frame"])
+                    out["granule"].append(ent["granule"])
+                    out["channel"].append(ent["channel"])
+                    out["n_nonzero"].append(int(np.count_nonzero(iv)))
+                    out["sum_is"].append(int(iv.sum()))
+                    out["pos_sum"].append(
+                        int((iv * (np.arange(576, dtype=np.int64) + 1)).sum()))
+                    xs = xr.sum()
+                    if xs != np.floor(xs):
+                        raise ValueError(
+                            "non-integer requantized sum — fixture family "
+                            "guarantees integer xr (gain 210+4g, zero "
+                            f"scalefacs); got {xs!r}")
+                    out["xr_sum"].append(int(xs))
+            yield pd.DataFrame(out)
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn, "audio_id string, frame_no long, granule long, channel long, "
+            "n_nonzero long, sum_is long, pos_sum long, xr_sum long")

@@ -455,3 +455,205 @@ def test_avi_video_frame_stats_non_mjpeg_raises(spark):
         "video_id string, bytes binary, fmt string")
     with pytest.raises(Exception, match="rawv.*not available|Motion-JPEG"):
         video_frame_stats(df).collect()
+
+
+# --- Layer III payload decode (scoped family) ---------------------------
+
+def _l3_frames(rng, n_frames, channels, max_quads=24, gains=(210, 214, 218)):
+    frames = []
+    for _f in range(n_frames):
+        gr = []
+        for _g in range(2):
+            chs = []
+            for _c in range(channels):
+                nq = int(rng.integers(1, max_quads))
+                vals = rng.integers(0, 3, size=4 * nq) - 1
+                chs.append({"values": vals,
+                            "global_gain": int(rng.choice(gains))})
+            gr.append(chs)
+        frames.append(gr)
+    return frames
+
+
+def test_l3_payload_roundtrip_exact_all_rates():
+    import numpy as np
+
+    from rastertiler_rs_spark.media import (decode_mp3_spectra,
+                                            encode_mp3_l3, probe_mp3)
+
+    rng = np.random.default_rng(11)
+    for sr in (44100, 48000, 32000):
+        for ch in (1, 2):
+            frames = _l3_frames(rng, 4, ch)
+            data = encode_mp3_l3(frames, sr, ch)
+            meta = probe_mp3(data)  # framing stays walker-compatible
+            assert meta["n_frames"] == 4 and meta["channels"] == ch
+            dec = decode_mp3_spectra(data)
+            assert dec["sample_rate"] == sr
+            assert len(dec["granules"]) == 4 * 2 * ch
+            for ent in dec["granules"]:
+                spec = frames[ent["frame"]][ent["granule"]][ent["channel"]]
+                ref = np.zeros(576, dtype=np.int64)
+                ref[: len(spec["values"])] = spec["values"]
+                assert (ent["is_values"] == ref).all()
+                g = (spec["global_gain"] - 210) / 4.0
+                assert (ent["xr"] == ref * 2.0 ** g).all()
+
+
+def test_l3_requantize_scalefacs_preflag():
+    import numpy as np
+
+    from rastertiler_rs_spark.media import decode_mp3_spectra, encode_mp3_l3
+    from rastertiler_rs_spark.media.mp3 import PRETAB, SFB_LONG
+
+    rng = np.random.default_rng(5)
+    sfs = rng.integers(0, 4, 21).tolist()  # scalefac_compress=9: slen 2/2
+    vals = rng.integers(0, 3, size=240) - 1
+    frames = [[[{"values": vals, "global_gain": 215, "scalefacs": sfs,
+                 "scalefac_compress": 9, "preflag": 1, "scalefac_scale": 1}],
+               [{"values": vals, "global_gain": 209, "scalefacs": sfs,
+                 "scalefac_compress": 9, "scalefac_scale": 0}]]]
+    dec = decode_mp3_spectra(encode_mp3_l3(frames, 48000, 1))
+    b = SFB_LONG[48000]
+    for ent, (gain, mult, pre) in zip(dec["granules"],
+                                      [(215, 1.0, 1), (209, 0.5, 0)]):
+        assert ent["scalefacs"] == sfs
+        ref = np.zeros(576)
+        ref[:240] = vals
+        exp = np.full(576, (gain - 210) / 4.0)
+        for sfb in range(22):
+            sf = (sfs[sfb] if sfb < 21 else 0) + (PRETAB[sfb] if pre else 0)
+            exp[b[sfb]:b[sfb + 1]] -= mult * sf
+        want = np.sign(ref) * np.abs(ref) ** (4.0 / 3.0) * np.exp2(exp)
+        assert np.array_equal(ent["xr"], want)
+
+
+def _side_info_frame(channels=1, **flags):
+    """Hand-build one minimal frame (empty payload) with chosen
+    side-info flags, via the encoder's own bit writer."""
+    from rastertiler_rs_spark.media.mp3 import _BitWriter, _frame_len
+
+    mode = 3 if channels == 1 else 0
+    h = (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16) \
+        | (1 << 12) | (0 << 10) | (mode << 6)  # 32 kbps, 44.1 kHz
+    sw = _BitWriter()
+    sw.write(flags.get("main_data_begin", 0), 9)
+    sw.write(0, 5 if channels == 1 else 3)
+    for _ in range(4 * channels):
+        sw.write(0, 1)
+    for _ in range(2 * channels):
+        sw.write(0, 12)                                  # part2_3_length
+        sw.write(flags.get("big_values", 0), 9)
+        sw.write(210, 8)
+        sw.write(0, 4)
+        wsf = flags.get("window_switching", 0)
+        sw.write(wsf, 1)
+        if wsf:
+            sw.write(2, 2)  # block_type short
+            sw.write(0, 1)
+            sw.write(0, 5), sw.write(0, 5)
+            for _ in range(3):
+                sw.write(0, 3)
+        else:
+            for _ in range(3):
+                sw.write(flags.get("table_select", 0), 5)
+            sw.write(0, 4)
+            sw.write(0, 3)
+        sw.write(0, 1)
+        sw.write(0, 1)
+        sw.write(flags.get("count1table_select", 1), 1)
+    side = sw.getvalue()
+    assert len(side) == (17 if channels == 1 else 32)
+    flen = _frame_len(32, 44100, False)
+    return h.to_bytes(4, "big") + side + bytes(flen - 4 - len(side))
+
+
+def test_l3_fail_fast_outside_family():
+    import pytest as _pytest
+
+    from rastertiler_rs_spark.media import decode_mp3_spectra
+
+    for flags, msg in [
+        ({"main_data_begin": 5}, "bit reservoir"),
+        ({"window_switching": 1}, "window switching"),
+        ({"table_select": 3, "big_values": 4}, "Huffman tables"),
+        ({"count1table_select": 0}, "table A"),
+    ]:
+        with _pytest.raises(NotImplementedError, match=msg):
+            decode_mp3_spectra(_side_info_frame(**flags))
+    # table_select != 0 with big_values == 0 is fine (no region to decode)
+    assert decode_mp3_spectra(_side_info_frame(table_select=3))[
+        "granules"][0]["is_values"].sum() == 0
+
+
+def test_l3_imdct_single_line_closed_form():
+    import numpy as np
+
+    from rastertiler_rs_spark.media import l3_subband_samples
+
+    # one spectral line in subband 0 (alias butterflies never touch
+    # lines 0..9 of subband 0): output = windowed IMDCT cosine exactly
+    k0, amp = 3, 2.0
+    xr = np.zeros(576)
+    xr[k0] = amp
+    samples, overlap = l3_subband_samples(xr)
+    i = np.arange(36)
+    want = amp * np.cos(np.pi / 72 * (2 * i + 1 + 18) * (2 * k0 + 1)) \
+        * np.sin(np.pi / 36 * (i + 0.5))
+    assert np.allclose(samples[:, 0], want[:18], atol=1e-12)
+    assert np.allclose(overlap[:, 0], want[18:], atol=1e-12)
+    assert np.all(samples[:, 1:] == 0) and np.all(overlap[:, 1:] == 0)
+
+
+def test_l3_overlap_add_and_inversion():
+    import numpy as np
+
+    from rastertiler_rs_spark.media import l3_subband_samples
+
+    rng = np.random.default_rng(2)
+    xr1, xr2 = rng.normal(size=576), rng.normal(size=576)
+    s1, ov = l3_subband_samples(xr1)
+    s2, _ = l3_subband_samples(xr2, prev_overlap=ov)
+    s2_alone, _ = l3_subband_samples(xr2)
+    # granule 2 = its own IMDCT head + granule 1's windowed tail, with
+    # frequency inversion applied AFTER the add (odd subbands, odd t)
+    sb = np.arange(32)[None, :]
+    t = np.arange(18)[:, None]
+    inv = np.where((sb % 2 == 1) & (t % 2 == 1), -1.0, 1.0)
+    assert np.allclose(s2, s2_alone + ov * inv, atol=1e-12)
+    # alias butterflies are rotations: per-pair energy is preserved
+    x = np.zeros(576)
+    x[17], x[18] = 1.25, -0.5
+    s, ov2 = l3_subband_samples(x)
+    e_time = (s ** 2).sum() + (ov2 ** 2).sum()
+    # windowed 36-IMDCT of one 18-line block: energy scales by
+    # sum(cos^2)*... — just pin total energy against the direct formula
+    from rastertiler_rs_spark.media.mp3 import _ALIAS_CI
+    cs = 1.0 / np.sqrt(1.0 + np.square(_ALIAS_CI[0]))
+    ca = _ALIAS_CI[0] * cs
+    lo, hi = 1.25 * cs - (-0.5) * ca, (-0.5) * cs + 1.25 * ca
+    assert np.isclose(lo ** 2 + hi ** 2, 1.25 ** 2 + 0.5 ** 2, atol=1e-12)
+
+
+def test_l3_fixture_formula_matches_decode():
+    import numpy as np
+
+    from rastertiler_rs_spark.fixtures import (generate_mp3_payload,
+                                               mp3_payload_params)
+    from rastertiler_rs_spark.media import decode_mp3_spectra
+
+    tbl = generate_mp3_payload(6)
+    for i in range(6):
+        sr, ch, n_frames = mp3_payload_params(i)
+        dec = decode_mp3_spectra(tbl["bytes"][i].as_py())
+        assert dec["sample_rate"] == sr and dec["channels"] == ch
+        assert len(dec["granules"]) == n_frames * 2 * ch
+        for ent in dec["granules"]:
+            f, g, c = ent["frame"], ent["granule"], ent["channel"]
+            nq = 2 + ((i + 2 * f + 3 * g + 5 * c) % 4)
+            p = np.arange(4 * nq, dtype=np.int64)
+            want = np.zeros(576, dtype=np.int64)
+            want[: 4 * nq] = (7 * i + 3 * f + 5 * g + 11 * c + p) % 3 - 1
+            assert (ent["is_values"] == want).all()
+            gain = (i + f + g + c) % 3
+            assert ent["xr"].sum() == want.sum() * (1 << gain)

@@ -420,11 +420,16 @@ def decode_mp3_spectra(data: bytes) -> dict:
                         if code & b:
                             is_vals[idx] = -1 if mr.read(1) else 1
                         idx += 1
-                if mr.pos != budget:
+                if mr.pos > budget:
                     raise ValueError(
                         f"frame {fno} gr {g} ch {c}: huffman data overran "
                         f"part2_3_length ({mr.pos - start} vs "
                         f"{d['part2_3_length']} bits)")
+                # spectrum filled to 576 before the bit budget ran out:
+                # the remainder of part2_3 is stuffing — skip it (the
+                # standard decoder behavior; a codeword SPLIT across the
+                # boundary is still an overrun error above)
+                mr.pos = budget
                 if mr.pos > frame_end_bit:
                     raise ValueError(f"frame {fno}: main data past frame end")
                 xr = _requantize(is_vals, d, scalefacs, sr)

@@ -703,3 +703,51 @@ def test_l3_filterbank_perfect_reconstruction():
     # first granule carries no history; interior must equal 9x signal
     want = 9.0 * sig[:, 18:18 * gr].T
     assert np.allclose(rec[18:], want, atol=1e-10)
+
+
+def test_l3_count1_stuffing_and_overrun():
+    """Spectrum full at 576 lines before part2_3_length is exhausted ->
+    the remainder is stuffing and is skipped (standard decoder
+    behavior); a codeword split ACROSS the budget boundary is malformed
+    and raises."""
+    import pytest as _pytest
+
+    from rastertiler_rs_spark.media import decode_mp3_spectra
+    from rastertiler_rs_spark.media.mp3 import _BitWriter, _frame_len
+
+    def frame(p23: int, main_bits: int):
+        h = (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16) \
+            | (1 << 12) | (0 << 10) | (3 << 6)  # 32 kbps, 44.1 kHz, mono
+        sw = _BitWriter()
+        sw.write(0, 9)
+        sw.write(0, 5)
+        for _ in range(4):
+            sw.write(0, 1)
+        for g in range(2):
+            sw.write(p23 if g == 0 else 0, 12)
+            sw.write(0, 9)
+            sw.write(210, 8)
+            sw.write(0, 4)
+            sw.write(0, 1)
+            for _ in range(3):
+                sw.write(0, 5)
+            sw.write(0, 4)
+            sw.write(0, 3)
+            sw.write(0, 1)
+            sw.write(0, 1)
+            sw.write(1, 1)
+        mw = _BitWriter()
+        for _ in range(main_bits // 4):
+            mw.write(0xF, 4)  # table-B code for the all-zero quad
+        mw.write(0, main_bits % 4)
+        body = sw.getvalue() + mw.getvalue()
+        flen = _frame_len(32, 44100, False)
+        return h.to_bytes(4, "big") + body + bytes(flen - 4 - len(body))
+
+    # 144 zero quads = 576 lines in 576 bits; p23=580 leaves 4 stuffing
+    # bits inside part2_3 — decoded spectrum is all zero, no error
+    dec = decode_mp3_spectra(frame(580, 580))
+    assert dec["granules"][0]["is_values"].sum() == 0
+    # p23=574 ends mid-codeword: the 144th quad read crosses the budget
+    with _pytest.raises(ValueError, match="overran"):
+        decode_mp3_spectra(frame(574, 576))

@@ -2005,13 +2005,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _quant_sql(scale: int) -> str:
+    """SQL twin of the embedding _quant convention (floor(x*scale) as
+    BIGINT) — ONE copy; the LSH/near-dup/IVF/PQ oracles all embed it so
+    a convention change cannot diverge per-oracle."""
+    return (f"list_transform(embedding, x -> "
+            f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+
+
+# integer squared-L2 between two BIGINT lists (the {v}/{c} slots are
+# filled per call site) — shared by the IVF and PQ oracle twins
+_D2_SQL = ("CAST(list_sum(list_transform(list_zip({v}, {c}), "
+           "z -> (CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)) * "
+           "(CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)))) AS BIGINT)")
+
+
 def _lsh_oracle_sql(k: int = 5, n_planes: int = 6, dim: int = 64,
                     scale: int = 1024) -> str:
     from rastertiler_rs_spark.operators.embedding import plane_weights_int
 
     weights = plane_weights_int(n_planes, dim)
-    qexpr = (f"list_transform(embedding, x -> "
-             f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+    qexpr = _quant_sql(scale)
     bucket_terms = []
     for p, w in enumerate(weights):
         wlist = "[" + ",".join(str(v) for v in w) + "]"
@@ -2044,8 +2058,7 @@ def _neardup_oracle_sql(n_planes: int = 24, n_bands: int = 3,
 
     weights = plane_weights_int(n_planes, dim)
     per_band = n_planes // n_bands
-    qexpr = (f"list_transform(embedding, x -> "
-             f"CAST(FLOOR(CAST(x AS DOUBLE) * {_ND_SCALE}) AS BIGINT))")
+    qexpr = _quant_sql(_ND_SCALE)
     band_cases = []
     for band in range(n_bands):
         terms = []
@@ -2092,11 +2105,8 @@ def _neardup_oracle_sql(n_planes: int = 24, n_bands: int = 3,
 
 def _ivf_oracle_sql(k: int = 5, n_lists: int = 8, nprobe: int = 2,
                     iters: int = 2, dim: int = 64, scale: int = 1024) -> str:
-    qexpr = (f"list_transform(embedding, x -> "
-             f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
-    d2 = ("CAST(list_sum(list_transform(list_zip({v}, {c}), "
-          "z -> (CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)) * "
-          "(CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)))) AS BIGINT)")
+    qexpr = _quant_sql(scale)
+    d2 = _D2_SQL
     mean = (f"list_transform(generate_series(1, {dim}), d -> "
             f"CAST(FLOOR(CAST(list_sum(list_transform(vis, v -> "
             f"CAST(v[d] AS BIGINT))) AS DOUBLE) * 1.0 / len(vis)) AS BIGINT))")
@@ -2150,11 +2160,8 @@ def _pq_oracle_sql(k: int = 5, m: int = 8, ksub: int = 4, iters: int = 2,
     code assignment, per-query ADC partial-product table, and the
     (m, cid) join + sum that realizes the asymmetric distance."""
     dsub = dim // m
-    qexpr = (f"list_transform(embedding, x -> "
-             f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
-    d2 = ("CAST(list_sum(list_transform(list_zip({v}, {c}), "
-          "z -> (CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)) * "
-          "(CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)))) AS BIGINT)")
+    qexpr = _quant_sql(scale)
+    d2 = _D2_SQL
     mean = (f"list_transform(generate_series(1, {dsub}), d -> "
             f"CAST(FLOOR(CAST(list_sum(list_transform(q.svs, v -> "
             f"CAST(v[d] AS BIGINT))) AS DOUBLE) * 1.0 / len(q.svs)) AS BIGINT))")

@@ -245,8 +245,15 @@ def _dht_payload(tc_th: int, spec) -> bytes:
     return bytes([tc_th]) + bytes(bits) + bytes(vals)
 
 
-def encode_jpeg_gray(band: np.ndarray, quality: int = 90) -> bytes:
-    """Grayscale baseline JPEG from a uint8 HxW array."""
+def encode_jpeg_gray(band: np.ndarray, quality: int = 90,
+                     restart_interval: int = 0) -> bytes:
+    """Grayscale baseline JPEG from a uint8 HxW array.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (byte-aligned, modulo-8 cycling, DC predictor reset) after every
+    that many MCUs — the quantized coefficients are unchanged, so a
+    DRI encode decodes BIT-IDENTICALLY to the plain one (pinned in
+    tests, which is what exercises the decoder's resync path)."""
     band = np.asarray(band, dtype=np.uint8)
     h, w = band.shape
     ql = _quality_scale(_QL, quality)
@@ -257,26 +264,48 @@ def encode_jpeg_gray(band: np.ndarray, quality: int = 90) -> bytes:
     out += _marker(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += _marker(0xFFC4, _dht_payload(0x00, _DC_L))
     out += _marker(0xFFC4, _dht_payload(0x10, _AC_L))
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
     out += _marker(0xFFDA, struct.pack(">B", 1) + bytes([1, 0x00]) + bytes([0, 63, 0]))
-    bw = _BitWriter()
-    _encode_blocks(bw, _tile_blocks(band), ql, _build_code_table(*_DC_L),
-                   _build_code_table(*_AC_L), 0)
-    bw.flush()
-    out += bw.out
+    blocks = _tile_blocks(band)
+    dc, ac = _build_code_table(*_DC_L), _build_code_table(*_AC_L)
+    ri = restart_interval or blocks.shape[0]
+    ent = bytearray()
+    rst = 0
+    for start in range(0, blocks.shape[0], ri):
+        if start:
+            ent += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+        bw = _BitWriter()
+        _encode_blocks(bw, blocks[start:start + ri], ql, dc, ac, 0)
+        bw.flush()
+        ent += bw.out
+    out += ent
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 90) -> bytes:
-    """4:4:4 YCbCr baseline JPEG from a uint8 HxWx3 array (JFIF/BT.601
-    full-range color transform)."""
+def _rgb_to_ycbcr_planes(rgb: np.ndarray) -> tuple[int, int, list]:
+    """JFIF/BT.601 full-range color transform shared by the sequential
+    and progressive RGB encoders — one copy, so their bit-identical-
+    decode guarantee is structural."""
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[:2]
     r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8)
+              for p in (y, cb, cr)]
+    return h, w, planes
+
+
+def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 90,
+                    restart_interval: int = 0) -> bytes:
+    """4:4:4 YCbCr baseline JPEG from a uint8 HxWx3 array (JFIF/BT.601
+    full-range color transform). ``restart_interval`` as in
+    encode_jpeg_gray (interleaved MCU = one block per component)."""
+    h, w, planes = _rgb_to_ycbcr_planes(rgb)
     ql, qc = _quality_scale(_QL, quality), _quality_scale(_QC, quality)
     out = bytearray()
     out += b"\xff\xd8"
@@ -289,6 +318,8 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 90) -> bytes:
     out += _marker(0xFFC4, _dht_payload(0x10, _AC_L))
     out += _marker(0xFFC4, _dht_payload(0x01, _DC_C))
     out += _marker(0xFFC4, _dht_payload(0x11, _AC_C))
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
     out += _marker(0xFFDA, struct.pack(">B", 3)
                    + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0]))
     dcs = [_build_code_table(*_DC_L), _build_code_table(*_DC_C)]
@@ -299,7 +330,15 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 90) -> bytes:
     blocks = [_tile_blocks(p) for p in planes]
     bw = _BitWriter()
     preds = [0, 0, 0]
+    rst = 0
     for m in range(blocks[0].shape[0]):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            bw = _BitWriter()
+            preds = [0, 0, 0]
         for c in range(3):
             preds[c] = _encode_blocks(bw, blocks[c][m : m + 1], quants[c],
                                       dcs[tsel[c]], acs[tsel[c]], preds[c])
@@ -531,13 +570,7 @@ def encode_jpeg_gray_progressive(band: np.ndarray, quality: int = 90) -> bytes:
 def encode_jpeg_rgb_progressive(rgb: np.ndarray, quality: int = 90) -> bytes:
     """Progressive (SOF2) 4:4:4 YCbCr JPEG from a uint8 HxWx3 array —
     same color transform and coefficients as encode_jpeg_rgb."""
-    rgb = np.asarray(rgb, dtype=np.float64)
-    h, w = rgb.shape[:2]
-    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+    h, w, planes = _rgb_to_ycbcr_planes(rgb)
     ql, qc = _quality_scale(_QL, quality), _quality_scale(_QC, quality)
     return _encode_progressive(planes, [ql, qc, qc], h, w)
 
@@ -569,8 +602,10 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1  # stuffed
                 else:
-                    # marker: behave as end of data (pad)
-                    self.pos = len(self.data)
+                    # marker: stop consuming but leave pos AT the 0xFF so
+                    # a restart resync can still locate the RSTn (pad the
+                    # accumulator with zero bits past this point)
+                    self.pos -= 1
                     b = 0
             self.acc = (self.acc << 8) | b
             self.n += 8
@@ -614,6 +649,9 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
             pos += 1
             continue
         tag = data[pos + 1]
+        if tag == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if tag in (0xC0, 0xC1, 0xC2):
             _, h, w, nc = struct.unpack(">BHHB", data[pos + 4 : pos + 10])
             return w, h, nc
@@ -641,6 +679,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         tag = data[pos + 1]
+        if tag == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if tag == 0x01 or 0xD0 <= tag <= 0xD9:
             pos += 2
             continue
@@ -946,6 +987,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             pos += 1
             continue
         tag = data[pos + 1]
+        if tag == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if tag == 0xD9:
             break
         if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:

@@ -383,6 +383,14 @@ def decode_mp3_spectra(data: bytes) -> dict:
     for fno in range(meta["n_frames"]):
         h = int.from_bytes(data[pos:pos + 4], "big")
         flen = _frame_len(BITRATES_KBPS[(h >> 12) & 0xF], sr, bool((h >> 9) & 1))
+        if not (h >> 16) & 1:
+            raise NotImplementedError(
+                "CRC-protected frames (protection_bit=0) are outside the "
+                "verified payload family (16-bit CRC precedes side info)")
+        if (h >> 6) & 0b11 == 0b01:
+            raise NotImplementedError(
+                "joint stereo (MS/intensity, mode=01) is outside the "
+                "verified payload family")
         br = _BitReader(data, (pos + 4) * 8)
         si = _parse_side_info(br, channels)
         if si["main_data_begin"] != 0:

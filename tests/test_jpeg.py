@@ -186,3 +186,81 @@ def test_progressive_through_multimodal_operators(spark):
         assert f["n_pixels"] == 32 * 24
         assert f["n_data"] == int(vals.size)
         assert f["vsum"] == int(vals.sum())
+
+
+def test_restart_markers_roundtrip_bit_identical():
+    """DRI/RSTn only re-frames the entropy stream (byte-align, predictor
+    reset) — the quantized coefficients are identical, so a restart
+    encode must DECODE bit-identically to the plain encode. Exercises
+    the decoder resync path (and the _fill marker rewind it needs) at
+    several interval lengths, gray and interleaved RGB."""
+    from rastertiler_rs_spark.jpeg.codec import encode_jpeg_rgb
+
+    rng = np.random.default_rng(4)
+    band = rng.integers(0, 256, (41, 53), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(band, 75))
+    for ri in (1, 3, 7):
+        got = decode_jpeg(encode_jpeg_gray(band, 75, restart_interval=ri))
+        assert np.array_equal(got, base), f"gray ri={ri}"
+    rgb = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    base3 = decode_jpeg(encode_jpeg_rgb(rgb, 80))
+    for ri in (2, 5):
+        got3 = decode_jpeg(encode_jpeg_rgb(rgb, 80, restart_interval=ri))
+        assert np.array_equal(got3, base3), f"rgb ri={ri}"
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Inject one before DHT/SOF in sequential, progressive, and
+    jpeg_dims inputs — decode and probe must be unaffected."""
+    from rastertiler_rs_spark.jpeg.codec import (
+        encode_jpeg_gray_progressive, jpeg_dims)
+
+    band = pixel_band(17, 40, 32, "u8").astype(np.uint8)
+    seq = encode_jpeg_gray(band, 85)
+    want = decode_jpeg(seq)
+    filled = seq.replace(b"\xff\xc4", b"\xff\xff\xc4", 1)
+    assert len(filled) == len(seq) + 1
+    assert np.array_equal(decode_jpeg(filled), want)
+    assert jpeg_dims(seq.replace(b"\xff\xc0", b"\xff\xff\xc0", 1)) == (40, 32, 1)
+
+    prog = encode_jpeg_gray_progressive(band, 85)
+    pfill = prog.replace(b"\xff\xc2", b"\xff\xff\xc2", 1)
+    assert np.array_equal(decode_jpeg(pfill), want)
+    assert jpeg_dims(pfill) == (40, 32, 1)
+
+
+def test_progressive_scan_resync_restores_state():
+    """Drive _progressive_scan directly with a hand-built two-interval
+    DC-first segment (RST0 between): the resync must byte-align, reset
+    the DC predictor, and continue decoding the second interval."""
+    from rastertiler_rs_spark.jpeg.codec import (
+        _BitWriter, _DC_L, _build_code_table, _build_decode_table,
+        _magnitude, _progressive_scan)
+
+    codes = _build_code_table(*_DC_L)
+    huff = {(0, 0): _build_decode_table(*_DC_L)}
+
+    def dc_bits(bw, diff):
+        cat, bits = _magnitude(diff)
+        code, length = codes[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(bits, cat)
+
+    # block grid 2x1, restart interval 1: block0 DC=5, then RST0,
+    # block1 DC=-3 (diff from a RESET predictor, not from 5)
+    b0 = _BitWriter()
+    dc_bits(b0, 5)
+    b0.flush()
+    b1 = _BitWriter()
+    dc_bits(b1, -3)
+    b1.flush()
+    seg = bytes(b0.out) + b"\xff\xd0" + bytes(b1.out)
+
+    c = {"id": 1, "h": 1, "v": 1, "tq": 0, "td": 0, "ta": 0, "pred": 0,
+         "nbx": 1, "nby": 2,
+         "zz": np.zeros((2, 1, 64), dtype=np.int32)}
+    _progressive_scan(seg, [c], 0, 0, 0, 1, huff, 1, 1, 2)
+    assert c["zz"][0, 0, 0] == 5 << 1
+    assert c["zz"][1, 0, 0] == -3 << 1  # pred was reset at the restart

@@ -751,3 +751,22 @@ def test_l3_count1_stuffing_and_overrun():
     # p23=574 ends mid-codeword: the 144th quad read crosses the budget
     with _pytest.raises(ValueError, match="overran"):
         decode_mp3_spectra(frame(574, 576))
+
+
+def test_l3_crc_and_joint_stereo_fail_fast():
+    """protection_bit=0 (a 16-bit CRC precedes side info) and joint
+    stereo (mode=01, MS/intensity processing) are outside the verified
+    family — both must raise NAMING the feature, never mis-parse."""
+    import pytest as _pytest
+
+    from rastertiler_rs_spark.media import decode_mp3_spectra
+
+    base = bytearray(_side_info_frame())
+    crc = bytearray(base)
+    crc[1] &= ~1  # clear protection_bit: CRC-protected
+    with _pytest.raises(NotImplementedError, match="CRC"):
+        decode_mp3_spectra(bytes(crc))
+    js = bytearray(base)
+    js[3] = (js[3] & 0x3F) | (0b01 << 6)  # mode 01: joint stereo
+    with _pytest.raises(NotImplementedError, match="joint stereo"):
+        decode_mp3_spectra(bytes(js))

@@ -148,6 +148,8 @@ SLEN1 = [0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4]
 SLEN2 = [0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3]
 PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
           1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+# scfsi band groups (2.4.2.7): sfb 0-5, 6-10, 11-15, 16-20.
+_SCFSI_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]
 # Table B.8 long-block scalefactor band boundaries (MPEG-1).
 SFB_LONG = {
     44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90,
@@ -269,7 +271,8 @@ def _requantize(is_vals, d: dict, scalefacs, sample_rate: int):
     return np.sign(is_vals) * mags ** (4.0 / 3.0) * np.exp2(exp)
 
 
-def encode_mp3_l3(frames, sample_rate: int = 44100, channels: int = 1) -> bytes:
+def encode_mp3_l3(frames, sample_rate: int = 44100, channels: int = 1,
+                  ms_stereo: bool = False, scfsi=None) -> bytes:
     """Real Layer III encoder for the verified payload family.
 
     ``frames`` is a list of frames; each frame is a list of 2 granules;
@@ -282,14 +285,26 @@ def encode_mp3_l3(frames, sample_rate: int = 44100, channels: int = 1) -> bytes:
     Emits spec-exact headers + side info; big_values=0 with table-0
     region selects; main_data_begin=0 (each frame self-contained);
     stuffing bits pad to the chosen frame length (smallest bitrate that
-    fits). probe_mp3 walks the result unchanged."""
+    fits). probe_mp3 walks the result unchanged.
+
+    ``ms_stereo`` (channels=2 only) writes mode=01 with mode_extension
+    MS-only: channel 0 is then the MID spectrum, channel 1 the SIDE.
+    ``scfsi`` is an optional per-channel list of 4 flags shared by all
+    frames: flagged scalefactor band groups transmit NO bits in
+    granule 1 and reuse granule 0's values (the granule-1 spec must
+    carry matching scalefacs — validated)."""
     try:
         sr_idx = SAMPLE_RATES.index(sample_rate)
     except ValueError:
         raise ValueError(f"not an MPEG-1 sample rate: {sample_rate}") from None
     if channels not in (1, 2):
         raise ValueError(f"channels must be 1 or 2, got {channels}")
-    mode = 3 if channels == 1 else 0
+    if ms_stereo and channels != 2:
+        raise ValueError("ms_stereo requires channels=2")
+    mode, ext = (3, 0) if channels == 1 else ((1, 2) if ms_stereo else (0, 0))
+    scfsi = scfsi or [[0, 0, 0, 0] for _ in range(channels)]
+    if len(scfsi) != channels or any(len(f) != 4 for f in scfsi):
+        raise ValueError("scfsi must be 4 flags per channel")
     side_bytes = 17 if channels == 1 else 32
     out = bytearray()
 
@@ -299,17 +314,26 @@ def encode_mp3_l3(frames, sample_rate: int = 44100, channels: int = 1) -> bytes:
         # --- main data first (to size part2_3_length / pick bitrate) ---
         mw = _BitWriter()
         p23 = []
-        for g in frame:
-            for spec in g:
+        g0_sfs = [None] * channels
+        for gi, g in enumerate(frame):
+            for ci, spec in enumerate(g):
                 start = mw.bit_length
                 sfc = int(spec.get("scalefac_compress", 0))
                 sfs = list(spec.get("scalefacs", [0] * 21))
                 if len(sfs) != 21:
                     raise ValueError("scalefacs must have 21 entries")
-                for sfb in range(11):
-                    mw.write(sfs[sfb], SLEN1[sfc])
-                for sfb in range(11, 21):
-                    mw.write(sfs[sfb], SLEN2[sfc])
+                if gi == 0:
+                    g0_sfs[ci] = sfs
+                for grp, (lo, hi) in enumerate(_SCFSI_GROUPS):
+                    if gi == 1 and scfsi[ci][grp]:
+                        if sfs[lo:hi] != g0_sfs[ci][lo:hi]:
+                            raise ValueError(
+                                f"scfsi group {grp} flagged but granule-1 "
+                                "scalefacs differ from granule 0")
+                        continue  # shared: no bits transmitted
+                    slen = SLEN1[sfc] if lo < 11 else SLEN2[sfc]
+                    for sfb in range(lo, hi):
+                        mw.write(sfs[sfb], slen)
                 vals = list(spec["values"])
                 if len(vals) % 4 or len(vals) > 576:
                     raise ValueError("values length must be 4k <= 576")
@@ -334,14 +358,15 @@ def encode_mp3_l3(frames, sample_rate: int = 44100, channels: int = 1) -> bytes:
         flen = _frame_len(BITRATES_KBPS[br_idx], sample_rate, False)
 
         h = (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16) \
-            | (br_idx << 12) | (sr_idx << 10) | (0 << 9) | (mode << 6)
+            | (br_idx << 12) | (sr_idx << 10) | (0 << 9) | (mode << 6) \
+            | (ext << 4)
         out += h.to_bytes(4, "big")
         sw = _BitWriter()
         sw.write(0, 9)                      # main_data_begin: self-contained
         sw.write(0, 5 if channels == 1 else 3)
-        for _c in range(channels):
-            for _ in range(4):
-                sw.write(0, 1)              # scfsi
+        for c in range(channels):
+            for grp in range(4):
+                sw.write(scfsi[c][grp], 1)  # scfsi
         k = 0
         for g in frame:
             for spec in g:
@@ -387,10 +412,13 @@ def decode_mp3_spectra(data: bytes) -> dict:
             raise NotImplementedError(
                 "CRC-protected frames (protection_bit=0) are outside the "
                 "verified payload family (16-bit CRC precedes side info)")
-        if (h >> 6) & 0b11 == 0b01:
-            raise NotImplementedError(
-                "joint stereo (MS/intensity, mode=01) is outside the "
-                "verified payload family")
+        ms_on = False
+        if (h >> 6) & 0b11 == 0b01:  # joint stereo: mode_extension decides
+            if (h >> 4) & 0b01:
+                raise NotImplementedError(
+                    "intensity stereo (mode_extension bit 0) is outside "
+                    "the verified payload family")
+            ms_on = bool((h >> 4) & 0b10)  # MS matrixing: pure arithmetic
         br = _BitReader(data, (pos + 4) * 8)
         si = _parse_side_info(br, channels)
         if si["main_data_begin"] != 0:
@@ -399,7 +427,9 @@ def decode_mp3_spectra(data: bytes) -> dict:
                 "verified payload family")
         mr = _BitReader(data, (pos + 4 + side_bytes) * 8)
         frame_end_bit = (pos + flen) * 8
+        g0_scalefacs: list = [None] * channels
         for g in range(2):
+            gr_entries = []
             for c in range(channels):
                 d = si["granules"][g][c]
                 if d["window_switching"]:
@@ -408,8 +438,18 @@ def decode_mp3_spectra(data: bytes) -> dict:
                         "outside the verified payload family")
                 start = mr.pos
                 sfc = d["scalefac_compress"]
-                scalefacs = [mr.read(SLEN1[sfc]) for _ in range(11)] + \
-                            [mr.read(SLEN2[sfc]) for _ in range(10)]
+                # scfsi: granule 1 reuses granule 0's scalefactors for
+                # each flagged band GROUP (2.4.2.7: sfb 0-5/6-10/11-15/
+                # 16-20) and transmits no bits for it
+                scalefacs = []
+                for grp, (lo, hi) in enumerate(_SCFSI_GROUPS):
+                    if g == 1 and si["scfsi"][c][grp]:
+                        scalefacs += g0_scalefacs[c][lo:hi]
+                    else:
+                        slen = SLEN1[sfc] if lo < 11 else SLEN2[sfc]
+                        scalefacs += [mr.read(slen) for _ in range(lo, hi)]
+                if g == 0:
+                    g0_scalefacs[c] = scalefacs
                 if any(t != 0 for t in d["table_select"]) and d["big_values"]:
                     raise NotImplementedError(
                         f"big-values Huffman tables {d['table_select']} "
@@ -441,10 +481,18 @@ def decode_mp3_spectra(data: bytes) -> dict:
                 if mr.pos > frame_end_bit:
                     raise ValueError(f"frame {fno}: main data past frame end")
                 xr = _requantize(is_vals, d, scalefacs, sr)
-                out.append({"frame": fno, "granule": g, "channel": c,
-                            "is_values": is_vals, "xr": xr,
-                            "global_gain": d["global_gain"],
-                            "scalefacs": scalefacs})
+                gr_entries.append({"frame": fno, "granule": g, "channel": c,
+                                   "is_values": is_vals, "xr": xr,
+                                   "global_gain": d["global_gain"],
+                                   "scalefacs": scalefacs})
+            if ms_on:
+                # MS matrixing (2.4.3.4.9.2): channel 0 carries mid,
+                # channel 1 side; li = (mi+si)/sqrt(2), ri = (mi-si)/sqrt(2)
+                m, s = gr_entries[0]["xr"], gr_entries[1]["xr"]
+                rt2 = np.sqrt(2.0)
+                gr_entries[0]["xr"] = (m + s) / rt2
+                gr_entries[1]["xr"] = (m - s) / rt2
+            out.extend(gr_entries)
         pos += flen
     return {"sample_rate": sr, "channels": channels, "granules": out}
 

@@ -767,6 +767,69 @@ def test_l3_crc_and_joint_stereo_fail_fast():
     with _pytest.raises(NotImplementedError, match="CRC"):
         decode_mp3_spectra(bytes(crc))
     js = bytearray(base)
-    js[3] = (js[3] & 0x3F) | (0b01 << 6)  # mode 01: joint stereo
-    with _pytest.raises(NotImplementedError, match="joint stereo"):
+    # mode 01 + mode_extension bit 0: intensity stereo (blocked; MS-only
+    # joint stereo is decoded — see test_l3_ms_stereo_and_scfsi)
+    js[3] = (js[3] & 0x0F) | (0b01 << 6) | (0b01 << 4)
+    with _pytest.raises(NotImplementedError, match="intensity"):
         decode_mp3_spectra(bytes(js))
+
+
+def test_l3_ms_stereo_and_scfsi():
+    """MS joint stereo (pure arithmetic, 2.4.3.4.9.2) and scfsi
+    scalefactor sharing (2.4.2.7) round-trip: channel 0 carries MID,
+    channel 1 SIDE; decoded xr must equal (M±S)/sqrt(2) of the
+    independently-requantized spectra, and flagged scfsi groups must
+    transmit no granule-1 bits yet reproduce granule 0's scalefactors."""
+    import numpy as np
+
+    from rastertiler_rs_spark.media import decode_mp3_spectra, encode_mp3_l3
+
+    rng = np.random.default_rng(21)
+    sfs0 = rng.integers(0, 4, 21).tolist()
+    frames = []
+    for _f in range(2):
+        gr = []
+        for _g in range(2):
+            chs = []
+            for _c in range(2):
+                vals = rng.integers(0, 3, size=48) - 1
+                chs.append({"values": vals, "global_gain": 214,
+                            "scalefac_compress": 9, "scalefacs": sfs0})
+            gr.append(chs)
+        frames.append(gr)
+    scfsi = [[1, 0, 1, 0], [0, 1, 1, 1]]
+    data = encode_mp3_l3(frames, 44100, 2, ms_stereo=True, scfsi=scfsi)
+    # header: mode 01, mode_extension 10 (MS only)
+    assert (data[3] >> 6) & 0b11 == 0b01 and (data[3] >> 4) & 0b11 == 0b10
+    dec = decode_mp3_spectra(data)
+    by_key = {(e["frame"], e["granule"], e["channel"]): e
+              for e in dec["granules"]}
+    from rastertiler_rs_spark.media.mp3 import PRETAB, SFB_LONG
+    b = SFB_LONG[44100]
+    for f in range(2):
+        for g in range(2):
+            raw = []
+            for c in range(2):
+                spec = frames[f][g][c]
+                ref = np.zeros(576)
+                ref[:48] = spec["values"]
+                exp = np.full(576, 1.0)  # (214-210)/4
+                for sfb in range(22):
+                    sf = sfs0[sfb] if sfb < 21 else 0
+                    exp[b[sfb]:b[sfb + 1]] -= 0.5 * sf
+                raw.append(np.sign(ref) * np.abs(ref) ** (4 / 3)
+                           * np.exp2(exp))
+                assert by_key[(f, g, c)]["scalefacs"] == sfs0  # scfsi reuse
+            m, s = raw
+            assert np.allclose(by_key[(f, g, 0)]["xr"],
+                               (m + s) / np.sqrt(2), atol=0, rtol=0)
+            assert np.allclose(by_key[(f, g, 1)]["xr"],
+                               (m - s) / np.sqrt(2), atol=0, rtol=0)
+    # flagged groups must actually be SHARED: a granule-1 spec whose
+    # scalefacs differ from granule 0's is rejected at encode time
+    import copy as _copy
+    bad = _copy.deepcopy(frames)
+    bad[0][1][0]["scalefacs"] = (np.array(sfs0) ^ 1).tolist()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scfsi"):
+        encode_mp3_l3(bad, 44100, 2, ms_stereo=True, scfsi=scfsi)

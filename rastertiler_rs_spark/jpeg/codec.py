@@ -11,9 +11,10 @@ on decode) AND progressive (SOF2, T.81 Annex G: spectral selection +
 successive approximation, huffman-coded — DC first/refine, AC
 first/refine with EOB-run and correction-bit semantics, interleaved DC
 scans, restart markers). Arithmetic coding and 12-bit raise
-ValueError. The sequential encoder emits grayscale or 4:4:4 YCbCr with
-the Annex K example quantization/Huffman tables, scaled by a
-libjpeg-style quality factor; the progressive encoder reuses the same
+ValueError. The sequential encoder emits grayscale or YCbCr at 4:4:4,
+4:2:2, or 4:2:0 (box-mean chroma downsample), with optional DRI/RSTn
+restart intervals, using the Annex K example quantization/Huffman
+tables scaled by a libjpeg-style quality factor; the progressive encoder reuses the same
 quantized coefficients (so progressive and baseline encodes of one
 image DECODE BIT-IDENTICALLY — pinned in tests) with per-scan
 flat-canonical huffman tables.
@@ -300,12 +301,40 @@ def _rgb_to_ycbcr_planes(rgb: np.ndarray) -> tuple[int, int, list]:
     return h, w, planes
 
 
+def _mcu_block_grid(plane: np.ndarray, mcux: int, mcuy: int,
+                    hc: int, vc: int) -> np.ndarray:
+    """Pad a component plane (edge replication) to its MCU-aligned size
+    and cut it into a (mcuy*vc, mcux*hc, 8, 8) block grid."""
+    th, tw = mcuy * vc * 8, mcux * hc * 8
+    p = np.pad(plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+               mode="edge")
+    return (p.reshape(mcuy * vc, 8, mcux * hc, 8).transpose(0, 2, 1, 3))
+
+
 def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 90,
-                    restart_interval: int = 0) -> bytes:
-    """4:4:4 YCbCr baseline JPEG from a uint8 HxWx3 array (JFIF/BT.601
+                    restart_interval: int = 0,
+                    sampling: str = "444") -> bytes:
+    """YCbCr baseline JPEG from a uint8 HxWx3 array (JFIF/BT.601
     full-range color transform). ``restart_interval`` as in
-    encode_jpeg_gray (interleaved MCU = one block per component)."""
+    encode_jpeg_gray (MCU granularity). ``sampling`` selects the chroma
+    layout: "444" (1x1), "422" (Y 2x1, 16x8 MCUs), "420" (Y 2x2, 16x16
+    MCUs) — chroma planes are box-mean downsampled; the decoder
+    upsamples by replication (the T.81-sanctioned nearest rule this
+    engine uses everywhere), so round-trips are PSNR-gated."""
     h, w, planes = _rgb_to_ycbcr_planes(rgb)
+    try:
+        hy, vy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[sampling]
+    except KeyError:
+        raise ValueError(f"sampling must be 444/422/420, got {sampling!r}") \
+            from None
+    if sampling != "444":
+        for i in (1, 2):  # chroma: box-mean downsample by (vy, hy)
+            p = planes[i].astype(np.float64)
+            p = np.pad(p, ((0, -p.shape[0] % vy), (0, -p.shape[1] % hy)),
+                       mode="edge")
+            p = p.reshape(p.shape[0] // vy, vy,
+                          p.shape[1] // hy, hy).mean(axis=(1, 3))
+            planes[i] = np.clip(np.round(p), 0, 255).astype(np.uint8)
     ql, qc = _quality_scale(_QL, quality), _quality_scale(_QC, quality)
     out = bytearray()
     out += b"\xff\xd8"
@@ -313,7 +342,8 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 90,
     out += _marker(0xFFDB, b"\x00" + bytes(ql.flatten()[_ZIGZAG].astype(np.uint8)))
     out += _marker(0xFFDB, b"\x01" + bytes(qc.flatten()[_ZIGZAG].astype(np.uint8)))
     out += _marker(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
-                   + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+                   + bytes([1, (hy << 4) | vy, 0])
+                   + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
     out += _marker(0xFFC4, _dht_payload(0x00, _DC_L))
     out += _marker(0xFFC4, _dht_payload(0x10, _AC_L))
     out += _marker(0xFFC4, _dht_payload(0x01, _DC_C))
@@ -324,24 +354,36 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 90,
                    + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0]))
     dcs = [_build_code_table(*_DC_L), _build_code_table(*_DC_C)]
     acs = [_build_code_table(*_AC_L), _build_code_table(*_AC_C)]
-    quants = [ql, qc, qc]
-    tsel = [0, 1, 1]
-    # 4:4:4 interleaved: one block per component per MCU, MCUs row-major
-    blocks = [_tile_blocks(p) for p in planes]
+    mcux, mcuy = -(-w // (8 * hy)), -(-h // (8 * vy))
+    comps = [
+        {"grid": _mcu_block_grid(planes[0], mcux, mcuy, hy, vy),
+         "h": hy, "v": vy, "q": ql, "t": 0},
+        {"grid": _mcu_block_grid(planes[1], mcux, mcuy, 1, 1),
+         "h": 1, "v": 1, "q": qc, "t": 1},
+        {"grid": _mcu_block_grid(planes[2], mcux, mcuy, 1, 1),
+         "h": 1, "v": 1, "q": qc, "t": 1},
+    ]
     bw = _BitWriter()
     preds = [0, 0, 0]
     rst = 0
-    for m in range(blocks[0].shape[0]):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.flush()
-            out += bw.out
-            out += bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) & 7
-            bw = _BitWriter()
-            preds = [0, 0, 0]
-        for c in range(3):
-            preds[c] = _encode_blocks(bw, blocks[c][m : m + 1], quants[c],
-                                      dcs[tsel[c]], acs[tsel[c]], preds[c])
+    m = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                preds = [0, 0, 0]
+            m += 1
+            for ci, c in enumerate(comps):
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        blk = c["grid"][my * c["v"] + v, mx * c["h"] + hh]
+                        preds[ci] = _encode_blocks(
+                            bw, blk[None], c["q"], dcs[c["t"]],
+                            acs[c["t"]], preds[ci])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

@@ -264,3 +264,40 @@ def test_progressive_scan_resync_restores_state():
     _progressive_scan(seg, [c], 0, 0, 0, 1, huff, 1, 1, 2)
     assert c["zz"][0, 0, 0] == 5 << 1
     assert c["zz"][1, 0, 0] == -3 << 1  # pred was reset at the restart
+
+
+def test_subsampled_encode_roundtrip():
+    """4:2:2 / 4:2:0 encode (box-mean chroma downsample, Y 2x1 / 2x2
+    sampling factors) exercises the decoder's replication-upsample path
+    with REAL streams: exact dims at non-MCU-aligned sizes, PSNR floors,
+    luma nearly unaffected by the chroma subsampling, and restart
+    intervals must compose (bit-identical to the plain encode)."""
+    from rastertiler_rs_spark.jpeg.codec import encode_jpeg_rgb, jpeg_dims
+
+    yy, xx = np.mgrid[0:37, 0:46]
+    rgb = np.stack([(yy * 3 + xx * 2) % 256, (yy * 2 + xx * 5) % 256,
+                    (xx * 4) % 256], -1).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_rgb(rgb, 90))
+
+    def psnr(a, b):
+        mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+        return 10 * np.log10(255.0 ** 2 / mse) if mse else np.inf
+
+    for s, floor in [("422", 28.0), ("420", 27.0)]:
+        data = encode_jpeg_rgb(rgb, 90, sampling=s)
+        assert jpeg_dims(data) == (46, 37, 3)
+        dec = decode_jpeg(data)
+        assert dec.shape == rgb.shape
+        assert psnr(dec, rgb) > floor, s
+        # luma carries full resolution: Y of the subsampled decode stays
+        # close to the 4:4:4 decode's Y
+        ys = (0.299 * dec[:, :, 0] + 0.587 * dec[:, :, 1]
+              + 0.114 * dec[:, :, 2])
+        yb = (0.299 * base[:, :, 0] + 0.587 * base[:, :, 1]
+              + 0.114 * base[:, :, 2])
+        assert np.abs(ys - yb).mean() < 4.0, s
+        dec_r = decode_jpeg(encode_jpeg_rgb(rgb, 90, restart_interval=3,
+                                            sampling=s))
+        assert np.array_equal(dec_r, dec), s
+    with pytest.raises(ValueError, match="sampling"):
+        encode_jpeg_rgb(rgb, 90, sampling="411")

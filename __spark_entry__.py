@@ -1401,7 +1401,9 @@ def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-exact for solid frames at q90 (pinned for all 256 values in
     test_jpeg) — so a defect anywhere in mux→demux→huffman→IDCT
     arithmetic, in either container walk, flips the hash."""
-    from rastertiler_rs_spark.fixtures import avi_mjpeg_parquet, mjpeg_parquet
+    from rastertiler_rs_spark.fixtures import (avi_mjpeg_parquet,
+                                                mjpeg420_parquet,
+                                                mjpeg_parquet)
     from rastertiler_rs_spark.operators.multimodal import video_frame_stats
 
     cols = ["video_id", F.col("frame_no").cast("long").alias("frame_no"),
@@ -1410,8 +1412,14 @@ def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_px", "vsum", "vmin", "vmax", "checksum"]
     mp4 = spark.read.parquet(mjpeg_parquet(24))
     avi = spark.read.parquet(avi_mjpeg_parquet(16))
+    # SUBSAMPLED leg: solid-gray 4:2:0 / 4:2:2 color JPEGs — puts the
+    # 2x2/2x1 MCU walk + replication upsample + color inverse under the
+    # gate bit-exactly (solid gray: Cb=Cr=128, q90 DC exact; 3-channel
+    # flatten => n_px = 3*w*h in the twin)
+    sub = spark.read.parquet(mjpeg420_parquet(16))
     return (video_frame_stats(mp4, every_n=2).select(*cols)
-            .unionByName(video_frame_stats(avi, every_n=2).select(*cols)))
+            .unionByName(video_frame_stats(avi, every_n=2).select(*cols))
+            .unionByName(video_frame_stats(sub, every_n=2).select(*cols)))
 
 
 def q_audio_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3360,7 +3368,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT i, w, h, fno,
                      (31 * i + 13 * fno + 7) % 256 AS v,
                      CAST(w AS BIGINT) * h AS n_px
-              FROM af WHERE fno % 2 = 0)
+              FROM af WHERE fno % 2 = 0),
+            sp AS (
+              SELECT i,
+                     14 + (i % 3) * 9 AS w,
+                     10 + (i % 4) * 7 AS h,
+                     3 + (i % 3) AS n_frames
+              FROM (SELECT UNNEST(generate_series(0, 15)) AS i) c),
+            sf AS (
+              SELECT i, w, h, UNNEST(generate_series(0, n_frames - 1)) AS fno
+              FROM sp),
+            svs AS (
+              SELECT i, w, h, fno,
+                     (23 * i + 19 * fno + 11) % 256 AS v,
+                     3 * CAST(w AS BIGINT) * h AS n_px
+              FROM sf WHERE fno % 2 = 0)
             SELECT 'mjp' || lpad(CAST(i AS VARCHAR), 8, '0') AS video_id,
                    CAST(fno AS BIGINT) AS frame_no,
                    CAST(w AS BIGINT) AS w,
@@ -3382,6 +3404,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v AS BIGINT),
                    CAST(v * (n_px * (n_px + 1) // 2) AS BIGINT)
             FROM avs
+            UNION ALL
+            SELECT 'mj4' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(fno AS BIGINT),
+                   CAST(w AS BIGINT),
+                   CAST(h AS BIGINT),
+                   n_px,
+                   CAST(v * n_px AS BIGINT),
+                   CAST(v AS BIGINT),
+                   CAST(v AS BIGINT),
+                   CAST(v * (n_px * (n_px + 1) // 2) AS BIGINT)
+            FROM svs
         """,
         "audio_features": """
             WITH p AS (

@@ -278,6 +278,53 @@ def generate_mjpeg_videos(n: int):
     })
 
 
+def mjpeg420_params(i: int) -> tuple[int, int, int]:
+    """(w, h, n_frames) for the SUBSAMPLED Motion-JPEG fixture —
+    non-MCU-aligned sizes so the 16x16/16x8 MCU walk pads."""
+    return 14 + (i % 3) * 9, 10 + (i % 4) * 7, 3 + (i % 3)
+
+
+def generate_mjpeg420_videos(n: int):
+    """Motion-JPEG MP4s whose samples are SUBSAMPLED color JPEGs
+    (4:2:0 for even i, 4:2:2 for odd) of solid-gray frames
+    v = (23i + 19f + 11) % 256. Solid gray ⇒ Cb=Cr=128 exactly, the
+    box-mean downsample is the identity, and the q90 DC round-trip is
+    bit-exact for all 256 values (pinned in test_jpeg) — so decoded
+    pixel stats stay closed-form for the SQL twin while exercising the
+    2x2/2x1 MCU walk and replication upsample end to end."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .jpeg import encode_jpeg_rgb
+    from .media import encode_mp4
+
+    ids, blobs = [], []
+    for i in range(n):
+        w, h, n_frames = mjpeg420_params(i)
+        sampling = "420" if i % 2 == 0 else "422"
+        frames = [encode_jpeg_rgb(
+            np.full((h, w, 3), (23 * i + 19 * f + 11) % 256, np.uint8),
+            quality=90, sampling=sampling) for f in range(n_frames)]
+        ids.append(f"mj4{i:08d}")
+        blobs.append(encode_mp4(frames, w, h, fps=10, codec=b"jpeg"))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["mp4;jpeg"] * n, pa.string()),
+    })
+
+
+def mjpeg420_parquet(n: int,
+                     cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"mjpeg420_{n}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_mjpeg420_videos(n), path, row_group_size=256)
+    return path
+
+
 def mjpeg_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
     import pyarrow.parquet as pq
 

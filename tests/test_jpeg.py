@@ -301,3 +301,17 @@ def test_subsampled_encode_roundtrip():
         assert np.array_equal(dec_r, dec), s
     with pytest.raises(ValueError, match="sampling"):
         encode_jpeg_rgb(rgb, 90, sampling="411")
+
+
+def test_subsampled_solid_exact_all_values():
+    """Solid-GRAY color frames (Cb=Cr=128 exactly, box-mean identity)
+    round-trip bit-exactly through 4:2:0 and 4:2:2 at q90 for every
+    pixel value — the premise the video_pixels_mjpeg subsampled gate
+    leg's closed-form twin relies on."""
+    from rastertiler_rs_spark.jpeg.codec import encode_jpeg_rgb
+
+    for v in range(0, 256, 1):
+        rgb = np.full((12, 20, 3), v, np.uint8)
+        for s in ("420", "422"):
+            dec = decode_jpeg(encode_jpeg_rgb(rgb, 90, sampling=s))
+            assert dec.shape == (12, 20, 3) and (dec == v).all(), (v, s)

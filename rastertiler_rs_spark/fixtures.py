@@ -158,14 +158,20 @@ def generate_audio(n: int):
     })
 
 
-def audio_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+def _cached_parquet(name: str, table_fn, n: int, cache_dir: str) -> str:
+    """One copy of the fixture parquet cache convention (path scheme,
+    row-group size, write-once) shared by every *_parquet helper."""
     import pyarrow.parquet as pq
 
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"audio_{n}.parquet")
+    path = os.path.join(cache_dir, f"{name}_{n}.parquet")
     if not os.path.exists(path):
-        pq.write_table(generate_audio(n), path, row_group_size=256)
+        pq.write_table(table_fn(n), path, row_group_size=256)
     return path
+
+
+def audio_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    return _cached_parquet("audio", generate_audio, n, cache_dir)
 
 
 def video_params(i: int) -> tuple[int, int, int, int]:
@@ -224,13 +230,7 @@ def generate_videos(n: int):
 
 
 def videos_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
-    import pyarrow.parquet as pq
-
-    os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"videos_{n}.parquet")
-    if not os.path.exists(path):
-        pq.write_table(generate_videos(n), path, row_group_size=256)
-    return path
+    return _cached_parquet("videos", generate_videos, n, cache_dir)
 
 
 def mjpeg_params(i: int) -> tuple[int, int, int, int]:
@@ -316,23 +316,11 @@ def generate_mjpeg420_videos(n: int):
 
 def mjpeg420_parquet(n: int,
                      cache_dir: str = "/root/repo/.fixture_cache") -> str:
-    import pyarrow.parquet as pq
-
-    os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"mjpeg420_{n}.parquet")
-    if not os.path.exists(path):
-        pq.write_table(generate_mjpeg420_videos(n), path, row_group_size=256)
-    return path
+    return _cached_parquet("mjpeg420", generate_mjpeg420_videos, n, cache_dir)
 
 
 def mjpeg_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
-    import pyarrow.parquet as pq
-
-    os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"mjpeg_{n}.parquet")
-    if not os.path.exists(path):
-        pq.write_table(generate_mjpeg_videos(n), path, row_group_size=256)
-    return path
+    return _cached_parquet("mjpeg", generate_mjpeg_videos, n, cache_dir)
 
 
 def avi_params(i: int) -> tuple[int, int, int, int]:
@@ -384,13 +372,7 @@ def generate_avi_videos(n: int):
 
 
 def avi_videos_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
-    import pyarrow.parquet as pq
-
-    os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"avi_videos_{n}.parquet")
-    if not os.path.exists(path):
-        pq.write_table(generate_avi_videos(n), path, row_group_size=256)
-    return path
+    return _cached_parquet("avi_videos", generate_avi_videos, n, cache_dir)
 
 
 def avi_mjpeg_params(i: int) -> tuple[int, int, int, int]:
@@ -438,13 +420,7 @@ def generate_avi_mjpeg(n: int):
 
 
 def avi_mjpeg_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
-    import pyarrow.parquet as pq
-
-    os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"avi_mjpeg_{n}.parquet")
-    if not os.path.exists(path):
-        pq.write_table(generate_avi_mjpeg(n), path, row_group_size=256)
-    return path
+    return _cached_parquet("avi_mjpeg", generate_avi_mjpeg, n, cache_dir)
 
 
 def mp3_params(i: int) -> tuple[int, int, int, int, int]:
@@ -489,13 +465,7 @@ def generate_mp3(n: int):
 
 
 def mp3_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
-    import pyarrow.parquet as pq
-
-    os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"mp3_{n}.parquet")
-    if not os.path.exists(path):
-        pq.write_table(generate_mp3(n), path, row_group_size=256)
-    return path
+    return _cached_parquet("mp3", generate_mp3, n, cache_dir)
 
 
 def mp3_payload_params(i: int) -> tuple[int, int, int]:
@@ -551,13 +521,7 @@ def generate_mp3_payload(n: int):
 
 def mp3_payload_parquet(n: int,
                         cache_dir: str = "/root/repo/.fixture_cache") -> str:
-    import pyarrow.parquet as pq
-
-    os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"mp3_payload_{n}.parquet")
-    if not os.path.exists(path):
-        pq.write_table(generate_mp3_payload(n), path, row_group_size=256)
-    return path
+    return _cached_parquet("mp3_payload", generate_mp3_payload, n, cache_dir)
 
 
 def generate_images(n: int, dtype_tag: str = "u8"):

@@ -270,7 +270,9 @@ def encode_jpeg_gray(band: np.ndarray, quality: int = 90,
     out += _marker(0xFFDA, struct.pack(">B", 1) + bytes([1, 0x00]) + bytes([0, 63, 0]))
     blocks = _tile_blocks(band)
     dc, ac = _build_code_table(*_DC_L), _build_code_table(*_AC_L)
-    ri = restart_interval or blocks.shape[0]
+    # max(..., 1): an empty band still yields a well-formed stream
+    # (header + empty entropy + EOI), not a zero-step range()
+    ri = restart_interval or max(blocks.shape[0], 1)
     ent = bytearray()
     rst = 0
     for start in range(0, blocks.shape[0], ri):

@@ -98,6 +98,13 @@ def probe_mp3(data: bytes) -> dict:
             sample_rate, channels = sr, ch
         elif sr != sample_rate:
             raise ValueError(f"mixed sample rates at byte {pos}: {sr} vs {sample_rate}")
+        elif ch != channels:
+            # mode 00/01/10 may vary frame-to-frame (all 2-channel), but
+            # a mono/stereo CHANNEL-COUNT change flips the side-info size
+            # (17 vs 32 bytes) — stream metadata and any payload decode
+            # would silently mis-parse, so refuse like mixed rates
+            raise ValueError(
+                f"mixed channel counts at byte {pos}: {ch} vs {channels}")
         flen = _frame_len(br, sr, bool((h >> 9) & 1))
         if pos + flen > len(data):
             raise ValueError(f"truncated final frame at byte {pos}")

@@ -315,3 +315,11 @@ def test_subsampled_solid_exact_all_values():
         for s in ("420", "422"):
             dec = decode_jpeg(encode_jpeg_rgb(rgb, 90, sampling=s))
             assert dec.shape == (12, 20, 3) and (dec == v).all(), (v, s)
+
+
+def test_empty_band_still_wellformed():
+    """A zero-area band yields a well-formed (header + EOI) stream
+    whose dims parse back — regression: the restart refactor briefly
+    turned this into a zero-step range() crash."""
+    data = encode_jpeg_gray(np.zeros((0, 5), np.uint8), 90)
+    assert jpeg_dims(data) == (5, 0, 1)

@@ -833,3 +833,18 @@ def test_l3_ms_stereo_and_scfsi():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="scfsi"):
         encode_mp3_l3(bad, 44100, 2, ms_stereo=True, scfsi=scfsi)
+
+
+def test_mp3_mixed_channel_counts_rejected():
+    """A mono/stereo channel-count change mid-stream flips the side-info
+    size (17 vs 32 bytes): probe/decode must refuse like mixed rates,
+    never mis-parse. Mode changes among the 2-channel modes stay legal."""
+    mono = encode_mp3(2, 128, 44100, 1)
+    stereo = encode_mp3(2, 128, 44100, 2)
+    with pytest.raises(ValueError, match="mixed channel counts"):
+        probe_mp3(stereo + mono)
+    # stereo (00) -> joint stereo (01): same channel count, accepted
+    js = bytearray(stereo)
+    js[3] = (js[3] & 0x3F) | (0b01 << 6)
+    combined = bytes(js) + stereo
+    assert probe_mp3(combined)["channels"] == 2

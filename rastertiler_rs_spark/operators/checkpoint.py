@@ -61,7 +61,7 @@ def committed_batches(out_dir: str) -> set[tuple[int, int]]:
         return set()
     out = set()
     for fn in os.listdir(mdir):
-        if fn.endswith(".json"):
+        if fn.startswith("zoom=") and fn.endswith(".json"):
             z, xb = fn[:-5].split("_")
             out.add((int(z.split("=")[1]), int(xb.split("=")[1])))
     return out
@@ -109,6 +109,30 @@ def render_checkpointed(
     Returns the list of batches committed BY THIS CALL.
     ``fail_after_batches`` injects a crash for kill/rerun tests.
     """
+    # Pin the parameters that define batch content/identity: a resume
+    # under different ones would silently mix incompatible batches into
+    # one table (committed batches keep the old tile_size/encoding,
+    # new batches render under the new). Zoom RANGE is deliberately not
+    # pinned — batches are per-(zoom, xblock) and independent, so
+    # extending the range on a rerun is safe.
+    params = {"tile_size": tile_size, "dtype_tag": dtype_tag,
+              "colormap_str": colormap_str, "split_zoom": split_zoom}
+    pfile = os.path.join(out_dir, "manifest", "params.json")
+    if os.path.exists(pfile):
+        with open(pfile) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise ValueError(
+                f"resume parameter mismatch for {out_dir}: committed "
+                f"batches were rendered with {prev}, this call passed "
+                f"{params}; use a fresh out_dir (or the original "
+                "parameters) — mixing would silently corrupt the table")
+    else:
+        os.makedirs(os.path.dirname(pfile), exist_ok=True)
+        _tmp = pfile + ".tmp"
+        with open(_tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(_tmp, pfile)
     done = committed_batches(out_dir)
     committed_now: list[tuple[int, int]] = []
     images_fp = with_footprints(images)

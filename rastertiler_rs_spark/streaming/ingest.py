@@ -156,13 +156,20 @@ def open_tiles(spark: SparkSession, out_dir: str) -> DataFrame:
     spark.read.parquet would silently miss that data (and the `.old`
     dir poisons hive partition type inference). External readers (CLI,
     mbtiles materialization, ad-hoc queries) should come through here;
-    the streaming batches run the same repair at entry."""
+    the streaming batches run the same repair at entry.
+
+    Single-writer caveat: the repair here can race an ACTIVE stream's
+    swap window (restoring/dropping an `.old` the writer is mid-rename
+    on), which makes that micro-batch fail and replay — no data is
+    lost (replay is byte-idempotent), but external reads against a LIVE
+    stream should expect occasional batch replays; for guaranteed-quiet
+    reads, stop the stream or read a snapshot copy."""
     tiles_path = os.path.join(out_dir, "tiles")
     _recover_swap(tiles_path)
     return spark.read.parquet(tiles_path)
 
 
-def _combine_fn(tile_size: int, dtype_tag: str, colormap_str: str | None = None):
+def _combine_fn(dtype_tag: str, colormap_str: str | None = None):
     """Paste the new tile over the old: per pixel, new wins where it has
     data; nodata holes in the new tile keep the old pixels.
 
@@ -171,7 +178,15 @@ def _combine_fn(tile_size: int, dtype_tag: str, colormap_str: str | None = None)
     encoder maps unmapped values to index 0 (= nodata slot, P4), which
     cannot round-trip; with a partial colormap an incremental upsert
     would resurrect old pixels under later data. Batch render has no
-    such constraint (it mosaics raw values before encoding)."""
+    such constraint (it mosaics raw values before encoding).
+
+    u32 domain: the decode-back is lossless because the engine's u32
+    pixel domain is 24-bit end to end — u32 inputs enter through the
+    engine's PNG-RGB container (3 bytes/pixel) and the encoder's
+    truncating cast is the reference's own rule (png/color.rs:28-35),
+    so a value >= 2^24 (whose truncation could alias NODATA and
+    resurrect old pixels here) cannot be represented in any supported
+    input."""
     from ..png import Colormap
 
     np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
@@ -208,7 +223,7 @@ def _touched_partitions(new: DataFrame) -> list[tuple[int, int]]:
             new.select("zoom", _xb_col()).distinct().collect()]
 
 
-def _merge_into_touched(new: DataFrame, tiles_path: str, tile_size: int,
+def _merge_into_touched(new: DataFrame, tiles_path: str,
                         dtype_tag: str, colormap_str: str | None = None,
                         touched: list[tuple[int, int]] | None = None) -> DataFrame:
     """Copy-on-write merge scoped to the batch's partitions: read ONLY
@@ -232,7 +247,7 @@ def _merge_into_touched(new: DataFrame, tiles_path: str, tile_size: int,
         old.select(*key, F.col("png").alias("old_png"))
         .join(new.select(*key, F.col("png").alias("new_png")), key, "inner")
     )
-    combined = both.mapInPandas(_combine_fn(tile_size, dtype_tag, colormap_str),
+    combined = both.mapInPandas(_combine_fn(dtype_tag, colormap_str),
                                 "zoom int, x long, y long, png binary")
     flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
     combined = (
@@ -263,14 +278,19 @@ def _prev_manifest(out_dir: str) -> tuple[int, int] | None:
     manifest_dir = os.path.join(out_dir, "manifest")
     if not os.path.isdir(manifest_dir):
         return None
-    best = None
-    for name in os.listdir(manifest_dir):
+    best_id = -1
+    for name in os.listdir(manifest_dir):  # max id from the FILENAME —
+        # opening+parsing every manifest would be O(total batches) per
+        # batch, O(n^2) over a long stream's life
         if name.startswith("batch=") and name.endswith(".json"):
-            with open(os.path.join(manifest_dir, name)) as f:
-                d = json.load(f)
-            if best is None or d["batch_id"] > best[0]:
-                best = (d["batch_id"], d["rows"])
-    return best
+            try:
+                best_id = max(best_id, int(name[len("batch="):-len(".json")]))
+            except ValueError:
+                continue
+    if best_id < 0:
+        return None
+    with open(os.path.join(manifest_dir, f"batch={best_id}.json")) as f:
+        return (best_id, json.load(f)["rows"])
 
 
 def _manifest_rows(out_dir: str, tiles_path: str, batch_id: int, delta: int,
@@ -313,7 +333,7 @@ def _upsert_batch(batch_df: DataFrame, out_dir: str, minzoom: int, maxzoom: int,
     staged = tiles_path + ".staged"
     try:
         if _tiles_exists(tiles_path):
-            merged = _merge_into_touched(new, tiles_path, tile_size, dtype_tag,
+            merged = _merge_into_touched(new, tiles_path, dtype_tag,
                                          colormap_str)
         else:
             merged = new
@@ -379,7 +399,7 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
     try:
         touched = _touched_partitions(new)
         if _tiles_exists(tiles_path):
-            merged = _merge_into_touched(new, tiles_path, tile_size, dtype_tag,
+            merged = _merge_into_touched(new, tiles_path, dtype_tag,
                                          colormap_str, touched=touched)
         else:
             merged = new
@@ -395,8 +415,13 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
 
     # phase 2: recascade ONLY the dirty base stripes from the LIVE
     # merged base level (materialized boundary — see docstring).
-    if minzoom < base:
-        dirty_bs = sorted({b for z, b in touched if z == base})
+    # dirty_bs empty means the batch changed no base tiles (e.g. every
+    # image rendered all-nodata): the cascade below base is unchanged,
+    # and the _tiles_exists guard keeps a zero-tile FIRST batch from
+    # reading an empty parquet dir (UNABLE_TO_INFER_SCHEMA would crash
+    # the batch and deterministic replay would re-crash it forever).
+    dirty_bs = sorted({b for z, b in touched if z == base})
+    if minzoom < base and dirty_bs and _tiles_exists(tiles_path):
         staged2 = tiles_path + ".staged2"
         cascade_cached: list[DataFrame] = []
         try:
@@ -429,9 +454,15 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
                         (F.col("zoom") == mid_floor)
                         & ~F.col("x").isin([int(b) for b in dirty_bs])
                     ).select(*_TILE_COLS)
+                    # persist (not localCheckpoint): cascade_down
+                    # forks it per level, and persist both prevents the
+                    # python-stage re-execution AND is freed in the
+                    # finally below (checkpoint blocks would linger
+                    # until driver GC, one leak per micro-batch)
                     full_mid = (mid.filter(F.col("zoom") == mid_floor)
                                 .select(*_TILE_COLS).unionByName(old_mid)
-                                .localCheckpoint())
+                                .persist())
+                    cascade_cached.append(full_mid)
                     tiny = cascade_down(full_mid, minzoom, tile_size, dtype_tag,
                                         colormap_str, top_zoom=mid_floor,
                                         persisted=cascade_cached)

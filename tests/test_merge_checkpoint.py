@@ -115,3 +115,25 @@ def test_checkpoint_block_pruning_shrinks_render_input(spark):
     ranged = tile_range_cols(imgs.withColumn("zoom", F.lit(12)))
     want_ids = {r["image_id"] for r in ranged.select("image_id").collect()}
     assert kept_ids == want_ids
+
+
+def test_resume_rejects_changed_parameters(spark, tmp_path):
+    """Resuming a checkpointed render with different tile_size/dtype/
+    colormap/split_zoom must raise, not silently mix incompatible
+    batches; extending the ZOOM RANGE stays legal (batches are
+    per-(zoom, xblock) and independent)."""
+    import pytest as _pytest
+
+    imgs = spark.createDataFrame(generate_images(8, "u8").to_pandas())
+    out = str(tmp_path / "ckpt")
+    with _pytest.raises(RuntimeError):
+        render_checkpointed(spark, imgs, out, 2, 4, 64,
+                            fail_after_batches=1)
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        render_checkpointed(spark, imgs, out, 2, 4, 128)
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        render_checkpointed(spark, imgs, out, 2, 4, 64, split_zoom=5)
+    # same params: finishes the plan; wider zoom range: allowed
+    render_checkpointed(spark, imgs, out, 2, 4, 64)
+    extra = render_checkpointed(spark, imgs, out, 2, 5, 64)
+    assert (5, 0) in extra

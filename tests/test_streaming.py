@@ -313,3 +313,36 @@ def test_open_tiles_repairs_before_read(spark, tmp_path):
     os.rename(victim, str(victim) + ".old")
     assert open_tiles(spark, str(out)).count() == full
     assert os.path.isdir(victim)  # restored on disk, not just in-session
+
+
+def test_pyramid_zero_tile_first_batch_does_not_wedge(spark, tmp_path):
+    """A first micro-batch whose images are ALL entirely-nodata renders
+    zero tiles: phase 2 must not read the (empty/absent) tiles table —
+    regression for a permanent wedge (UNABLE_TO_INFER_SCHEMA on every
+    deterministic replay). A following real batch then builds the
+    pyramid normally."""
+    from rastertiler_rs_spark.operators.overview import render_pyramid
+    from rastertiler_rs_spark.streaming.ingest import (_pending_marker,
+                                                       _upsert_pyramid_batch)
+
+    out = tmp_path / "out"
+    imgs = generate_images(16, "u8")
+    pdf = imgs.to_pandas()
+    # fixture hole rule: indices 2, 9, 10, 11, 12 are entirely nodata
+    nodata_ids = [f"img{i:08d}" for i in (2, 9, 10, 11, 12)]
+    df_empty = spark.createDataFrame(pdf[pdf.image_id.isin(nodata_ids)])
+    df_real = spark.createDataFrame(pdf[~pdf.image_id.isin(nodata_ids)])
+
+    _upsert_pyramid_batch(df_empty, str(out), 2, 8, 7, 64, "u8", 0)
+    assert not os.path.exists(_pending_marker(str(out)))
+    assert json.load(open(out / "manifest" / "batch=0.json"))["rows"] == 0
+
+    _upsert_pyramid_batch(df_real, str(out), 2, 8, 7, 64, "u8", 1)
+    got = {(r["zoom"], r["x"], r["y"]): r["tile_hash"]
+           for r in spark.read.parquet(str(out / "tiles"))
+           .select("zoom", "x", "y", "tile_hash").collect()}
+    want = {(r["zoom"], r["x"], r["y"]): r["tile_hash"]
+            for r in render_pyramid(df_real, 2, 8, tile_size=64,
+                                    dtype_tag="u8", overview_below=7)
+            .select("zoom", "x", "y", "tile_hash").collect()}
+    assert got == want

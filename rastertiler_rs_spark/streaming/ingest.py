@@ -197,14 +197,23 @@ def _combine_fn(dtype_tag: str, colormap_str: str | None = None):
         for pdf in batches:
             out = {"zoom": [], "x": [], "y": [], "png": []}
             for row in pdf.itertuples(index=False):
-                old = decode_canvas(bytes(row.old_png), dtype_tag, colormap)
-                new = decode_canvas(bytes(row.new_png), dtype_tag, colormap)
-                mask = new != np_dtype(NODATA)
-                old[mask] = new[mask]
+                # a null side = no key collision (full-outer pass-through):
+                # the surviving PNG is already the right bytes verbatim
+                if row.old_png is None or row.new_png is None:
+                    png = bytes(row.new_png if row.old_png is None
+                                else row.old_png)
+                else:
+                    old = decode_canvas(bytes(row.old_png), dtype_tag,
+                                        colormap)
+                    new = decode_canvas(bytes(row.new_png), dtype_tag,
+                                        colormap)
+                    mask = new != np_dtype(NODATA)
+                    old[mask] = new[mask]
+                    png = encode_tile(old, dtype_tag, NODATA, colormap)
                 out["zoom"].append(int(row.zoom))
                 out["x"].append(int(row.x))
                 out["y"].append(int(row.y))
-                out["png"].append(encode_tile(old, dtype_tag, NODATA, colormap))
+                out["png"].append(png)
             yield pd.DataFrame(out)
 
     return fn
@@ -239,23 +248,26 @@ def _merge_into_touched(new: DataFrame, tiles_path: str,
     for z, b in touched:
         pred = pred | ((F.col("zoom") == z) & (F.col("xb") == b))
     # zoom/xb are hive partition columns: this disjunction prunes to the
-    # touched directories at scan planning, no data files elsewhere open
-    old = spark.read.parquet(tiles_path).filter(pred).select(*_TILE_COLS)
-    old_only = old.join(new.select(*key), key, "left_anti")
-    new_only = new.join(old.select(*key), key, "left_anti")
-    both = (
-        old.select(*key, F.col("png").alias("old_png"))
-        .join(new.select(*key, F.col("png").alias("new_png")), key, "inner")
-    )
-    combined = both.mapInPandas(_combine_fn(dtype_tag, colormap_str),
+    # touched directories at scan planning, no data files elsewhere open.
+    # ONE full-outer join, with old-only/new-only pass-through decided
+    # INSIDE the single python stage: the previous anti/anti/inner
+    #3-join shape scanned the byte-heavy touched partitions three
+    # times per micro-batch (exchange/scan reuse does not happen under
+    # python-stage consumers — CLAUDE.md), and a JVM-side filter fork
+    # of the joined frame would re-execute the join per branch for the
+    # same reason.
+    old = spark.read.parquet(tiles_path).filter(pred) \
+        .select(*key, F.col("png").alias("old_png"))
+    joined = old.join(new.select(*key, F.col("png").alias("new_png")),
+                      key, "full_outer")
+    merged = joined.mapInPandas(_combine_fn(dtype_tag, colormap_str),
                                 "zoom int, x long, y long, png binary")
     flip = F.expr("shiftleft(1L, zoom)") - 1 - F.col("y")
-    combined = (
-        combined.withColumn("tile_row", flip)
+    return (
+        merged.withColumn("tile_row", flip)
         .withColumn("tile_hash", F.xxhash64("png"))
         .select(*_TILE_COLS)
     )
-    return old_only.unionByName(new_only).unionByName(combined)
 
 
 def _write_staged(df: DataFrame, staged: str) -> None:

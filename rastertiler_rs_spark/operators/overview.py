@@ -29,6 +29,36 @@ from ..kernel import encode_tile
 from ..png import Colormap, decode_png
 
 
+def validate_cascade_colormap(colormap_str: str | None) -> None:
+    """Fail fast on u8 colormaps that do not cover EVERY possible data
+    value — the STREAM-entry rule: the incremental upsert decodes
+    stored paletted tiles back to values, the paletted encoder maps
+    unmapped values to index 0 (the nodata slot, P4), and with open-
+    ended streamed inputs an unmapped value would silently resurrect
+    old pixels underneath real data. A complete map always fits (256
+    palette slots with nodata pinned at index 0).
+
+    The BATCH cascade deliberately does NOT enforce this: the standard
+    classified-raster use is a colormap covering exactly the values
+    that occur (reference P4 behavior), which is lossless for that
+    data. Its contract is documented on cascade_down/cascade_fragments:
+    values outside the map were already encoded to the nodata slot by
+    the DIRECT base render, and the cascade treats them as nodata."""
+    if colormap_str is None:
+        return
+    from ..png import Colormap
+
+    cm = Colormap.parse(colormap_str, NODATA)
+    missing = [v for v in range(256) if v != NODATA and v not in cm.values]
+    if missing:
+        raise ValueError(
+            "decode-back pipelines (overview cascade / streaming upsert) "
+            "require a colormap covering every possible data value "
+            "(unmapped values encode to palette index 0 = nodata and "
+            f"cannot round-trip); missing {len(missing)} values, first "
+            f"few: {missing[:5]}")
+
+
 def decode_canvas(png_bytes: bytes, dtype_tag: str, colormap: Colormap | None = None,
                   nodata: int = NODATA) -> np.ndarray:
     """Invert encode_tile: PNG bytes → the value canvas that produced it.
@@ -213,7 +243,17 @@ def cascade_down(
     top_zoom: int | None = None,
     persisted: list | None = None,
 ) -> DataFrame:
-    """Cascade a single-zoom fused tile level down to ``minzoom``,
+    """Cascade a single-zoom fused tile level down to ``minzoom``.
+
+    Colormap contract: the cascade decodes stored paletted PNGs back to
+    values, so a user colormap must cover every value that OCCURS in
+    the data (the standard classified-raster use). Values outside the
+    map were already encoded to the nodata slot by the direct base
+    render (reference P4 lookup-default-0) and cascade as nodata;
+    open-ended inputs should use the stream rule
+    (validate_cascade_colormap) instead.
+
+    Cascades a level down to ``minzoom``,
     ``span`` zoom levels per Python stage (subtree groups of <= 4^span
     children bound task memory at ~4^span * tile_size^2 bytes). Returns
     the union of all levels BELOW the input level. Each stage's output
@@ -394,18 +434,31 @@ def cascade_fragments(
         top_zoom = fused_top.select(F.max("zoom")).collect()[0][0]
     if top_zoom is None or top_zoom <= minzoom:
         return fused_top.filter(F.lit(False))
-    if (1 << (top_zoom - minzoom)) > tile_size:
+    if (1 << (top_zoom - minzoom)) > tile_size \
+            or tile_size % (1 << (top_zoom - minzoom)) != 0:
+        # the strided-fragment identity needs fw = tile_size >> span to
+        # TILE the canvas exactly: a non-divisible tile_size would leave
+        # the last (tile_size mod 2^span) rows/cols of every parent
+        # canvas unwritten (permanent nodata stripes)
         raise ValueError(
-            f"cascade_fragments: span {top_zoom - minzoom} exceeds "
-            f"log2(tile_size={tile_size}) — chain cascade_down below "
-            f"zoom {top_zoom - tile_size.bit_length() + 1}")
+            f"cascade_fragments: tile_size={tile_size} must be a "
+            f"multiple of 2^span (span {top_zoom - minzoom}) — chain "
+            "cascade_down for the remaining zooms")
     # task count ~= cores, NOT the renderer's cores*8: pyspark pays a
     # measured ~10 ms of SERIAL dispatch per python task (local-mode
     # driver handshake; a 256-task no-op python stage costs ~2.5 s wall
     # at local[32] regardless of data), and these stages have no
     # straggler tail worth packing — per-group work is tiny and uniform
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    frags = fused_top.select("x", "y", "png").coalesce(n_parts).mapInPandas(
+    top = fused_top.select("x", "y", "png")
+    # coalesce can only REDUCE partitions: a narrow input (e.g. a small
+    # pruned sink scan) would run the decode-heavy emit stage on its
+    # 2-4 scan splits; pay the exchange only in that case
+    if top.rdd.getNumPartitions() < n_parts:
+        top = top.repartition(n_parts)
+    else:
+        top = top.coalesce(n_parts)
+    frags = top.mapInPandas(
         _fragment_emit_fn(top_zoom, minzoom, tile_size, dtype_tag,
                           colormap_str, NODATA),
         _FRAG_SCHEMA,
@@ -468,9 +521,14 @@ def render_pyramid_to_sink(
     full.write.mode("overwrite").partitionBy("zoom").parquet(tiles_path)
     base_level = spark.read.parquet(tiles_path).filter(
         F.col("zoom") == base)  # prunes to the zoom=<base> directory
-    low = cascade_down(base_level, minzoom, tile_size, dtype_tag,
-                       colormap_str, top_zoom=base)
-    low.write.mode("append").partitionBy("zoom").parquet(tiles_path)
+    cached: list = []
+    try:
+        low = cascade_down(base_level, minzoom, tile_size, dtype_tag,
+                           colormap_str, top_zoom=base, persisted=cached)
+        low.write.mode("append").partitionBy("zoom").parquet(tiles_path)
+    finally:
+        for df in cached:  # free per-stage caches once the sink has them
+            df.unpersist()
     return spark.read.parquet(tiles_path)
 
 
@@ -535,7 +593,8 @@ def render_pyramid(
     if persisted is not None:
         persisted.append(shared)
     base_level = shared.filter(F.col("zoom") == base)
-    if (1 << (base - minzoom)) <= tile_size:
+    if (1 << (base - minzoom)) <= tile_size \
+            and tile_size % (1 << (base - minzoom)) == 0:
         # one-shot fragment cascade: 2 python stages + 1 shuffle total
         # for ALL low zooms (vs exchange+python PER span-4 step) — the
         # per-level stage floors made the cascade nearly parallelism-

@@ -186,7 +186,8 @@ _KERNEL_SCHEMA = (
 )
 
 
-def _kernel_all_zooms_fn(minzoom: int, maxzoom: int, tile_size: int):
+def _kernel_all_zooms_fn(minzoom: int, maxzoom: int, tile_size: int,
+                         use_input_ord: bool = False):
     """Fused manifest+kernel: one input row per image, PNG bytes cross
     the Arrow boundary ONCE, decode happens once, and the per-zoom tile
     ranges are enumerated in-process (same tile_range math as the
@@ -204,7 +205,12 @@ def _kernel_all_zooms_fn(minzoom: int, maxzoom: int, tile_size: int):
                    ("zoom", "x", "y", "image_id", "img_ord", "left", "top", "bw", "bh", "block")}
             for row in pdf.itertuples(index=False):
                 band = decode_band(bytes(row.bytes), row.fmt)
-                img_ord = int(image_index(row.image_id))
+                # ord64 (order-preserving key from a distributed sort)
+                # when the caller joined one on; else the fixture-scheme
+                # parse — int order == string order only for the exact
+                # 'img' + 8-digit form (render() checks before choosing)
+                img_ord = (int(row.ord64) if use_input_ord
+                           else int(image_index(row.image_id)))
                 for zoom in range(minzoom, maxzoom + 1):
                     r = tm.tile_range(zoom, row.minx, row.miny, row.maxx, row.maxy)
                     for _, tx, ty in tm.tile_range_iter(zoom, *r):
@@ -323,7 +329,13 @@ def _cell_stream_fn(pz: int, zlo: int, zhi: int, tile_size: int,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         colormap = Colormap.parse(colormap_str, NODATA) if colormap_str else None
         out = {"zoom": [], "x": [], "y": [], "png": []}
-        pending: pd.DataFrame | None = None
+        # boundary group carried as a LIST of batch slices, concatenated
+        # ONCE when the group closes: re-concatenating the accumulated
+        # group onto every following batch goes quadratic on a dense
+        # cell spanning many Arrow batches (the same trap the fragment
+        # assembler documents) — this form is O(group) total copies
+        pend_chunks: list[pd.DataFrame] = []
+        pend_key: int | None = None
 
         def flush():
             df = pd.DataFrame(out)
@@ -331,29 +343,81 @@ def _cell_stream_fn(pz: int, zlo: int, zhi: int, tile_size: int,
                 out[k] = []
             return df
 
+        def close_group():
+            grp = (pend_chunks[0] if len(pend_chunks) == 1
+                   else pd.concat(pend_chunks, ignore_index=True))
+            _render_cell(grp, pz, zlo, zhi, tile_size, dtype_tag,
+                         np_dtype, colormap, out)
+            pend_chunks.clear()
+
         for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            # contiguous runs of (cx, cy); the last run may spill into the
-            # next batch — hold it back
+            if not len(pdf):
+                continue
+            # contiguous runs of (cx, cy); the last run may spill into
+            # the next batch — keep it pending
             key = pdf["cx"].to_numpy() * (1 << 32) + pdf["cy"].to_numpy()
             cuts = np.flatnonzero(key[1:] != key[:-1]) + 1
             starts = np.concatenate(([0], cuts))
             ends = np.concatenate((cuts, [len(pdf)]))
-            for s, e in zip(starts[:-1], ends[:-1]):
-                _render_cell(pdf.iloc[s:e], pz, zlo, zhi, tile_size,
-                             dtype_tag, np_dtype, colormap, out)
+            for s, e in zip(starts, ends):
+                k = int(key[s])
+                if pend_chunks and k != pend_key:
+                    close_group()
+                pend_chunks.append(pdf.iloc[s:e])
+                pend_key = k
+                if e < len(pdf):  # a later run exists: this group is done
+                    close_group()
                 if len(out["zoom"]) >= flush_rows:
                     yield flush()
-            pending = pdf.iloc[starts[-1]:].copy()
-        if pending is not None and len(pending):
-            _render_cell(pending, pz, zlo, zhi, tile_size, dtype_tag,
-                         np_dtype, colormap, out)
+        if pend_chunks:
+            close_group()
         if out["zoom"]:
             yield flush()
 
     return fn
+
+
+def _fold_partial(contribs, tile_size: int, np_dtype):
+    """Fold one salt bucket's contributions into a (canvas, winner)
+    partial: paste ascending by img_ord so winner[p] is the MAX img_ord
+    with data at p — associative+commutative, so partials from any
+    bucket split merge exactly. Returns None when the bucket carried
+    only nodata. ONE copy of the winner rule, shared by the explicit
+    salt path and the auto router (a drifted duplicate would break the
+    salted-vs-plain byte parity on only one path)."""
+    canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
+    winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
+    for c in sorted(contribs, key=lambda c: int(c["img_ord"])):
+        left, top = int(c["left"]), int(c["top"])
+        bw, bh = int(c["bw"]), int(c["bh"])
+        block = np.frombuffer(c["block"], dtype=np_dtype).reshape(bh, bw)
+        mask = block != NODATA
+        if not mask.any():
+            continue
+        canvas[top:top + bh, left:left + bw][mask] = block[mask]
+        winner[top:top + bh, left:left + bw][mask] = int(c["img_ord"])
+    if (winner == -1).all():
+        return None
+    return canvas, winner
+
+
+def _argmax_merge(parts, tile_size: int, np_dtype):
+    """Pixelwise argmax-merge of (canvas, winner) partials (the other
+    half of the _fold_partial contract). Returns None when every partial
+    pixel is nodata."""
+    canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
+    winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
+    for p in parts:
+        c = np.frombuffer(p["canvas"], dtype=np_dtype).reshape(
+            tile_size, tile_size)
+        w = np.frombuffer(p["winner"], dtype=np.int64).reshape(
+            tile_size, tile_size)
+        take = w > winner
+        canvas[take] = c[take]
+        winner[take] = w[take]
+    if (winner == -1).all():
+        return None
+    return canvas
 
 
 def _partial_mosaic_fn(tile_size: int, np_dtype):
@@ -368,20 +432,10 @@ def _partial_mosaic_fn(tile_size: int, np_dtype):
         for pdf in batches:
             out = {"zoom": [], "x": [], "y": [], "canvas": [], "winner": []}
             for row in pdf.itertuples(index=False):
-                canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
-                winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
-                contribs = sorted(row.contribs, key=lambda c: int(c["img_ord"]))
-                for c in contribs:
-                    left, top = int(c["left"]), int(c["top"])
-                    bw, bh = int(c["bw"]), int(c["bh"])
-                    block = np.frombuffer(c["block"], dtype=np_dtype).reshape(bh, bw)
-                    mask = block != NODATA
-                    if not mask.any():
-                        continue
-                    canvas[top : top + bh, left : left + bw][mask] = block[mask]
-                    winner[top : top + bh, left : left + bw][mask] = int(c["img_ord"])
-                if (winner == -1).all():
+                folded = _fold_partial(row.contribs, tile_size, np_dtype)
+                if folded is None:
                     continue
+                canvas, winner = folded
                 out["zoom"].append(int(row.zoom))
                 out["x"].append(int(row.x))
                 out["y"].append(int(row.y))
@@ -428,20 +482,10 @@ def _route_mosaic_fn(tile_size: int, dtype_tag: str,
                     out["canvas"].append(None)
                     out["winner"].append(None)
                     continue
-                canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
-                winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
-                contribs = sorted(row.contribs, key=lambda c: int(c["img_ord"]))
-                for c in contribs:
-                    left, top = int(c["left"]), int(c["top"])
-                    bw, bh = int(c["bw"]), int(c["bh"])
-                    block = np.frombuffer(c["block"], dtype=np_dtype).reshape(bh, bw)
-                    mask = block != NODATA
-                    if not mask.any():
-                        continue
-                    canvas[top:top + bh, left:left + bw][mask] = block[mask]
-                    winner[top:top + bh, left:left + bw][mask] = int(c["img_ord"])
-                if (winner == -1).all():
+                folded = _fold_partial(row.contribs, tile_size, np_dtype)
+                if folded is None:
                     continue
+                canvas, winner = folded
                 out["zoom"].append(int(row.zoom))
                 out["x"].append(int(row.x))
                 out["y"].append(int(row.y))
@@ -471,17 +515,8 @@ def _merge_or_pass_fn(tile_size: int, dtype_tag: str,
                     out["y"].append(int(row.y))
                     out["png"].append(bytes(parts[0]["png"]))
                     continue
-                canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
-                winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
-                for p in parts:
-                    c = np.frombuffer(p["canvas"], dtype=np_dtype).reshape(
-                        tile_size, tile_size)
-                    w = np.frombuffer(p["winner"], dtype=np.int64).reshape(
-                        tile_size, tile_size)
-                    take = w > winner
-                    canvas[take] = c[take]
-                    winner[take] = w[take]
-                if (winner == -1).all():
+                canvas = _argmax_merge(parts, tile_size, np_dtype)
+                if canvas is None:
                     continue
                 out["zoom"].append(int(row.zoom))
                 out["x"].append(int(row.x))
@@ -502,15 +537,8 @@ def _merge_encode_fn(tile_size: int, dtype_tag: str, colormap_str: str | None):
         for pdf in batches:
             out = {"zoom": [], "x": [], "y": [], "png": []}
             for row in pdf.itertuples(index=False):
-                canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
-                winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
-                for p in row.partials:
-                    c = np.frombuffer(p["canvas"], dtype=np_dtype).reshape(tile_size, tile_size)
-                    w = np.frombuffer(p["winner"], dtype=np.int64).reshape(tile_size, tile_size)
-                    take = w > winner
-                    canvas[take] = c[take]
-                    winner[take] = w[take]
-                if (winner == -1).all():
+                canvas = _argmax_merge(row.partials, tile_size, np_dtype)
+                if canvas is None:
                     continue
                 out["zoom"].append(int(row.zoom))
                 out["x"].append(int(row.x))
@@ -529,6 +557,13 @@ def _merge_encode_fn(tile_size: int, dtype_tag: str, colormap_str: str | None):
 # OOM). Relative sizing doesn't matter at corpus scale — every
 # sub-partition-zoom tile is astronomically past any threshold.
 _AUTO_SALT_THRESHOLD = 8192
+# hard cap on the auto-router's driver-collected hot keyset: with
+# partition_zoom=None the manifest spans every zoom, and a dense corpus
+# could cross the threshold on millions of mid-zoom tiles — only the
+# HOTTEST keys matter for the serial-tail problem, and unsalted keys
+# still render correctly through the cold path (just single-task). The
+# top-K keeps the collect + broadcast bounded at any scale.
+_AUTO_SALT_MAX_KEYS = 65536
 
 
 def render(
@@ -541,6 +576,7 @@ def render(
     salt_buckets: int | None | str = "auto",
     partition_zoom: int | None | str = "auto",
     salt_threshold: int | None | str = "auto",
+    persisted: list | None = None,
 ) -> DataFrame:
     """images table → fused tile table
     (zoom int, x long, y long, tile_row long, tile_hash long, png binary)
@@ -661,12 +697,32 @@ def render(
     np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
     cores = spark.sparkContext.defaultParallelism
 
+    # The mosaic contract is ascending image_id (string): the salted
+    # paths order/argmax by the numeric img_ord, which matches string
+    # order ONLY for the exact fixture scheme 'img' + 8 digits. Any
+    # other id scheme gets an order-preserving 64-bit key instead:
+    # distinct ids sorted distributively, monotonically_increasing_id
+    # follows range-partition order (non-dense but order-preserving —
+    # order is all the winner/paste rules need), joined back on id.
+    # One narrow-column check job; never runs when only the cell path
+    # executes (that path pastes by image_id directly).
+    general_ids = not src.filter(
+        ~F.col("image_id").rlike("^img[0-9]{8}$")).isEmpty()
+    if general_ids:
+        ord_map = (src.select("image_id").distinct().orderBy("image_id")
+                   .withColumn("ord64", F.monotonically_increasing_id()))
+        blocks_src = src.join(ord_map, "image_id")
+    else:
+        blocks_src = src
+
     def _blocks(zlo: int, zhi: int) -> DataFrame:
         # the repartition costs one pass of source bytes but balances
         # the decode+kernel across tasks (scan splits alone are skewed
         # by row-group byte sizes); measured faster than scan-aligned
-        return src.repartition(n_parts_map, "image_id").mapInPandas(
-            _kernel_all_zooms_fn(zlo, zhi, tile_size), _KERNEL_SCHEMA)
+        return blocks_src.repartition(n_parts_map, "image_id").mapInPandas(
+            _kernel_all_zooms_fn(zlo, zhi, tile_size,
+                                 use_input_ord=general_ids),
+            _KERNEL_SCHEMA)
 
     def _plain_mosaic(blocks: DataFrame) -> DataFrame:
         # mosaic+encode stage at cores*2, not the cell stage's cores*8:
@@ -738,8 +794,10 @@ def render(
             tile_manifest(src, minzoom, maxzoom)
             .groupBy("zoom", "tx", "ty").count()
             .filter(F.col("count") >= _AUTO_SALT_THRESHOLD)
+            .orderBy(F.desc("count"), "zoom", "tx", "ty")  # deterministic
+            .limit(_AUTO_SALT_MAX_KEYS)
             .select("zoom", F.col("tx").alias("x"), F.col("ty").alias("y"))
-        ).collect()  # bounded by the sub-pz tile count (<= 4^pz/3)
+        ).collect()  # bounded: top-K of the aggregated counts (TakeOrdered)
         if hot_rows:
             hot_keys = spark.createDataFrame(
                 [(int(r["zoom"]), int(r["x"]), int(r["y"])) for r in hot_rows],
@@ -786,6 +844,12 @@ def render(
         # extra action (the hot count) that doubles as the persist
         # materialization of the shared block stream.
         blocks = _blocks(minzoom, maxzoom).persist()
+        if persisted is not None:
+            # the block cache must outlive the returned lazy DataFrame;
+            # callers unpersist after materializing (render_pyramid's
+            # out-param pattern) — without a handle a long-lived session
+            # leaks one cached block RDD per explicit-threshold render
+            persisted.append(blocks)
         hot = (blocks.groupBy("zoom", "x", "y").count()
                .filter(F.col("count") >= salt_threshold)
                .select("zoom", "x", "y"))

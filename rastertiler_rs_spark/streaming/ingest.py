@@ -492,27 +492,13 @@ def _upsert_pyramid_batch(batch_df: DataFrame, out_dir: str, minzoom: int,
 
 
 def _validate_stream_colormap(colormap_str: str | None) -> None:
-    """Fail fast on partial colormaps at stream entry (enforces the
-    _combine_fn constraint): incremental maintenance decodes stored
-    paletted tiles back to values, and the paletted encoder maps values
-    absent from the colormap to index 0 — the nodata slot (P4) — which
-    cannot round-trip: an upsert would resurrect old pixels underneath
-    real (but unmapped) data, silently. Batch render has no such
-    constraint; stream mode therefore requires the colormap to cover
-    every possible non-nodata u8 value (exactly 256 palette slots with
-    nodata, so a complete map always fits)."""
-    if colormap_str is None:
-        return
-    from ..png import Colormap
+    """Stream-entry alias of the shared decode-back colormap gate
+    (operators/overview.validate_cascade_colormap): the incremental
+    upsert decodes stored paletted tiles back to values, so a partial
+    colormap would silently resurrect old pixels under unmapped data."""
+    from ..operators.overview import validate_cascade_colormap
 
-    cm = Colormap.parse(colormap_str, NODATA)
-    missing = [v for v in range(256) if v != NODATA and v not in cm.values]
-    if missing:
-        raise ValueError(
-            "stream mode requires a colormap covering every possible data "
-            f"value (unmapped values encode to palette index 0 = nodata and "
-            f"cannot round-trip through incremental upserts): {len(missing)} "
-            f"values uncovered, e.g. {missing[:5]}")
+    validate_cascade_colormap(colormap_str)
 
 
 def stream_render_pyramid(

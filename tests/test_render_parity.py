@@ -165,3 +165,56 @@ def test_footprints_under_ansi_session(spark):
         spark.conf.set("spark.sql.ansi.enabled", old)
     for c in ("minx", "miny", "maxx", "maxy"):
         assert np.array_equal(jvm[c].to_numpy(), udf[c].to_numpy()), c
+
+
+def test_general_image_ids_byte_parity(spark):
+    """Non-fixture id schemes (arbitrary strings, non-fixed-width) must
+    render byte-identically to the fixture scheme when the id ORDER is
+    preserved: the blocks path's img_ord falls back to an order-
+    preserving sorted key instead of parsing 'img%08d' (which would
+    crash on 'scene-*' ids and mis-order non-padded ones)."""
+    from rastertiler_rs_spark.fixtures import generate_images
+    from rastertiler_rs_spark.operators.render import render
+
+    from rastertiler_rs_spark.fixtures import footprint_from_index
+    import numpy as np
+
+    pdf = generate_images(48, "u8").to_pandas()
+    # a GEOREFERENCED table (explicit minx..maxy columns, the footprint
+    # rule is only the default for bare ids) so both renders share
+    # identical geometry regardless of the id scheme
+    minx, miny, maxx, maxy = footprint_from_index(np.arange(48))
+    for col, vals in zip(("minx", "miny", "maxx", "maxy"),
+                         (minx, miny, maxx, maxy)):
+        pdf[col] = vals
+    base = spark.createDataFrame(pdf)
+    # order-preserving rename to a foreign scheme (still sorts the same)
+    renamed_pdf = pdf.copy()
+    renamed_pdf["image_id"] = "scene-" + renamed_pdf["image_id"].str[3:]
+    renamed = spark.createDataFrame(renamed_pdf)
+
+    def tile_map(df):
+        return {(r["zoom"], r["x"], r["y"]): bytes(r["png"])
+                for r in df.collect()}
+
+    # force the blocks path for all zooms (pz above maxzoom) and plant a
+    # hot threshold so the salted img_ord path executes too
+    a = tile_map(render(base, 0, 4, tile_size=64, dtype_tag="u8",
+                        salt_buckets=4, salt_threshold=4,
+                        partition_zoom=None))
+    b = tile_map(render(renamed, 0, 4, tile_size=64, dtype_tag="u8",
+                        salt_buckets=4, salt_threshold=4,
+                        partition_zoom=None))
+    assert a and a == b
+    # non-fixed-width NUMERIC-suffix ids: 'img2' vs 'img10' parse but
+    # int order != string order — must also route through the sorted key
+    short_pdf = pdf.copy()
+    short_pdf["image_id"] = short_pdf["image_id"].str[:3] + \
+        short_pdf["image_id"].str[3:].astype(int).astype(str)
+    c = tile_map(render(spark.createDataFrame(short_pdf), 0, 4,
+                        tile_size=64, dtype_tag="u8", salt_buckets=4,
+                        salt_threshold=4, partition_zoom=None))
+    # 'img0'..'img47' string order != numeric order, so c is a VALID
+    # render under the string-order contract of ITS OWN id set; it must
+    # at least produce the same tile KEY SET and run without error
+    assert set(c) == set(a)

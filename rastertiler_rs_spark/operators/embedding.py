@@ -33,9 +33,14 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     # broadcast hint: queries are the small side by contract; without it
     # AQE usually picks the same plan, but the hint removes the risk of a
     # shuffled BNLJ on a big corpus
+    # zero-norm guard: 0/0 is NaN and Spark sorts NaN ABOVE every real
+    # double, so an all-zero padding vector would take rank 1 for every
+    # query — score it -inf instead (identity for nonzero norms)
+    nrm = _norm2(ve) * _norm2(qe)
     scored = vectors.crossJoin(F.broadcast(queries)).select(
         "qid", "vec_id",
-        (_dot(ve, qe) / F.sqrt(_norm2(ve) * _norm2(qe))).alias("score"),
+        F.when(nrm > 0, _dot(ve, qe) / F.sqrt(nrm))
+        .otherwise(F.lit(float("-inf"))).alias("score"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -45,9 +50,9 @@ def dot_topk_int(vectors: DataFrame, queries: DataFrame, k: int, scale: int = 10
     """Deterministic integer-quantized dot-product top-k: embeddings →
     floor(x*scale) int64, dot = integer sum (associative ⇒ engine-
     independent). (qid, vec_id, dot, rank)."""
-    q = lambda col: F.transform(col, lambda x: F.floor(x.cast("double") * scale).cast("long"))  # noqa: E731
-    scored = vectors.withColumn("vi", q(F.col("embedding"))).crossJoin(
-        F.broadcast(queries.withColumn("qi", q(F.col("qemb"))))
+    scored = vectors.withColumn(
+        "vi", _quant(F.col("embedding"), scale)).crossJoin(
+        F.broadcast(queries.withColumn("qi", _quant(F.col("qemb"), scale)))
     ).select(
         "qid", "vec_id",
         F.aggregate(F.zip_with("vi", "qi", lambda x, y: x * y), F.lit(0).cast("long"),
@@ -89,6 +94,11 @@ def dot_topk_int_blocked(vectors: DataFrame, queries: DataFrame, k: int,
 
     spark = vectors.sparkSession
     qrows = queries.select("qid", "qemb").collect()  # contract: small set
+    if not qrows:
+        # an empty qmat would be 1-D and crash the executor matmul; the
+        # declarative twin returns empty — match it
+        return (vectors.sparkSession.createDataFrame(
+            [], "qid long, vec_id long, dot long, rank int"))
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.floor(
         np.array([r["qemb"] for r in qrows], dtype=np.float64) * scale
@@ -136,7 +146,12 @@ def hyperplane_bucket(emb_col, n_planes: int = 8, dim: int = 64, seed: int = 42)
     for p in range(n_planes):
         dot = F.lit(0.0)
         for d in range(dim):
-            w = (F.xxhash64(F.lit(seed), F.lit(p), F.lit(d)) % 1000).cast("double") / 500.0 - 1.0
+            # pmod, NOT %: Spark's % keeps the dividend's sign, which
+            # would fold a large common -(1,..,1) component into every
+            # plane (bucket collapse); pmod keeps weights symmetric in
+            # [-1, 0.998]
+            w = (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), F.lit(d)),
+                        F.lit(1000))).cast("double") / 500.0 - 1.0
             dot = dot + F.element_at(emb_col, d + 1).cast("double") * w
         bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
     return bucket
@@ -154,8 +169,13 @@ def kmeans_centroids(vectors: DataFrame, n_lists: int, iters: int = 2) -> DataFr
     cents = (vectors.orderBy("vec_id").limit(n_lists)
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("embedding").cast("array<double>").alias("cemb")))
+    init_rows = cents.collect()
+    if len(init_rows) < n_lists:
+        raise ValueError(
+            f"k-means needs >= n_lists vectors: got {len(init_rows)} "
+            f"for n_lists={n_lists}")
     cents = spark.createDataFrame(
-        [(i, list(r["cemb"])) for i, r in enumerate(cents.collect())],
+        [(i, list(r["cemb"])) for i, r in enumerate(init_rows)],
         "cent_id int, cemb array<double>")
     ve = F.col("embedding").cast("array<double>")
     ce = F.col("cemb")
@@ -164,7 +184,9 @@ def kmeans_centroids(vectors: DataFrame, n_lists: int, iters: int = 2) -> DataFr
         assigned = (
             vectors.crossJoin(F.broadcast(cents))
             .select("vec_id", "embedding", "cent_id",
-                    (_dot(ve, ce) / F.sqrt(_norm2(ve) * _norm2(ce))).alias("_cs"))
+                    F.when(_norm2(ve) * _norm2(ce) > 0,
+                           _dot(ve, ce) / F.sqrt(_norm2(ve) * _norm2(ce)))
+                    .otherwise(F.lit(float("-inf"))).alias("_cs"))
             .withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
         )
         means = (
@@ -200,7 +222,9 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
         e = F.col(emb_name).cast("array<double>")
         scored = df.crossJoin(F.broadcast(cents)).select(
             *keep, "cent_id",
-            (_dot(e, ce) / F.sqrt(_norm2(e) * _norm2(ce))).alias("_cs"),
+            F.when(_norm2(e) * _norm2(ce) > 0,
+                   _dot(e, ce) / F.sqrt(_norm2(e) * _norm2(ce)))
+            .otherwise(F.lit(float("-inf"))).alias("_cs"),
         )
         w = Window.partitionBy(*keep).orderBy(F.col("_cs").desc(), "cent_id")
         return (scored.withColumn("_r", F.row_number().over(w))
@@ -275,6 +299,10 @@ def kmeans_int(vectors: DataFrame, n_lists: int, iters: int = 2,
     shape. Returns the final centroid matrix."""
     vi = vectors.select("vec_id", _quant(F.col("embedding"), scale).alias("vi"))
     cents = [list(r["vi"]) for r in vi.orderBy("vec_id").limit(n_lists).collect()]
+    if len(cents) < n_lists:
+        raise ValueError(
+            f"k-means needs >= n_lists vectors: got {len(cents)} "
+            f"for n_lists={n_lists}")
     for _ in range(iters):
         assigned = vi.withColumn("list_id", _argmin_dist(F.col("vi"), cents))
         sums = (
@@ -544,14 +572,16 @@ def neardup_pairs_int(vec_int: DataFrame, threshold_x100: int = 90,
          for a given input: the oracle mirrors the same pipeline);
       3. verify exactly in integers: accept iff dot > 0 and
          10000*dot^2 >= thr^2 * n2a * n2b  (squared cosine test —
-         divisions/sqrts never materialize). With |vi| <= ~2^9 and
-         dim 64 every term stays far below 2^63.
+         divisions/sqrts never materialize; compared in decimal(38,0)
+         so quantization scales >= 1024 cannot silently wrap int64).
 
     No all-pairs anywhere: the join is a bucket equi-join; at 10^9+
     vectors raise planes-per-band so bucket occupancy stays bounded.
     """
     if n_planes % n_bands:
-        raise ValueError("n_planes must divide into n_bands evenly")
+        raise ValueError(
+            "n_bands must divide n_planes evenly "
+            f"(got n_planes={n_planes}, n_bands={n_bands})")
     per_band = n_planes // n_bands
     weights = plane_weights_int(n_planes, dim)
 
@@ -591,8 +621,13 @@ def neardup_pairs_int(vec_int: DataFrame, threshold_x100: int = 90,
         "vec_a", "vec_b", dot.alias("dot"),
         n2(F.col("va")).alias("n2a"), n2(F.col("vb")).alias("n2b"),
     ).filter((F.col("dot") > 0)
-             & (10000 * F.col("dot") * F.col("dot")
-                >= thr * thr * F.col("n2a") * F.col("n2b")))
+             # decimal(38,0) comparison: at quantization scales >= 1024
+             # thr^2*n2a*n2b can exceed 2^63 and (ANSI off) would WRAP
+             # silently — decimals keep the test exact to ~1e38
+             & (F.lit(10000).cast("decimal(38,0)")
+                * F.col("dot") * F.col("dot")
+                >= F.lit(thr * thr).cast("decimal(38,0)")
+                * F.col("n2a") * F.col("n2b")))
     # a pair can collide in several bands — integer rows, exact distinct
     return verified.distinct()
 
@@ -606,9 +641,11 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, n_planes: int = 6,
     qb = queries.withColumn("bucket", hyperplane_bucket(F.col("qemb"), n_planes, dim))
     ve = F.col("embedding").cast("array<double>")
     qe = F.col("qemb").cast("array<double>")
+    nrm = _norm2(ve) * _norm2(qe)
     scored = vb.join(qb, "bucket").select(
         "qid", "vec_id",
-        (_dot(ve, qe) / F.sqrt(_norm2(ve) * _norm2(qe))).alias("score"),
+        F.when(nrm > 0, _dot(ve, qe) / F.sqrt(nrm))
+        .otherwise(F.lit(float("-inf"))).alias("score"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -88,6 +88,12 @@ def lsh_candidate_pairs(docs: DataFrame, num_perms: int = 16, band_size: int = 4
                         n: int = 3) -> DataFrame:
     """Banded-LSH near-dup candidates: docs sharing any band bucket.
     (doc_a < doc_b, n_bands_shared)."""
+    if not 0 < band_size <= num_perms or num_perms % band_size:
+        raise ValueError(
+            f"band_size must divide num_perms (got num_perms={num_perms}, "
+            f"band_size={band_size}) — leftover permutations would be "
+            "silently dropped (weaker recall with no warning)")
+
     sig = minhash_signatures(docs, num_perms, n)
     bands = []
     for b in range(num_perms // band_size):
@@ -190,6 +196,12 @@ def lsh_candidate_pairs_int(docs: DataFrame, num_perms: int = 16,
     """Banded-LSH near-dup candidates, integer-exact: band bucket =
     polynomial fold of the band's signature slice. Same scale shape as
     lsh_candidate_pairs (bucket equi-join, no all-pairs)."""
+    if not 0 < band_size <= num_perms or num_perms % band_size:
+        raise ValueError(
+            f"band_size must divide num_perms (got num_perms={num_perms}, "
+            f"band_size={band_size}) — leftover permutations would be "
+            "silently dropped (weaker recall with no warning)")
+
     sig = minhash_signatures_int(docs, num_perms, n)
     bands = []
     for b in range(num_perms // band_size):

@@ -266,3 +266,86 @@ def test_pq_adc_matches_numpy_twin(spark):
     # exploit) — 0.25 measured deterministically; the parity assert
     # above is the real contract, this floor just catches collapse
     assert hits / total >= 0.2, f"PQ recall {hits / total:.2f}"
+
+
+def test_hyperplane_buckets_not_collapsed(spark):
+    """Signed % would fold a large common -(1,..,1) component into every
+    plane (buckets collapse toward two patterns); pmod keeps the planes
+    symmetric, so random embeddings must spread across many buckets."""
+    import numpy as np
+
+    from rastertiler_rs_spark.operators.embedding import hyperplane_bucket
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(256)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = (df.withColumn("b", hyperplane_bucket(F.col("embedding"),
+                                                n_planes=6, dim=16))
+           .select("b").distinct().count())
+    assert got >= 16, f"bucket collapse: only {got} distinct buckets"
+
+
+def test_zero_norm_vector_never_ranks(spark):
+    """0/0 cosine is NaN and Spark sorts NaN above every real double —
+    an all-zero padding vector must NOT take rank 1."""
+    rows = [(0, [0.0] * 8), (1, [1.0] * 8), (2, [0.5] * 8)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame([(7, [1.0] * 8)], "qid long, qemb array<double>")
+    top = cosine_topk(vecs, qs, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+
+
+def test_blocked_topk_empty_queries(spark):
+    from rastertiler_rs_spark.operators.embedding import (dot_topk_int,
+                                                          dot_topk_int_blocked)
+
+    vecs = spark.createDataFrame([(1, [0.5] * 8)],
+                                 "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame([], "qid long, qemb array<double>")
+    assert dot_topk_int_blocked(vecs, qs, k=3).count() == 0
+    assert dot_topk_int(vecs, qs, k=3).count() == 0
+
+
+def test_kmeans_small_corpus_raises(spark):
+    import pytest as _pytest
+
+    from rastertiler_rs_spark.operators.embedding import (kmeans_centroids,
+                                                          kmeans_int)
+
+    vecs = spark.createDataFrame([(i, [float(i)] * 4) for i in range(3)],
+                                 "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="n_lists"):
+        kmeans_centroids(vecs, n_lists=8)
+    with _pytest.raises(ValueError, match="n_lists"):
+        kmeans_int(vecs, n_lists=8, dim=4)
+
+
+def test_lsh_band_size_validation(spark):
+    import pytest as _pytest
+
+    from rastertiler_rs_spark.operators.text import (lsh_candidate_pairs,
+                                                     lsh_candidate_pairs_int)
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    for fn in (lsh_candidate_pairs, lsh_candidate_pairs_int):
+        with _pytest.raises(ValueError, match="band_size"):
+            fn(docs, num_perms=16, band_size=32)
+        with _pytest.raises(ValueError, match="band_size"):
+            fn(docs, num_perms=16, band_size=5)
+
+
+def test_neardup_no_int64_wrap_at_scale_1024(spark):
+    """Identical vectors with |vi| ~ 1024 make 10000*dot^2 exceed 2^63;
+    the decimal(38,0) comparison must still accept them (a wrapped
+    int64 comparison gives an arbitrary sign)."""
+    from rastertiler_rs_spark.operators.embedding import neardup_pairs_int
+
+    vi = [1023] * 64
+    rows = [(1, vi), (2, list(vi))]
+    vec_int = spark.createDataFrame(rows, "vec_id long, vi array<long>")
+    got = neardup_pairs_int(vec_int, threshold_x100=90,
+                            n_planes=24, n_bands=3).collect()
+    assert len(got) == 1 and (got[0]["vec_a"], got[0]["vec_b"]) == (1, 2)
+    # sanity: the naive int64 product would have wrapped
+    dot = sum(a * a for a in vi)
+    assert 10000 * dot * dot >= 2 ** 63

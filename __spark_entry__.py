@@ -1417,9 +1417,16 @@ def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate bit-exactly (solid gray: Cb=Cr=128, q90 DC exact; 3-channel
     # flatten => n_px = 3*w*h in the twin)
     sub = spark.read.parquet(mjpeg420_parquet(16))
+    # GIF leg: real LZW decode + frame composition (gif/codec.py);
+    # solid full-frame fixtures make the composed RGB canvas stats
+    # closed-form (palette formulas in fixtures.gif_palette)
+    from rastertiler_rs_spark.fixtures import gif_videos_parquet
+
+    gif = spark.read.parquet(gif_videos_parquet(18))
     return (video_frame_stats(mp4, every_n=2).select(*cols)
             .unionByName(video_frame_stats(avi, every_n=2).select(*cols))
-            .unionByName(video_frame_stats(sub, every_n=2).select(*cols)))
+            .unionByName(video_frame_stats(sub, every_n=2).select(*cols))
+            .unionByName(video_frame_stats(gif, every_n=2).select(*cols)))
 
 
 def q_audio_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1715,18 +1722,59 @@ def _variant_union_sql(*legs: tuple[str, str]) -> str:
         f"SELECT '{name}' AS variant, * FROM ({sql})" for name, sql in legs)
 
 
+def _tif_block_footprints() -> list:
+    """Block footprints of the GeoTIFF fixture, from its generation
+    constants through the SAME shared helper the executor emit path
+    uses (geotiff_source.block_footprint) — float op order identical
+    by construction."""
+    from rastertiler_rs_spark.fixtures import geotiff_params
+    from rastertiler_rs_spark.operators.geotiff_source import \
+        block_footprint
+
+    w, h, transform, rps = geotiff_params()
+    fps = []
+    for row0 in range(0, h, rps):
+        nrows = min(rps, h - row0)
+        for col0 in range(0, w, 512):
+            fps.append(block_footprint(transform, row0, nrows, col0,
+                                       min(512, w - col0)))
+    return fps
+
+
+def q_render_tile_ids_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-ID invariant for the GeoTIFF ingest front-end: the fixture
+    raster (fully opaque, strip-block boundaries on >=16-tile-pixel
+    fractions at z7-9/ts128 — fixtures.geotiff_params) flows through
+    the DISTRIBUTED source (driver reads only the IFD, executors
+    ranged-read strips, re-encode blocks, attach explicit footprints)
+    into the unchanged render; the emitted (zoom, x, y) set must equal
+    the exact SQL cover of the block footprints. This pins the whole
+    ingest chain — IFD parse, strip manifest, ranged reads, block
+    slicing, footprint affine — under the value gate."""
+    from rastertiler_rs_spark.fixtures import geotiff_fixture
+    from rastertiler_rs_spark.operators.geotiff_source import \
+        images_from_geotiff
+    from rastertiler_rs_spark.operators.render import render
+
+    images = images_from_geotiff(spark, geotiff_fixture(), block_cols=512)
+    fused = render(images, 7, 9, tile_size=128, dtype_tag="u8")
+    return fused.select("zoom", "x", "y").distinct()
+
+
 def q_render_tile_ids_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four tile-ID invariant twins under ONE driver row: the u8,
-    u32, and colormap renders plus the overview-cascade pyramid each
-    emit their (zoom, x, y) set, tagged by variant; every leg must
-    equal the same exact SQL tile cover (the legs share one oracle by
-    construction — fully-opaque footprints make the cover exact for
-    all encoder classes and for the cascade's parent closure)."""
+    """All five tile-ID invariant twins under ONE driver row: the u8,
+    u32, and colormap renders, the overview-cascade pyramid, and the
+    GeoTIFF-ingest front-end each emit their (zoom, x, y) set, tagged
+    by variant; every leg must equal the exact SQL tile cover of its
+    footprints (fully-opaque inputs make the cover exact for all
+    encoder classes, for the cascade's parent closure, and for the
+    ingest's block grid)."""
     return _union_variants(
         ("u8", q_render_tile_ids(spark, sf_dir)),
         ("u32", q_render_tile_ids_u32(spark, sf_dir)),
         ("colormap", q_render_tile_ids_colormap(spark, sf_dir)),
-        ("pyramid", q_render_pyramid_tile_ids(spark, sf_dir)))
+        ("pyramid", q_render_pyramid_tile_ids(spark, sf_dir)),
+        ("tif", q_render_tile_ids_tif(spark, sf_dir)))
 
 
 def q_zonal_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1816,6 +1864,22 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                ).alias("byte0"))
 
 
+def q_gif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF container probe under the value gate: the fixture writes
+    real animated GIF89a streams (gif/codec.py — LSD, GCT, per-frame
+    GCEs, NETSCAPE loop block, LZW image data), the engine parses them
+    back through video_probe's gif branch, and the twin rederives
+    width/height/frame count/summed delays from the generation
+    formulas — value-checking the full stream walk (a sub-block or GCE
+    mis-parse shifts every later frame)."""
+    from rastertiler_rs_spark.fixtures import gif_videos_parquet
+    from rastertiler_rs_spark.operators.multimodal import video_probe
+
+    vids = spark.read.parquet(gif_videos_parquet(36))
+    return video_probe(vids).select(
+        "video_id", "width", "height", "n_frames", "duration_ms", "codec")
+
+
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-probe surface as one tagged union over a shared
     (media_id, dim_a, dim_b, n_units, duration_ms, codec) shape:
@@ -1875,9 +1939,14 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nonzero").alias("n_units"),
         F.col("xr_sum").alias("duration_ms"),
         F.lit("l3spec").alias("codec"))
+    gifprobe = q_gif_probe(spark, sf_dir).select(
+        F.lit("gifprobe").alias("variant"),
+        F.col("video_id").alias("media_id"),
+        F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
+        F.col("n_frames").alias("n_units"), "duration_ms", "codec")
     return (video.unionByName(mp3).unionByName(frames)
             .unionByName(aviprobe).unionByName(aviframes)
-            .unionByName(l3spec))
+            .unionByName(l3spec).unionByName(gifprobe))
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2849,11 +2918,17 @@ def _vector_tiles_lines_oracle_sql(zoom: int = 5, extent: int = 4096) -> str:
     """
 
 
-def _render_tile_ids_oracle_sql() -> str:
-    _, minx, miny, maxx, maxy = _nohole_image_rows(256)
+def _render_tile_ids_oracle_sql(footprints=None) -> str:
+    """Exact SQL tile cover of a footprint set over z7-9. Default
+    footprints are the no-hole fixture images; the tif leg passes the
+    GeoTIFF fixture's block footprints instead (same cover formula —
+    the G3 ε/clamp transcription — for every render front-end)."""
+    if footprints is None:
+        _, minx, miny, maxx, maxy = _nohole_image_rows(256)
+        footprints = zip(minx, miny, maxx, maxy)
     rows = ",\n              ".join(
         f"({a!r}, {b!r}, {c!r}, {d!r})"
-        for a, b, c, d in zip(minx, miny, maxx, maxy))
+        for a, b, c, d in footprints)
     return f"""
         WITH fp(minx, miny, maxx, maxy) AS (VALUES
               {rows}),
@@ -3335,6 +3410,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum_is * (1 << ((i + f + g + ch) % 3)) AS BIGINT),
                    'l3spec'
             FROM ls
+            UNION ALL
+            SELECT 'gifprobe',
+                   'gif' || lpad(CAST(i AS VARCHAR), 6, '0'),
+                   CAST(16 + (i % 3) * 8 AS BIGINT),
+                   CAST(12 + (i % 2) * 8 AS BIGINT),
+                   CAST(2 + i % 3 AS BIGINT),
+                   CAST(10 * (SELECT SUM(4 + (i + f.f) % 5)
+                              FROM (SELECT UNNEST(generate_series(
+                                      0, 2 + i % 3 - 1)) AS f) f)
+                        AS BIGINT),
+                   'gif89a'
+            FROM (SELECT UNNEST(generate_series(0, 35)) AS i) gc
         """,
         # decoded MJPEG pixel stats in closed form, BOTH containers:
         # mp4 frames are solid v = (17i + 29f + 23) % 256, avi frames
@@ -3415,6 +3502,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v AS BIGINT),
                    CAST(v * (n_px * (n_px + 1) // 2) AS BIGINT)
             FROM svs
+            UNION ALL
+            -- gif leg: composed canvas of solid frame index
+            -- v = (i+2f)%8 through palette (11i+17v+3, 7i+23v+5,
+            -- 13i+29v+11)%256; flat RGB layout => checksum in closed
+            -- form over S = w*h interleaved [r,g,b] triples
+            SELECT 'gif' || lpad(CAST(gi AS VARCHAR), 6, '0'),
+                   CAST(fno AS BIGINT),
+                   CAST(w AS BIGINT),
+                   CAST(h AS BIGINT),
+                   3 * s AS n_px,
+                   CAST((r + g + b) * s AS BIGINT),
+                   CAST(LEAST(r, g, b) AS BIGINT),
+                   CAST(GREATEST(r, g, b) AS BIGINT),
+                   CAST(r * (base + s) + g * (base + 2 * s)
+                        + b * (base + 3 * s) AS BIGINT)
+            FROM (
+              SELECT gi, fno, w, h, s,
+                     3 * (s * (s - 1) // 2) AS base,
+                     (11 * gi + 17 * v + 3) % 256 AS r,
+                     (7 * gi + 23 * v + 5) % 256 AS g,
+                     (13 * gi + 29 * v + 11) % 256 AS b
+              FROM (
+                SELECT gi, fno, w, h, CAST(w AS BIGINT) * h AS s,
+                       (gi + 2 * fno) % 8 AS v
+                FROM (
+                  SELECT gi, w, h,
+                         UNNEST(generate_series(0, nf - 1)) AS fno
+                  FROM (
+                    SELECT i AS gi,
+                           16 + (i % 3) * 8 AS w,
+                           12 + (i % 2) * 8 AS h,
+                           2 + i % 3 AS nf
+                    FROM (SELECT UNNEST(generate_series(0, 17)) AS i) c
+                  ) gp
+                ) gf WHERE fno % 2 = 0
+              ) gv
+            ) gs
         """,
         "audio_features": """
             WITH p AS (
@@ -3442,7 +3566,8 @@ def oracle_sql() -> dict[str, str]:
             ("u8", _render_tile_ids_oracle_sql()),
             ("u32", _render_tile_ids_oracle_sql()),
             ("colormap", _render_tile_ids_oracle_sql()),
-            ("pyramid", _render_tile_ids_oracle_sql())),
+            ("pyramid", _render_tile_ids_oracle_sql()),
+            ("tif", _render_tile_ids_oracle_sql(_tif_block_footprints()))),
         "render_pixel_stats": _variant_union_sql(
             ("u8", _render_pixel_stats_oracle_sql()),
             ("u32", _render_pixel_stats_oracle_sql("u32")),

@@ -2,9 +2,10 @@
 
 Mirrors `rastertiler-rs` (/root/reference/src/main.rs:20-94) so a user
 of the reference can run the same two commands here — the raster input
-is the engine's images parquet table instead of a GeoTIFF, the sink is
-the same MBTiles layout (/root/reference/src/mbtiles.rs:13-30), and the
-flags map one-to-one:
+is either the engine's images parquet table OR an actual GeoTIFF
+(``IN.tif`` ingests through operators/geotiff_source.py, the
+reference's own input shape), the sink is the same MBTiles layout
+(/root/reference/src/mbtiles.rs:13-30), and the flags map one-to-one:
 
   python -m rastertiler_rs_spark render IN.parquet OUT.mbtiles \
       --minzoom 0 --maxzoom 4 --tilesize 512 --workers 4 \
@@ -61,7 +62,14 @@ def cmd_render(args) -> None:
 
     spark = get_spark("rastertiler-render", cpus=args.workers)
     spark.sparkContext.setLogLevel("ERROR")
-    images = spark.read.parquet(args.src)
+    if args.src.endswith((".tif", ".tiff")):
+        # the reference's actual input shape (main.rs:96-107): ingest
+        # the GeoTIFF into the images-table form, then render unchanged
+        from .operators.geotiff_source import images_from_geotiff
+
+        images = images_from_geotiff(spark, args.src)
+    else:
+        images = spark.read.parquet(args.src)
     tag = images.select("fmt").first()["fmt"].split(";")[1]
     if args.colormap and tag != "u8":
         sys.exit("ERROR: colormap can only be provided for uint8 data")

@@ -623,3 +623,95 @@ def tiled_canvas_parquet(w: int = 1024, h: int = 768, ts: int = 128,
         "png": pa.array(pngs, pa.binary()),
     }), path, row_group_size=256)
     return path
+
+
+# ---------------------------------------------------------------- GeoTIFF
+
+def geotiff_params() -> tuple[int, int, tuple, int]:
+    """Constants of the deterministic GeoTIFF fixture: (width, height,
+    engine affine, rows_per_strip). One 512px block spans 1.5 z9 tiles
+    and the origin sits on a z9 tile corner, so block boundaries land on
+    quarter-/eighth-tile fractions at z7-z9 — every block/tile overlap
+    is >= 16 tile pixels at ts=128, no read window can round empty, and
+    the emitted tile-ID set provably equals the exact SQL cover (same
+    argument as q_render_tile_ids's quarter-cell alignment)."""
+    t9 = tm.CE / 512.0                       # z9 tile span
+    a = 1.5 * t9 / 512.0
+    x0 = -tm.ORIGIN + 100.0 * t9
+    y0 = tm.ORIGIN - 80.0 * t9
+    return 1536, 1024, (a, 0.0, x0, 0.0, -a, y0), 512
+
+
+def geotiff_band(w: int, h: int) -> np.ndarray:
+    """Fully-opaque deterministic u8 band (never NODATA=0)."""
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return (1 + (r * 31 + c * 17) % 255).astype(np.uint8)
+
+
+def geotiff_fixture(cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    """Write (or reuse) the cached multi-strip GeoTIFF fixture."""
+    from .geotiff import write_geotiff
+
+    os.makedirs(cache_dir, exist_ok=True)
+    w, h, transform, rps = geotiff_params()
+    path = os.path.join(cache_dir, f"fixture_{w}x{h}_rps{rps}.tif")
+    if not os.path.exists(path):
+        write_geotiff(path, geotiff_band(w, h), transform, NODATA,
+                      rows_per_strip=rps)
+    return path
+
+
+# ------------------------------------------------------------ GIF videos
+
+def gif_params(i: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) of animated-GIF clip i."""
+    return 16 + (i % 3) * 8, 12 + (i % 2) * 8, 2 + i % 3
+
+
+def gif_palette(i: int) -> np.ndarray:
+    """(8, 3) uint8 palette with closed-form channel values."""
+    p = np.arange(8, dtype=np.int64)
+    r = (11 * i + 17 * p + 3) % 256
+    g = (7 * i + 23 * p + 5) % 256
+    b = (13 * i + 29 * p + 11) % 256
+    return np.stack([r, g, b], axis=1).astype(np.uint8)
+
+
+def gif_frame_index(i: int, f: int) -> int:
+    """Palette index of clip i's (solid) frame f."""
+    return (i + 2 * f) % 8
+
+
+def gif_frame_delay(i: int, f: int) -> int:
+    """Per-frame delay in centiseconds."""
+    return 4 + (i + f) % 5
+
+
+def generate_gif_videos(n: int):
+    """Animated-GIF clips table (video_id, bytes=real GIF89a, fmt):
+    full-frame solid frames over the closed-form palette, so composed
+    per-frame RGB stats and probe fields rederive in SQL from
+    gif_params/gif_palette/gif_frame_index/gif_frame_delay alone."""
+    import pyarrow as pa
+
+    from .gif import encode_gif
+
+    ids, blobs = [], []
+    for i in range(n):
+        w, h, nf = gif_params(i)
+        frames = [{"indices": np.full((h, w), gif_frame_index(i, f),
+                                      np.uint8),
+                   "delay_cs": gif_frame_delay(i, f)}
+                  for f in range(nf)]
+        ids.append(f"gif{i:06d}")
+        blobs.append(encode_gif(frames, gif_palette(i)))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["gif;anim"] * n, pa.string()),
+    })
+
+
+def gif_videos_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    return _cached_parquet("gif_videos", generate_gif_videos, n, cache_dir)

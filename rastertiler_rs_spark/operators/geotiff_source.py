@@ -1,0 +1,161 @@
+"""GeoTIFF → images-table source: run the reference's ACTUAL input.
+
+The reference CLI is ``rastertiler render IN.tif OUT.mbtiles`` — its
+source is one (possibly huge) GeoTIFF opened through GDAL
+(/root/reference/src/dataset.rs:23-60, main.rs:96-107). The engine's
+native input is the images parquet table (BASELINE.json input_hint), so
+this module is the bridge: it turns a GeoTIFF into exactly that table
+shape, after which every downstream operator (render, pyramid, merge,
+streaming upsert) applies unchanged.
+
+Scale shape (the part that matters at 100 TB):
+
+- the DRIVER reads only the IFD — a few KB of seeks
+  (``geotiff.geotiff_ifd``), never pixel bytes;
+- the strip directory becomes a tiny MANIFEST DataFrame (one row per
+  strip / column chunk: byte offset, byte count, pixel window);
+- EXECUTORS ranged-read their own strips (``open`` + ``seek`` here; the
+  byte-offset manifest is exactly what an object store serves as ranged
+  GETs) and re-encode each block in the engine's native compressed
+  format, so everything downstream of the scan ships ~KB PNG blobs,
+  never raw rasters.
+
+Like ``mbtiles_sink``'s shard writer, executor-side ``open(path)``
+assumes a filesystem (or mount) visible to all executors — true in
+local[*] and on clusters with shared storage; on object stores the
+manifest maps 1:1 onto ranged reads.
+
+All-nodata blocks are dropped at the source (they can contribute no
+pixel — the kernel's P3 skip would drop their output anyway), so a
+sparse world-sized raster costs proportional to its DATA, not its
+extent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..geotiff import geotiff_ifd
+
+_OUT_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
+               "minx double, miny double, maxx double, maxy double")
+
+
+def block_footprint(transform: tuple, row0: int, nrows: int,
+                    col0: int, ncols: int):
+    """EPSG:3857 bounds of a pixel window under the engine affine
+    (x = a*col + c, y = e*row + f, e < 0, PixelIsArea edges).
+
+    Shared by the executor emit path AND the DuckDB oracle builder
+    (__spark_entry__), kernel.py-style: one definition, parity can't
+    drift on float op order.
+    """
+    a, _b, c, _d, e, f = transform
+    minx = c + col0 * a
+    maxx = c + (col0 + ncols) * a
+    maxy = f + row0 * e
+    miny = f + (row0 + nrows) * e
+    return minx, miny, maxx, maxy
+
+
+def images_from_geotiff(spark: SparkSession, path: str,
+                        block_cols: int | None = None,
+                        id_prefix: str | None = None) -> DataFrame:
+    """Distributed GeoTIFF ingest: file → images DataFrame with explicit
+    georeferencing columns (render's ``with_footprints`` passes them
+    through, so arbitrary rasters render — no id-derived footprint rule
+    involved).
+
+    ``block_cols=None`` makes each strip one block — contiguous ranged
+    reads, the scale default. An explicit value additionally chops
+    strips into column chunks (each chunk re-reads its strip rows;
+    useful when a raster is wide but short on strips).
+
+    Source CRS must already be EPSG:3857 — matching the engine's S5
+    design decision that georeferencing is native-mercator (the
+    reference warps through a VRT; see SURVEY.md §2 S5).
+    """
+    meta = geotiff_ifd(path)
+    if meta["epsg"] != 3857:
+        raise ValueError(
+            f"GeoTIFF CRS must be EPSG:3857, got {meta['epsg']} "
+            "(reproject upstream; the engine's footprints are native "
+            "mercator)")
+    if meta["bits"] == 8:
+        dtype_tag = "u8"
+    elif meta["bits"] == 32:
+        dtype_tag = "u32"
+    else:
+        raise ValueError(f"unsupported bits per sample {meta['bits']}")
+    bpp = meta["bits"] // 8
+    w, h = meta["width"], meta["height"]
+    rps = meta["rows_per_strip"]
+    transform = meta["transform"]
+    nodata = meta["nodata"]
+    abs_path = os.path.abspath(path)
+    prefix = id_prefix if id_prefix is not None else os.path.basename(path)
+
+    manifest = []
+    for s, (off, cnt) in enumerate(zip(meta["strip_offsets"],
+                                       meta["strip_byte_counts"])):
+        row0 = s * rps
+        nrows = min(rps, h - row0)
+        if cnt != nrows * w * bpp:
+            raise ValueError(
+                f"strip {s}: byte count {cnt} != rows*width*bpp "
+                f"{nrows * w * bpp} (corrupt or non-contiguous strip)")
+        step = w if block_cols is None else max(1, int(block_cols))
+        for col0 in range(0, w, step):
+            manifest.append((int(off), row0, nrows, col0,
+                             min(step, w - col0)))
+
+    mdf = spark.createDataFrame(
+        manifest,
+        "strip_off long, row0 int, nrows int, col0 int, ncols int")
+    npart = max(1, min(len(manifest),
+                       spark.sparkContext.defaultParallelism))
+    mdf = mdf.repartition(npart)
+
+    def emit(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..png import encode_grayscale8, encode_rgb, rgb_from_u32
+
+        np_dt = np.uint8 if dtype_tag == "u8" else np.dtype("<u4")
+        fmt = f"png;{dtype_tag}"
+        with open(abs_path, "rb") as fh:
+            for pdf in batches:
+                out = {k: [] for k in ("image_id", "bytes", "w", "h",
+                                       "fmt", "minx", "miny", "maxx",
+                                       "maxy")}
+                for r in pdf.itertuples(index=False):
+                    fh.seek(r.strip_off)
+                    buf = fh.read(r.nrows * w * bpp)
+                    band = np.frombuffer(buf, dtype=np_dt).reshape(
+                        r.nrows, w)[:, r.col0:r.col0 + r.ncols]
+                    if (band == nodata).all():
+                        continue  # source-level P3: nothing to render
+                    band = np.ascontiguousarray(band)
+                    if dtype_tag == "u8":
+                        png = encode_grayscale8(band, nodata)
+                    else:
+                        png = encode_rgb(rgb_from_u32(band), nodata)
+                    minx, miny, maxx, maxy = block_footprint(
+                        transform, r.row0, r.nrows, r.col0, r.ncols)
+                    out["image_id"].append(
+                        f"{prefix}#r{r.row0:07d}c{r.col0:07d}")
+                    out["bytes"].append(png)
+                    out["w"].append(r.ncols)
+                    out["h"].append(r.nrows)
+                    out["fmt"].append(fmt)
+                    out["minx"].append(minx)
+                    out["miny"].append(miny)
+                    out["maxx"].append(maxx)
+                    out["maxy"].append(maxy)
+                yield pd.DataFrame(out)
+
+    return mdf.mapInPandas(emit, _OUT_SCHEMA)

@@ -79,6 +79,21 @@ def _decode_any(data: bytes, fmt: str, w: int = 0, h: int = 0,
         arr = (0.299 * rgba[:, :, 0] + 0.587 * rgba[:, :, 1]
                + 0.114 * rgba[:, :, 2])
         return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+    if fmt.startswith("gif"):
+        from ..gif import decode_gif
+
+        rgb = decode_gif(data)[0]  # first composed frame, REAL (LZW)
+        arr = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+               + 0.114 * rgb[:, :, 2])
+        return np.clip(np.round(arr), 0, 255).astype(np.uint8)
+    if fmt.startswith("tif"):
+        from ..geotiff import read_geotiff
+
+        band = read_geotiff(data)["pixels"]
+        if band.dtype != np.uint8:
+            raise ValueError("single-band image ops take 8-bit TIFFs "
+                             f"(got {band.dtype})")
+        return band
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
@@ -99,6 +114,18 @@ def image_metadata(images: DataFrame) -> DataFrame:
                     from ..webp import probe_webp
 
                     meta = probe_webp(bytes(row.bytes))
+                    aw, ah = meta["width"], meta["height"]
+                elif row.fmt.startswith("gif"):
+                    from ..gif import gif_probe
+
+                    meta = gif_probe(bytes(row.bytes))
+                    aw, ah = meta["width"], meta["height"]
+                elif row.fmt.startswith("tif"):
+                    from ..geotiff import _meta_from_tags, _parse_ifd
+
+                    d = bytes(row.bytes)
+                    meta = _meta_from_tags(
+                        _parse_ifd(lambda o, s, _d=d: _d[o: o + s]))
                     aw, ah = meta["width"], meta["height"]
                 else:
                     d = decode_png(bytes(row.bytes))
@@ -129,6 +156,7 @@ def resize_images(images: DataFrame, target: int,
             out = {"image_id": [], "bytes": []}
             for row in pdf.itertuples(index=False):
                 if (row.fmt == "png;u8" or row.fmt.startswith("jpeg")
+                        or row.fmt.startswith("gif")
                         or (row.fmt.startswith("webp") and not fake_codecs)):
                     band = _decode_any(bytes(row.bytes), row.fmt)
                 elif row.fmt.startswith("webp") and fake_codecs:
@@ -324,8 +352,10 @@ def frame_sample(videos: DataFrame, every_n: int = 30,
 
 
 def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
-    """REAL end-to-end video pixel decode for Motion-JPEG, in BOTH
-    containers the engine muxes/demuxes (ISO BMFF .mp4 and RIFF .avi).
+    """REAL end-to-end video pixel decode for Motion-JPEG — in BOTH
+    containers the engine muxes/demuxes (ISO BMFF .mp4 and RIFF .avi) —
+    and for animated GIF (gif/codec.py: LZW + frame composition with
+    sub-rects, transparency, and disposal).
 
     Composes the engine's from-spec codecs: the matching container
     demuxer (media/mp4.py or media/avi.py) extracts each sampled
@@ -346,23 +376,35 @@ def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
                    "checksum": []}
             for row in pdf.itertuples(index=False):
                 fmt = str(row.fmt)
-                if fmt.startswith("mp4"):
-                    probe, demux = probe_mp4, demux_mp4
-                elif fmt.startswith("avi"):
-                    probe, demux = probe_avi, demux_avi
-                else:
-                    raise NotImplementedError(
-                        f"container parser for {row.fmt!r} not available")
                 data = bytes(row.bytes)
-                codec = probe(data)["codec"]
-                if codec not in ("jpeg", "mjpa", "MJPG"):
-                    raise NotImplementedError(
-                        f"payload decode for codec {codec!r} not available "
-                        "in this environment (Motion-JPEG only)")
-                for frame_no, payload in enumerate(demux(data)):
-                    if frame_no % every_n:
-                        continue
-                    px = decode_jpeg(payload)
+                if fmt.startswith("gif"):
+                    # animated GIF: pixels are real via the engine's
+                    # from-spec LZW decoder; per-frame stats run over
+                    # the COMPOSED RGB canvas (sub-rects, transparency,
+                    # disposal honored), not the stored sub-rect
+                    from ..gif import decode_gif
+
+                    frames_px = [(f, c) for f, c in
+                                 enumerate(decode_gif(data))
+                                 if f % every_n == 0]
+                else:
+                    if fmt.startswith("mp4"):
+                        probe, demux = probe_mp4, demux_mp4
+                    elif fmt.startswith("avi"):
+                        probe, demux = probe_avi, demux_avi
+                    else:
+                        raise NotImplementedError(
+                            f"container parser for {row.fmt!r} not available")
+                    codec = probe(data)["codec"]
+                    if codec not in ("jpeg", "mjpa", "MJPG"):
+                        raise NotImplementedError(
+                            f"payload decode for codec {codec!r} not "
+                            "available in this environment (Motion-JPEG "
+                            "only)")
+                    frames_px = [(f, decode_jpeg(p)) for f, p in
+                                 enumerate(demux(data))
+                                 if f % every_n == 0]
+                for frame_no, px in frames_px:
                     flat = px.reshape(-1).astype(np.int64)
                     out["video_id"].append(row.video_id)
                     out["frame_no"].append(frame_no)
@@ -404,6 +446,14 @@ def video_probe(videos: DataFrame) -> DataFrame:
                 elif fmt.startswith("avi"):
                     meta = probe_avi(bytes(row.bytes))
                     n_frames = meta["n_frames"]
+                elif fmt.startswith("gif"):
+                    from ..gif import gif_probe
+
+                    g = gif_probe(bytes(row.bytes))
+                    meta = {"width": g["width"], "height": g["height"],
+                            "duration_ms": g["duration_cs"] * 10,
+                            "codec": "gif" + g["version"]}
+                    n_frames = g["n_frames"]
                 else:
                     raise NotImplementedError(
                         f"container parser for {row.fmt!r} not available")

@@ -1,0 +1,154 @@
+"""GeoTIFF ingest source: multi-strip codec + distributed ingest parity.
+
+The reference's real input is a GeoTIFF (main.rs:96-107, dataset.rs:
+23-60); operators/geotiff_source.py turns one into the engine's images
+table. These tests pin (a) the multi-strip TIFF layout round-trip,
+(b) byte-parity of ingest→render against an independently constructed
+images table over the same pixels, (c) the all-nodata source skip, and
+(d) the u32 path and validation errors.
+"""
+
+import os
+import sqlite3
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from rastertiler_rs_spark.fixtures import (NODATA, geotiff_band,
+                                           geotiff_fixture, geotiff_params)
+from rastertiler_rs_spark.geotiff import (geotiff_ifd, read_geotiff,
+                                          write_geotiff)
+from rastertiler_rs_spark.operators.geotiff_source import (
+    block_footprint, images_from_geotiff)
+from rastertiler_rs_spark.operators.render import render
+
+
+def _tmp_tif(tmp_path, data, transform, nodata=NODATA, rps=None, epsg=3857):
+    p = str(tmp_path / "t.tif")
+    write_geotiff(p, data, transform, nodata, epsg=epsg, rows_per_strip=rps)
+    return p
+
+
+def test_multistrip_roundtrip(tmp_path):
+    # uneven last strip (257 % 64 != 0) exercises the short-strip path
+    data = (np.arange(257 * 96, dtype=np.int64).reshape(257, 96) % 251
+            ).astype(np.uint8)
+    t = (1.5, 0.0, -100.25, 0.0, -2.5, 9000.5)
+    p = _tmp_tif(tmp_path, data, t, nodata=7, rps=64)
+    r = read_geotiff(open(p, "rb").read())
+    assert (r["pixels"] == data).all()
+    assert r["transform"] == t and r["nodata"] == 7 and r["epsg"] == 3857
+    m = geotiff_ifd(p)
+    assert len(m["strip_offsets"]) == -(-257 // 64)
+    assert m["rows_per_strip"] == 64
+    assert sum(m["strip_byte_counts"]) == data.nbytes
+
+
+def test_singlestrip_layout_unchanged(tmp_path):
+    data = (np.arange(64 * 64, dtype=np.int64).reshape(64, 64) % 251
+            ).astype(np.uint8)
+    t = (2.0, 0.0, 0.0, 0.0, -2.0, 128.0)
+    p = _tmp_tif(tmp_path, data, t)
+    m = geotiff_ifd(p)
+    assert len(m["strip_offsets"]) == 1
+    assert (read_geotiff(open(p, "rb").read())["pixels"] == data).all()
+
+
+def _manual_images(spark, path, block_cols):
+    """Independent construction of the same blocks: decode the WHOLE
+    file driver-side with the debug reader, slice with plain numpy, and
+    attach footprints via the shared affine helper."""
+    from rastertiler_rs_spark.png import encode_grayscale8
+
+    r = read_geotiff(open(path, "rb").read())
+    m = geotiff_ifd(path)
+    rows = []
+    h, w = r["pixels"].shape
+    rps = m["rows_per_strip"]
+    for row0 in range(0, h, rps):
+        nrows = min(rps, h - row0)
+        for col0 in range(0, w, block_cols):
+            ncols = min(block_cols, w - col0)
+            blk = np.ascontiguousarray(
+                r["pixels"][row0:row0 + nrows, col0:col0 + ncols])
+            if (blk == r["nodata"]).all():
+                continue
+            minx, miny, maxx, maxy = block_footprint(
+                r["transform"], row0, nrows, col0, ncols)
+            rows.append((f"m#r{row0}c{col0}",
+                         bytearray(encode_grayscale8(blk, r["nodata"])),
+                         ncols, nrows, "png;u8", minx, miny, maxx, maxy))
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "minx double, miny double, maxx double, maxy double")
+
+
+def _tiles(df):
+    return sorted((r.zoom, r.x, r.y, r.tile_hash, bytes(r.png))
+                  for r in df.collect())
+
+
+def test_ingest_render_parity(spark):
+    """ingest→render is byte-identical to an independently built images
+    table over the same pixels (tile hashes AND png bytes)."""
+    path = geotiff_fixture()
+    a = render(images_from_geotiff(spark, path, block_cols=512),
+               7, 9, tile_size=128, dtype_tag="u8")
+    b = render(_manual_images(spark, path, 512),
+               7, 9, tile_size=128, dtype_tag="u8")
+    ta, tb = _tiles(a), _tiles(b)
+    assert len(ta) > 0
+    # image_ids differ between the two constructions, but pixels and
+    # footprints agree, so the fused tile set must be byte-identical
+    assert [t[:3] for t in ta] == [t[:3] for t in tb]
+    assert ta == tb
+
+
+def test_ingest_skips_all_nodata_blocks(spark, tmp_path):
+    _, _, transform, _ = geotiff_params()
+    data = geotiff_band(512, 1024)  # 1 col chunk x 2 strips
+    data[:512] = NODATA             # first strip entirely nodata
+    p = _tmp_tif(tmp_path, data, transform, rps=512)
+    img = images_from_geotiff(spark, p).collect()
+    assert len(img) == 1
+    assert img[0].image_id.endswith("r0000512c0000000")
+
+
+def test_ingest_u32(spark, tmp_path):
+    _, _, transform, _ = geotiff_params()
+    data = (1 + np.arange(512 * 512, dtype=np.int64).reshape(512, 512)
+            % 100000).astype(np.uint32)
+    p = _tmp_tif(tmp_path, data, transform, rps=256)
+    img = images_from_geotiff(spark, p)
+    rows = img.collect()
+    assert len(rows) == 2 and all(r.fmt == "png;u32" for r in rows)
+    fused = render(img, 8, 9, tile_size=128, dtype_tag="u32")
+    assert fused.count() > 0
+
+
+def test_ingest_validation(spark, tmp_path):
+    data = np.ones((8, 8), np.uint8)
+    p = _tmp_tif(tmp_path, data, (1.0, 0, 0, 0, -1.0, 8.0), epsg=4326)
+    with pytest.raises(ValueError, match="EPSG:3857"):
+        images_from_geotiff(spark, p)
+
+
+def test_cli_render_tif(tmp_path):
+    out = str(tmp_path / "out.mbtiles")
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "-m", "rastertiler_rs_spark", "render",
+         geotiff_fixture(), out, "--minzoom", "8", "--maxzoom", "8",
+         "--tilesize", "128", "--workers", "4"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    con = sqlite3.connect(out)
+    n = con.execute("SELECT COUNT(*) FROM tiles").fetchone()[0]
+    meta = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+    con.close()
+    assert n > 0
+    assert meta["format"] == "png"

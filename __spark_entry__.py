@@ -1761,6 +1761,25 @@ def q_render_tile_ids_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("zoom", "x", "y").distinct()
 
 
+def q_render_tile_ids_cog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same invariant over the COG-layout twin of the fixture: tiled
+    512x512 + DEFLATE + horizontal predictor (fixtures.
+    geotiff_cog_fixture — GDAL's usual cloud-optimized recipe). 1536x
+    1024 divides evenly into 512-tiles, so the block grid — and hence
+    the footprint set the exact-cover twin derives — is IDENTICAL to
+    the strip leg's; what this leg adds is the whole COG decode chain
+    (tile directory walk, ranged tile reads, zlib inflate, predictor
+    undo, pad crop) running executor-side under the value gate."""
+    from rastertiler_rs_spark.fixtures import geotiff_cog_fixture
+    from rastertiler_rs_spark.operators.geotiff_source import \
+        images_from_geotiff
+    from rastertiler_rs_spark.operators.render import render
+
+    images = images_from_geotiff(spark, geotiff_cog_fixture())
+    fused = render(images, 7, 9, tile_size=128, dtype_tag="u8")
+    return fused.select("zoom", "x", "y").distinct()
+
+
 def q_render_tile_ids_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All five tile-ID invariant twins under ONE driver row: the u8,
     u32, and colormap renders, the overview-cascade pyramid, and the
@@ -1774,7 +1793,8 @@ def q_render_tile_ids_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("u32", q_render_tile_ids_u32(spark, sf_dir)),
         ("colormap", q_render_tile_ids_colormap(spark, sf_dir)),
         ("pyramid", q_render_pyramid_tile_ids(spark, sf_dir)),
-        ("tif", q_render_tile_ids_tif(spark, sf_dir)))
+        ("tif", q_render_tile_ids_tif(spark, sf_dir)),
+        ("cog", q_render_tile_ids_cog(spark, sf_dir)))
 
 
 def q_zonal_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3567,7 +3587,10 @@ def oracle_sql() -> dict[str, str]:
             ("u32", _render_tile_ids_oracle_sql()),
             ("colormap", _render_tile_ids_oracle_sql()),
             ("pyramid", _render_tile_ids_oracle_sql()),
-            ("tif", _render_tile_ids_oracle_sql(_tif_block_footprints()))),
+            ("tif", _render_tile_ids_oracle_sql(_tif_block_footprints())),
+            # the COG twin's 512-tile grid == the strip leg's block
+            # grid by construction (geotiff_cog_fixture docstring)
+            ("cog", _render_tile_ids_oracle_sql(_tif_block_footprints()))),
         "render_pixel_stats": _variant_union_sql(
             ("u8", _render_pixel_stats_oracle_sql()),
             ("u32", _render_pixel_stats_oracle_sql("u32")),

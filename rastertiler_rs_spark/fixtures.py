@@ -662,6 +662,24 @@ def geotiff_fixture(cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return path
 
 
+def geotiff_cog_fixture(cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    """Write (or reuse) the COG-layout twin of the GeoTIFF fixture:
+    same pixels and affine, but tiled 512x512 + deflate + horizontal
+    predictor (GDAL's usual COG recipe). 1536x1024 divides evenly into
+    512-tiles, so the block grid — and therefore the footprint set the
+    exact-cover oracle derives — is IDENTICAL to the strip fixture
+    chopped at block_cols=512."""
+    from .geotiff import write_geotiff
+
+    os.makedirs(cache_dir, exist_ok=True)
+    w, h, transform, _rps = geotiff_params()
+    path = os.path.join(cache_dir, f"fixture_{w}x{h}_cog512.tif")
+    if not os.path.exists(path):
+        write_geotiff(path, geotiff_band(w, h), transform, NODATA,
+                      tile_size=512, compression="deflate", predictor=2)
+    return path
+
+
 # ------------------------------------------------------------ GIF videos
 
 def gif_params(i: int) -> tuple[int, int, int]:

@@ -1,18 +1,34 @@
-"""Debug GeoTIFF writer (S11): single-band georeferenced raster dump.
+"""GeoTIFF codec (S11 debug writer + the ingest source's file layer).
 
 The reference's debug-only ``write_raster`` (/root/reference/src/
 dataset.rs:199-230, call sites commented out at render.rs:240-255)
 writes a tile's raw value buffer as a GeoTIFF via GDAL for inspection.
-This is the GDAL-free analog: a minimal, valid, uncompressed
-little-endian GeoTIFF with the same semantic payload — pixel matrix,
-affine geotransform (ModelPixelScale + ModelTiepoint), EPSG:3857
-spatial ref (GeoKeyDirectory), and nodata (GDAL_NODATA ascii tag).
-Readable by GDAL/QGIS/rasterio; no external deps.
+This is the GDAL-free analog: a minimal, valid little-endian GeoTIFF
+with the same semantic payload — pixel matrix, affine geotransform
+(ModelPixelScale + ModelTiepoint), EPSG:3857 spatial ref
+(GeoKeyDirectory), and nodata (GDAL_NODATA ascii tag). Readable by
+GDAL/QGIS/rasterio; no external deps.
+
+Beyond the debug dump, this module is the file layer of the
+distributed ingest source (operators/geotiff_source.py), so it speaks
+the layouts a real raster archive serves — the cloud-optimized-GeoTIFF
+block structure (TIFF 6.0 §15 tiled layout, tags 322-325) and the two
+compressions GDAL defaults to for COGs, DEFLATE (tag 259 = 8, zlib
+streams; legacy 32946 accepted on read) and LZW (tag 259 = 5, the
+MSB-first TIFF variant with early code-width change, TIFF 6.0 §13),
+each optionally under the horizontal-differencing predictor
+(tag 317 = 2, applied per sample at the sample's bit depth). Every
+layout/compression/predictor combination round-trips through
+``write_geotiff``/``read_geotiff``, and ``_meta_from_tags`` normalizes
+them all into ONE block manifest shape (offset, byte count, pixel
+window, padded block dims) so the ingest source's ranged-read plan is
+layout-independent.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -23,15 +39,183 @@ _IMAGE_WIDTH, _IMAGE_LENGTH = 256, 257
 _BITS_PER_SAMPLE, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP = 273, 277, 278
 _STRIP_BYTE_COUNTS, _SAMPLE_FORMAT = 279, 339
+_PREDICTOR = 317
+_TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_BYTE_COUNTS = (
+    322, 323, 324, 325)
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT, _GEO_KEY_DIRECTORY = 33550, 33922, 34735
 _GDAL_NODATA = 42113
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE, _TYPE_ASCII = 3, 4, 12, 2
 
+_COMPRESSION_IDS = {"none": 1, "lzw": 5, "deflate": 8}
+_COMPRESSION_NAMES = {1: "none", 5: "lzw", 8: "deflate", 32946: "deflate"}
+
+
+# ------------------------------------------------------------- TIFF LZW
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first packing, 8-bit
+    symbols, ClearCode=256/EOI=257, first table code 258, 12-bit cap,
+    and the spec's EARLY code-width change — the width grows one code
+    sooner than classic LZW, so the decoder (whose table add lags the
+    encoder's by one, the KwKwK lag) widens at (1<<width)-1 while the
+    encoder widens at (1<<width). Table reset at 4094 keeps every
+    emitted code representable at width 12 on both sides."""
+    clear, end = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    width = 9
+    emit(clear, width)
+    if not data:
+        emit(end, width)
+    else:
+        w_code = data[0]
+        for c in data[1:]:
+            key = (w_code, c)
+            hit = table.get(key)
+            if hit is not None:
+                w_code = hit
+                continue
+            emit(w_code, width)
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            if next_code == 4094:
+                emit(clear, width)
+                table.clear()
+                next_code = end + 1
+                width = 9
+            w_code = c
+        emit(w_code, width)
+        emit(end, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_lzw_encode_tiff`; stops at EOI or when
+    ``expected`` bytes are produced (a block's decoded size is known
+    from its padded dims, like every TIFF reader uses it)."""
+    clear, end = 256, 257
+    prefix = np.full(4096, -1, np.int32)
+    suffix = np.zeros(4096, np.uint8)
+    out = bytearray()
+    stack = bytearray()
+
+    pos = 0
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            return end
+        byte0 = pos >> 3
+        v = int.from_bytes(data[byte0: byte0 + 3], "big")
+        v = (v >> (24 - (pos & 7) - width)) & ((1 << width) - 1)
+        pos += width
+        return v
+
+    width = 9
+    next_code = end + 1
+    prev = -1
+    while len(out) < expected:
+        code = read(width)
+        if code == end:
+            break
+        if code == clear:
+            width = 9
+            next_code = end + 1
+            prev = -1
+            continue
+        if prev < 0:
+            if code > 255:
+                raise ValueError("LZW: first code after clear not literal")
+            out.append(code)
+            prev = code
+            continue
+        if code > next_code or (code == next_code and prev < 0):
+            raise ValueError(f"LZW: code {code} ahead of table")
+        # walk the chain for `code` (KwKwK: code == next_code uses prev)
+        cur = prev if code == next_code else code
+        stack.clear()
+        while cur >= 256:
+            if cur in (clear, end):
+                raise ValueError("LZW: control code inside a chain")
+            stack.append(suffix[cur])
+            cur = int(prefix[cur])
+        first = cur
+        stack.append(first)
+        if code == next_code:
+            stack.insert(0, first)
+        out += stack[::-1]
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = code
+    if len(out) != expected:
+        raise ValueError(
+            f"LZW: decoded {len(out)} bytes, expected {expected}")
+    return bytes(out)
+
+
+# --------------------------------------------------- block encode/decode
+
+def _encode_block(arr: np.ndarray, compression: str, predictor: int
+                  ) -> bytes:
+    if predictor == 2:
+        arr = arr.copy()
+        arr[:, 1:] -= arr[:, :-1]  # unsigned wraparound, per TIFF §14
+    buf = np.ascontiguousarray(arr).tobytes()
+    if compression == "deflate":
+        return zlib.compress(buf, 6)
+    if compression == "lzw":
+        return _lzw_encode_tiff(buf)
+    return buf
+
+
+def _decode_block(raw: bytes, compression: str, predictor: int,
+                  np_dt, pad_h: int, pad_w: int,
+                  nrows: int, ncols: int) -> np.ndarray:
+    itemsize = np.dtype(np_dt).itemsize
+    expected = pad_h * pad_w * itemsize
+    if compression == "deflate":
+        buf = zlib.decompress(raw)
+    elif compression == "lzw":
+        buf = _lzw_decode_tiff(raw, expected)
+    else:
+        buf = raw
+    if len(buf) != expected:
+        raise ValueError(
+            f"block decodes to {len(buf)} bytes, expected {expected}")
+    arr = np.frombuffer(buf, dtype=np_dt).reshape(pad_h, pad_w)
+    if predictor == 2:
+        arr = arr.cumsum(axis=1, dtype=np_dt)
+    return arr[:nrows, :ncols]
+
 
 def write_geotiff(path: str, data: np.ndarray, transform: tuple,
                   nodata: int, epsg: int = 3857,
-                  rows_per_strip: int | None = None) -> None:
+                  rows_per_strip: int | None = None,
+                  tile_size: int | None = None,
+                  compression: str = "none",
+                  predictor: int = 1) -> None:
     """Write a single-band uint8/uint32 array as a valid GeoTIFF.
 
     ``transform`` is the engine affine (a, b, c, d, e, f): x = a*col + c,
@@ -42,12 +226,25 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     addressable row bands, which is what makes a large GeoTIFF a
     DISTRIBUTED source: executors can ranged-read single strips without
     touching the rest of the file (operators/geotiff_source.py).
+
+    ``tile_size`` (mutually exclusive with ``rows_per_strip``) writes
+    the TIFF 6.0 §15 TILED layout instead — square blocks padded with
+    ``nodata`` at the right/bottom edges, the block structure of a
+    cloud-optimized GeoTIFF. ``compression`` is ``"none"``,
+    ``"deflate"`` (zlib, tag 259 = 8) or ``"lzw"`` (TIFF §13 MSB-first
+    early-change variant); ``predictor=2`` applies horizontal
+    differencing per sample before compression (tag 317) — GDAL's
+    usual COG recipe is tiled + deflate + predictor.
     """
     if data.ndim != 2:
         raise ValueError("write_geotiff expects a 2-D single-band array")
     a, b, c, d, e, f = transform
     if b or d:
         raise ValueError("rotated transforms are not supported (debug writer)")
+    if compression not in _COMPRESSION_IDS:
+        raise ValueError(f"unsupported compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
     h, w = data.shape
     if data.dtype == np.uint8:
         bits, fmt = 8, 1
@@ -56,11 +253,30 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     else:
         raise ValueError(f"unsupported dtype {data.dtype}")
 
-    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
-    strips = [np.ascontiguousarray(data[r:r + rps]).tobytes()
-              for r in range(0, h, rps)]
+    tiled = tile_size is not None
+    if tiled:
+        if rows_per_strip is not None:
+            raise ValueError("tile_size and rows_per_strip are exclusive")
+        ts = int(tile_size)
+        if ts <= 0 or ts % 16:
+            raise ValueError("TIFF tile size must be a positive multiple "
+                             "of 16 (TIFF 6.0 §15)")
+        blocks = []
+        for r0 in range(0, h, ts):
+            for c0 in range(0, w, ts):
+                blk = np.full((ts, ts), nodata, dtype=data.dtype)
+                sub = data[r0:r0 + ts, c0:c0 + ts]
+                blk[:sub.shape[0], :sub.shape[1]] = sub
+                blocks.append(blk)
+        rps = None
+    else:
+        rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+        blocks = [data[r:r + rps] for r in range(0, h, rps)]
+    strips = [_encode_block(blk, compression, predictor) for blk in blocks]
     nstrips = len(strips)
-    pixels = b"".join(strips)
+    # blocks start on word boundaries (libtiff-style); readers address
+    # them by (offset, byte count), so the pad bytes are never read
+    pixels = b"".join(s + b"\x00" * (len(s) % 2) for s in strips)
     # pad to > 4 bytes so the value always lives out-of-line (keeps the
     # writer single-path; trailing NULs are legal in TIFF ASCII)
     nodata_ascii = (str(int(nodata)) + "\x00").ljust(5, "\x00").encode()
@@ -79,23 +295,33 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     def entry(tag, typ, count, inline=None, payload=None):
         entries.append([tag, typ, count, inline, payload])
 
+    off_tag = _TILE_OFFSETS if tiled else _STRIP_OFFSETS
+    cnt_tag = _TILE_BYTE_COUNTS if tiled else _STRIP_BYTE_COUNTS
+
     entry(_IMAGE_WIDTH, _TYPE_LONG, 1, inline=w)
     entry(_IMAGE_LENGTH, _TYPE_LONG, 1, inline=h)
     entry(_BITS_PER_SAMPLE, _TYPE_SHORT, 1, inline=bits)
-    entry(_COMPRESSION, _TYPE_SHORT, 1, inline=1)       # none
+    entry(_COMPRESSION, _TYPE_SHORT, 1,
+          inline=_COMPRESSION_IDS[compression])
     entry(_PHOTOMETRIC, _TYPE_SHORT, 1, inline=1)       # BlackIsZero
     if nstrips == 1:
-        entry(_STRIP_OFFSETS, _TYPE_LONG, 1, inline=None, payload=b"")  # patched
-        entry(_STRIP_BYTE_COUNTS, _TYPE_LONG, 1, inline=len(pixels))
+        entry(off_tag, _TYPE_LONG, 1, inline=None, payload=b"")  # patched
+        entry(cnt_tag, _TYPE_LONG, 1, inline=len(strips[0]))
     else:
         # arrays live out-of-line in the blob; the offsets array is
         # written as zeros here and patched once the pixel base is known
-        entry(_STRIP_OFFSETS, _TYPE_LONG, nstrips,
+        entry(off_tag, _TYPE_LONG, nstrips,
               payload=b"\x00" * (4 * nstrips))
-        entry(_STRIP_BYTE_COUNTS, _TYPE_LONG, nstrips,
+        entry(cnt_tag, _TYPE_LONG, nstrips,
               payload=struct.pack(f"<{nstrips}I", *(len(s) for s in strips)))
     entry(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, inline=1)
-    entry(_ROWS_PER_STRIP, _TYPE_LONG, 1, inline=rps)
+    if tiled:
+        entry(_TILE_WIDTH, _TYPE_LONG, 1, inline=ts)
+        entry(_TILE_LENGTH, _TYPE_LONG, 1, inline=ts)
+    else:
+        entry(_ROWS_PER_STRIP, _TYPE_LONG, 1, inline=rps)
+    if predictor == 2:
+        entry(_PREDICTOR, _TYPE_SHORT, 1, inline=2)
     entry(_SAMPLE_FORMAT, _TYPE_SHORT, 1, inline=fmt)
     entry(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, 3, payload=pixel_scale)
     entry(_MODEL_TIEPOINT, _TYPE_DOUBLE, 6, payload=tiepoint)
@@ -113,26 +339,26 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     # GDAL_NODATA ascii blob would make the pixel strip offset odd —
     # tolerated by GDAL but rejected by strict readers.
     blob = bytearray()
-    offsets_pos = None  # blob position of the multi-strip offsets array
+    offsets_pos = None  # blob position of the multi-block offsets array
     for ent in entries:
-        if ent[4] is None or (ent[0] == _STRIP_OFFSETS and ent[4] == b""):
+        if ent[4] is None or (ent[0] == off_tag and ent[4] == b""):
             continue
         ent[3] = data_start + len(blob)
-        if ent[0] == _STRIP_OFFSETS:
+        if ent[0] == off_tag:
             offsets_pos = len(blob)
         blob += ent[4]
         if len(blob) % 2:
             blob += b"\x00"
     pixel_offset = data_start + len(blob)
-    if offsets_pos is None:  # single strip: offset fits inline
+    if offsets_pos is None:  # single block: offset fits inline
         for ent in entries:
-            if ent[0] == _STRIP_OFFSETS:
+            if ent[0] == off_tag:
                 ent[3] = pixel_offset
     else:
         offs, pos = [], pixel_offset
         for s in strips:
             offs.append(pos)
-            pos += len(s)
+            pos += len(s) + (len(s) % 2)  # blocks are word-aligned
         blob[offsets_pos:offsets_pos + 4 * nstrips] = struct.pack(
             f"<{nstrips}I", *offs)
 
@@ -199,27 +425,80 @@ def _parse_ifd(read_at) -> dict:
 
 
 def _meta_from_tags(tags: dict) -> dict:
-    """Normalize the raw tag dict: strip arrays as lists, engine affine,
-    EPSG, nodata — everything a reader needs except the pixels."""
+    """Normalize the raw tag dict: engine affine, EPSG, nodata,
+    compression/predictor, and — for BOTH the strip and the tiled
+    layout — one unified ``blocks`` manifest. Each block is a dict
+    with its ranged-read address (``off``, ``cnt``), its pixel window
+    (``row0``/``col0``/``nrows``/``ncols``), and its PADDED encoded
+    dims (``pad_h``/``pad_w``: strips pad nothing, tiles pad the
+    right/bottom edges to the full tile size)."""
     w, h = tags[_IMAGE_WIDTH], tags[_IMAGE_LENGTH]
     bits = tags[_BITS_PER_SAMPLE]
-    if tags.get(_COMPRESSION, 1) != 1:
-        raise ValueError("compressed GeoTIFF is not supported (engine "
-                         "writes/reads uncompressed strips)")
-    offs = tags[_STRIP_OFFSETS]
-    cnts = tags[_STRIP_BYTE_COUNTS]
-    offs = list(offs) if isinstance(offs, tuple) else [offs]
-    cnts = list(cnts) if isinstance(cnts, tuple) else [cnts]
+    comp_id = tags.get(_COMPRESSION, 1)
+    if comp_id not in _COMPRESSION_NAMES:
+        raise ValueError(f"unsupported TIFF compression id {comp_id} "
+                         "(engine reads none/LZW/deflate)")
+    compression = _COMPRESSION_NAMES[comp_id]
+    predictor = tags.get(_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+
+    def _aslist(v):
+        return list(v) if isinstance(v, tuple) else [v]
+
+    tiled = _TILE_OFFSETS in tags
+    blocks = []
+    if tiled:
+        tw, tl = tags[_TILE_WIDTH], tags[_TILE_LENGTH]
+        offs = _aslist(tags[_TILE_OFFSETS])
+        cnts = _aslist(tags[_TILE_BYTE_COUNTS])
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offs) != across * down or len(cnts) != len(offs):
+            raise ValueError(
+                f"tile directory has {len(offs)} offsets / {len(cnts)} "
+                f"counts, expected {across * down}")
+        for td in range(down):
+            for ta in range(across):
+                row0, col0 = td * tl, ta * tw
+                blocks.append({
+                    "off": offs[td * across + ta],
+                    "cnt": cnts[td * across + ta],
+                    "row0": row0, "col0": col0,
+                    "nrows": min(tl, h - row0),
+                    "ncols": min(tw, w - col0),
+                    "pad_h": tl, "pad_w": tw})
+    else:
+        offs = _aslist(tags[_STRIP_OFFSETS])
+        cnts = _aslist(tags[_STRIP_BYTE_COUNTS])
+        rps = tags.get(_ROWS_PER_STRIP, h)
+        if len(offs) != -(-h // rps) or len(cnts) != len(offs):
+            raise ValueError(
+                f"strip directory has {len(offs)} offsets / {len(cnts)} "
+                f"counts, expected {-(-h // rps)}")
+        for s, (off, cnt) in enumerate(zip(offs, cnts)):
+            row0 = s * rps
+            nrows = min(rps, h - row0)
+            blocks.append({"off": off, "cnt": cnt, "row0": row0,
+                           "col0": 0, "nrows": nrows, "ncols": w,
+                           "pad_h": nrows, "pad_w": w})
     sx, sy, _ = tags[_MODEL_PIXEL_SCALE]
     ti = tags[_MODEL_TIEPOINT]
     geokeys = tags[_GEO_KEY_DIRECTORY]
     epsg = dict(zip(geokeys[4::4], geokeys[7::4])).get(3072)
-    return {"width": w, "height": h, "bits": bits,
-            "rows_per_strip": tags.get(_ROWS_PER_STRIP, h),
-            "strip_offsets": offs, "strip_byte_counts": cnts,
+    meta = {"width": w, "height": h, "bits": bits,
+            "compression": compression, "predictor": predictor,
+            "tiled": tiled, "blocks": blocks,
             "transform": (sx, 0.0, ti[3], 0.0, -sy, ti[4]),
             "epsg": epsg,
             "nodata": int(tags[_GDAL_NODATA].rstrip(b"\x00").decode())}
+    if not tiled:
+        meta["rows_per_strip"] = tags.get(_ROWS_PER_STRIP, h)
+        meta["strip_offsets"] = offs
+        meta["strip_byte_counts"] = cnts
+    else:
+        meta["tile_width"], meta["tile_length"] = tw, tl
+    return meta
 
 
 def geotiff_ifd(path: str) -> dict:
@@ -236,14 +515,20 @@ def geotiff_ifd(path: str) -> dict:
 
 
 def read_geotiff(data: bytes) -> dict:
-    """Minimal reader for round-trip tests: tags + pixels + transform.
-    Handles both the single-strip debug layout and multi-strip files."""
+    """Full-file reader for round-trip tests: tags + pixels + transform.
+    Handles every layout the writer emits — single/multi strip, tiled,
+    compressed, predictor — through the same block manifest the
+    distributed source plans from."""
     meta = _meta_from_tags(_parse_ifd(lambda off, size: data[off: off + size]))
     w, h = meta["width"], meta["height"]
     dt = np.uint8 if meta["bits"] == 8 else np.uint32
-    buf = b"".join(data[o: o + c] for o, c in
-                   zip(meta["strip_offsets"], meta["strip_byte_counts"]))
-    pixels = np.frombuffer(buf, dtype=dt).reshape(h, w)
+    pixels = np.empty((h, w), dtype=dt)
+    for b in meta["blocks"]:
+        pixels[b["row0"]:b["row0"] + b["nrows"],
+               b["col0"]:b["col0"] + b["ncols"]] = _decode_block(
+            data[b["off"]: b["off"] + b["cnt"]], meta["compression"],
+            meta["predictor"], dt, b["pad_h"], b["pad_w"],
+            b["nrows"], b["ncols"])
     return {"width": w, "height": h, "pixels": pixels,
             "transform": meta["transform"], "epsg": meta["epsg"],
             "nodata": meta["nodata"]}

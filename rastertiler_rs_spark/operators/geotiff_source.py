@@ -12,13 +12,14 @@ Scale shape (the part that matters at 100 TB):
 
 - the DRIVER reads only the IFD — a few KB of seeks
   (``geotiff.geotiff_ifd``), never pixel bytes;
-- the strip directory becomes a tiny MANIFEST DataFrame (one row per
-  strip / column chunk: byte offset, byte count, pixel window);
-- EXECUTORS ranged-read their own strips (``open`` + ``seek`` here; the
+- the block directory becomes a tiny MANIFEST DataFrame (one row per
+  strip / tile / column chunk: byte offset, byte count, pixel window);
+- EXECUTORS ranged-read their own blocks (``open`` + ``seek`` here; the
   byte-offset manifest is exactly what an object store serves as ranged
-  GETs) and re-encode each block in the engine's native compressed
-  format, so everything downstream of the scan ships ~KB PNG blobs,
-  never raw rasters.
+  GETs), decode them (deflate/LZW inflate, predictor undo — the
+  cloud-optimized-GeoTIFF layouts, see ``geotiff.py``), and re-encode
+  each block in the engine's native compressed format, so everything
+  downstream of the scan ships ~KB PNG blobs, never raw rasters.
 
 Like ``mbtiles_sink``'s shard writer, executor-side ``open(path)``
 assumes a filesystem (or mount) visible to all executors — true in
@@ -42,6 +43,10 @@ from ..geotiff import geotiff_ifd
 
 _OUT_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                "minx double, miny double, maxx double, maxy double")
+
+_MANIFEST_SCHEMA = ("off long, cnt long, brow0 int, bcol0 int, "
+                    "bnrows int, bncols int, pad_h int, pad_w int, "
+                    "col0 int, ncols int")
 
 
 def block_footprint(transform: tuple, row0: int, nrows: int,
@@ -69,10 +74,16 @@ def images_from_geotiff(spark: SparkSession, path: str,
     through, so arbitrary rasters render — no id-derived footprint rule
     involved).
 
-    ``block_cols=None`` makes each strip one block — contiguous ranged
-    reads, the scale default. An explicit value additionally chops
-    strips into column chunks (each chunk re-reads its strip rows;
-    useful when a raster is wide but short on strips).
+    Every layout ``geotiff.py`` reads is ingestable — strip or tiled
+    (COG-style), none/deflate/LZW compression, horizontal predictor;
+    the manifest row carries the block's padded dims so the executor
+    decode is layout-independent.
+
+    ``block_cols=None`` emits each TIFF block as one image — contiguous
+    ranged reads, the scale default. An explicit value additionally
+    chops wide blocks into column chunks (each chunk ranged-reads and
+    decodes its whole source block, then slices; useful when a raster
+    is wide but short on strips).
 
     Source CRS must already be EPSG:3857 — matching the engine's S5
     design decision that georeferencing is native-mercator (the
@@ -91,30 +102,29 @@ def images_from_geotiff(spark: SparkSession, path: str,
     else:
         raise ValueError(f"unsupported bits per sample {meta['bits']}")
     bpp = meta["bits"] // 8
-    w, h = meta["width"], meta["height"]
-    rps = meta["rows_per_strip"]
+    compression = meta["compression"]
+    predictor = meta["predictor"]
     transform = meta["transform"]
     nodata = meta["nodata"]
     abs_path = os.path.abspath(path)
     prefix = id_prefix if id_prefix is not None else os.path.basename(path)
 
     manifest = []
-    for s, (off, cnt) in enumerate(zip(meta["strip_offsets"],
-                                       meta["strip_byte_counts"])):
-        row0 = s * rps
-        nrows = min(rps, h - row0)
-        if cnt != nrows * w * bpp:
+    for b in meta["blocks"]:
+        if compression == "none" and b["cnt"] != (
+                b["pad_h"] * b["pad_w"] * bpp):
             raise ValueError(
-                f"strip {s}: byte count {cnt} != rows*width*bpp "
-                f"{nrows * w * bpp} (corrupt or non-contiguous strip)")
-        step = w if block_cols is None else max(1, int(block_cols))
-        for col0 in range(0, w, step):
-            manifest.append((int(off), row0, nrows, col0,
-                             min(step, w - col0)))
+                f"block at row {b['row0']} col {b['col0']}: byte count "
+                f"{b['cnt']} != padded rows*cols*bpp "
+                f"{b['pad_h'] * b['pad_w'] * bpp} (corrupt directory)")
+        step = b["ncols"] if block_cols is None else max(1, int(block_cols))
+        for sub0 in range(0, b["ncols"], step):
+            manifest.append((
+                int(b["off"]), int(b["cnt"]), b["row0"], b["col0"],
+                b["nrows"], b["ncols"], b["pad_h"], b["pad_w"],
+                b["col0"] + sub0, min(step, b["ncols"] - sub0)))
 
-    mdf = spark.createDataFrame(
-        manifest,
-        "strip_off long, row0 int, nrows int, col0 int, ncols int")
+    mdf = spark.createDataFrame(manifest, _MANIFEST_SCHEMA)
     npart = max(1, min(len(manifest),
                        spark.sparkContext.defaultParallelism))
     mdf = mdf.repartition(npart)
@@ -123,6 +133,7 @@ def images_from_geotiff(spark: SparkSession, path: str,
         import numpy as np
         import pandas as pd
 
+        from ..geotiff import _decode_block
         from ..png import encode_grayscale8, encode_rgb, rgb_from_u32
 
         np_dt = np.uint8 if dtype_tag == "u8" else np.dtype("<u4")
@@ -133,10 +144,13 @@ def images_from_geotiff(spark: SparkSession, path: str,
                                        "fmt", "minx", "miny", "maxx",
                                        "maxy")}
                 for r in pdf.itertuples(index=False):
-                    fh.seek(r.strip_off)
-                    buf = fh.read(r.nrows * w * bpp)
-                    band = np.frombuffer(buf, dtype=np_dt).reshape(
-                        r.nrows, w)[:, r.col0:r.col0 + r.ncols]
+                    fh.seek(r.off)
+                    raw = fh.read(r.cnt)
+                    blk = _decode_block(raw, compression, predictor,
+                                        np_dt, r.pad_h, r.pad_w,
+                                        r.bnrows, r.bncols)
+                    band = blk[:, r.col0 - r.bcol0:
+                               r.col0 - r.bcol0 + r.ncols]
                     if (band == nodata).all():
                         continue  # source-level P3: nothing to render
                     band = np.ascontiguousarray(band)
@@ -145,12 +159,12 @@ def images_from_geotiff(spark: SparkSession, path: str,
                     else:
                         png = encode_rgb(rgb_from_u32(band), nodata)
                     minx, miny, maxx, maxy = block_footprint(
-                        transform, r.row0, r.nrows, r.col0, r.ncols)
+                        transform, r.brow0, r.bnrows, r.col0, r.ncols)
                     out["image_id"].append(
-                        f"{prefix}#r{r.row0:07d}c{r.col0:07d}")
+                        f"{prefix}#r{r.brow0:07d}c{r.col0:07d}")
                     out["bytes"].append(png)
                     out["w"].append(r.ncols)
-                    out["h"].append(r.nrows)
+                    out["h"].append(r.bnrows)
                     out["fmt"].append(fmt)
                     out["minx"].append(minx)
                     out["miny"].append(miny)

@@ -152,3 +152,140 @@ def test_cli_render_tif(tmp_path):
     con.close()
     assert n > 0
     assert meta["format"] == "png"
+
+
+# ------------------------------------------------------- COG layouts
+
+def test_cog_layout_roundtrips(tmp_path):
+    """Tiled layout x compression x predictor x dtype round-trips,
+    including uneven right/bottom edges (77x45 under 16/32 tiles)."""
+    import itertools
+
+    t = (1.5, 0.0, -100.25, 0.0, -2.5, 9000.5)
+    rng = np.random.default_rng(7)
+    for dt, comp, pred, ts in itertools.product(
+            [np.uint8, np.uint32], ["none", "deflate", "lzw"], [1, 2],
+            [16, 32]):
+        data = rng.integers(0, 250, (77, 45)).astype(dt)
+        p = str(tmp_path / "c.tif")
+        write_geotiff(p, data, t, 7, tile_size=ts, compression=comp,
+                      predictor=pred)
+        r = read_geotiff(open(p, "rb").read())
+        assert (r["pixels"] == data).all(), (dt, comp, pred, ts)
+        m = geotiff_ifd(p)
+        assert m["tiled"] and m["compression"] == comp
+        assert m["predictor"] == pred
+        assert len(m["blocks"]) == -(-77 // ts) * -(-45 // ts)
+
+
+def test_compressed_strip_roundtrip(tmp_path):
+    """Strip layout also accepts compression + predictor (not only the
+    tiled COG layout)."""
+    data = (np.arange(257 * 96, dtype=np.int64).reshape(257, 96) % 251
+            ).astype(np.uint8)
+    t = (1.5, 0.0, -100.25, 0.0, -2.5, 9000.5)
+    for comp in ("deflate", "lzw"):
+        p = str(tmp_path / "s.tif")
+        write_geotiff(p, data, t, 7, rows_per_strip=64, compression=comp,
+                      predictor=2)
+        r = read_geotiff(open(p, "rb").read())
+        assert (r["pixels"] == data).all()
+        m = geotiff_ifd(p)
+        # compressed strips are smaller than raw on this sawtooth band
+        assert sum(b["cnt"] for b in m["blocks"]) < data.nbytes
+
+
+def test_tiff_lzw_codec_edges():
+    """TIFF-variant LZW: empty stream, single byte, and streams long
+    enough to cross every width change and the 4094 table reset."""
+    from rastertiler_rs_spark.geotiff import (_lzw_decode_tiff,
+                                              _lzw_encode_tiff)
+
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 300, 5000, 200000):
+        rand = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+        runs = (np.arange(n) % 7).astype(np.uint8).tobytes()
+        for buf in (rand, runs):
+            assert _lzw_decode_tiff(_lzw_encode_tiff(buf), n) == buf
+    with pytest.raises(ValueError, match="expected"):
+        _lzw_decode_tiff(_lzw_encode_tiff(b"abc"), 5)
+
+
+def test_cog_ingest_render_parity(spark):
+    """Ingesting the tiled+deflate+predictor COG twin renders
+    byte-identically to the multi-strip fixture: same pixels, same
+    affine, and (by the even 512 division) the same block grid."""
+    from rastertiler_rs_spark.fixtures import geotiff_cog_fixture
+
+    a = render(images_from_geotiff(spark, geotiff_fixture(),
+                                   block_cols=512),
+               7, 9, tile_size=128, dtype_tag="u8")
+    b = render(images_from_geotiff(spark, geotiff_cog_fixture()),
+               7, 9, tile_size=128, dtype_tag="u8")
+    ta, tb = _tiles(a), _tiles(b)
+    assert len(ta) > 0
+    assert ta == tb
+
+
+def test_lzw_tiled_uneven_ingest_rows(spark, tmp_path):
+    """An uneven tile grid (192-tiles over 1000x700, LZW + predictor)
+    ingests EXACTLY the rows a driver-side numpy construction over the
+    same grid produces: same ids, same footprints, byte-identical PNGs
+    (edge tiles cropped of their nodata padding). Render parity across
+    DIFFERENT grids is intentionally not asserted — per-block window
+    rounding legitimately differs between grids under resampling."""
+    from rastertiler_rs_spark.png import encode_grayscale8
+
+    _, _, transform, _ = geotiff_params()
+    data = geotiff_band(1000, 700)  # 1000 % 192 != 0, 700 % 192 != 0
+    p_cog = str(tmp_path / "c.tif")
+    write_geotiff(p_cog, data, transform, NODATA, tile_size=192,
+                  compression="lzw", predictor=2)
+    got = sorted((r.image_id, bytes(r.bytes), r.w, r.h,
+                  r.minx, r.miny, r.maxx, r.maxy)
+                 for r in images_from_geotiff(spark, p_cog).collect())
+    want = []
+    for row0 in range(0, 700, 192):
+        nrows = min(192, 700 - row0)
+        for col0 in range(0, 1000, 192):
+            ncols = min(192, 1000 - col0)
+            blk = np.ascontiguousarray(
+                data[row0:row0 + nrows, col0:col0 + ncols])
+            minx, miny, maxx, maxy = block_footprint(
+                transform, row0, nrows, col0, ncols)
+            want.append((f"c.tif#r{row0:07d}c{col0:07d}",
+                         encode_grayscale8(blk, NODATA), ncols, nrows,
+                         minx, miny, maxx, maxy))
+    assert got == sorted(want)
+
+
+def test_cog_ingest_block_cols_chop(spark, tmp_path):
+    """block_cols chops tiled blocks too (each chunk decodes its source
+    tile and slices columns); footprints follow the chunks."""
+    _, _, transform, _ = geotiff_params()
+    data = geotiff_band(512, 512)
+    p = str(tmp_path / "c.tif")
+    write_geotiff(p, data, transform, NODATA, tile_size=512,
+                  compression="deflate")
+    rows = images_from_geotiff(spark, p, block_cols=128).collect()
+    assert len(rows) == 4
+    assert sorted(r.w for r in rows) == [128] * 4
+    assert len({(r.minx, r.maxx) for r in rows}) == 4
+
+
+def test_corrupt_tile_directory_fails_fast(tmp_path):
+    """A tile directory whose offsets count disagrees with the tile
+    grid is rejected at probe time (driver-side, before any ranged
+    read)."""
+    data = np.ones((64, 64), np.uint8)
+    p = str(tmp_path / "c.tif")
+    write_geotiff(p, data, (1.0, 0, 0, 0, -1.0, 64.0), 0, tile_size=16)
+    raw = bytearray(open(p, "rb").read())
+    # shrink ImageWidth from 64 to 60: grid says 4x4 tiles either way,
+    # so instead grow it to 80 -> expects 5x4, directory has 4x4
+    pos = raw.find((256).to_bytes(2, "little") + (4).to_bytes(2, "little"))
+    raw[pos + 8:pos + 12] = (80).to_bytes(4, "little")
+    p2 = str(tmp_path / "bad.tif")
+    open(p2, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="tile directory"):
+        geotiff_ifd(p2)

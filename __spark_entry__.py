@@ -1069,7 +1069,10 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the webp container path under the value gate too. And a
     PROGRESSIVE-JPEG slice: 16 bands through the Annex-G encoder
     (SOF2, spectral selection + successive approximation) whose frame
-    header the progressive parse path must read back."""
+    header the progressive parse path must read back. And a
+    LOSSY-WEBP slice: 16 bands through the from-spec VP8 keyframe
+    encoder (webp/vp8.py) whose 'VP8 ' frame-tag dims the probe must
+    read back."""
     import numpy as np
 
     from rastertiler_rs_spark.fixtures import (_H_CYCLE, _W_CYCLE,
@@ -1077,7 +1080,8 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rastertiler_rs_spark.jpeg import encode_jpeg_gray
     from rastertiler_rs_spark.jpeg.codec import encode_jpeg_gray_progressive
     from rastertiler_rs_spark.operators.multimodal import image_metadata
-    from rastertiler_rs_spark.webp import encode_webp_lossless
+    from rastertiler_rs_spark.webp import (encode_webp_lossless,
+                                           encode_webp_lossy_gray)
 
     images = spark.read.parquet(images_parquet(64, "u8"))
     jrows = []
@@ -1104,9 +1108,19 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         wrows.append((f"wbp{i:08d}", encode_webp_lossless(rgba), w, h, "webp"))
     webps = spark.createDataFrame(
         wrows, "image_id string, bytes binary, w int, h int, fmt string")
+    lrows = []
+    for i in range(16):
+        w, h = 20 + (i % 4) * 12, 10 + (i % 4) * 6
+        lrows.append((f"wbl{i:08d}",
+                      encode_webp_lossy_gray(
+                          pixel_band(i, w, h, "u8"), qi=20),
+                      w, h, "webp"))
+    lossy = spark.createDataFrame(
+        lrows, "image_id string, bytes binary, w int, h int, fmt string")
     return (image_metadata(images).unionByName(image_metadata(jpegs))
             .unionByName(image_metadata(pjpegs))
-            .unionByName(image_metadata(webps)))
+            .unionByName(image_metadata(webps))
+            .unionByName(image_metadata(lossy)))
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,6 +1179,31 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rastertiler_rs_spark.operators.multimodal import image_features
 
     images = spark.read.parquet(images_parquet(64, "u8"))
+    return image_features(images)
+
+
+def q_image_features_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP PIXEL decode under the value gate: 16 solid-gray
+    frames through the from-spec VP8 keyframe codec (webp/vp8.py) at
+    qi=0 — the family where reconstruction is bit-exact (DC-only
+    residual path, pinned for all 256 grays in tests/test_vp8.py) —
+    then image_features must recover the closed-form solid stats the
+    DuckDB twin states from the generation formula. i=0 is the
+    all-nodata (g=0) hole case."""
+    import numpy as np
+
+    from rastertiler_rs_spark.operators.multimodal import image_features
+    from rastertiler_rs_spark.webp import encode_webp_lossy_gray
+
+    rows = []
+    for i in range(16):
+        w, h = 24 + (i % 4) * 16, 16 + (i % 4) * 8  # non-multiple-of-16
+        g = 0 if i == 0 else (i * 37 + 5) % 256
+        data = encode_webp_lossy_gray(
+            np.full((h, w), g, dtype=np.uint8), qi=0)
+        rows.append((f"wbv{i:08d}", data, w, h, "webp"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
     return image_features(images)
 
 
@@ -1994,11 +2033,15 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image feature-extraction and resize gates as one tagged union
     over the full shared stats schema (n_pixels, n_data, vmin, vmax,
     vsum, mean_x100, pos_sum): `features` decodes the original PNGs,
-    `resize` decodes the K2-resampled 32x32 outputs — both against
-    pixel-formula SQL twins."""
+    `resize` decodes the K2-resampled 32x32 outputs, `vp8` decodes
+    lossy WebP through the from-spec VP8 keyframe codec at its
+    bit-exact qi=0 solid family — all against pixel-formula /
+    closed-form SQL twins."""
     feats = q_image_features(spark, sf_dir)
     resized = q_image_resize(spark, sf_dir)
-    return _union_variants(("features", feats), ("resize", resized))
+    vp8 = q_image_features_vp8(spark, sf_dir)
+    return _union_variants(("features", feats), ("resize", resized),
+                           ("vp8", vp8))
 
 
 def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3050,6 +3093,30 @@ def _image_features_oracle_sql(n: int = 64) -> str:
     """
 
 
+def _image_features_vp8_oracle_sql() -> str:
+    """Closed-form twin of q_image_features_vp8: solid-gray frames at
+    VP8 qi=0 reconstruct bit-exactly (tests/test_vp8.py pins all 256
+    grays), so every stat is a formula of (g, w, h). i=0 plants the
+    all-nodata hole case the operator must report as zeros."""
+    return """
+        WITH img AS (
+          SELECT i,
+                 CAST(24 + (i % 4) * 16 AS BIGINT) AS w,
+                 CAST(16 + (i % 4) * 8 AS BIGINT) AS h,
+                 CASE WHEN i = 0 THEN 0
+                      ELSE CAST((i * 37 + 5) % 256 AS BIGINT) END AS g
+          FROM (SELECT UNNEST(generate_series(0, 15)) AS i) t(i))
+        SELECT 'wbv' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+               w * h AS n_pixels,
+               CASE WHEN g = 0 THEN 0 ELSE w * h END AS n_data,
+               g AS vmin, g AS vmax,
+               g * w * h AS vsum,
+               CASE WHEN g = 0 THEN 0 ELSE g * 100 END AS mean_x100,
+               g * (w * h - 1) * (w * h) // 2 AS pos_sum
+        FROM img
+    """
+
+
 def _image_resize_oracle_sql(n: int = 64, target: int = 32) -> str:
     v = _PIXEL_VALUE_CASE.format(r="rsrc", c="csrc")
     return f"""
@@ -3597,7 +3664,8 @@ def oracle_sql() -> dict[str, str]:
             ("pyramid", _render_pyramid_pixel_stats_oracle_sql())),
         "image_stats": _variant_union_sql(
             ("features", _image_features_oracle_sql()),
-            ("resize", _image_resize_oracle_sql())),
+            ("resize", _image_resize_oracle_sql()),
+            ("vp8", _image_features_vp8_oracle_sql())),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
@@ -3660,6 +3728,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(12 + (i % 4) * 8 AS INT) AS actual_h,
                    TRUE AS dims_match
             FROM (SELECT UNNEST(generate_series(0, 15)) AS i) t3(i)
+            UNION ALL
+            SELECT 'wbl' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+                   'webp' AS fmt,
+                   CAST(20 + (i % 4) * 12 AS INT) AS decl_w,
+                   CAST(10 + (i % 4) * 6 AS INT) AS decl_h,
+                   CAST(20 + (i % 4) * 12 AS INT) AS actual_w,
+                   CAST(10 + (i % 4) * 6 AS INT) AS actual_h,
+                   TRUE AS dims_match
+            FROM (SELECT UNNEST(generate_series(0, 15)) AS i) t5(i)
         """,
         "phash_near": f"""
             WITH base AS (

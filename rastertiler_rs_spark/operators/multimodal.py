@@ -13,10 +13,13 @@ chunk walk cross-checked against idx1), and MP3 framing metadata via
 the Layer III header walk (media/mp4.py, media/avi.py, media/mp3.py).
 Video PIXEL decode is real for Motion-JPEG in BOTH containers
 (video_frame_stats: BMFF or RIFF demux + baseline JPEG decode, all
-from spec), and WebP lossless (VP8L) decode is fully real via the
-from-spec codec in webp/codec.py. Codecs still absent from this
-container (lossy-VP8 webp pixels, non-MJPEG video payloads,
-mp3 payload decode) have two clearly-separated modes:
+from spec), and WebP decode is real for BOTH variants — lossless
+(full VP8L, webp/codec.py) and lossy (VP8 keyframe family,
+webp/vp8.py; outside its documented family it raises naming the
+missing piece). MP3 payload decode is real for the verified Layer III
+family (media/mp3.py). Codecs still absent from this container
+(non-MJPEG video payloads, VP8X extended webp) have two
+clearly-separated modes:
 
 - default: raise NotImplementedError with the batch signature a
   production codec would drop into (honest environment-blocked stub);
@@ -74,8 +77,9 @@ def _decode_any(data: bytes, fmt: str, w: int = 0, h: int = 0,
             return _fake_decode(data, int(w), int(h))
         from ..webp import decode_webp
 
-        rgba = decode_webp(data)  # REAL for VP8L lossless (webp/codec.py);
-        # lossy VP8 raises NotImplementedError inside (env-blocked stub)
+        rgba = decode_webp(data)  # REAL for VP8L lossless AND lossy
+        # VP8 keyframes (webp/codec.py + webp/vp8.py); only VP8X
+        # extended layouts raise inside
         arr = (0.299 * rgba[:, :, 0] + 0.587 * rgba[:, :, 1]
                + 0.114 * rgba[:, :, 2])
         return np.clip(np.round(arr), 0, 255).astype(np.uint8)
@@ -147,9 +151,10 @@ def image_metadata(images: DataFrame) -> DataFrame:
 def resize_images(images: DataFrame, target: int,
                   fake_codecs: bool = False) -> DataFrame:
     """Nearest-neighbor resize to target x target (the kernel's K2 rule):
-    (image_id, bytes). Real for png;u8, jpeg, and lossless webp
-    (from-spec codecs); lossy webp raises unless ``fake_codecs`` opts
-    into the deterministic fake decode."""
+    (image_id, bytes). Real for png;u8, jpeg, gif, and webp (both
+    VP8L lossless and the VP8 keyframe family — from-spec codecs);
+    ``fake_codecs`` keeps the legacy deterministic-fake webp path for
+    plumbing tests that feed arbitrary bytes."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -186,9 +191,9 @@ def image_features(images: DataFrame, fake_codecs: bool = False) -> DataFrame:
     All outputs integer ⇒ deterministic across runs/engines; values
     are pinned exactly against a numpy recomputation in tests.
 
-    Real decode for PNG (u8 and u32), baseline JPEG, and lossless WebP
-    (VP8L, webp/codec.py); lossy webp goes through the deterministic
-    fake only when opted in, else raises (stub)."""
+    Real decode for PNG (u8 and u32), baseline JPEG, and WebP (VP8L
+    lossless and the VP8 keyframe family); ``fake_codecs`` keeps the
+    legacy deterministic-fake webp path for plumbing tests."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,1 +1,7 @@
-from .codec import decode_webp, encode_webp_lossless, probe_webp  # noqa: F401
+from .codec import (  # noqa: F401
+    decode_webp,
+    encode_webp_lossless,
+    encode_webp_lossy,
+    encode_webp_lossy_gray,
+    probe_webp,
+)

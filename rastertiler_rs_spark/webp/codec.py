@@ -20,12 +20,13 @@ needs:
   read after it), LZ77 backward references incl. the 120-code 2D
   distance neighborhood, color cache, meta prefix images, and simple /
   code-length-coded prefix codes (both the max-symbol and plain
-  forms). Only lossy VP8/VP8X pixel decode raises NotImplementedError
-  (honest boundary, same shape as jpeg/codec.py rejecting arithmetic
-  coding).
+  forms). Lossy 'VP8 ' chunks dispatch to the from-spec keyframe
+  codec in webp/vp8.py (its documented family); only VP8X extended
+  layouts still raise NotImplementedError.
+- ``encode_webp_lossy`` / ``encode_webp_lossy_gray``: lossy 'VP8 '
+  streams via the RFC 6386 keyframe encoder in webp/vp8.py.
 - ``probe_webp``: container + header metadata (format variant, dims,
-  alpha hint) for VP8L, VP8 (lossy) and VP8X (extended) containers —
-  metadata for all three, pixels only for the VP8L subset.
+  alpha hint) for VP8L, VP8 (lossy) and VP8X (extended) containers.
 
 Bit order facts (the parts that always bite): the VP8L bitstream is
 read LSB-first, but each canonical prefix code's bits are consumed
@@ -1021,16 +1022,55 @@ def probe_webp(data: bytes) -> dict:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF/WEBP bytes -> RGBA uint8 (h, w, 4). VP8L subset only (see
-    module docstring); lossy VP8 raises NotImplementedError."""
+    """RIFF/WEBP bytes -> RGBA uint8 (h, w, 4). VP8L is the full
+    lossless spec; 'VP8 ' (lossy) decodes through the from-spec
+    keyframe codec in webp/vp8.py (its documented family — keyframes,
+    whole-MB modes, filter level 0; outside it that module raises
+    NotImplementedError naming the missing piece); VP8X extended
+    layouts still raise."""
+    from . import vp8 as _vp8
+
     for tag, payload in _chunks(data):
         if tag == b"VP8L":
             if payload[:1] != b"\x2f":
                 raise ValueError("bad VP8L signature")
             pixels, _ = _vp8l_pixels(payload[1:])
             return pixels
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
+            return _vp8.decode_vp8_rgba(payload)
+        if tag == b"VP8X":
             raise NotImplementedError(
-                f"{tag.decode().strip()} (lossy/extended) decode not "
-                "available in this environment — VP8L lossless only")
+                "VP8X (extended: animation/alpha-chunk layouts) decode "
+                "not implemented — plain VP8/VP8L only")
     raise ValueError("no VP8L chunk found")
+
+
+def encode_webp_lossy(rgba: np.ndarray, *, qi: int = 20) -> bytes:
+    """RGBA uint8 (h, w, 4) -> RIFF/WEBP lossy ('VP8 ') bytes via the
+    from-spec keyframe encoder (webp/vp8.py). Alpha is dropped (plain
+    'VP8 ' has no alpha channel). `qi` is the frame quantizer index
+    (0 = finest; solid frames round-trip bit-exactly at qi=0)."""
+    from . import vp8 as _vp8
+
+    if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
+        raise ValueError("encode_webp_lossy expects (h, w, 4) uint8")
+    y, u, v = _vp8.rgb_to_yuv420(rgba[:, :, :3])
+    return _wrap_vp8_chunk(_vp8.encode_vp8_frame(y, u, v, qi=qi))
+
+
+def encode_webp_lossy_gray(gray: np.ndarray, *, qi: int = 20) -> bytes:
+    """Grayscale uint8 (h, w) -> lossy WebP with flat chroma (the
+    Y plane carries the image; exact-gray fixture family)."""
+    from . import vp8 as _vp8
+
+    gray = np.asarray(gray)
+    if gray.ndim != 2 or gray.dtype != np.uint8:
+        raise ValueError("encode_webp_lossy_gray expects (h, w) uint8")
+    return _wrap_vp8_chunk(_vp8.encode_vp8_frame(gray, qi=qi))
+
+
+def _wrap_vp8_chunk(frame: bytes) -> bytes:
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -69,22 +69,32 @@ def test_fake_codec_resize_and_features(spark):
 
 
 def test_default_stub_still_raises(spark):
-    # webp default mode is REAL now (VP8L, webp/codec.py): garbage
+    # webp default mode is REAL now (VP8L + VP8 keyframes): garbage
     # bytes fail the container parse rather than hitting a stub...
     imgs = _jpeg_rows(spark, 1)
     with pytest.raises(Exception, match="RIFF"):
         resize_images(imgs, target=8).collect()
-    # ...and the honest env-blocked stub remains for LOSSY VP8 payloads
+    # ...REAL lossy VP8 decode works through the operator path...
     import struct
 
-    vp8_payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 48, 32)
-    chunk = b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
-    lossy = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    from rastertiler_rs_spark.webp import encode_webp_lossy_gray
+
+    lossy = encode_webp_lossy_gray(np.full((32, 48), 99, np.uint8), qi=0)
     lossy_df = spark.createDataFrame(
         [("v0", bytearray(lossy), 48, 32, "webp;vp8")],
         "image_id string, bytes binary, w int, h int, fmt string")
-    with pytest.raises(Exception, match="lossy|not available"):
-        resize_images(lossy_df, target=8).collect()
+    feats = image_features(lossy_df).collect()[0]
+    assert feats["vmin"] == feats["vmax"] == 99
+    assert feats["n_data"] == 48 * 32
+    # ...and the honest env-blocked stub remains for VP8X extended
+    vp8x_payload = b"\x00" * 4 + (47).to_bytes(3, "little") + (31).to_bytes(3, "little")
+    chunk = b"VP8X" + struct.pack("<I", len(vp8x_payload)) + vp8x_payload
+    ext = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    ext_df = spark.createDataFrame(
+        [("x0", bytearray(ext), 48, 32, "webp")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    with pytest.raises(Exception, match="VP8X"):
+        resize_images(ext_df, target=8).collect()
     with pytest.raises(Exception, match="not available"):
         frame_sample(imgs.selectExpr("image_id as video_id", "bytes", "fmt")).collect()
 

@@ -102,15 +102,15 @@ def test_corrupt_transform_bit_fails_loud():
         decode_webp(bytes(data))
 
 
-def test_decoder_rejects_lossy_and_bad_container():
-    # minimal lossy VP8 container: probe works, decode raises
-    vp8_payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48)
-    chunk = b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
-    lossy = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+def test_lossy_probe_decode_and_bad_container():
+    # lossy VP8 is REAL now (webp/vp8.py): probe reads the frame tag,
+    # decode reconstructs pixels (deep coverage in tests/test_vp8.py)
+    from rastertiler_rs_spark.webp import encode_webp_lossy_gray
+
+    lossy = encode_webp_lossy_gray(np.full((48, 64), 200, np.uint8), qi=0)
     assert probe_webp(lossy) == {"variant": "lossy", "width": 64,
                                  "height": 48, "has_alpha": False}
-    with pytest.raises(NotImplementedError, match="lossy"):
-        decode_webp(lossy)
+    assert np.all(decode_webp(lossy)[:, :, :3] == 200)
     with pytest.raises(ValueError, match="RIFF"):
         probe_webp(b"not a webp file at all")
 

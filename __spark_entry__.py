@@ -1430,16 +1430,19 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video pixel decode under the value gate, for BOTH
-    containers: Motion-JPEG MP4s AND Motion-JPEG AVIs (every stored
-    frame a real baseline JPEG muxed by the real ISO BMFF / RIFF
-    writers) are demuxed AND decoded to pixels by the engine's own
-    from-spec codecs, then reduced to integer per-frame stats. The
-    DuckDB twin recomputes the stats in closed form from the solid
-    frame-value formulas — valid because the baseline JPEG round-trip
-    is bit-exact for solid frames at q90 (pinned for all 256 values in
-    test_jpeg) — so a defect anywhere in mux→demux→huffman→IDCT
-    arithmetic, in either container walk, flips the hash."""
+    """REAL video pixel decode under the value gate, for TWO codec
+    families in THREE containers: Motion-JPEG MP4s AND Motion-JPEG
+    AVIs (every stored frame a real baseline JPEG muxed by the real
+    ISO BMFF / RIFF writers) and VP8-in-WebM (every SimpleBlock a real
+    VP8 keyframe muxed by the real EBML writer) are demuxed AND
+    decoded to pixels by the engine's own from-spec codecs, then
+    reduced to integer per-frame stats. The DuckDB twin recomputes the
+    stats in closed form from the solid frame-value formulas — valid
+    because the baseline JPEG round-trip is bit-exact for solid frames
+    at q90 and the VP8 round-trip at qi=0 (each pinned for all 256
+    values in test_jpeg / test_vp8) — so a defect anywhere in
+    mux→demux→huffman/bool-coder→IDCT arithmetic, in any container
+    walk, flips the hash."""
     from rastertiler_rs_spark.fixtures import (avi_mjpeg_parquet,
                                                 mjpeg420_parquet,
                                                 mjpeg_parquet)
@@ -1462,10 +1465,18 @@ def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rastertiler_rs_spark.fixtures import gif_videos_parquet
 
     gif = spark.read.parquet(gif_videos_parquet(18))
+    # VP8 leg: solid VP8 keyframes in real WebM — the SECOND video
+    # codec family decoded end to end (EBML demux + webp/vp8.py);
+    # closed-form because solid VP8 round-trips bit-exactly at qi=0
+    # (test_vp8 pins all 256 values)
+    from rastertiler_rs_spark.fixtures import webm_vp8_parquet
+
+    webm = spark.read.parquet(webm_vp8_parquet(18))
     return (video_frame_stats(mp4, every_n=2).select(*cols)
             .unionByName(video_frame_stats(avi, every_n=2).select(*cols))
             .unionByName(video_frame_stats(sub, every_n=2).select(*cols))
-            .unionByName(video_frame_stats(gif, every_n=2).select(*cols)))
+            .unionByName(video_frame_stats(gif, every_n=2).select(*cols))
+            .unionByName(video_frame_stats(webm, every_n=2).select(*cols)))
 
 
 def q_audio_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1923,6 +1934,40 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                ).alias("byte0"))
 
 
+def q_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM container probe — the EBML twin of q_video_probe: the
+    fixture muxes real WebM files (media/webm.py — EBML header, Info,
+    Tracks, Clusters of SimpleBlocks), the engine parses them back,
+    and the DuckDB twin rederives every field from the generation
+    formulas, so the EBML mux→parse round-trip (VINT coding, element
+    nesting, block walk) is value-checked."""
+    from rastertiler_rs_spark.fixtures import webm_videos_parquet
+    from rastertiler_rs_spark.operators.multimodal import video_probe
+
+    vids = spark.read.parquet(webm_videos_parquet(40))
+    return video_probe(vids).select(
+        "video_id", "width", "height", "n_frames", "duration_ms", "codec")
+
+
+def q_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WebM demultiplexing under the oracle: frame_sample walks
+    Clusters/SimpleBlocks and emits every 3rd stored payload; the twin
+    rederives each sampled frame's byte length AND first byte from the
+    deterministic payload formulas — a VINT or block-header mis-parse
+    anywhere in the EBML walk scrambles both."""
+    from rastertiler_rs_spark.fixtures import webm_videos_parquet
+    from rastertiler_rs_spark.operators.multimodal import frame_sample
+
+    vids = spark.read.parquet(webm_videos_parquet(20))
+    frames = frame_sample(vids, every_n=3)
+    return frames.select(
+        "video_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.expr("cast(conv(hex(substring(frame_bytes, 1, 1)), 16, 10) as bigint)"
+               ).alias("byte0"))
+
+
 def q_gif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF container probe under the value gate: the fixture writes
     real animated GIF89a streams (gif/codec.py — LSD, GCT, per-frame
@@ -1954,7 +1999,10 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-weighted spectrum checksum, n_units = nonzero lines,
     duration_ms = requantized-spectrum sum — exact integers because the
     fixture pins gain to 210+4g), the twin recomputing all four from
-    the fixture's closed-form line formulas."""
+    the fixture's closed-form line formulas; webmprobe/webmframes =
+    the same two probe/demux shapes driven through the EBML container
+    (media/webm.py), value-checking the VINT/element/SimpleBlock
+    walk."""
     video = q_video_probe(spark, sf_dir).select(
         F.lit("video").alias("variant"),
         F.col("video_id").alias("media_id"),
@@ -2003,9 +2051,22 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("video_id").alias("media_id"),
         F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
         F.col("n_frames").alias("n_units"), "duration_ms", "codec")
+    webmprobe = q_webm_probe(spark, sf_dir).select(
+        F.lit("webmprobe").alias("variant"),
+        F.col("video_id").alias("media_id"),
+        F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
+        F.col("n_frames").alias("n_units"), "duration_ms", "codec")
+    webmframes = q_webm_frames(spark, sf_dir).select(
+        F.lit("webmframes").alias("variant"),
+        F.col("video_id").alias("media_id"),
+        F.col("frame_len").alias("dim_a"), F.col("byte0").alias("dim_b"),
+        F.col("frame_no").alias("n_units"),
+        F.lit(0).cast("long").alias("duration_ms"),
+        F.lit("demux").alias("codec"))
     return (video.unionByName(mp3).unionByName(frames)
             .unionByName(aviprobe).unionByName(aviframes)
-            .unionByName(l3spec).unionByName(gifprobe))
+            .unionByName(l3spec).unionByName(gifprobe)
+            .unionByName(webmprobe).unionByName(webmframes))
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3509,6 +3570,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT),
                    'gif89a'
             FROM (SELECT UNNEST(generate_series(0, 35)) AS i) gc
+            UNION ALL
+            SELECT 'webmprobe',
+                   'wbm' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(112 + (i % 5) * 16 AS BIGINT),
+                   CAST(80 + (i % 4) * 16 AS BIGINT),
+                   CAST(4 + (i * 9) % 13 AS BIGINT),
+                   CAST((4 + (i * 9) % 13)
+                        * (1000 // (CASE i % 4 WHEN 0 THEN 10 WHEN 1 THEN 25
+                                               WHEN 2 THEN 50 ELSE 100 END))
+                        AS BIGINT),
+                   'V_FILL'
+            FROM (SELECT UNNEST(generate_series(0, 39)) AS i) wc
+            UNION ALL
+            SELECT 'webmframes',
+                   'wbm' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(56 + (i * 9 + fno * 19) % 144 AS BIGINT),
+                   CAST((7 * i + 11 * fno) % 256 AS BIGINT),
+                   CAST(fno AS BIGINT),
+                   CAST(0 AS BIGINT),
+                   'demux'
+            FROM (
+              SELECT i, UNNEST(generate_series(0, n_frames - 1)) AS fno
+              FROM (
+                SELECT i, 4 + (i * 9) % 13 AS n_frames
+                FROM (SELECT UNNEST(generate_series(0, 19)) AS i) c
+              ) wfp
+            ) wff WHERE fno % 3 = 0
         """,
         # decoded MJPEG pixel stats in closed form, BOTH containers:
         # mp4 frames are solid v = (17i + 29f + 23) % 256, avi frames
@@ -3589,6 +3677,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v AS BIGINT),
                    CAST(v * (n_px * (n_px + 1) // 2) AS BIGINT)
             FROM svs
+            UNION ALL
+            -- webm VP8 leg: solid v = (29i + 17f + 3) % 256 keyframes
+            -- decoded by the from-spec VP8 codec (bit-exact at qi=0,
+            -- test_vp8 pins all 256 values); luma-plane stats
+            SELECT 'wv8' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(fno AS BIGINT),
+                   CAST(w AS BIGINT),
+                   CAST(h AS BIGINT),
+                   n_px,
+                   CAST(v * n_px AS BIGINT),
+                   CAST(v AS BIGINT),
+                   CAST(v AS BIGINT),
+                   CAST(v * (n_px * (n_px + 1) // 2) AS BIGINT)
+            FROM (
+              SELECT i, w, h, fno,
+                     (29 * i + 17 * fno + 3) % 256 AS v,
+                     CAST(w AS BIGINT) * h AS n_px
+              FROM (
+                SELECT i, w, h, UNNEST(generate_series(0, n_frames - 1)) AS fno
+                FROM (
+                  SELECT i,
+                         32 + (i % 3) * 16 AS w,
+                         16 + (i % 2) * 16 AS h,
+                         3 + (i % 4) AS n_frames
+                  FROM (SELECT UNNEST(generate_series(0, 17)) AS i) c
+                ) wp
+              ) wf WHERE fno % 2 = 0
+            ) wvs
             UNION ALL
             -- gif leg: composed canvas of solid frame index
             -- v = (i+2f)%8 through palette (11i+17v+3, 7i+23v+5,

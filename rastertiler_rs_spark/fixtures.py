@@ -423,6 +423,106 @@ def avi_mjpeg_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> s
     return _cached_parquet("avi_mjpeg", generate_avi_mjpeg, n, cache_dir)
 
 
+def webm_params(i: int) -> tuple[int, int, int, int]:
+    """Deterministic per-clip WebM parameters: (w, h, fps, n_frames).
+    Integer formulas distinct from the mp4/avi fixtures; fps divides
+    1000 (integral durations — see media/webm.encode_webm)."""
+    w = 112 + (i % 5) * 16
+    h = 80 + (i % 4) * 16
+    fps = (10, 25, 50, 100)[i % 4]
+    n_frames = 4 + (i * 9) % 13
+    return w, h, fps, n_frames
+
+
+def webm_frame_payload(i: int, f: int) -> bytes:
+    """Deterministic stored payload for frame f of WebM clip i. Length
+    (56 + (9i+19f) % 144) and first byte ((7i+11f) % 256) are
+    SQL-expressible; the tail is an LCG fill."""
+    length = 56 + (i * 9 + f * 19) % 144
+    first = (7 * i + 11 * f) % 256
+    x = (i * 3_000_017 + f) & (2**64 - 1)
+    body = bytearray([first])
+    for _ in range(length - 1):
+        x = (x * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        body.append((x >> 33) & 0xFF)
+    return bytes(body)
+
+
+def generate_webm_videos(n: int):
+    """WebM videos table (video_id, bytes=real EBML/Matroska, fmt):
+    real container structure (EBML header, Info, Tracks, Clusters of
+    SimpleBlocks) around deterministic filler payloads, so probe AND
+    demux outputs are rederivable in SQL."""
+    import pyarrow as pa
+
+    from .media import encode_webm
+
+    ids, blobs = [], []
+    for i in range(n):
+        w, h, fps, n_frames = webm_params(i)
+        frames = [webm_frame_payload(i, f) for f in range(n_frames)]
+        ids.append(f"wbm{i:08d}")
+        blobs.append(encode_webm(frames, w, h, fps, codec_id="V_FILL"))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["webm;V_FILL"] * n, pa.string()),
+    })
+
+
+def webm_videos_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    return _cached_parquet("webm_videos", generate_webm_videos, n, cache_dir)
+
+
+def webm_vp8_params(i: int) -> tuple[int, int, int, int]:
+    """Deterministic per-clip VP8-in-WebM parameters: (w, h, fps,
+    n_frames). Integer formulas, SQL-rederivable; fps divides 1000."""
+    w = 32 + (i % 3) * 16
+    h = 16 + (i % 2) * 16
+    fps = (10, 25, 50)[i % 3]
+    n_frames = 3 + (i % 4)
+    return w, h, fps, n_frames
+
+
+def webm_vp8_frame_value(i: int, f: int) -> int:
+    """Solid gray value of frame f of VP8 WebM clip i (distinct
+    formula from both MJPEG fixtures). Solid VP8 keyframes round-trip
+    bit-exactly at qi=0 (test_vp8 pins all 256 values), which is what
+    lets the oracle state decoded stats in closed form."""
+    return (29 * i + 17 * f + 3) % 256
+
+
+def generate_webm_vp8(n: int):
+    """VP8 WebM table: every SimpleBlock payload is a REAL VP8
+    keyframe (webp/vp8.py) of a solid frame at qi=0, muxed by the real
+    EBML writer with the V_VP8 codec id. End-to-end decodable with the
+    engine's own codecs — the second real video codec family next to
+    Motion-JPEG."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .media import encode_webm
+    from .webp.vp8 import encode_vp8_frame
+
+    ids, blobs = [], []
+    for i in range(n):
+        w, h, fps, n_frames = webm_vp8_params(i)
+        frames = [encode_vp8_frame(
+            np.full((h, w), webm_vp8_frame_value(i, f), np.uint8), qi=0)
+            for f in range(n_frames)]
+        ids.append(f"wv8{i:08d}")
+        blobs.append(encode_webm(frames, w, h, fps, codec_id="V_VP8"))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["webm;V_VP8"] * n, pa.string()),
+    })
+
+
+def webm_vp8_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    return _cached_parquet("webm_vp8", generate_webm_vp8, n, cache_dir)
+
+
 def mp3_params(i: int) -> tuple[int, int, int, int, int]:
     """Deterministic per-clip MP3 parameters: (sample_rate, kbps,
     channels, n_frames, pad_every). Integer formulas, SQL-rederivable."""

@@ -11,14 +11,15 @@ is real too: MP4 probe + sample demux via the from-spec ISO BMFF
 walker, AVI probe + frame demux via the from-spec RIFF walker (movi
 chunk walk cross-checked against idx1), and MP3 framing metadata via
 the Layer III header walk (media/mp4.py, media/avi.py, media/mp3.py).
-Video PIXEL decode is real for Motion-JPEG in BOTH containers
-(video_frame_stats: BMFF or RIFF demux + baseline JPEG decode, all
+Video PIXEL decode is real for TWO codec families in THREE containers
+(video_frame_stats: Motion-JPEG via BMFF or RIFF demux + baseline
+JPEG decode, VP8 keyframes via EBML WebM demux + webp/vp8.py — all
 from spec), and WebP decode is real for BOTH variants — lossless
 (full VP8L, webp/codec.py) and lossy (VP8 keyframe family,
 webp/vp8.py; outside its documented family it raises naming the
 missing piece). MP3 payload decode is real for the verified Layer III
 family (media/mp3.py). Codecs still absent from this container
-(non-MJPEG video payloads, VP8X extended webp) have two
+(non-(MJPEG|VP8) video payloads, VP8X extended webp) have two
 clearly-separated modes:
 
 - default: raise NotImplementedError with the batch signature a
@@ -329,8 +330,15 @@ def frame_sample(videos: DataFrame, every_n: int = 30,
     from ..media import demux_avi, demux_mp4
 
     def _extract(data: bytes, fmt: str, every_n: int):
-        if fmt.startswith("mp4") or fmt.startswith("avi"):
-            samples = demux_mp4(data) if fmt.startswith("mp4") else demux_avi(data)
+        if fmt.startswith(("mp4", "avi", "webm")):
+            if fmt.startswith("mp4"):
+                samples = demux_mp4(data)
+            elif fmt.startswith("avi"):
+                samples = demux_avi(data)
+            else:
+                from ..media import demux_webm
+
+                samples = demux_webm(data)
             for frame_no in range(0, len(samples), every_n):
                 yield frame_no, samples[frame_no]
             return
@@ -357,20 +365,21 @@ def frame_sample(videos: DataFrame, every_n: int = 30,
 
 
 def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
-    """REAL end-to-end video pixel decode for Motion-JPEG — in BOTH
-    containers the engine muxes/demuxes (ISO BMFF .mp4 and RIFF .avi) —
-    and for animated GIF (gif/codec.py: LZW + frame composition with
-    sub-rects, transparency, and disposal).
+    """REAL end-to-end video pixel decode for TWO codec families in
+    THREE containers: Motion-JPEG in ISO BMFF .mp4 and RIFF .avi, VP8
+    keyframe streams in EBML .webm (media/webm.py demux + webp/vp8.py
+    decode, stats over the luma plane), plus animated GIF
+    (gif/codec.py: LZW + frame composition with sub-rects,
+    transparency, and disposal).
 
     Composes the engine's from-spec codecs: the matching container
-    demuxer (media/mp4.py or media/avi.py) extracts each sampled
-    frame's stored payload, then the baseline JPEG decoder
-    (jpeg/codec.py) turns it into pixels; integer per-frame stats out
-    (all-integer ⇒ bit-identical across engines). The video modality's
-    decode path is therefore no longer a stub for MJPEG streams; other
-    sample-entry codecs (avc1/mp4v/...) raise — their payload decode is
-    genuinely environment-blocked. North-star multimodal extension; the
-    reference engine (rastertiler-rs) has no video surface."""
+    demuxer extracts each sampled frame's stored payload, then the
+    matching payload decoder turns it into pixels; integer per-frame
+    stats out (all-integer ⇒ bit-identical across engines). Other
+    sample-entry codecs (avc1/mp4v/VP9/...) raise — their payload
+    decode is genuinely environment-blocked. North-star multimodal
+    extension; the reference engine (rastertiler-rs) has no video
+    surface."""
     from ..jpeg import decode_jpeg
     from ..media import demux_avi, demux_mp4, probe_avi, probe_mp4
 
@@ -397,18 +406,32 @@ def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
                         probe, demux = probe_mp4, demux_mp4
                     elif fmt.startswith("avi"):
                         probe, demux = probe_avi, demux_avi
+                    elif fmt.startswith("webm"):
+                        from ..media import demux_webm, probe_webm
+
+                        probe, demux = probe_webm, demux_webm
                     else:
                         raise NotImplementedError(
                             f"container parser for {row.fmt!r} not available")
                     codec = probe(data)["codec"]
-                    if codec not in ("jpeg", "mjpa", "MJPG"):
+                    if codec == "V_VP8":
+                        # real VP8 keyframe decode (webp/vp8.py);
+                        # stats run over the luma plane (single-band,
+                        # like the grayscale MJPEG path)
+                        from ..webp.vp8 import decode_vp8_frame
+
+                        frames_px = [(f, decode_vp8_frame(p)["y"])
+                                     for f, p in enumerate(demux(data))
+                                     if f % every_n == 0]
+                    elif codec in ("jpeg", "mjpa", "MJPG"):
+                        frames_px = [(f, decode_jpeg(p)) for f, p in
+                                     enumerate(demux(data))
+                                     if f % every_n == 0]
+                    else:
                         raise NotImplementedError(
                             f"payload decode for codec {codec!r} not "
                             "available in this environment (Motion-JPEG "
-                            "only)")
-                    frames_px = [(f, decode_jpeg(p)) for f, p in
-                                 enumerate(demux(data))
-                                 if f % every_n == 0]
+                            "and VP8 keyframes only)")
                 for frame_no, px in frames_px:
                     flat = px.reshape(-1).astype(np.int64)
                     out["video_id"].append(row.video_id)
@@ -450,6 +473,11 @@ def video_probe(videos: DataFrame) -> DataFrame:
                     n_frames = meta["n_samples"]
                 elif fmt.startswith("avi"):
                     meta = probe_avi(bytes(row.bytes))
+                    n_frames = meta["n_frames"]
+                elif fmt.startswith("webm"):
+                    from ..media import probe_webm
+
+                    meta = probe_webm(bytes(row.bytes))
                     n_frames = meta["n_frames"]
                 elif fmt.startswith("gif"):
                     from ..gif import gif_probe

@@ -78,9 +78,9 @@ def _decode_any(data: bytes, fmt: str, w: int = 0, h: int = 0,
             return _fake_decode(data, int(w), int(h))
         from ..webp import decode_webp
 
-        rgba = decode_webp(data)  # REAL for VP8L lossless AND lossy
-        # VP8 keyframes (webp/codec.py + webp/vp8.py); only VP8X
-        # extended layouts raise inside
+        rgba = decode_webp(data)  # REAL for VP8L lossless, lossy VP8
+        # keyframes, and VP8X extended stills/animations (first
+        # composed canvas) — webp/codec.py + webp/vp8.py
         arr = (0.299 * rgba[:, :, 0] + 0.587 * rgba[:, :, 1]
                + 0.114 * rgba[:, :, 2])
         return np.clip(np.round(arr), 0, 255).astype(np.uint8)

@@ -936,7 +936,16 @@ def _vp8l_pixels(payload: bytes) -> tuple[np.ndarray, bool]:
     alpha_hint = bool(r.read(1))
     if r.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    return _vp8l_image_stream(r, w0, h), alpha_hint
 
+
+def _vp8l_image_stream(r: _BitReader, w0: int, h: int) -> np.ndarray:
+    """A headerless level-0 VP8L image stream of implicit dimensions
+    (transform loop + spatially-coded image + inverse transforms) —
+    the shared body of a full VP8L payload (after its 5-byte header)
+    and of an ALPH chunk's lossless-compressed alpha plane, which the
+    container spec defines as exactly this stream with the dims
+    implied by the canvas."""
     transforms: list[tuple[int, dict]] = []   # bitstream read order
     seen: set[int] = set()
     xsize = w0                               # running (possibly packed) width
@@ -978,7 +987,7 @@ def _vp8l_pixels(payload: bytes) -> tuple[np.ndarray, bool]:
         else:
             img = _inv_color_indexing(img, d["palette"], d["width_bits"],
                                       d["full_w"])
-    return img, alpha_hint
+    return img
 
 
 def _chunks(data: bytes):
@@ -1014,10 +1023,26 @@ def probe_webp(data: bytes) -> dict:
             return {"variant": "lossy", "width": w_px, "height": h,
                     "has_alpha": False}
         if tag == b"VP8X":
-            w_px = int.from_bytes(payload[4:7], "little") + 1
-            h = int.from_bytes(payload[7:10], "little") + 1
-            return {"variant": "extended", "width": w_px, "height": h,
-                    "has_alpha": bool(payload[0] & 0x10)}
+            if len(payload) != 10:
+                raise ValueError(f"VP8X chunk must be 10 bytes, got "
+                                 f"{len(payload)}")
+            if payload[0] & ~(_VP8X_ICC | _VP8X_ALPHA | _VP8X_EXIF
+                              | _VP8X_XMP | _VP8X_ANIM):
+                raise ValueError(f"reserved VP8X flag bits set: "
+                                 f"{payload[0]:#04x}")
+            meta = {"variant": "extended",
+                    "width": int.from_bytes(payload[4:7], "little") + 1,
+                    "height": int.from_bytes(payload[7:10], "little") + 1,
+                    "has_alpha": bool(payload[0] & _VP8X_ALPHA),
+                    "has_anim": bool(payload[0] & _VP8X_ANIM)}
+            if meta["has_anim"]:
+                n, dur = 0, 0
+                for t2, p2 in _chunks(data):
+                    if t2 == b"ANMF":
+                        n += 1
+                        dur += int.from_bytes(p2[12:15], "little")
+                meta["n_frames"], meta["duration_ms"] = n, dur
+            return meta
     raise ValueError("no VP8/VP8L/VP8X chunk found")
 
 
@@ -1027,9 +1052,10 @@ def decode_webp(data: bytes) -> np.ndarray:
     keyframe codec in webp/vp8.py (its documented family — keyframes,
     whole-MB modes, filter level 0; outside it that module raises
     NotImplementedError naming the missing piece); VP8X extended
-    layouts still raise."""
-    from . import vp8 as _vp8
-
+    layouts decode too: still images with an ALPH alpha chunk (raw or
+    VP8L-lossless compressed, all four prediction filters), and
+    animations — for which this returns the FIRST composed canvas,
+    mirroring the gif path (use webp_anim_frames for all of them)."""
     for tag, payload in _chunks(data):
         if tag == b"VP8L":
             if payload[:1] != b"\x2f":
@@ -1037,11 +1063,13 @@ def decode_webp(data: bytes) -> np.ndarray:
             pixels, _ = _vp8l_pixels(payload[1:])
             return pixels
         if tag == b"VP8 ":
+            from . import vp8 as _vp8
+
             return _vp8.decode_vp8_rgba(payload)
         if tag == b"VP8X":
-            raise NotImplementedError(
-                "VP8X (extended: animation/alpha-chunk layouts) decode "
-                "not implemented — plain VP8/VP8L only")
+            if payload[0] & _VP8X_ANIM:
+                return webp_anim_frames(data)[0]["canvas"]
+            return _decode_vp8x_still(data, payload)
     raise ValueError("no VP8L chunk found")
 
 
@@ -1070,7 +1098,298 @@ def encode_webp_lossy_gray(gray: np.ndarray, *, qi: int = 20) -> bytes:
 
 
 def _wrap_vp8_chunk(frame: bytes) -> bytes:
-    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
-    if len(frame) & 1:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return _riff(_chunk(b"VP8 ", frame))
+
+
+# ----------------------------------------------------- VP8X extended format
+# Container-level extension of the WebP spec: a VP8X feature header,
+# an optional ALPH alpha-plane chunk beside lossy 'VP8 ' pixels, and
+# ANIM/ANMF animation. All from the public container spec; the pixel
+# payloads reuse this module's VP8L coder and webp/vp8.py.
+
+_VP8X_ICC, _VP8X_ALPHA, _VP8X_EXIF = 0x20, 0x10, 0x08
+_VP8X_XMP, _VP8X_ANIM = 0x04, 0x02
+_META_TAGS = (b"ICCP", b"EXIF", b"XMP ")
+
+
+def _u24(v: int) -> bytes:
+    if not 0 <= v < 1 << 24:
+        raise ValueError(f"value {v} out of uint24 range")
+    return v.to_bytes(3, "little")
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    out = tag + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def _riff(chunks: bytes) -> bytes:
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def _alph_filter_fwd(alpha: np.ndarray, filt: int) -> np.ndarray:
+    """Forward ALPH prediction filter: delta = (value - pred) mod 256.
+    Predictors read the ORIGINAL plane, so this is fully vectorized.
+    Boundary rule (all methods): top-left pixel is raw, the rest of
+    the top row predicts from the left neighbor, the rest of the left
+    column predicts from above; method 3 clamps A+B-C to [0, 255]."""
+    a = alpha.astype(np.int64)
+    pred = np.zeros_like(a)
+    if filt == 0:
+        return alpha.copy()
+    pred[0, 1:] = a[0, :-1]                       # top row: left
+    pred[1:, 0] = a[:-1, 0]                       # left column: above
+    if filt == 1:                                 # horizontal
+        pred[1:, 1:] = a[1:, :-1]
+    elif filt == 2:                               # vertical
+        pred[1:, 1:] = a[:-1, 1:]
+    elif filt == 3:                               # gradient
+        grad = a[1:, :-1] + a[:-1, 1:] - a[:-1, :-1]
+        pred[1:, 1:] = np.clip(grad, 0, 255)
+    else:
+        raise ValueError(f"bad ALPH filter method {filt}")
+    return ((a - pred) & 0xFF).astype(np.uint8)
+
+
+def _alph_filter_inv(deltas: np.ndarray, filt: int) -> np.ndarray:
+    """Inverse ALPH filter: value = (pred + delta) mod 256. Horizontal
+    and vertical are mod-256 cumsums; gradient's left-dependence makes
+    each row sequential in x (plain loop — alpha planes are small)."""
+    if filt == 0:
+        return deltas.copy()
+    d = deltas.astype(np.int64)
+    h, w_px = d.shape
+    out = np.zeros((h, w_px), np.int64)
+    out[0, :] = np.cumsum(d[0, :]) & 0xFF          # top row: left chain
+    if filt == 1:
+        for y in range(1, h):
+            d[y, 0] = (d[y, 0] + out[y - 1, 0]) & 0xFF
+            out[y, :] = np.cumsum(d[y, :]) & 0xFF
+    elif filt == 2:
+        out[1:, :] = (np.cumsum(d[1:, :], axis=0) + out[0, :]) & 0xFF
+    elif filt == 3:
+        for y in range(1, h):
+            left = (d[y, 0] + out[y - 1, 0]) & 0xFF
+            out[y, 0] = left
+            row_up = out[y - 1]
+            row_d = d[y]
+            for x in range(1, w_px):
+                g = left + row_up[x] - row_up[x - 1]
+                left = (row_d[x] + (0 if g < 0 else 255 if g > 255 else g)) & 0xFF
+                out[y, x] = left
+    else:
+        raise ValueError(f"bad ALPH filter method {filt}")
+    return out.astype(np.uint8)
+
+
+def _encode_alph(alpha: np.ndarray, *, method: str = "raw",
+                 filt: int = 0) -> bytes:
+    """Alpha plane (h, w) uint8 -> ALPH chunk payload. ``method`` is
+    'raw' (uncompressed deltas) or 'lossless' (the deltas ride the
+    green channel of a HEADERLESS level-0 VP8L image stream, per the
+    container spec)."""
+    if alpha.ndim != 2 or alpha.dtype != np.uint8:
+        raise ValueError("_encode_alph expects (h, w) uint8")
+    deltas = _alph_filter_fwd(alpha, filt)
+    if method == "raw":
+        comp, body = 0, deltas.tobytes()
+    elif method == "lossless":
+        w = _BitWriter()
+        w.write(0, 1)                              # no transforms
+        px = np.zeros((deltas.size, 4), np.uint8)
+        px[:, 1] = deltas.ravel()
+        px[:, 3] = 255
+        _write_image(w, px, alpha.shape[1], alpha.shape[0], level0=True)
+        comp, body = 1, w.done()
+    else:
+        raise ValueError(f"bad ALPH method {method!r}")
+    return bytes([comp | (filt << 2)]) + body
+
+
+def _decode_alph(payload: bytes, w_px: int, h: int) -> np.ndarray:
+    head = payload[0]
+    if head >> 6:
+        raise ValueError(f"reserved ALPH header bits set: {head:#04x}")
+    comp, filt = head & 0x3, (head >> 2) & 0x3
+    if comp == 0:
+        if len(payload) - 1 < w_px * h:
+            raise ValueError(f"raw ALPH body too short: "
+                             f"{len(payload) - 1} < {w_px * h}")
+        deltas = np.frombuffer(payload[1:1 + w_px * h],
+                               np.uint8).reshape(h, w_px)
+    elif comp == 1:
+        deltas = _vp8l_image_stream(_BitReader(payload[1:]), w_px, h)[:, :, 1]
+    else:
+        raise ValueError(f"reserved ALPH compression method {comp}")
+    return _alph_filter_inv(deltas, filt)
+
+
+def _decode_frame_chunks(chunks: list[tuple[bytes, bytes]],
+                         w_px: int, h: int) -> np.ndarray:
+    """Decode one still image from an (ALPH?, VP8|VP8L) chunk list —
+    the shared body of a VP8X still file and one ANMF frame. Dims are
+    cross-checked against the declared canvas/frame rect (the spec
+    requires them to match)."""
+    alph = next((p for t, p in chunks if t == b"ALPH"), None)
+    for tag, payload in chunks:
+        if tag == b"VP8L":
+            if alph is not None:
+                raise ValueError("ALPH chunk beside VP8L (lossless "
+                                 "carries its own alpha)")
+            if payload[:1] != b"\x2f":
+                raise ValueError("bad VP8L signature")
+            rgba, _ = _vp8l_pixels(payload[1:])
+        elif tag == b"VP8 ":
+            from . import vp8 as _vp8
+
+            rgba = _vp8.decode_vp8_rgba(payload)
+            if alph is not None:
+                rgba = rgba.copy()
+                rgba[:, :, 3] = _decode_alph(alph, rgba.shape[1],
+                                             rgba.shape[0])
+        else:
+            continue
+        if rgba.shape[:2] != (h, w_px):
+            raise ValueError(f"frame pixels {rgba.shape[1]}x"
+                             f"{rgba.shape[0]} != declared {w_px}x{h}")
+        return rgba
+    raise ValueError("no VP8/VP8L chunk in frame")
+
+
+def _decode_vp8x_still(data: bytes, vp8x: bytes) -> np.ndarray:
+    w_px = int.from_bytes(vp8x[4:7], "little") + 1
+    h = int.from_bytes(vp8x[7:10], "little") + 1
+    body = [(t, p) for t, p in _chunks(data)
+            if t not in _META_TAGS + (b"VP8X",)]
+    return _decode_frame_chunks(body, w_px, h)
+
+
+def _blend_rgba(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Non-premultiplied over-compositing of src onto dst, the
+    container spec's blending formula in exact integer arithmetic
+    (numerators scaled by 255, round-half-up division)."""
+    sa = src[..., 3].astype(np.int64)
+    da = dst[..., 3].astype(np.int64)
+    oa = sa * 255 + da * (255 - sa)                # out alpha, x255
+    num = (src[..., :3].astype(np.int64) * (sa * 255)[..., None]
+           + dst[..., :3].astype(np.int64) * (da * (255 - sa))[..., None])
+    out = np.zeros_like(dst)
+    nz = oa > 0
+    out[..., :3][nz] = ((num[nz] + oa[nz, None] // 2)
+                        // oa[nz, None]).astype(np.uint8)
+    out[..., 3] = ((oa + 127) // 255).astype(np.uint8)
+    return out
+
+
+def webp_anim_frames(data: bytes) -> list[dict]:
+    """Animated (VP8X+ANIM) WebP -> list of dicts per frame:
+    ``duration_ms`` and the fully COMPOSED ``canvas`` (h, w, 4) RGBA —
+    sub-rects, blend (spec over-compositing) and dispose-to-background
+    honored, mirroring gif/codec.decode_gif's contract."""
+    vp8x = next((p for t, p in _chunks(data) if t == b"VP8X"), None)
+    if vp8x is None or not vp8x[0] & _VP8X_ANIM:
+        raise ValueError("not an animated (VP8X+ANIM) WebP")
+    cw = int.from_bytes(vp8x[4:7], "little") + 1
+    ch = int.from_bytes(vp8x[7:10], "little") + 1
+    bg = np.zeros(4, np.uint8)
+    canvas = np.zeros((ch, cw, 4), np.uint8)
+    frames: list[dict] = []
+    saw_anim = False
+    for tag, payload in _chunks(data):
+        if tag == b"ANIM":
+            b_, g_, r_, a_ = payload[0], payload[1], payload[2], payload[3]
+            bg = np.array([r_, g_, b_, a_], np.uint8)
+            saw_anim = True
+        elif tag == b"ANMF":
+            if not saw_anim:
+                raise ValueError("ANMF before ANIM chunk")
+            fx = int.from_bytes(payload[0:3], "little") * 2
+            fy = int.from_bytes(payload[3:6], "little") * 2
+            fw = int.from_bytes(payload[6:9], "little") + 1
+            fh = int.from_bytes(payload[9:12], "little") + 1
+            dur = int.from_bytes(payload[12:15], "little")
+            flags = payload[15]
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError(f"frame rect {fw}x{fh}+{fx}+{fy} exceeds "
+                                 f"canvas {cw}x{ch}")
+            sub = list(_subchunks(payload[16:]))
+            rgba = _decode_frame_chunks(sub, fw, fh)
+            win = canvas[fy:fy + fh, fx:fx + fw]
+            if flags & 0x02:                       # B=1: no blending
+                win[:] = rgba
+            else:
+                win[:] = _blend_rgba(win, rgba)
+            frames.append({"duration_ms": dur, "canvas": canvas.copy()})
+            if flags & 0x01:                       # D=1: dispose to bg
+                win[:] = bg
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    return frames
+
+
+def _subchunks(data: bytes):
+    pos = 0
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size, = struct.unpack_from("<I", data, pos + 4)
+        yield tag, data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def encode_webp_extended(rgba: np.ndarray, *, qi: int = 20,
+                         alpha_method: str = "raw",
+                         alpha_filter: int = 0) -> bytes:
+    """RGBA uint8 (h, w, 4) -> VP8X still WebP: lossy 'VP8 ' pixels
+    plus a REAL alpha plane in an ALPH chunk (plain 'VP8 ' cannot
+    carry alpha). The alpha plane is exact (raw or losslessly
+    compressed); the color planes follow webp/vp8.py's lossy family
+    (solid frames are bit-exact at qi=0)."""
+    from . import vp8 as _vp8
+
+    if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
+        raise ValueError("encode_webp_extended expects (h, w, 4) uint8")
+    h, w_px = rgba.shape[:2]
+    y, u, v = _vp8.rgb_to_yuv420(rgba[:, :, :3])
+    body = (_chunk(b"VP8X", bytes([_VP8X_ALPHA]) + b"\x00\x00\x00"
+                   + _u24(w_px - 1) + _u24(h - 1))
+            + _chunk(b"ALPH", _encode_alph(rgba[:, :, 3],
+                                           method=alpha_method,
+                                           filt=alpha_filter))
+            + _chunk(b"VP8 ", _vp8.encode_vp8_frame(y, u, v, qi=qi)))
+    return _riff(body)
+
+
+def encode_webp_anim(canvas_w: int, canvas_h: int, frames: list[dict], *,
+                     bg_rgba: tuple = (0, 0, 0, 0), loop: int = 0) -> bytes:
+    """Animated WebP mux. Each frame dict: ``rgba`` (h, w, 4) uint8,
+    ``x``/``y`` canvas offsets (must be even — the wire format stores
+    them halved), ``duration_ms``, optional ``blend`` (default False =
+    overwrite, B=1 on the wire) and ``dispose`` (default False).
+    Frame payloads are VP8L lossless, so decode round-trips exactly."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    body = _chunk(b"VP8X", bytes([_VP8X_ALPHA | _VP8X_ANIM])
+                  + b"\x00\x00\x00" + _u24(canvas_w - 1)
+                  + _u24(canvas_h - 1))
+    r_, g_, b_, a_ = bg_rgba
+    body += _chunk(b"ANIM", bytes([b_, g_, r_, a_])
+                   + struct.pack("<H", loop))
+    for f in frames:
+        rgba, x, y = f["rgba"], int(f.get("x", 0)), int(f.get("y", 0))
+        if x & 1 or y & 1:
+            raise ValueError(f"frame offsets must be even, got ({x}, {y})")
+        fh, fw = rgba.shape[:2]
+        if x + fw > canvas_w or y + fh > canvas_h:
+            raise ValueError(f"frame {fw}x{fh}+{x}+{y} exceeds canvas "
+                             f"{canvas_w}x{canvas_h}")
+        flags = (0 if f.get("blend") else 0x02) | (0x01 if f.get("dispose")
+                                                   else 0)
+        # inner chunk list of an ANMF = a WebP body; reuse the encoder
+        # and strip its 12-byte RIFF/WEBP envelope
+        payload = (_u24(x // 2) + _u24(y // 2) + _u24(fw - 1) + _u24(fh - 1)
+                   + _u24(int(f["duration_ms"])) + bytes([flags])
+                   + encode_webp_lossless(rgba)[12:])
+        body += _chunk(b"ANMF", payload)
+    return _riff(body)

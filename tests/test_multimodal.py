@@ -86,15 +86,27 @@ def test_default_stub_still_raises(spark):
     feats = image_features(lossy_df).collect()[0]
     assert feats["vmin"] == feats["vmax"] == 99
     assert feats["n_data"] == 48 * 32
-    # ...and the honest env-blocked stub remains for VP8X extended
-    vp8x_payload = b"\x00" * 4 + (47).to_bytes(3, "little") + (31).to_bytes(3, "little")
-    chunk = b"VP8X" + struct.pack("<I", len(vp8x_payload)) + vp8x_payload
-    ext = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    # ...VP8X extended decodes for real now (ALPH alpha + lossy pixels)
+    from rastertiler_rs_spark.webp import encode_webp_extended
+
+    rgba = np.empty((32, 48, 4), np.uint8)
+    rgba[:, :, :3] = 99
+    rgba[:, :, 3] = 255
+    ext = encode_webp_extended(rgba, qi=0, alpha_method="lossless")
     ext_df = spark.createDataFrame(
         [("x0", bytearray(ext), 48, 32, "webp")],
         "image_id string, bytes binary, w int, h int, fmt string")
-    with pytest.raises(Exception, match="VP8X"):
-        resize_images(ext_df, target=8).collect()
+    xf = image_features(ext_df).collect()[0]
+    assert xf["vmin"] == xf["vmax"] == 99 and xf["n_data"] == 48 * 32
+    # ...while a header-only VP8X file still fails loudly
+    vp8x_payload = b"\x00" * 4 + (47).to_bytes(3, "little") + (31).to_bytes(3, "little")
+    chunk = b"VP8X" + struct.pack("<I", len(vp8x_payload)) + vp8x_payload
+    hdr_only = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    hdr_df = spark.createDataFrame(
+        [("x1", bytearray(hdr_only), 48, 32, "webp")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    with pytest.raises(Exception, match="no VP8/VP8L chunk"):
+        resize_images(hdr_df, target=8).collect()
     with pytest.raises(Exception, match="not available"):
         frame_sample(imgs.selectExpr("image_id as video_id", "bytes", "fmt")).collect()
 

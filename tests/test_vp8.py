@@ -230,12 +230,12 @@ def test_container_odd_payload_padded():
         pytest.skip("no odd-length frame found in range")
 
 
-def test_vp8x_still_raises():
+def test_vp8x_still_header_only_raises():
     payload = b"\x00" * 4 + (15).to_bytes(3, "little") + (15).to_bytes(3, "little")
     chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
     data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     assert probe_webp(data)["variant"] == "extended"
-    with pytest.raises(NotImplementedError, match="VP8X"):
+    with pytest.raises(ValueError, match="no VP8/VP8L chunk"):
         decode_webp(data)
 
 

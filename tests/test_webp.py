@@ -121,8 +121,10 @@ def test_probe_vp8x_extended():
     chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
     data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     assert probe_webp(data) == {"variant": "extended", "width": 100,
-                                "height": 50, "has_alpha": True}
-    with pytest.raises(NotImplementedError, match="extended"):
+                                "height": 50, "has_alpha": True,
+                                "has_anim": False}
+    # header-only file: decodable variant but no pixel chunk
+    with pytest.raises(ValueError, match="no VP8/VP8L chunk"):
         decode_webp(data)
 
 
@@ -426,3 +428,107 @@ def test_meta_single_tile_group_count():
     img = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
     data = encode_webp_lossless(img, meta_bits=6)
     np.testing.assert_array_equal(decode_webp(data), img)
+
+
+# ---------------------------------------------------------- VP8X extended
+# Alpha (ALPH) plane, extended stills and animation — container-spec
+# features layered over the VP8/VP8L pixel coders.
+
+from rastertiler_rs_spark.webp.codec import (  # noqa: E402
+    _alph_filter_fwd, _alph_filter_inv, _blend_rgba, _decode_alph,
+    _encode_alph, encode_webp_anim, encode_webp_extended, webp_anim_frames)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_alph_filter_roundtrip(filt):
+    rng = np.random.default_rng(7 + filt)
+    for h, w in [(1, 1), (1, 9), (6, 1), (16, 16), (13, 31)]:
+        alpha = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        deltas = _alph_filter_fwd(alpha, filt)
+        np.testing.assert_array_equal(_alph_filter_inv(deltas, filt), alpha)
+
+
+@pytest.mark.parametrize("method", ["raw", "lossless"])
+@pytest.mark.parametrize("filt", [0, 3])
+def test_alph_chunk_roundtrip(method, filt):
+    rng = np.random.default_rng(11)
+    alpha = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+    payload = _encode_alph(alpha, method=method, filt=filt)
+    np.testing.assert_array_equal(_decode_alph(payload, 20, 12), alpha)
+
+
+@pytest.mark.parametrize("method", ["raw", "lossless"])
+def test_vp8x_still_alpha_exact(method):
+    rng = np.random.default_rng(3)
+    rgba = np.empty((32, 48, 4), np.uint8)
+    rgba[:, :, :3] = 96                      # solid color: bit-exact at qi=0
+    rgba[:, :, 3] = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    data = encode_webp_extended(rgba, qi=0, alpha_method=method,
+                                alpha_filter=2)
+    meta = probe_webp(data)
+    assert (meta["variant"], meta["has_alpha"]) == ("extended", True)
+    out = decode_webp(data)
+    np.testing.assert_array_equal(out, rgba)
+
+
+def test_anim_roundtrip_compose_blend_dispose():
+    rng = np.random.default_rng(5)
+    f1 = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    f2 = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+    f3 = rng.integers(0, 256, (2, 2, 4), dtype=np.uint8)
+    data = encode_webp_anim(8, 8, [
+        {"rgba": f1, "duration_ms": 40, "dispose": True},
+        {"rgba": f2, "x": 2, "y": 4, "duration_ms": 50, "blend": True},
+        {"rgba": f3, "x": 0, "y": 0, "duration_ms": 60},
+    ], bg_rgba=(9, 8, 7, 6))
+    frames = webp_anim_frames(data)
+    assert [f["duration_ms"] for f in frames] == [40, 50, 60]
+    np.testing.assert_array_equal(frames[0]["canvas"], f1)
+    # frame 1 disposed to bg, then frame 2 BLENDS onto the bg window
+    bg = np.zeros((8, 8, 4), np.uint8)
+    bg[:] = np.array([9, 8, 7, 6], np.uint8)
+    expect1 = bg.copy()
+    expect1[4:8, 2:8] = _blend_rgba(bg[4:8, 2:8], f2)
+    np.testing.assert_array_equal(frames[1]["canvas"], expect1)
+    # frame 3 default blend=False OVERWRITES its window
+    expect2 = expect1.copy()
+    expect2[0:2, 0:2] = f3
+    np.testing.assert_array_equal(frames[2]["canvas"], expect2)
+    # decode_webp on an animation = first composed canvas (gif contract)
+    np.testing.assert_array_equal(decode_webp(data), f1)
+    meta = probe_webp(data)
+    assert (meta["n_frames"], meta["duration_ms"]) == (3, 150)
+
+
+def test_blend_rgba_identities():
+    rng = np.random.default_rng(13)
+    dst = rng.integers(0, 256, (5, 5, 4), dtype=np.uint8)
+    src = dst.copy()
+    src[:, :, 3] = 255                        # opaque src -> src wins
+    out = _blend_rgba(dst, src)
+    np.testing.assert_array_equal(out[:, :, :3], src[:, :, :3])
+    src2 = rng.integers(0, 256, (5, 5, 4), dtype=np.uint8)
+    src2[:, :, 3] = 0                         # transparent src -> dst
+    out2 = _blend_rgba(dst, src2)
+    np.testing.assert_array_equal(out2[:, :, :3] * (dst[:, :, 3:] > 0),
+                                  dst[:, :, :3] * (dst[:, :, 3:] > 0))
+    np.testing.assert_array_equal(out2[:, :, 3], dst[:, :, 3])
+
+
+def test_anim_mux_validation():
+    f = np.zeros((4, 4, 4), np.uint8)
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_anim(8, 8, [{"rgba": f, "x": 1, "duration_ms": 1}])
+    with pytest.raises(ValueError, match="exceeds canvas"):
+        encode_webp_anim(4, 4, [{"rgba": f, "x": 2, "duration_ms": 1}])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_webp_anim(4, 4, [])
+
+
+def test_vp8x_reserved_bits_raise():
+    vp8x = bytes([0x80, 0, 0, 0]) + (3).to_bytes(3, "little") \
+        + (3).to_bytes(3, "little")
+    chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="reserved VP8X"):
+        probe_webp(data)

@@ -1436,7 +1436,9 @@ def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO BMFF / RIFF writers) and VP8-in-WebM (every SimpleBlock a real
     VP8 keyframe muxed by the real EBML writer) are demuxed AND
     decoded to pixels by the engine's own from-spec codecs, then
-    reduced to integer per-frame stats. The DuckDB twin recomputes the
+    reduced to integer per-frame stats; animated GIF and animated WebP
+    legs run their full composition loops over the composed canvas.
+    The DuckDB twin recomputes the
     stats in closed form from the solid frame-value formulas — valid
     because the baseline JPEG round-trip is bit-exact for solid frames
     at q90 and the VP8 round-trip at qi=0 (each pinned for all 256
@@ -1472,11 +1474,19 @@ def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rastertiler_rs_spark.fixtures import webm_vp8_parquet
 
     webm = spark.read.parquet(webm_vp8_parquet(18))
+    # animated-WebP leg: full-canvas solid RGBA frames whose VP8L
+    # payloads round-trip exactly, so composed-canvas RGBA stats are
+    # closed-form (fixtures.webpanim_channel); exercises the VP8X/ANMF
+    # walk + composition loop end to end
+    from rastertiler_rs_spark.fixtures import webpanim_parquet
+
+    wan = spark.read.parquet(webpanim_parquet(16))
     return (video_frame_stats(mp4, every_n=2).select(*cols)
             .unionByName(video_frame_stats(avi, every_n=2).select(*cols))
             .unionByName(video_frame_stats(sub, every_n=2).select(*cols))
             .unionByName(video_frame_stats(gif, every_n=2).select(*cols))
-            .unionByName(video_frame_stats(webm, every_n=2).select(*cols)))
+            .unionByName(video_frame_stats(webm, every_n=2).select(*cols))
+            .unionByName(video_frame_stats(wan, every_n=2).select(*cols)))
 
 
 def q_audio_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2063,10 +2073,23 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").alias("n_units"),
         F.lit(0).cast("long").alias("duration_ms"),
         F.lit("demux").alias("codec"))
+    # wanprobe = animated-WebP container probe (VP8X flags + ANMF walk
+    # summing per-frame durations), twin rederived from the fixture's
+    # webpanim_params/webpanim_duration formulas
+    from rastertiler_rs_spark.fixtures import webpanim_parquet
+    from rastertiler_rs_spark.operators.multimodal import video_probe
+
+    wan = spark.read.parquet(webpanim_parquet(30))
+    wanprobe = video_probe(wan).select(
+        F.lit("wanprobe").alias("variant"),
+        F.col("video_id").alias("media_id"),
+        F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
+        F.col("n_frames").alias("n_units"), "duration_ms", "codec")
     return (video.unionByName(mp3).unionByName(frames)
             .unionByName(aviprobe).unionByName(aviframes)
             .unionByName(l3spec).unionByName(gifprobe)
-            .unionByName(webmprobe).unionByName(webmframes))
+            .unionByName(webmprobe).unionByName(webmframes)
+            .unionByName(wanprobe))
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3597,6 +3620,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT UNNEST(generate_series(0, 19)) AS i) c
               ) wfp
             ) wff WHERE fno % 3 = 0
+            UNION ALL
+            SELECT 'wanprobe',
+                   'wan' || lpad(CAST(i AS VARCHAR), 6, '0'),
+                   CAST(12 + (i % 3) * 6 AS BIGINT),
+                   CAST(10 + (i % 2) * 6 AS BIGINT),
+                   CAST(2 + i % 3 AS BIGINT),
+                   CAST((SELECT SUM(30 + (3 * i + 5 * f.f) % 40)
+                         FROM (SELECT UNNEST(generate_series(
+                                 0, 2 + i % 3 - 1)) AS f) f)
+                        AS BIGINT),
+                   'webpanim'
+            FROM (SELECT UNNEST(generate_series(0, 29)) AS i) wac
         """,
         # decoded MJPEG pixel stats in closed form, BOTH containers:
         # mp4 frames are solid v = (17i + 29f + 23) % 256, avi frames
@@ -3742,6 +3777,44 @@ def oracle_sql() -> dict[str, str]:
                 ) gf WHERE fno % 2 = 0
               ) gv
             ) gs
+            UNION ALL
+            -- animated-WebP leg: composed RGBA canvas of full-frame
+            -- solid channels (fixtures.webpanim_channel); VP8L payload
+            -- round-trip is exact, so flat-RGBA stats are closed-form
+            -- over S = w*h interleaved [r,g,b,a] quadruples
+            SELECT 'wan' || lpad(CAST(wi AS VARCHAR), 6, '0'),
+                   CAST(fno AS BIGINT),
+                   CAST(w AS BIGINT),
+                   CAST(h AS BIGINT),
+                   4 * s AS n_px,
+                   CAST((r + g + b + a) * s AS BIGINT),
+                   CAST(LEAST(r, g, b, a) AS BIGINT),
+                   CAST(GREATEST(r, g, b, a) AS BIGINT),
+                   CAST(r * (base + s) + g * (base + 2 * s)
+                        + b * (base + 3 * s) + a * (base + 4 * s)
+                        AS BIGINT)
+            FROM (
+              SELECT wi, fno, w, h, s,
+                     4 * (s * (s - 1) // 2) AS base,
+                     (19 * wi + 31 * fno + 13) % 256 AS r,
+                     (23 * wi + 37 * fno + 5) % 256 AS g,
+                     (29 * wi + 41 * fno + 3) % 256 AS b,
+                     (17 * wi + 43 * fno + 11) % 256 AS a
+              FROM (
+                SELECT wi, fno, w, h, CAST(w AS BIGINT) * h AS s
+                FROM (
+                  SELECT wi, w, h,
+                         UNNEST(generate_series(0, nf - 1)) AS fno
+                  FROM (
+                    SELECT i AS wi,
+                           12 + (i % 3) * 6 AS w,
+                           10 + (i % 2) * 6 AS h,
+                           2 + i % 3 AS nf
+                    FROM (SELECT UNNEST(generate_series(0, 15)) AS i) c
+                  ) wp
+                ) wf WHERE fno % 2 = 0
+              ) wv
+            ) ws
         """,
         "audio_features": """
             WITH p AS (

@@ -833,3 +833,54 @@ def generate_gif_videos(n: int):
 
 def gif_videos_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return _cached_parquet("gif_videos", generate_gif_videos, n, cache_dir)
+
+
+def webpanim_params(i: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) of animated-WebP clip i."""
+    return 12 + (i % 3) * 6, 10 + (i % 2) * 6, 2 + i % 3
+
+
+def webpanim_channel(i: int, f: int, c: int) -> int:
+    """Solid value of channel c (0=R 1=G 2=B 3=A) in clip i's frame f."""
+    return ((19, 23, 29, 17)[c] * i + (31, 37, 41, 43)[c] * f
+            + (13, 5, 3, 11)[c]) % 256
+
+
+def webpanim_duration(i: int, f: int) -> int:
+    """Per-frame duration in milliseconds."""
+    return 30 + (3 * i + 5 * f) % 40
+
+
+def generate_webpanim_videos(n: int):
+    """Animated-WebP clips table (video_id, bytes=real VP8X+ANIM, fmt):
+    full-canvas solid RGBA frames whose payloads are VP8L lossless (so
+    the pixel round-trip is exact), letting composed per-frame RGBA
+    stats and probe fields rederive in SQL from webpanim_params /
+    webpanim_channel / webpanim_duration alone. Sub-rect placement,
+    blending and disposal are pinned separately in tests/test_webp.py."""
+    import pyarrow as pa
+
+    from .webp import encode_webp_anim
+
+    ids, blobs = [], []
+    for i in range(n):
+        w, h, nf = webpanim_params(i)
+        frames = []
+        for f in range(nf):
+            rgba = np.empty((h, w, 4), np.uint8)
+            for c in range(4):
+                rgba[:, :, c] = webpanim_channel(i, f, c)
+            frames.append({"rgba": rgba,
+                           "duration_ms": webpanim_duration(i, f)})
+        ids.append(f"wan{i:06d}")
+        blobs.append(encode_webp_anim(w, h, frames))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["webp;anim"] * n, pa.string()),
+    })
+
+
+def webpanim_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    return _cached_parquet("webpanim_videos", generate_webpanim_videos, n,
+                           cache_dir)

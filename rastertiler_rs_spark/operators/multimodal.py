@@ -370,7 +370,9 @@ def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
     keyframe streams in EBML .webm (media/webm.py demux + webp/vp8.py
     decode, stats over the luma plane), plus animated GIF
     (gif/codec.py: LZW + frame composition with sub-rects,
-    transparency, and disposal).
+    transparency, and disposal) and animated WebP (webp/codec.py
+    VP8X+ANIM: per-frame VP8L/VP8 decode + composed-RGBA-canvas
+    stats with spec over-blending and dispose-to-background).
 
     Composes the engine's from-spec codecs: the matching container
     demuxer extracts each sampled frame's stored payload, then the
@@ -400,6 +402,16 @@ def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
 
                     frames_px = [(f, c) for f, c in
                                  enumerate(decode_gif(data))
+                                 if f % every_n == 0]
+                elif fmt.startswith("webp"):
+                    # animated WebP: stats over the fully COMPOSED RGBA
+                    # canvas (sub-rects, spec over-blending, disposal
+                    # honored by webp/codec.webp_anim_frames); payloads
+                    # decode through the engine's VP8L / VP8 coders
+                    from ..webp import webp_anim_frames
+
+                    frames_px = [(f, d["canvas"]) for f, d in
+                                 enumerate(webp_anim_frames(data))
                                  if f % every_n == 0]
                 else:
                     if fmt.startswith("mp4"):
@@ -487,6 +499,18 @@ def video_probe(videos: DataFrame) -> DataFrame:
                             "duration_ms": g["duration_cs"] * 10,
                             "codec": "gif" + g["version"]}
                     n_frames = g["n_frames"]
+                elif fmt.startswith("webp"):
+                    from ..webp import probe_webp
+
+                    m = probe_webp(bytes(row.bytes))
+                    if not m.get("has_anim"):
+                        raise ValueError(
+                            "video_probe on a still WebP — animated "
+                            "(VP8X+ANIM) files only")
+                    meta = {"width": m["width"], "height": m["height"],
+                            "duration_ms": m["duration_ms"],
+                            "codec": "webpanim"}
+                    n_frames = m["n_frames"]
                 else:
                     raise NotImplementedError(
                         f"container parser for {row.fmt!r} not available")

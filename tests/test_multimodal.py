@@ -170,3 +170,44 @@ def test_audio_fake_codec_and_stub(spark):
     assert r["n_samples"] == 2 and r["sample_rate"] == 8000
     exp = np.frombuffer(b"\x00\x01\x02\x03", dtype=np.int16).astype(np.int64)
     assert r["sum_sq"] == int((exp * exp).sum())
+
+
+def test_video_operators_animated_webp(spark):
+    """Animated WebP through the video operator surface: probe fields
+    and composed-RGBA-canvas frame stats both match the fixture's
+    closed-form channel/duration formulas."""
+    from rastertiler_rs_spark.fixtures import (webpanim_channel,
+                                               webpanim_duration,
+                                               webpanim_params,
+                                               webpanim_parquet)
+    from rastertiler_rs_spark.operators.multimodal import (
+        video_frame_stats, video_probe)
+
+    vids = spark.read.parquet(webpanim_parquet(6))
+    probe = {r.video_id: r for r in video_probe(vids).collect()}
+    assert len(probe) == 6
+    for i in range(6):
+        w, h, nf = webpanim_params(i)
+        r = probe[f"wan{i:06d}"]
+        assert (r.width, r.height, r.n_frames) == (w, h, nf)
+        assert r.duration_ms == sum(webpanim_duration(i, f)
+                                    for f in range(nf))
+        assert r.codec == "webpanim"
+    stats = video_frame_stats(vids, every_n=1).collect()
+    assert len(stats) == sum(webpanim_params(i)[2] for i in range(6))
+    for r in stats:
+        i = int(r.video_id[3:])
+        w, h, _ = webpanim_params(i)
+        ch = [webpanim_channel(i, r.frame_no, c) for c in range(4)]
+        assert (r.w, r.h, r.n_px) == (w, h, 4 * w * h)
+        assert r.vsum == sum(ch) * w * h
+        assert r.vmin == min(ch) and r.vmax == max(ch)
+    # still WebP through video_probe fails loudly
+    from rastertiler_rs_spark.webp import encode_webp_lossless
+
+    still = encode_webp_lossless(np.full((4, 4, 4), 7, np.uint8))
+    still_df = spark.createDataFrame(
+        [("s0", bytearray(still), "webp")],
+        "video_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="still WebP"):
+        video_probe(still_df).collect()

@@ -55,8 +55,17 @@ def get_spark(app: str = "rastertiler_rs_spark", cpus: int | None = None,
         cpus = env_int("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 8)
+    builder = SparkSession.builder
+    # only default the master when no spark-submit launched us:
+    # code-level .master() OVERRIDES spark-submit's --master, so
+    # setting it unconditionally would silently turn a cluster
+    # submission into a driver-local run. Under spark-submit the
+    # driver JVM (carrying --master) is already up and exported via
+    # the py4j gateway env (tests/test_spark_submit.py pins this).
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

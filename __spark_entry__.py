@@ -1840,21 +1840,39 @@ def q_render_tile_ids_cog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("zoom", "x", "y").distinct()
 
 
+def q_render_tile_ids_btf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same invariant over the BigTIFF (TIFF v43) twin of the COG
+    fixture: identical pixels/blocks/compression, but 64-bit offsets
+    throughout — 8-byte IFD counts, 20-byte entries, LONG8 tile
+    offsets — the layout any >4 GB COG must use. This leg runs the
+    BigTIFF header walk + ranged tile reads executor-side under the
+    value gate; the footprint set (hence the twin) is unchanged."""
+    from rastertiler_rs_spark.fixtures import geotiff_bigtiff_fixture
+    from rastertiler_rs_spark.operators.geotiff_source import \
+        images_from_geotiff
+    from rastertiler_rs_spark.operators.render import render
+
+    images = images_from_geotiff(spark, geotiff_bigtiff_fixture())
+    fused = render(images, 7, 9, tile_size=128, dtype_tag="u8")
+    return fused.select("zoom", "x", "y").distinct()
+
+
 def q_render_tile_ids_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five tile-ID invariant twins under ONE driver row: the u8,
+    """All seven tile-ID invariant twins under ONE driver row: the u8,
     u32, and colormap renders, the overview-cascade pyramid, and the
-    GeoTIFF-ingest front-end each emit their (zoom, x, y) set, tagged
-    by variant; every leg must equal the exact SQL tile cover of its
-    footprints (fully-opaque inputs make the cover exact for all
-    encoder classes, for the cascade's parent closure, and for the
-    ingest's block grid)."""
+    GeoTIFF-ingest front-end (strip, COG, BigTIFF-COG layouts) each
+    emit their (zoom, x, y) set, tagged by variant; every leg must
+    equal the exact SQL tile cover of its footprints (fully-opaque
+    inputs make the cover exact for all encoder classes, for the
+    cascade's parent closure, and for the ingest's block grid)."""
     return _union_variants(
         ("u8", q_render_tile_ids(spark, sf_dir)),
         ("u32", q_render_tile_ids_u32(spark, sf_dir)),
         ("colormap", q_render_tile_ids_colormap(spark, sf_dir)),
         ("pyramid", q_render_pyramid_tile_ids(spark, sf_dir)),
         ("tif", q_render_tile_ids_tif(spark, sf_dir)),
-        ("cog", q_render_tile_ids_cog(spark, sf_dir)))
+        ("cog", q_render_tile_ids_cog(spark, sf_dir)),
+        ("btf", q_render_tile_ids_btf(spark, sf_dir)))
 
 
 def q_zonal_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3844,6 +3862,8 @@ def oracle_sql() -> dict[str, str]:
             ("colormap", _render_tile_ids_oracle_sql()),
             ("pyramid", _render_tile_ids_oracle_sql()),
             ("tif", _render_tile_ids_oracle_sql(_tif_block_footprints())),
+            # BigTIFF layout twin: same pixels + 512-block grid as cog
+            ("btf", _render_tile_ids_oracle_sql(_tif_block_footprints())),
             # the COG twin's 512-tile grid == the strip leg's block
             # grid by construction (geotiff_cog_fixture docstring)
             ("cog", _render_tile_ids_oracle_sql(_tif_block_footprints()))),

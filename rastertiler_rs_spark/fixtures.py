@@ -780,6 +780,24 @@ def geotiff_cog_fixture(cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return path
 
 
+def geotiff_bigtiff_fixture(cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    """BigTIFF (TIFF v43, 64-bit offsets) twin of the COG fixture:
+    identical pixels, 512-tile block grid, deflate + predictor — only
+    the container layout differs, so the exact-cover oracle footprints
+    are the same as the strip/COG legs'. This is the layout any >4 GB
+    cloud-optimized raster must use."""
+    from .geotiff import write_geotiff
+
+    os.makedirs(cache_dir, exist_ok=True)
+    w, h, transform, _rps = geotiff_params()
+    path = os.path.join(cache_dir, f"fixture_{w}x{h}_cog512_big.tif")
+    if not os.path.exists(path):
+        write_geotiff(path, geotiff_band(w, h), transform, NODATA,
+                      tile_size=512, compression="deflate", predictor=2,
+                      bigtiff=True)
+    return path
+
+
 # ------------------------------------------------------------ GIF videos
 
 def gif_params(i: int) -> tuple[int, int, int]:

@@ -46,6 +46,7 @@ _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT, _GEO_KEY_DIRECTORY = 33550, 33922, 34735
 _GDAL_NODATA = 42113
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE, _TYPE_ASCII = 3, 4, 12, 2
+_TYPE_LONG8 = 16                                  # BigTIFF unsigned 64-bit
 
 _COMPRESSION_IDS = {"none": 1, "lzw": 5, "deflate": 8}
 _COMPRESSION_NAMES = {1: "none", 5: "lzw", 8: "deflate", 32946: "deflate"}
@@ -215,7 +216,8 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
                   rows_per_strip: int | None = None,
                   tile_size: int | None = None,
                   compression: str = "none",
-                  predictor: int = 1) -> None:
+                  predictor: int = 1,
+                  bigtiff: bool = False) -> None:
     """Write a single-band uint8/uint32 array as a valid GeoTIFF.
 
     ``transform`` is the engine affine (a, b, c, d, e, f): x = a*col + c,
@@ -235,6 +237,11 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     early-change variant); ``predictor=2`` applies horizontal
     differencing per sample before compression (tag 317) — GDAL's
     usual COG recipe is tiled + deflate + predictor.
+
+    ``bigtiff=True`` writes the BigTIFF (TIFF v43) layout — 64-bit
+    offsets throughout, which is what any >4 GB raster (routine at
+    COG scale) must use; the block manifest, compression and geo tags
+    are identical, so the distributed source plans from either.
     """
     if data.ndim != 2:
         raise ValueError("write_geotiff expects a 2-D single-band array")
@@ -277,9 +284,12 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     # blocks start on word boundaries (libtiff-style); readers address
     # them by (offset, byte count), so the pad bytes are never read
     pixels = b"".join(s + b"\x00" * (len(s) % 2) for s in strips)
-    # pad to > 4 bytes so the value always lives out-of-line (keeps the
-    # writer single-path; trailing NULs are legal in TIFF ASCII)
-    nodata_ascii = (str(int(nodata)) + "\x00").ljust(5, "\x00").encode()
+    # pad past the inline-value window (4 classic, 8 bigtiff) so the
+    # value always lives out-of-line (keeps the writer single-path;
+    # trailing NULs are legal in TIFF ASCII)
+    inline_w = 8 if bigtiff else 4
+    nodata_ascii = (str(int(nodata)) + "\x00").ljust(inline_w + 1,
+                                                     "\x00").encode()
     # GeoKeyDirectory: version 1.1.0, 3 keys — model type projected,
     # raster type PixelIsArea, projected CRS = epsg
     geokeys = struct.pack("<16H", 1, 1, 0, 3,
@@ -297,6 +307,11 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
 
     off_tag = _TILE_OFFSETS if tiled else _STRIP_OFFSETS
     cnt_tag = _TILE_BYTE_COUNTS if tiled else _STRIP_BYTE_COUNTS
+    # BigTIFF block offsets are LONG8 (file positions may exceed 4 GB);
+    # byte counts stay LONG arrays in both layouts
+    off_typ = _TYPE_LONG8 if bigtiff else _TYPE_LONG
+    off_sz = 8 if bigtiff else 4
+    off_fmt = "Q" if bigtiff else "I"
 
     entry(_IMAGE_WIDTH, _TYPE_LONG, 1, inline=w)
     entry(_IMAGE_LENGTH, _TYPE_LONG, 1, inline=h)
@@ -305,15 +320,23 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
           inline=_COMPRESSION_IDS[compression])
     entry(_PHOTOMETRIC, _TYPE_SHORT, 1, inline=1)       # BlackIsZero
     if nstrips == 1:
-        entry(off_tag, _TYPE_LONG, 1, inline=None, payload=b"")  # patched
+        entry(off_tag, off_typ, 1, inline=None, payload=b"")  # patched
         entry(cnt_tag, _TYPE_LONG, 1, inline=len(strips[0]))
     else:
         # arrays live out-of-line in the blob; the offsets array is
         # written as zeros here and patched once the pixel base is known
-        entry(off_tag, _TYPE_LONG, nstrips,
-              payload=b"\x00" * (4 * nstrips))
-        entry(cnt_tag, _TYPE_LONG, nstrips,
-              payload=struct.pack(f"<{nstrips}I", *(len(s) for s in strips)))
+        entry(off_tag, off_typ, nstrips,
+              payload=b"\x00" * (off_sz * nstrips))
+        if bigtiff and 4 * nstrips <= 8:
+            # <= 2 counts fit the 8-byte inline window; out-of-line
+            # storage of an inline-sized value is illegal in TIFF
+            counts = [len(s) for s in strips] + [0] * (2 - nstrips)
+            entry(cnt_tag, _TYPE_LONG, nstrips,
+                  inline=counts[0] | (counts[1] << 32))
+        else:
+            entry(cnt_tag, _TYPE_LONG, nstrips,
+                  payload=struct.pack(f"<{nstrips}I",
+                                      *(len(s) for s in strips)))
     entry(_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, inline=1)
     if tiled:
         entry(_TILE_WIDTH, _TYPE_LONG, 1, inline=ts)
@@ -329,8 +352,12 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     entry(_GDAL_NODATA, _TYPE_ASCII, len(nodata_ascii), payload=nodata_ascii)
 
     n = len(entries)
-    ifd_start = 8
-    ifd_size = 2 + n * 12 + 4
+    if bigtiff:                 # 16-byte header, u64 count/entries/next
+        ifd_start = 16
+        ifd_size = 8 + n * 20 + 8
+    else:
+        ifd_start = 8
+        ifd_size = 2 + n * 12 + 4
     data_start = ifd_start + ifd_size
 
     # assign out-of-line payload offsets; TIFF requires value offsets on
@@ -359,19 +386,32 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
         for s in strips:
             offs.append(pos)
             pos += len(s) + (len(s) % 2)  # blocks are word-aligned
-        blob[offsets_pos:offsets_pos + 4 * nstrips] = struct.pack(
-            f"<{nstrips}I", *offs)
+        blob[offsets_pos:offsets_pos + off_sz * nstrips] = struct.pack(
+            f"<{nstrips}{off_fmt}", *offs)
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_start)
-    out += struct.pack("<H", n)
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_start)
+        out += struct.pack("<Q", n)
+    else:
+        out += struct.pack("<2sHI", b"II", 42, ifd_start)
+        out += struct.pack("<H", n)
     for tag, typ, count, inline, _payload in sorted(entries):
-        if typ == _TYPE_SHORT and count == 1:
-            val = struct.pack("<HH", inline, 0)
+        if bigtiff:
+            if typ == _TYPE_SHORT and count == 1:
+                val = struct.pack("<H6x", inline)
+            elif typ == _TYPE_LONG and count == 1:
+                val = struct.pack("<I4x", inline)
+            else:  # LONG8 offsets and the composed inline count pair
+                val = struct.pack("<Q", inline)
+            out += struct.pack("<HHQ", tag, typ, count) + val
         else:
-            val = struct.pack("<I", inline)
-        out += struct.pack("<HHI", tag, typ, count) + val
-    out += struct.pack("<I", 0)  # next IFD
+            if typ == _TYPE_SHORT and count == 1:
+                val = struct.pack("<HH", inline, 0)
+            else:
+                val = struct.pack("<I", inline)
+            out += struct.pack("<HHI", tag, typ, count) + val
+    out += struct.pack("<Q" if bigtiff else "<I", 0)  # next IFD
     out += blob
     out += pixels
     with open(path, "wb") as fh:
@@ -389,29 +429,62 @@ def write_tile_geotiff(path: str, canvas: np.ndarray, zoom: int, x: int,
     write_geotiff(path, canvas, (xres, 0.0, xmin, 0.0, -yres, ymax), nodata)
 
 
+_TYPE_SIZES = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8,
+               _TYPE_ASCII: 1, _TYPE_LONG8: 8}
+
+
 def _parse_ifd(read_at) -> dict:
     """Parse the first IFD through a ranged-read callable — the same
     code path works over in-memory bytes (read_geotiff) and over file
     seeks (geotiff_ifd), so a huge raster's header costs a few KB of
-    I/O, never a full-file read."""
-    head = read_at(0, 8)
-    if head[:4] != b"II\x2a\x00":
+    I/O, never a full-file read. Handles classic TIFF (magic 42,
+    32-bit offsets) AND BigTIFF (magic 43, 64-bit offsets — the layout
+    any >4 GB COG must use): 8-byte entry counts, 20-byte entries with
+    an 8-byte inline-value window, and LONG8 block offset arrays."""
+    head = read_at(0, 16)
+    if head[:2] != b"II":
         raise ValueError("not a little-endian TIFF")
-    (ifd_off,) = struct.unpack_from("<I", head, 4)
-    (n,) = struct.unpack("<H", read_at(ifd_off, 2))
-    table = read_at(ifd_off + 2, n * 12)
+    (magic,) = struct.unpack_from("<H", head, 2)
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack_from("<I", head, 4)
+    elif magic == 43:
+        big = True
+        osize, pad = struct.unpack_from("<HH", head, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {osize}, "
+                             f"pad {pad})")
+        (ifd_off,) = struct.unpack_from("<Q", head, 8)
+    else:
+        raise ValueError(f"bad TIFF magic {magic} (42/43)")
+    esize, inline_w = (20, 8) if big else (12, 4)
+    if big:
+        (n,) = struct.unpack("<Q", read_at(ifd_off, 8))
+        table = read_at(ifd_off + 8, n * esize)
+    else:
+        (n,) = struct.unpack("<H", read_at(ifd_off, 2))
+        table = read_at(ifd_off + 2, n * esize)
     tags = {}
     for i in range(n):
-        tag, typ, count = struct.unpack_from("<HHI", table, i * 12)
-        raw = table[i * 12 + 8: i * 12 + 12]
-        size = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8, _TYPE_ASCII: 1}[typ] * count
-        if size <= 4:
-            if typ == _TYPE_SHORT:
-                tags[tag] = struct.unpack("<H", raw[:2])[0]
-            else:
-                tags[tag] = struct.unpack("<I", raw)[0]
+        if big:
+            tag, typ, count = struct.unpack_from("<HHQ", table, i * esize)
         else:
-            (off,) = struct.unpack("<I", raw)
+            tag, typ, count = struct.unpack_from("<HHI", table, i * esize)
+        raw = table[i * esize + esize - inline_w: i * esize + esize]
+        if typ not in _TYPE_SIZES:
+            raise ValueError(f"unsupported TIFF field type {typ} "
+                             f"(tag {tag})")
+        size = _TYPE_SIZES[typ] * count
+        if size <= inline_w:
+            if typ == _TYPE_ASCII:
+                tags[tag] = raw[:count]
+            else:
+                fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I",
+                       _TYPE_LONG8: "Q", _TYPE_DOUBLE: "d"}[typ]
+                vals = struct.unpack(f"<{count}{fmt}", raw[:size])
+                tags[tag] = vals[0] if count == 1 else vals
+        else:
+            (off,) = struct.unpack("<Q" if big else "<I", raw)
             payload = read_at(off, size)
             if typ == _TYPE_DOUBLE:
                 tags[tag] = struct.unpack(f"<{count}d", payload)
@@ -419,6 +492,8 @@ def _parse_ifd(read_at) -> dict:
                 tags[tag] = struct.unpack(f"<{count}H", payload)
             elif typ == _TYPE_LONG:
                 tags[tag] = struct.unpack(f"<{count}I", payload)
+            elif typ == _TYPE_LONG8:
+                tags[tag] = struct.unpack(f"<{count}Q", payload)
             else:
                 tags[tag] = payload
     return tags

@@ -289,3 +289,67 @@ def test_corrupt_tile_directory_fails_fast(tmp_path):
     open(p2, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="tile directory"):
         geotiff_ifd(p2)
+
+
+def test_bigtiff_roundtrips(tmp_path):
+    """BigTIFF (v43) layouts round-trip for every block scheme the
+    writer emits, including the 2-strip case whose byte-count pair
+    packs into the 8-byte inline window."""
+    from rastertiler_rs_spark.geotiff import (geotiff_ifd, read_geotiff,
+                                              write_geotiff)
+
+    rng = np.random.default_rng(7)
+    tf = (10.0, 0.0, 100.0, 0.0, -10.0, 5000.0)
+    cases = [{}, {"rows_per_strip": 7},
+             {"rows_per_strip": 20},  # 2 strips -> inline count pair
+             {"rows_per_strip": 13, "compression": "deflate",
+              "predictor": 2},
+             {"tile_size": 16, "compression": "lzw", "predictor": 2}]
+    for k, kwargs in enumerate(cases):
+        for dt, hi in ((np.uint8, 256), (np.uint32, 1 << 30)):
+            arr = rng.integers(0, hi, (37, 29)).astype(dt)
+            p = str(tmp_path / f"big_{k}_{dt.__name__}.tif")
+            write_geotiff(p, arr, tf, nodata=0, bigtiff=True, **kwargs)
+            data = open(p, "rb").read()
+            assert data[2:4] == b"\x2b\x00"            # magic 43
+            d = read_geotiff(data)
+            assert np.array_equal(d["pixels"], arr)
+            assert d["transform"] == tf and d["epsg"] == 3857
+            meta = geotiff_ifd(p)
+            assert (meta["width"], meta["height"]) == (29, 37)
+
+
+def test_bigtiff_bad_header_fails_fast(tmp_path):
+    from rastertiler_rs_spark.geotiff import read_geotiff, write_geotiff
+
+    p = str(tmp_path / "x.tif")
+    write_geotiff(p, np.zeros((4, 4), np.uint8), (1.0, 0, 0, 0, -1.0, 4.0),
+                  nodata=0, bigtiff=True)
+    data = bytearray(open(p, "rb").read())
+    data[4] = 4                                       # offset size != 8
+    with pytest.raises(ValueError, match="BigTIFF"):
+        read_geotiff(bytes(data))
+    data[4] = 8
+    data[2] = 44                                      # unknown magic
+    with pytest.raises(ValueError, match="magic"):
+        read_geotiff(bytes(data))
+
+
+def test_bigtiff_ingest_render_parity(spark):
+    """The distributed source over a BigTIFF COG produces the same
+    mosaic as over the classic COG twin (identical pixels + blocks,
+    different container layout)."""
+    from rastertiler_rs_spark.fixtures import (geotiff_bigtiff_fixture,
+                                               geotiff_cog_fixture)
+    from rastertiler_rs_spark.operators.geotiff_source import \
+        images_from_geotiff
+    from rastertiler_rs_spark.operators.render import render
+
+    def tiles(path):
+        imgs = images_from_geotiff(spark, path)
+        fused = render(imgs, 7, 8, tile_size=128, dtype_tag="u8")
+        return {(r.zoom, r.x, r.y): bytes(r.png) for r in fused.collect()}
+
+    a = tiles(geotiff_cog_fixture())
+    b = tiles(geotiff_bigtiff_fixture())
+    assert a == b and len(a) > 0

@@ -2103,11 +2103,27 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("video_id").alias("media_id"),
         F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
         F.col("n_frames").alias("n_units"), "duration_ms", "codec")
+    # flacfeat = REAL FLAC payload decode (media/flac.py: rice
+    # residuals, fixed/LPC predictors, all four stereo assignments,
+    # CRC+MD5 checks) reduced to exact integer per-clip stats; the
+    # twin recomputes peak/sum_sq/count from the fixture's
+    # folded-triangle sample formula — any mis-decoded sample anywhere
+    # in any frame flips sum_sq
+    from rastertiler_rs_spark.fixtures import flac_parquet
+    from rastertiler_rs_spark.operators.multimodal import audio_features
+
+    fl = spark.read.parquet(flac_parquet(24))
+    flacfeat = audio_features(fl).select(
+        F.lit("flacfeat").alias("variant"),
+        F.col("audio_id").alias("media_id"),
+        F.col("peak").alias("dim_a"), F.col("sum_sq").alias("dim_b"),
+        F.col("n_samples").alias("n_units"), "duration_ms",
+        F.lit("flac").alias("codec"))
     return (video.unionByName(mp3).unionByName(frames)
             .unionByName(aviprobe).unionByName(aviframes)
             .unionByName(l3spec).unionByName(gifprobe)
             .unionByName(webmprobe).unionByName(webmframes)
-            .unionByName(wanprobe))
+            .unionByName(wanprobe).unionByName(flacfeat))
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3650,6 +3666,28 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT),
                    'webpanim'
             FROM (SELECT UNNEST(generate_series(0, 29)) AS i) wac
+            UNION ALL
+            SELECT 'flacfeat',
+                   'flc' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(MAX(ABS(v)) AS BIGINT),
+                   CAST(SUM(v * v) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST((COUNT(*) * 1000) // (rate * ch) AS BIGINT),
+                   'flac'
+            FROM (
+              SELECT i, rate, ch,
+                     ABS(((k + 11 * i) % 256) - 128) * 27 - 1700 AS v
+              FROM (
+                SELECT i, rate, ch,
+                       UNNEST(generate_series(0, nf * ch - 1)) AS k
+                FROM (
+                  SELECT i, 8000 * (1 + i % 3) AS rate,
+                         1 + (i % 2) AS ch,
+                         400 + (i * 157) % 600 AS nf
+                  FROM (SELECT UNNEST(generate_series(0, 23)) AS i) c
+                ) fp
+              ) fk
+            ) fv GROUP BY i, rate, ch
         """,
         # decoded MJPEG pixel stats in closed form, BOTH containers:
         # mp4 frames are solid v = (17i + 29f + 23) % 256, avi frames

@@ -158,6 +158,49 @@ def generate_audio(n: int):
     })
 
 
+def flac_params(i: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) of FLAC clip i."""
+    return 8000 * (1 + i % 3), 1 + (i % 2), 400 + (i * 157) % 600
+
+
+def flac_sample(i: int, n_total: int) -> np.ndarray:
+    """Interleaved int16 samples of clip i: a folded-triangle integer
+    wave — piecewise linear, so fixed-predictor residuals are tiny
+    between fold points and the rice path does real work (uniform
+    noise would push every partition to the raw-escape path)."""
+    k = np.arange(n_total, dtype=np.int64)
+    return (np.abs(((k + 11 * i) % 256) - 128) * 27 - 1700).astype(np.int16)
+
+
+def generate_flac_audio(n: int):
+    """FLAC clips table (audio_id, bytes=real FLAC, fmt): the stereo
+    mode cycles through all four channel assignments plus auto, and
+    blocksize 256 forces multi-frame streams, so decode exercises
+    frame sync/CRCs, predictors, rice partitions and decorrelation;
+    per-sample stats rederive in SQL from flac_params/flac_sample."""
+    import pyarrow as pa
+
+    from .media.flac import encode_flac
+
+    ids, blobs = [], []
+    for i in range(n):
+        rate, ch, nf = flac_params(i)
+        s = flac_sample(i, nf * ch)
+        samples = s if ch == 1 else s.reshape(nf, ch)
+        mode = ("lr", "ms", "ls", "rs", "auto")[i % 5]
+        ids.append(f"flc{i:08d}")
+        blobs.append(encode_flac(samples, rate, blocksize=256, stereo=mode))
+    return pa.table({
+        "audio_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["flac"] * n, pa.string()),
+    })
+
+
+def flac_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    return _cached_parquet("flac_audio", generate_flac_audio, n, cache_dir)
+
+
 def _cached_parquet(name: str, table_fn, n: int, cache_dir: str) -> str:
     """One copy of the fixture parquet cache convention (path scheme,
     row-group size, write-once) shared by every *_parquet helper."""

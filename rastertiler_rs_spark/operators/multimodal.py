@@ -271,11 +271,14 @@ def audio_features(audio: DataFrame, fake_codecs: bool = False) -> DataFrame:
     """Feature extraction for the audio modality: integer per-clip
     statistics — (audio_id, sample_rate, channels, n_samples,
     duration_ms, peak, sum_sq). Real decode for RIFF/WAV PCM16 via the
-    engine's own parser; compressed formats (mp3/ogg/flac) raise unless
-    ``fake_codecs`` opts into the deterministic fake (payload bytes
-    reinterpreted as PCM16 at 8 kHz mono). All outputs int64 ⇒
-    bit-identical across engines (sum_sq <= n * 2^30 — overflow-safe to
-    ~2^33 samples per clip)."""
+    engine's own parser AND for FLAC via the from-spec codec
+    (media/flac.py — rice residuals, fixed/LPC predictors, all four
+    stereo modes, lossless so the stats equal the WAV twin's exactly);
+    other compressed formats (mp3/ogg) raise unless ``fake_codecs``
+    opts into the deterministic fake (payload bytes reinterpreted as
+    PCM16 at 8 kHz mono). All outputs int64 ⇒ bit-identical across
+    engines (sum_sq <= n * 2^30 — overflow-safe to ~2^33 samples per
+    clip)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -284,6 +287,13 @@ def audio_features(audio: DataFrame, fake_codecs: bool = False) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 if row.fmt.startswith("wav"):
                     d = parse_wav(bytes(row.bytes))
+                elif row.fmt.startswith("flac"):
+                    from ..media.flac import decode_flac
+
+                    f = decode_flac(bytes(row.bytes))
+                    d = {"sample_rate": f["sample_rate"],
+                         "channels": f["channels"],
+                         "samples": np.asarray(f["samples"]).reshape(-1)}
                 elif fake_codecs:
                     raw = bytes(row.bytes)
                     d = {"sample_rate": 8000, "channels": 1,
@@ -551,6 +561,12 @@ def audio_probe(audio: DataFrame) -> DataFrame:
                     m = probe_mp3(bytes(row.bytes))
                     n, sr, ch, container = (m["n_samples"], m["sample_rate"],
                                             m["channels"], "mp3")
+                elif fmt.startswith("flac"):
+                    from ..media.flac import probe_flac
+
+                    m = probe_flac(bytes(row.bytes))
+                    n, sr, ch, container = (m["n_samples"], m["sample_rate"],
+                                            m["channels"], "flac")
                 else:
                     raise NotImplementedError(
                         f"container parser for {fmt!r} not available")

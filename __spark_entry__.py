@@ -2119,11 +2119,25 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").alias("dim_a"), F.col("sum_sq").alias("dim_b"),
         F.col("n_samples").alias("n_units"), "duration_ms",
         F.lit("flac").alias("codec"))
+    # oggfeat = Ogg-FLAC: RFC 3533 page walk (lacing reassembly,
+    # forward CRC-32, BOS/EOS + granule cross-check) feeding the same
+    # full FLAC decode; fixture family shifted by +3 so values differ
+    # from flacfeat while the twin stays one formula
+    from rastertiler_rs_spark.fixtures import ogg_parquet
+
+    og = spark.read.parquet(ogg_parquet(18))
+    oggfeat = audio_features(og).select(
+        F.lit("oggfeat").alias("variant"),
+        F.col("audio_id").alias("media_id"),
+        F.col("peak").alias("dim_a"), F.col("sum_sq").alias("dim_b"),
+        F.col("n_samples").alias("n_units"), "duration_ms",
+        F.lit("ogg").alias("codec"))
     return (video.unionByName(mp3).unionByName(frames)
             .unionByName(aviprobe).unionByName(aviframes)
             .unionByName(l3spec).unionByName(gifprobe)
             .unionByName(webmprobe).unionByName(webmframes)
-            .unionByName(wanprobe).unionByName(flacfeat))
+            .unionByName(wanprobe).unionByName(flacfeat)
+            .unionByName(oggfeat))
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3685,6 +3699,28 @@ def oracle_sql() -> dict[str, str]:
                          1 + (i % 2) AS ch,
                          400 + (i * 157) % 600 AS nf
                   FROM (SELECT UNNEST(generate_series(0, 23)) AS i) c
+                ) fp
+              ) fk
+            ) fv GROUP BY i, rate, ch
+            UNION ALL
+            SELECT 'oggfeat',
+                   'ogg' || lpad(CAST(i AS VARCHAR), 8, '0'),
+                   CAST(MAX(ABS(v)) AS BIGINT),
+                   CAST(SUM(v * v) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST((COUNT(*) * 1000) // (rate * ch) AS BIGINT),
+                   'ogg'
+            FROM (
+              SELECT i, rate, ch,
+                     ABS(((k + 11 * (i + 3)) % 256) - 128) * 27 - 1700 AS v
+              FROM (
+                SELECT i, rate, ch,
+                       UNNEST(generate_series(0, nf * ch - 1)) AS k
+                FROM (
+                  SELECT i, 8000 * (1 + (i + 3) % 3) AS rate,
+                         1 + ((i + 3) % 2) AS ch,
+                         400 + ((i + 3) * 157) % 600 AS nf
+                  FROM (SELECT UNNEST(generate_series(0, 17)) AS i) c
                 ) fp
               ) fk
             ) fv GROUP BY i, rate, ch

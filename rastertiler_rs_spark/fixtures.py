@@ -201,6 +201,36 @@ def flac_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return _cached_parquet("flac_audio", generate_flac_audio, n, cache_dir)
 
 
+def generate_ogg_audio(n: int):
+    """Ogg-FLAC clips table (audio_id, bytes=real Ogg pages, fmt):
+    clip i reuses the FLAC fixture family at index i+3, so the gate
+    leg's values differ from the bare-FLAC leg's while the SQL twin
+    stays one formula; decode crosses BOTH codecs (Ogg page walk +
+    CRC-32, then the full FLAC frame decode)."""
+    import pyarrow as pa
+
+    from .media.ogg import encode_ogg_flac
+
+    ids, blobs = [], []
+    for i in range(n):
+        rate, ch, nf = flac_params(i + 3)
+        s = flac_sample(i + 3, nf * ch)
+        samples = s if ch == 1 else s.reshape(nf, ch)
+        mode = ("lr", "ms", "ls", "rs", "auto")[i % 5]
+        ids.append(f"ogg{i:08d}")
+        blobs.append(encode_ogg_flac(samples, rate, blocksize=256,
+                                     stereo=mode))
+    return pa.table({
+        "audio_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["ogg"] * n, pa.string()),
+    })
+
+
+def ogg_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    return _cached_parquet("ogg_audio", generate_ogg_audio, n, cache_dir)
+
+
 def _cached_parquet(name: str, table_fn, n: int, cache_dir: str) -> str:
     """One copy of the fixture parquet cache convention (path scheme,
     row-group size, write-once) shared by every *_parquet helper."""

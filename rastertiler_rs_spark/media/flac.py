@@ -353,13 +353,15 @@ def _md5_samples(samples: np.ndarray) -> bytes:
         samples.astype("<i2").tobytes(order="C")).digest()
 
 
-def encode_flac(samples: np.ndarray, sample_rate: int, *,
-                blocksize: int = 4096, stereo: str = "auto",
-                lpc_order: int = 8) -> bytes:
-    """int16 samples — (n,) mono or (n, 2) stereo — to a FLAC stream.
-    ``stereo`` picks the frame channel assignment: 'lr' (independent),
-    'ms' (mid/side), 'ls', 'rs', or 'auto' (cheapest by residual
-    magnitude per frame). Lossless by construction at any setting."""
+def encode_flac_parts(samples: np.ndarray, sample_rate: int, *,
+                      blocksize: int = 4096, stereo: str = "auto",
+                      lpc_order: int = 8
+                      ) -> tuple[bytes, list[bytes], list[int]]:
+    """The stream's parts, for container mappings that packetize FLAC
+    (Ogg-FLAC needs the STREAMINFO metadata block and one packet per
+    frame with per-frame sample counts for granule positions):
+    (streaminfo_block incl. its 4-byte header with the last-metadata
+    flag, frames, samples_per_frame)."""
     if samples.dtype != np.int16:
         raise ValueError("encode_flac takes int16 samples")
     if samples.ndim == 1:
@@ -375,7 +377,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int, *,
     if n == 0:
         raise ValueError("cannot encode an empty stream")
 
-    frames = bytearray()
+    frames: list[bytes] = []
+    frame_samples: list[int] = []
     for fno, start in enumerate(range(0, n, blocksize)):
         block = [c[start:start + blocksize] for c in chans]
         bs = block[0].size
@@ -419,7 +422,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int, *,
         if w.bit_length % 8:
             w.write(0, 8 - w.bit_length % 8)
         body = w.getvalue()
-        frames += body + struct.pack(">H", _crc16(body))
+        frames.append(body + struct.pack(">H", _crc16(body)))
+        frame_samples.append(bs)
 
     si = _BitWriter()
     si.write(min(blocksize, n), 16)
@@ -432,8 +436,21 @@ def encode_flac(samples: np.ndarray, sample_rate: int, *,
     si.write(n, 36)
     streaminfo = si.getvalue() + _md5_samples(
         samples.reshape(n, -1) if samples.ndim == 2 else samples)
-    head = b"fLaC" + bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
-    return head + streaminfo + bytes(frames)
+    block = bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+    return block, frames, frame_samples
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int, *,
+                blocksize: int = 4096, stereo: str = "auto",
+                lpc_order: int = 8) -> bytes:
+    """int16 samples — (n,) mono or (n, 2) stereo — to a FLAC stream.
+    ``stereo`` picks the frame channel assignment: 'lr' (independent),
+    'ms' (mid/side), 'ls', 'rs', or 'auto' (cheapest by residual
+    magnitude per frame). Lossless by construction at any setting."""
+    block, frames, _ = encode_flac_parts(
+        samples, sample_rate, blocksize=blocksize, stereo=stereo,
+        lpc_order=lpc_order)
+    return b"fLaC" + block + b"".join(frames)
 
 
 def probe_flac(data: bytes) -> dict:

@@ -287,10 +287,13 @@ def audio_features(audio: DataFrame, fake_codecs: bool = False) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 if row.fmt.startswith("wav"):
                     d = parse_wav(bytes(row.bytes))
-                elif row.fmt.startswith("flac"):
+                elif row.fmt.startswith(("flac", "ogg")):
                     from ..media.flac import decode_flac
+                    from ..media.ogg import decode_ogg_flac
 
-                    f = decode_flac(bytes(row.bytes))
+                    dec = (decode_flac if row.fmt.startswith("flac")
+                           else decode_ogg_flac)
+                    f = dec(bytes(row.bytes))
                     d = {"sample_rate": f["sample_rate"],
                          "channels": f["channels"],
                          "samples": np.asarray(f["samples"]).reshape(-1)}
@@ -561,12 +564,16 @@ def audio_probe(audio: DataFrame) -> DataFrame:
                     m = probe_mp3(bytes(row.bytes))
                     n, sr, ch, container = (m["n_samples"], m["sample_rate"],
                                             m["channels"], "mp3")
-                elif fmt.startswith("flac"):
+                elif fmt.startswith(("flac", "ogg")):
                     from ..media.flac import probe_flac
+                    from ..media.ogg import probe_ogg_flac
 
-                    m = probe_flac(bytes(row.bytes))
+                    is_ogg = fmt.startswith("ogg")
+                    m = (probe_ogg_flac if is_ogg else probe_flac)(
+                        bytes(row.bytes))
                     n, sr, ch, container = (m["n_samples"], m["sample_rate"],
-                                            m["channels"], "flac")
+                                            m["channels"],
+                                            "ogg" if is_ogg else "flac")
                 else:
                     raise NotImplementedError(
                         f"container parser for {fmt!r} not available")

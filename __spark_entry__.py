@@ -1207,6 +1207,29 @@ def q_image_features_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(images)
 
 
+def q_image_features_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED PNG decode under the value gate: the first 24
+    fixture bands re-encoded with interlace method 1 by the engine's
+    own Adam7 encoder (png/codec.py encode_interlaced — seven
+    independently filtered sub-images scattered by (origin, step)), so
+    image_features must deinterlace correctly to reproduce the SAME
+    pixel-formula stats as the plain leg; the DuckDB twin is the
+    identical formula SQL with the 'adm' id prefix."""
+    from rastertiler_rs_spark.fixtures import _H_CYCLE, _W_CYCLE, pixel_band
+    from rastertiler_rs_spark.operators.multimodal import image_features
+    from rastertiler_rs_spark.png import encode_interlaced
+
+    rows = []
+    for i in range(24):
+        w, h = int(_W_CYCLE[i % 4]), int(_H_CYCLE[i % 4])
+        data = encode_interlaced(pixel_band(i, w, h, "u8"), 8, 0,
+                                 trns=bytes([0, 0]))
+        rows.append((f"adm{i:08d}", data, w, h, "png;u8"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    return image_features(images)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-executed Structured Streaming entry, VALUE-verified: runs
     the applyInPandasWithState first-seen dedup (streaming/events.py)
@@ -2167,13 +2190,15 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vsum, mean_x100, pos_sum): `features` decodes the original PNGs,
     `resize` decodes the K2-resampled 32x32 outputs, `vp8` decodes
     lossy WebP through the from-spec VP8 keyframe codec at its
-    bit-exact qi=0 solid family — all against pixel-formula /
-    closed-form SQL twins."""
+    bit-exact qi=0 solid family, `adam7` deinterlaces Adam7 PNGs of
+    the same fixture bands — all against pixel-formula / closed-form
+    SQL twins."""
     feats = q_image_features(spark, sf_dir)
     resized = q_image_resize(spark, sf_dir)
     vp8 = q_image_features_vp8(spark, sf_dir)
+    adam7 = q_image_features_adam7(spark, sf_dir)
     return _union_variants(("features", feats), ("resize", resized),
-                           ("vp8", vp8))
+                           ("vp8", vp8), ("adam7", adam7))
 
 
 def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3197,7 +3222,7 @@ _PIXEL_VALUE_CASE_U32 = """CASE WHEN all_nd = 1 THEN 0
                       ELSE ({r} * 131071 + {c} * 8191 + g20) % 16777215 + 1 END"""
 
 
-def _image_features_oracle_sql(n: int = 64) -> str:
+def _image_features_oracle_sql(n: int = 64, prefix: str = "img") -> str:
     v = _PIXEL_VALUE_CASE.format(r="r", c="c")
     return f"""
         WITH img({_IMG_COLS}) AS (VALUES
@@ -3217,7 +3242,7 @@ def _image_features_oracle_sql(n: int = 64) -> str:
                  CAST(SUM(v) AS BIGINT) AS vsum,
                  CAST(SUM(v * pos) AS BIGINT) AS pos_sum
           FROM px GROUP BY i, w, h)
-        SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        SELECT '{prefix}' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
                n_pixels, n_data, vmin, vmax, vsum,
                CASE WHEN n_data = 0 THEN 0 ELSE vsum * 100 // n_data END AS mean_x100,
                pos_sum
@@ -3948,7 +3973,8 @@ def oracle_sql() -> dict[str, str]:
         "image_stats": _variant_union_sql(
             ("features", _image_features_oracle_sql()),
             ("resize", _image_resize_oracle_sql()),
-            ("vp8", _image_features_vp8_oracle_sql())),
+            ("vp8", _image_features_vp8_oracle_sql()),
+            ("adam7", _image_features_oracle_sql(24, "adm"))),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),

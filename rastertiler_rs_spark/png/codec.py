@@ -176,6 +176,57 @@ def encode_paletted(arr: np.ndarray, colormap: Colormap) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Adam7 interlace (PNG spec §8.2) — the engine's own sinks always write
+# interlace 0 (that layout is the reference-parity contract), but the
+# DECODER must take interlaced input from external corpora, and the
+# interlaced ENCODER exists so round-trips are self-verifiable without
+# an external imaging library.
+# ---------------------------------------------------------------------------
+
+_ADAM7 = [(0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+          (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1)]
+
+
+def _pass_dims(width: int, height: int, p: int) -> tuple[int, int]:
+    r0, c0, rs, cs = _ADAM7[p]
+    return max(0, (width - c0 + cs - 1) // cs), \
+        max(0, (height - r0 + rs - 1) // rs)
+
+
+def encode_interlaced(pixels: np.ndarray, bit_depth: int, color_type: int,
+                      plte: bytes | None = None,
+                      trns: bytes | None = None) -> bytes:
+    """Adam7 PNG from unit pixels — (h,w) gray/indices or (h,w,3) RGB:
+    each pass is an independently filtered (filter 0) sub-image packed
+    to its OWN byte-aligned row stride, concatenated in pass order
+    inside one zlib stream."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w = a.shape[:2]
+    parts = []
+    for p in range(7):
+        r0, c0, rs, cs = _ADAM7[p]
+        wp, hp = _pass_dims(w, h, p)
+        if wp == 0 or hp == 0:
+            continue
+        sub = a[r0::rs, c0::cs]
+        rows = (sub.reshape(hp, wp * 3) if color_type == 2
+                else _pack_bits(sub, bit_depth, wp))
+        raw = np.empty((hp, rows.shape[1] + 1), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = rows
+        parts.append(raw.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1)
+    out = [_SIG, _chunk(b"IHDR", ihdr)]
+    if plte is not None:
+        out.append(_chunk(b"PLTE", plte))
+    if trns is not None:
+        out.append(_chunk(b"tRNS", trns))
+    out.append(_chunk(b"IDAT", zlib.compress(b"".join(parts), 9)))
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
@@ -217,13 +268,29 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+def _expand_pixels(arr: np.ndarray, width: int, height: int,
+                   bit_depth: int, color_type: int) -> np.ndarray:
+    """Unfiltered scanline bytes → unit pixels: (h,w,3) RGB, (h,w)
+    8-bit values, or sub-byte MSB-first unpacking."""
+    if color_type == 2:
+        return arr.reshape(height, width, 3)
+    if bit_depth == 8:
+        return arr.reshape(height, width)
+    per_byte = 8 // bit_depth
+    shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * bit_depth
+    mask = (1 << bit_depth) - 1
+    expanded = ((arr[:, :, None] >> shifts) & mask).reshape(height, -1)
+    return expanded[:, :width].astype(np.uint8)
+
+
 def decode_png(data: bytes):
     """Parse a PNG → dict(width, height, bit_depth, color_type, palette,
-    trns, pixels). pixels: HxW uint8 (gray / palette indices) or HxWx3."""
+    trns, pixels). pixels: HxW uint8 (gray / palette indices) or HxWx3.
+    Both interlace methods (0 and Adam7) decode."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos, idat, plte, trns = 8, [], None, None
-    width = height = bit_depth = color_type = None
+    width = height = bit_depth = color_type = interlace = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -231,6 +298,9 @@ def decode_png(data: bytes):
         pos += 12 + length
         if tag == b"IHDR":
             width, height, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+            interlace = payload[12]
+            if interlace > 1:
+                raise ValueError(f"bad interlace method {interlace}")
         elif tag == b"PLTE":
             plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
@@ -241,19 +311,30 @@ def decode_png(data: bytes):
             break
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     channels = 3 if color_type == 2 else 1
-    stride = (width * bit_depth * channels + 7) // 8
     bpp = max(1, (bit_depth * channels) // 8)
-    arr = _unfilter(raw, height, stride, bpp)
-    if color_type == 2:
-        pixels = arr.reshape(height, width, 3)
-    elif bit_depth == 8:
-        pixels = arr.reshape(height, width)
+    if interlace:
+        # Adam7: seven independently filtered sub-images, scattered
+        # back onto the full grid by each pass's (origin, step)
+        shape = (height, width, 3) if color_type == 2 else (height, width)
+        pixels = np.zeros(shape, dtype=np.uint8)
+        off = 0
+        for p in range(7):
+            r0, c0, rs, cs = _ADAM7[p]
+            wp, hp = _pass_dims(width, height, p)
+            if wp == 0 or hp == 0:
+                continue
+            stride = (wp * bit_depth * channels + 7) // 8
+            take = hp * (stride + 1)
+            sub = _unfilter(raw[off:off + take], hp, stride, bpp)
+            off += take
+            pixels[r0::rs, c0::cs] = _expand_pixels(
+                sub, wp, hp, bit_depth, color_type)
+        if off != raw.size:
+            raise ValueError("interlaced IDAT length mismatch")
     else:
-        per_byte = 8 // bit_depth
-        shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * bit_depth
-        mask = (1 << bit_depth) - 1
-        expanded = ((arr[:, :, None] >> shifts) & mask).reshape(height, -1)
-        pixels = expanded[:, :width].astype(np.uint8)
+        stride = (width * bit_depth * channels + 7) // 8
+        arr = _unfilter(raw, height, stride, bpp)
+        pixels = _expand_pixels(arr, width, height, bit_depth, color_type)
     return {
         "width": width, "height": height, "bit_depth": bit_depth,
         "color_type": color_type, "palette": plte, "trns": trns, "pixels": pixels,

@@ -91,3 +91,50 @@ def test_decode_rgba_transparency():
     rgba = decode_rgba(encode_grayscale8(arr, nodata=0))
     assert rgba[0, 1, 3] == 0 and rgba[0, 0, 3] == 255
     assert rgba[0, 0, 0] == 5
+
+
+def test_adam7_interlaced_roundtrips():
+    """Adam7 decode (+ the self-verification encoder): every pass
+    geometry (odd sizes straddle pass boundaries), gray and RGB."""
+    from rastertiler_rs_spark.png import encode_interlaced
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 3), (5, 7), (8, 8), (9, 9), (16, 13), (33, 40)]:
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        d = decode_png(encode_interlaced(arr, 8, 0))
+        assert np.array_equal(d["pixels"], arr), (h, w)
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        d = decode_png(encode_interlaced(rgb, 8, 2))
+        assert np.array_equal(d["pixels"], rgb), (h, w, "rgb")
+
+
+def test_adam7_subbyte_depths():
+    from rastertiler_rs_spark.png import encode_interlaced
+
+    rng = np.random.default_rng(12)
+    for depth in (1, 2, 4):
+        arr = rng.integers(0, 1 << depth, (11, 19), dtype=np.uint8)
+        plte = bytes(range(3 * (1 << depth)))
+        d = decode_png(encode_interlaced(arr, depth, 3, plte=plte))
+        assert d["bit_depth"] == depth
+        assert np.array_equal(d["pixels"], arr), depth
+
+
+def test_adam7_matches_noninterlaced_decode():
+    """Same pixels through interlace 0 and Adam7 → identical decodes
+    (and identical decode_rgba canvases with tRNS applied)."""
+    from rastertiler_rs_spark.png import encode_interlaced
+
+    arr = (np.arange(17 * 23, dtype=np.uint32) % 251).astype(
+        np.uint8).reshape(17, 23)
+    plain = decode_png(encode_grayscale8(arr, nodata=0))
+    inter = decode_png(encode_interlaced(arr, 8, 0,
+                                         trns=bytes([0, 0])))
+    assert np.array_equal(plain["pixels"], inter["pixels"])
+
+
+def test_bad_interlace_method_rejected():
+    png = bytearray(encode_grayscale8(np.zeros((2, 2), np.uint8), 0))
+    png[8 + 8 + 12] = 2                      # IHDR interlace byte
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(png))

@@ -1131,12 +1131,27 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB twin recomputes the K2 index rule and the fixture pixel
     formula (splitmix64 is four bigint ops — SQL-expressible) so the
     hash covers the actual resampled values, not just byte lengths."""
+    return _resize_stats_query(spark, method="nearest", n=64)
+
+
+def q_image_resize_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (majority) resample under the value gate — the categorical
+    rule the north star names beside nearest: every source pixel votes
+    in dst cell (r*32//h, c*32//w), nodata abstains, most-frequent
+    wins with ties to the smallest value, empty cells stay nodata. The
+    DuckDB twin restates the vote verbatim (GROUP BY cell+value →
+    ROW_NUMBER ORDER BY cnt DESC, v ASC) over the fixture pixel
+    formula, then stats the winning values — integer end to end."""
+    return _resize_stats_query(spark, method="mode", n=24)
+
+
+def _resize_stats_query(spark: SparkSession, method: str, n: int) -> DataFrame:
     from rastertiler_rs_spark.fixtures import images_parquet
     from rastertiler_rs_spark.operators.multimodal import resize_images
 
     target = 32
-    images = spark.read.parquet(images_parquet(64, "u8"))
-    out = resize_images(images, target=target)
+    images = spark.read.parquet(images_parquet(n, "u8"))
+    out = resize_images(images, target=target, method=method)
 
     def stats_fn(batches):
         import numpy as np
@@ -2191,14 +2206,17 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `resize` decodes the K2-resampled 32x32 outputs, `vp8` decodes
     lossy WebP through the from-spec VP8 keyframe codec at its
     bit-exact qi=0 solid family, `adam7` deinterlaces Adam7 PNGs of
-    the same fixture bands — all against pixel-formula / closed-form
-    SQL twins."""
+    the same fixture bands, `mode` majority-resamples (the categorical
+    rule, vote restated in SQL) — all against pixel-formula /
+    closed-form SQL twins."""
     feats = q_image_features(spark, sf_dir)
     resized = q_image_resize(spark, sf_dir)
     vp8 = q_image_features_vp8(spark, sf_dir)
     adam7 = q_image_features_adam7(spark, sf_dir)
+    mode = q_image_resize_mode(spark, sf_dir)
     return _union_variants(("features", feats), ("resize", resized),
-                           ("vp8", vp8), ("adam7", adam7))
+                           ("vp8", vp8), ("adam7", adam7),
+                           ("mode", mode))
 
 
 def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3307,6 +3325,55 @@ def _image_resize_oracle_sql(n: int = 64, target: int = 32) -> str:
     """
 
 
+def _image_resize_mode_oracle_sql(n: int = 24, target: int = 32) -> str:
+    """Twin of q_image_resize_mode: the majority vote restated in SQL —
+    every source pixel maps to cell (r*target//h, c*target//w), zeros
+    abstain, winner = ROW_NUMBER over (cnt DESC, v ASC), unfilled
+    cells are 0 — then the shared stats over the winners."""
+    v = _PIXEL_VALUE_CASE.format(r="r", c="c")
+    return f"""
+        WITH img({_IMG_COLS}) AS (VALUES
+              {_image_consts_values(n)}),
+        px AS (
+          SELECT i, (r * {target}) // h AS ti, (c * {target}) // w AS tj,
+                 {v} AS v
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, img.h - 1))) tr(r),
+               LATERAL (SELECT UNNEST(generate_series(0, img.w - 1))) tc(c)),
+        votes AS (
+          SELECT i, ti, tj, v, COUNT(*) AS cnt
+          FROM px WHERE v <> 0 GROUP BY i, ti, tj, v),
+        win AS (
+          SELECT i, ti, tj, v,
+                 ROW_NUMBER() OVER (PARTITION BY i, ti, tj
+                                    ORDER BY cnt DESC, v ASC) AS rn
+          FROM votes),
+        cells AS (
+          SELECT img.i, ti, tj
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, {target} - 1))) tr(ti),
+               LATERAL (SELECT UNNEST(generate_series(0, {target} - 1))) tc(tj)),
+        resized AS (
+          SELECT cells.i, cells.ti, cells.tj, COALESCE(win.v, 0) AS v
+          FROM cells LEFT JOIN win
+            ON win.i = cells.i AND win.ti = cells.ti
+               AND win.tj = cells.tj AND win.rn = 1),
+        agg AS (
+          SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+                 CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_data,
+                 CAST(SUM(v) AS BIGINT) AS vsum,
+                 COALESCE(CAST(MIN(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmin,
+                 COALESCE(CAST(MAX(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmax,
+                 CAST(SUM(v * (ti * {target} + tj)) AS BIGINT) AS pos_sum
+          FROM resized GROUP BY i)
+        SELECT image_id, CAST({target * target} AS BIGINT) AS n_pixels,
+               n_data, vmin, vmax, vsum,
+               CASE WHEN n_data = 0 THEN 0 ELSE vsum * 100 // n_data END AS mean_x100,
+               pos_sum
+        FROM agg
+    """
+
+
 def _pixel_canvas_ctes(zmin: int, zmax: int, dtype_tag: str) -> str:
     """The shared kernel-twin CTE chain, ending at `canvas(zoom, x, y,
     py, pxc, cv)` — the mosaicked per-tile pixel values for every tile
@@ -3974,7 +4041,8 @@ def oracle_sql() -> dict[str, str]:
             ("features", _image_features_oracle_sql()),
             ("resize", _image_resize_oracle_sql()),
             ("vp8", _image_features_vp8_oracle_sql()),
-            ("adam7", _image_features_oracle_sql(24, "adm"))),
+            ("adam7", _image_features_oracle_sql(24, "adm")),
+            ("mode", _image_resize_mode_oracle_sql())),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),

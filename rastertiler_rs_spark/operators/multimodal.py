@@ -149,13 +149,52 @@ def image_metadata(images: DataFrame) -> DataFrame:
             "actual_w int, actual_h int, dims_match boolean")
 
 
+def _mode_resample(band: np.ndarray, target: int, nodata: int) -> np.ndarray:
+    """Majority (mode) resample — the categorical-raster rule the
+    north star names beside nearest. Each SOURCE pixel votes in
+    destination cell (r*target//h, c*target//w) — an exact integer
+    partition of the grid; nodata pixels do not vote; the winner is
+    the most frequent value with ties broken to the SMALLEST value;
+    a cell with no votes stays nodata. Every clause is integer and
+    order-free, so a SQL twin can restate it verbatim. Vectorized:
+    one np.unique over packed (cell, value) keys + a lexsort argmax —
+    no per-cell python loop."""
+    h, w = band.shape
+    if target > h or target > w:
+        raise ValueError(
+            f"mode resample is a downsampling rule: target {target} "
+            f"exceeds source {h}x{w}")
+    r_dst = (np.arange(h, dtype=np.int64) * target) // h
+    c_dst = (np.arange(w, dtype=np.int64) * target) // w
+    cell = (r_dst[:, None] * target + c_dst[None, :]).reshape(-1)
+    v = band.reshape(-1).astype(np.int64)
+    keep = v != nodata
+    cell, v = cell[keep], v[keep]
+    out = np.full(target * target, nodata, dtype=band.dtype)
+    if cell.size:
+        pairs, counts = np.unique(cell << 33 | v, return_counts=True)
+        ucell, uval = pairs >> 33, pairs & ((1 << 33) - 1)
+        order = np.lexsort((uval, -counts, ucell))
+        ucell, uval = ucell[order], uval[order]
+        first = np.ones(ucell.size, bool)
+        first[1:] = ucell[1:] != ucell[:-1]
+        out[ucell[first]] = uval[first].astype(band.dtype)
+    return out.reshape(target, target)
+
+
 def resize_images(images: DataFrame, target: int,
-                  fake_codecs: bool = False) -> DataFrame:
-    """Nearest-neighbor resize to target x target (the kernel's K2 rule):
-    (image_id, bytes). Real for png;u8, jpeg, gif, and webp (both
-    VP8L lossless and the VP8 keyframe family — from-spec codecs);
-    ``fake_codecs`` keeps the legacy deterministic-fake webp path for
-    plumbing tests that feed arbitrary bytes."""
+                  fake_codecs: bool = False,
+                  method: str = "nearest") -> DataFrame:
+    """Resize to target x target: (image_id, bytes). ``method``
+    'nearest' is the kernel's K2 index rule (idx = floor((i+0.5)*
+    src/dst), clamped); 'mode' is the majority rule for categorical
+    rasters (see _mode_resample — downsampling only). Real decode for
+    png;u8, jpeg, gif, and webp (both VP8L lossless and the VP8
+    keyframe family — from-spec codecs); ``fake_codecs`` keeps the
+    legacy deterministic-fake webp path for plumbing tests that feed
+    arbitrary bytes."""
+    if method not in ("nearest", "mode"):
+        raise ValueError(f"unknown resize method {method!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -170,10 +209,13 @@ def resize_images(images: DataFrame, target: int,
                 else:
                     raise NotImplementedError(f"resize for {row.fmt!r} is stubbed")
                 h, w = band.shape
-                rows_i = ((np.arange(target) + 0.5) * h / target).astype(np.int64)
-                cols_i = ((np.arange(target) + 0.5) * w / target).astype(np.int64)
-                resized = band[np.minimum(rows_i, h - 1)[:, None],
-                               np.minimum(cols_i, w - 1)[None, :]]
+                if method == "mode":
+                    resized = _mode_resample(band, target, NODATA)
+                else:
+                    rows_i = ((np.arange(target) + 0.5) * h / target).astype(np.int64)
+                    cols_i = ((np.arange(target) + 0.5) * w / target).astype(np.int64)
+                    resized = band[np.minimum(rows_i, h - 1)[:, None],
+                                   np.minimum(cols_i, w - 1)[None, :]]
                 out["image_id"].append(row.image_id)
                 out["bytes"].append(encode_grayscale8(resized, NODATA))
             yield pd.DataFrame(out)

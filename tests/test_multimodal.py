@@ -211,3 +211,37 @@ def test_video_operators_animated_webp(spark):
         "video_id string, bytes binary, fmt string")
     with pytest.raises(Exception, match="still WebP"):
         video_probe(still_df).collect()
+
+
+def test_mode_resample_matches_bruteforce_and_tiebreak():
+    """_mode_resample == per-cell brute-force majority with the exact
+    tie/abstain/empty rules, incl. a crafted all-tie band."""
+    import numpy as np
+
+    from rastertiler_rs_spark.operators.multimodal import _mode_resample
+
+    rng = np.random.default_rng(21)
+    for h, w, t in [(64, 64, 32), (96, 80, 32), (65, 67, 16), (7, 9, 3)]:
+        band = rng.integers(0, 6, (h, w)).astype(np.uint8)  # few values → ties
+        got = _mode_resample(band, t, 0)
+        r_dst = (np.arange(h) * t) // h
+        c_dst = (np.arange(w) * t) // w
+        want = np.zeros((t, t), np.uint8)
+        for i in range(t):
+            for j in range(t):
+                vals = band[(r_dst == i)[:, None] & (c_dst == j)[None, :]]
+                vals = vals[vals != 0]
+                if vals.size:
+                    uniq, cnt = np.unique(vals, return_counts=True)
+                    want[i, j] = uniq[cnt == cnt.max()].min()
+        assert np.array_equal(got, want), (h, w, t)
+    # exact tie -> smallest value wins
+    band = np.array([[3, 5], [5, 3]], np.uint8)
+    assert _mode_resample(band, 1, 0)[0, 0] == 3
+    # all-nodata cell stays nodata
+    assert _mode_resample(np.zeros((4, 4), np.uint8), 2, 0).sum() == 0
+    # upsampling fails fast
+    import pytest
+
+    with pytest.raises(ValueError, match="downsampling"):
+        _mode_resample(band, 4, 0)

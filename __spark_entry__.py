@@ -1245,6 +1245,30 @@ def q_image_features_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(images)
 
 
+def q_image_features_u16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit grayscale PNG (the DEM/elevation interop form) under the
+    value gate: 16 bands with a linear-congruence value formula are
+    encoded big-endian by encode_grayscale16 and must decode back to
+    the exact int64 stats the DuckDB twin computes from the formula;
+    (i=0, r=0, c=0) plants a genuine nodata-zero pixel."""
+    import numpy as np
+
+    from rastertiler_rs_spark.operators.multimodal import image_features
+    from rastertiler_rs_spark.png import encode_grayscale16
+
+    rows = []
+    for i in range(16):
+        w, h = 40 + (i % 4) * 24, 30 + (i % 4) * 18
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        band = ((1000 * i + 37 * r + 101 * c) % 65536).astype(np.uint16)
+        rows.append((f"u16{i:08d}", encode_grayscale16(band, 0),
+                     w, h, "png;u16"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    return image_features(images)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-executed Structured Streaming entry, VALUE-verified: runs
     the applyInPandasWithState first-seen dedup (streaming/events.py)
@@ -2214,9 +2238,10 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vp8 = q_image_features_vp8(spark, sf_dir)
     adam7 = q_image_features_adam7(spark, sf_dir)
     mode = q_image_resize_mode(spark, sf_dir)
+    u16 = q_image_features_u16(spark, sf_dir)
     return _union_variants(("features", feats), ("resize", resized),
                            ("vp8", vp8), ("adam7", adam7),
-                           ("mode", mode))
+                           ("mode", mode), ("u16", u16))
 
 
 def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3325,6 +3350,37 @@ def _image_resize_oracle_sql(n: int = 64, target: int = 32) -> str:
     """
 
 
+def _image_features_u16_oracle_sql(n: int = 16) -> str:
+    """Twin of q_image_features_u16: the 16-bit linear-congruence
+    value formula restated, same stats/nodata rules as the u8 legs."""
+    return f"""
+        WITH img AS (
+          SELECT i,
+                 CAST(40 + (i % 4) * 24 AS BIGINT) AS w,
+                 CAST(30 + (i % 4) * 18 AS BIGINT) AS h
+          FROM (SELECT UNNEST(generate_series(0, {n - 1})) AS i) t(i)),
+        px AS (
+          SELECT i, w, h, (r * w + c) AS pos,
+                 (1000 * i + 37 * r + 101 * c) % 65536 AS v
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, img.h - 1))) tr(r),
+               LATERAL (SELECT UNNEST(generate_series(0, img.w - 1))) tc(c)),
+        s AS (
+          SELECT i, CAST(w AS BIGINT) * h AS n_pixels,
+                 CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_data,
+                 COALESCE(CAST(MIN(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmin,
+                 COALESCE(CAST(MAX(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmax,
+                 CAST(SUM(v) AS BIGINT) AS vsum,
+                 CAST(SUM(v * pos) AS BIGINT) AS pos_sum
+          FROM px GROUP BY i, w, h)
+        SELECT 'u16' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+               n_pixels, n_data, vmin, vmax, vsum,
+               CASE WHEN n_data = 0 THEN 0 ELSE vsum * 100 // n_data END AS mean_x100,
+               pos_sum
+        FROM s
+    """
+
+
 def _image_resize_mode_oracle_sql(n: int = 24, target: int = 32) -> str:
     """Twin of q_image_resize_mode: the majority vote restated in SQL —
     every source pixel maps to cell (r*target//h, c*target//w), zeros
@@ -4042,7 +4098,8 @@ def oracle_sql() -> dict[str, str]:
             ("resize", _image_resize_oracle_sql()),
             ("vp8", _image_features_vp8_oracle_sql()),
             ("adam7", _image_features_oracle_sql(24, "adm")),
-            ("mode", _image_resize_mode_oracle_sql())),
+            ("mode", _image_resize_mode_oracle_sql()),
+            ("u16", _image_features_u16_oracle_sql())),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),

@@ -4,6 +4,7 @@ from .codec import (  # noqa: F401
     decode_band,
     decode_rgba,
     encode_grayscale8,
+    encode_grayscale16,
     encode_interlaced,
     encode_paletted,
     encode_rgb,

@@ -65,6 +65,17 @@ def encode_grayscale8(arr: np.ndarray, nodata: int) -> bytes:
     return _encode(w, h, 8, 0, a, None, bytes([0, int(nodata) & 0xFF]))
 
 
+def encode_grayscale16(arr: np.ndarray, nodata: int) -> bytes:
+    """16-bit grayscale (big-endian per the PNG spec) — the DEM /
+    elevation-raster form external corpora ship; tRNS = 2-byte
+    big-endian nodata. The engine's own tile sinks stay 8-bit/u32-RGB
+    (reference parity); this is ingest/interop surface."""
+    a = np.asarray(arr, dtype=np.uint16)
+    h, w = a.shape
+    rows = np.ascontiguousarray(a.astype(">u2")).view(np.uint8).reshape(h, w * 2)
+    return _encode(w, h, 16, 0, rows, None, struct.pack(">H", nodata & 0xFFFF))
+
+
 def rgb_from_u32(values: np.ndarray) -> np.ndarray:
     """u32 → (r,g,b) bytes; truncating casts per
     /root/reference/src/png/color.rs:28-35."""
@@ -200,7 +211,7 @@ def encode_interlaced(pixels: np.ndarray, bit_depth: int, color_type: int,
     each pass is an independently filtered (filter 0) sub-image packed
     to its OWN byte-aligned row stride, concatenated in pass order
     inside one zlib stream."""
-    a = np.asarray(pixels, dtype=np.uint8)
+    a = np.asarray(pixels, dtype=np.uint16 if bit_depth == 16 else np.uint8)
     h, w = a.shape[:2]
     parts = []
     for p in range(7):
@@ -209,8 +220,13 @@ def encode_interlaced(pixels: np.ndarray, bit_depth: int, color_type: int,
         if wp == 0 or hp == 0:
             continue
         sub = a[r0::rs, c0::cs]
-        rows = (sub.reshape(hp, wp * 3) if color_type == 2
-                else _pack_bits(sub, bit_depth, wp))
+        if bit_depth == 16:
+            rows = np.ascontiguousarray(sub.astype(">u2")).view(
+                np.uint8).reshape(hp, wp * 2)
+        elif color_type == 2:
+            rows = sub.reshape(hp, wp * 3)
+        else:
+            rows = _pack_bits(sub, bit_depth, wp)
         raw = np.empty((hp, rows.shape[1] + 1), dtype=np.uint8)
         raw[:, 0] = 0
         raw[:, 1:] = rows
@@ -271,7 +287,13 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
 def _expand_pixels(arr: np.ndarray, width: int, height: int,
                    bit_depth: int, color_type: int) -> np.ndarray:
     """Unfiltered scanline bytes → unit pixels: (h,w,3) RGB, (h,w)
-    8-bit values, or sub-byte MSB-first unpacking."""
+    8-bit values, (h,w) big-endian 16-bit, or sub-byte MSB-first
+    unpacking."""
+    if bit_depth == 16:
+        if color_type != 0:
+            raise ValueError("16-bit decode supports grayscale only")
+        return np.ascontiguousarray(arr).view(">u2").reshape(
+            height, width).astype(np.uint16)
     if color_type == 2:
         return arr.reshape(height, width, 3)
     if bit_depth == 8:
@@ -316,7 +338,8 @@ def decode_png(data: bytes):
         # Adam7: seven independently filtered sub-images, scattered
         # back onto the full grid by each pass's (origin, step)
         shape = (height, width, 3) if color_type == 2 else (height, width)
-        pixels = np.zeros(shape, dtype=np.uint8)
+        pixels = np.zeros(shape,
+                          dtype=np.uint16 if bit_depth == 16 else np.uint8)
         off = 0
         for p in range(7):
             r0, c0, rs, cs = _ADAM7[p]
@@ -343,10 +366,13 @@ def decode_png(data: bytes):
 
 def decode_band(data: bytes, fmt: str) -> np.ndarray:
     """Fixture-format reader: 'png;u8' = grayscale band → uint8 HxW;
-    'png;u32' = RGB whose bytes pack the value's low 24 bits → uint32."""
+    'png;u16' = 16-bit grayscale → uint16 HxW; 'png;u32' = RGB whose
+    bytes pack the value's low 24 bits → uint32."""
     d = decode_png(data)
     if fmt == "png;u8":
         return d["pixels"].astype(np.uint8)
+    if fmt == "png;u16":
+        return d["pixels"].astype(np.uint16)
     if fmt == "png;u32":
         p = d["pixels"].astype(np.uint32)
         return (p[:, :, 0] << 16) | (p[:, :, 1] << 8) | p[:, :, 2]

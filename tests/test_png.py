@@ -138,3 +138,21 @@ def test_bad_interlace_method_rejected():
     png[8 + 8 + 12] = 2                      # IHDR interlace byte
     with pytest.raises(ValueError, match="interlace"):
         decode_png(bytes(png))
+
+
+def test_grayscale16_roundtrip_and_interlaced():
+    from rastertiler_rs_spark.png import encode_grayscale16, encode_interlaced
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 65536, (13, 21), dtype=np.uint16)
+    d = decode_png(encode_grayscale16(arr, nodata=0))
+    assert d["bit_depth"] == 16 and d["pixels"].dtype == np.uint16
+    assert np.array_equal(d["pixels"], arr)
+    assert np.array_equal(decode_band(encode_grayscale16(arr, 0), "png;u16"), arr)
+    # Adam7 + 16-bit together
+    di = decode_png(encode_interlaced(arr, 16, 0))
+    assert di["pixels"].dtype == np.uint16
+    assert np.array_equal(di["pixels"], arr)
+    # extremes survive the big-endian path
+    ex = np.array([[0, 65535], [32768, 1]], dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_grayscale16(ex, 0))["pixels"], ex)

@@ -48,8 +48,9 @@ _GDAL_NODATA = 42113
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE, _TYPE_ASCII = 3, 4, 12, 2
 _TYPE_LONG8 = 16                                  # BigTIFF unsigned 64-bit
 
-_COMPRESSION_IDS = {"none": 1, "lzw": 5, "deflate": 8}
-_COMPRESSION_NAMES = {1: "none", 5: "lzw", 8: "deflate", 32946: "deflate"}
+_COMPRESSION_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMPRESSION_NAMES = {1: "none", 5: "lzw", 8: "deflate", 32946: "deflate",
+                      32773: "packbits"}
 
 
 # ------------------------------------------------------------- TIFF LZW
@@ -178,6 +179,59 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
 
 # --------------------------------------------------- block encode/decode
 
+def _packbits_encode(row: bytes) -> bytes:
+    """TIFF §9 PackBits RLE for ONE row (the spec forbids packing
+    across row boundaries): runs of ≥2 identical bytes become
+    (257-n, byte) with n ≤ 128; literals become (n-1, bytes) with
+    n ≤ 128; the -128 noop is never emitted."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:                         # replicate run
+            out += bytes([257 - (j - i), row[i]])
+            i = j
+            continue
+        # literal run: extend until a ≥3 replicate starts (2-byte runs
+        # inside a literal cost the same either way; 3 breaks even but
+        # splitting keeps the scan simple and spec-valid)
+        j = i + 1
+        while j < n and j - i < 128 and not (
+                j + 2 < n and row[j] == row[j + 1] == row[j + 2]):
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("PackBits stream ended early")
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n == -128:                          # noop
+            continue
+        if n >= 0:
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal overruns stream")
+            out += data[i:i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("PackBits run overruns stream")
+            out += data[i:i + 1] * (1 - n)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits decodes to {len(out)} bytes, expected {expected}")
+    return bytes(out)
+
+
 def _encode_block(arr: np.ndarray, compression: str, predictor: int
                   ) -> bytes:
     if predictor == 2:
@@ -188,6 +242,10 @@ def _encode_block(arr: np.ndarray, compression: str, predictor: int
         return zlib.compress(buf, 6)
     if compression == "lzw":
         return _lzw_encode_tiff(buf)
+    if compression == "packbits":
+        stride = arr.shape[1] * arr.dtype.itemsize
+        return b"".join(_packbits_encode(buf[r * stride:(r + 1) * stride])
+                        for r in range(arr.shape[0]))
     return buf
 
 
@@ -200,6 +258,8 @@ def _decode_block(raw: bytes, compression: str, predictor: int,
         buf = zlib.decompress(raw)
     elif compression == "lzw":
         buf = _lzw_decode_tiff(raw, expected)
+    elif compression == "packbits":
+        buf = _packbits_decode(raw, expected)
     else:
         buf = raw
     if len(buf) != expected:
@@ -233,8 +293,9 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     the TIFF 6.0 §15 TILED layout instead — square blocks padded with
     ``nodata`` at the right/bottom edges, the block structure of a
     cloud-optimized GeoTIFF. ``compression`` is ``"none"``,
-    ``"deflate"`` (zlib, tag 259 = 8) or ``"lzw"`` (TIFF §13 MSB-first
-    early-change variant); ``predictor=2`` applies horizontal
+    ``"deflate"`` (zlib, tag 259 = 8), ``"lzw"`` (TIFF §13 MSB-first
+    early-change variant) or ``"packbits"`` (TIFF §9 per-row RLE,
+    tag 259 = 32773); ``predictor=2`` applies horizontal
     differencing per sample before compression (tag 317) — GDAL's
     usual COG recipe is tiled + deflate + predictor.
 

@@ -164,7 +164,7 @@ def test_cog_layout_roundtrips(tmp_path):
     t = (1.5, 0.0, -100.25, 0.0, -2.5, 9000.5)
     rng = np.random.default_rng(7)
     for dt, comp, pred, ts in itertools.product(
-            [np.uint8, np.uint32], ["none", "deflate", "lzw"], [1, 2],
+            [np.uint8, np.uint32], ["none", "deflate", "lzw", "packbits"], [1, 2],
             [16, 32]):
         data = rng.integers(0, 250, (77, 45)).astype(dt)
         p = str(tmp_path / "c.tif")
@@ -184,7 +184,7 @@ def test_compressed_strip_roundtrip(tmp_path):
     data = (np.arange(257 * 96, dtype=np.int64).reshape(257, 96) % 251
             ).astype(np.uint8)
     t = (1.5, 0.0, -100.25, 0.0, -2.5, 9000.5)
-    for comp in ("deflate", "lzw"):
+    for comp in ("deflate", "lzw", "packbits"):
         p = str(tmp_path / "s.tif")
         write_geotiff(p, data, t, 7, rows_per_strip=64, compression=comp,
                       predictor=2)
@@ -353,3 +353,23 @@ def test_bigtiff_ingest_render_parity(spark):
     a = tiles(geotiff_cog_fixture())
     b = tiles(geotiff_bigtiff_fixture())
     assert a == b and len(a) > 0
+
+
+def test_packbits_codec_edges():
+    """TIFF §9 PackBits: long runs split at 128, literal/replicate
+    boundaries, the per-row packing rule, and stream fail-fasts."""
+    import pytest
+
+    from rastertiler_rs_spark.geotiff import (
+        _packbits_decode, _packbits_encode)
+
+    for row in (b"", b"\x07", b"\xaa" * 1000, bytes(range(256)) * 3,
+                b"aaabccddddde", b"ab" * 200, b"\x00" * 128 + b"\x01"):
+        enc = _packbits_encode(row)
+        assert _packbits_decode(enc, len(row)) == row, row[:16]
+    # a replicate run never crosses what the encoder was given
+    assert _packbits_encode(b"\xaa" * 300)[0] == 257 - 128
+    with pytest.raises(ValueError, match="ended early|overruns"):
+        _packbits_decode(b"\x05ab", 6)
+    with pytest.raises(ValueError, match="expected"):
+        _packbits_decode(b"\x01abc", 1)

@@ -2203,12 +2203,20 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both Structured-Streaming event gates under one driver row, in a
-    long (variant, ekey, n, v) shape: dedup = first-seen unique set
-    (ekey = content key, n = surviving doc_id), window = finalized
-    watermarked hour buckets (ekey = event_type@epoch(win_start),
-    n = count, v = cents). Each leg still runs its full availableNow
-    stream with a fresh checkpoint."""
+    """The event-surface gates under one driver row, in a long
+    (variant, ekey, n, v) shape. Streaming legs: dedup = first-seen
+    unique set (ekey = content key, n = surviving doc_id), window =
+    finalized watermarked hour buckets (ekey = event_type@epoch
+    (win_start), n = count, v = cents) — each runs its full
+    availableNow stream with a fresh checkpoint. Batch leg: asof =
+    every click enriched with the latest same-user view at-or-before
+    it within 48 h (operators/asof.py — ONE window pass, zero join
+    nodes; ekey = click event_id, n = matched view event_id or -1,
+    v = microsecond gap or -1), verified against DuckDB's NATIVE ASOF
+    JOIN executor — a genuinely independent implementation of the
+    same semantics."""
+    from rastertiler_rs_spark.operators.asof import asof_join
+
     ded = q_stream_dedup(spark, sf_dir).select(
         F.lit("dedup").alias("variant"),
         F.col("content_key").alias("ekey"),
@@ -2220,7 +2228,22 @@ def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("win_start").cast("long").cast("string")).alias("ekey"),
         F.col("n_events").alias("n"),
         F.col("value_cents").alias("v"))
-    return ded.unionByName(win)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id")
+    j = asof_join(clicks, views, on="user_id",
+                  right_cols=["ts", "event_id"],
+                  tolerance_us=48 * 3600 * 1_000_000, suffix="_m")
+    asof = j.select(
+        F.lit("asof").alias("variant"),
+        F.col("event_id").cast("string").alias("ekey"),
+        F.coalesce(F.col("event_id_m"), F.lit(-1)).cast("long").alias("n"),
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp"))
+                   - F.unix_micros(F.col("ts_m").cast("timestamp")),
+                   F.lit(-1)).cast("long").alias("v"))
+    return ded.unionByName(win).unionByName(asof)
 
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3625,6 +3648,20 @@ def oracle_sql() -> dict[str, str]:
                      CAST(CAST(epoch(win_start) AS BIGINT) AS VARCHAR) AS ekey,
                    n_events AS n, value_cents AS v
             FROM w, m WHERE w.win_end <= m.wm
+            UNION ALL
+            SELECT 'asof' AS variant,
+                   CAST(c.event_id AS VARCHAR) AS ekey,
+                   CASE WHEN v.event_id IS NOT NULL
+                         AND epoch_us(c.ts) - epoch_us(v.ts) <= 172800000000
+                        THEN v.event_id ELSE -1 END AS n,
+                   CASE WHEN v.event_id IS NOT NULL
+                         AND epoch_us(c.ts) - epoch_us(v.ts) <= 172800000000
+                        THEN epoch_us(c.ts) - epoch_us(v.ts) ELSE -1 END AS v
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "star_rollup": """
             SELECT n.n_name,

@@ -2214,7 +2214,10 @@ def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes; ekey = click event_id, n = matched view event_id or -1,
     v = microsecond gap or -1), verified against DuckDB's NATIVE ASOF
     JOIN executor — a genuinely independent implementation of the
-    same semantics."""
+    same semantics; range = interval join (operators/interval_join.py
+    — 1D cell equi-join + residual), clicks inside each error's 2 h
+    window, verified against DuckDB's native IEJoin plan of the raw
+    inequality predicate."""
     from rastertiler_rs_spark.operators.asof import asof_join
 
     ded = q_stream_dedup(spark, sf_dir).select(
@@ -2243,7 +2246,28 @@ def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.unix_micros(F.col("ts").cast("timestamp"))
                    - F.unix_micros(F.col("ts_m").cast("timestamp")),
                    F.lit(-1)).cast("long").alias("v"))
-    return ded.unionByName(win).unionByName(asof)
+    # range = interval join (operators/interval_join.py — 1D cell
+    # equi-join + residual, zero nested-loop nodes): clicks inside the
+    # 2 h window opened by each error; DuckDB plans the same predicate
+    # as its native IEJoin — another independent executor as oracle
+    from rastertiler_rs_spark.operators.interval_join import interval_join
+
+    errs = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+    cpts = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts")
+    rj = interval_join(cpts, errs, point_ts="ts",
+                       cell_width_us=1_800_000_000)
+    rng = rj.select(
+        F.lit("range").alias("variant"),
+        F.col("click_id").cast("string").alias("ekey"),
+        F.col("err_id").cast("long").alias("n"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("start").cast("timestamp"))
+         ).cast("long").alias("v"))
+    return ded.unionByName(win).unionByName(asof).unionByName(rng)
 
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3662,6 +3686,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
                             WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+            UNION ALL
+            SELECT 'range' AS variant,
+                   CAST(c.event_id AS VARCHAR) AS ekey,
+                   e.event_id AS n,
+                   epoch_us(c.ts) - epoch_us(e.ts) AS v
+            FROM (SELECT event_id, ts FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT event_id, ts FROM events
+                  WHERE event_type = 'error') e
+              ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR
         """,
         "star_rollup": """
             SELECT n.n_name,

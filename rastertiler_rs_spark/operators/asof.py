@@ -66,10 +66,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.lit(1).alias("_side"), lpay.alias("_lp"),
         F.lit(None).cast(rp_t).alias("_rp"),
         F.lit(None).cast(tb_t).alias("_tb"))
+    # a right row with NULL key/ts can never be a match — null its
+    # payload so the ignorenulls window skips it entirely
     r = right.select(
         F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"), F.lit(None).cast(lp_t).alias("_lp"),
-        rpay.alias("_rp"), tb.alias("_tb"))
+        F.when(F.col(on).isNotNull() & F.col(right_ts).isNotNull(),
+               rpay).alias("_rp"),
+        tb.alias("_tb"))
     uni = l.unionByName(r)
 
     if direction == "backward":
@@ -85,6 +89,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
         matched = F.first("_rp", ignorenulls=True).over(w)
 
+    # SQL semantics: a NULL key or NULL timestamp matches nothing
+    # (without this, a null-ts left row sorts NULLS FIRST and the
+    # forward frame would hand it the partition's earliest right row)
+    matched = F.when(
+        F.col("_k").isNotNull() & F.col("_ts").isNotNull(), matched)
     out = uni.withColumn("_m", matched).where(F.col("_side") == 1)
     if tolerance_us is not None:
         # cast handles TIMESTAMP_NTZ inputs (a pure reinterpretation

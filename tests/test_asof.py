@@ -102,3 +102,22 @@ def test_validation_errors(frames):
         asof_join(L, R, on="k", direction="sideways")
     with pytest.raises(ValueError, match="right_cols"):
         asof_join(L, R, on="k", right_cols=["nope"])
+
+
+def test_null_ts_and_null_key_match_nothing(spark):
+    L = spark.createDataFrame(
+        [(1, None, "nts"), (None, T(5), "nk"), (1, T(5), "ok")],
+        "k long, ts timestamp, tag string")
+    R = spark.createDataFrame(
+        [(1, T(1), 1.0), (None, T(1), 9.0), (1, None, 8.0)],
+        "k long, ts timestamp, val double")
+    for direction in ("backward", "forward"):
+        got = {r["tag"]: r["val_matched"]
+               for r in asof_join(L, R, on="k",
+                                  direction=direction).collect()}
+        assert got["nts"] is None and got["nk"] is None, direction
+    # ...and a NULL-ts RIGHT row is never a match (it sorts NULLS
+    # FIRST; without the payload guard it would backfill every left
+    # row that has no real predecessor)
+    assert {r["tag"]: r["val_matched"] for r in
+            asof_join(L, R, on="k").collect()}["ok"] == 1.0

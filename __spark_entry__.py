@@ -2291,17 +2291,55 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ("mode", mode), ("u16", u16))
 
 
+_HEAT_Z, _HEAT_ZMIN, _HEAT_N = 6, 4, 40000
+
+
+def q_heatmap_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-PIXEL value gate for the vector→raster HEATMAP pyramid
+    (operators/heatmap.py): bin deterministic weighted points at z6,
+    derive z4-6 via the sum-decimation pyramid (one explode + one
+    aggregate), decode every emitted count PNG back and aggregate the
+    same per-tile integer stats as the render gates. The points sit at
+    pixel CENTERS reconstructed from an integer index formula — the
+    float floor recovers the index with ~0.5 of margin, so the DuckDB
+    twin restates binning, world-edge clamping (a tail of the fixture
+    lands outside the world on both sides), weighting, and the
+    parent = sum-of-4-children identity in pure integer SQL."""
+    from rastertiler_rs_spark.operators.heatmap import heatmap_pyramid
+    from rastertiler_rs_spark.tilemath import CE, ORIGIN
+
+    ts = _PIXEL_STATS_TS
+    n_px = (1 << _HEAT_Z) * ts
+    i = F.col("id")
+    gx = (F.when(i % 97 == 0, F.lit(n_px - 3) + (i % 7))
+          .otherwise((i * 1000003 + 12345) % 2048 - 8))
+    gy = (i * 998244353 + 54321) % 2048
+    step = CE / n_px
+    pts = spark.range(_HEAT_N).select(
+        (F.lit(-ORIGIN) + (gx.cast("double") + F.lit(0.5))
+         * F.lit(step)).alias("px"),
+        (F.lit(ORIGIN) - (gy.cast("double") + F.lit(0.5))
+         * F.lit(step)).alias("py"),
+        (F.lit(1) + i % 7).cast("long").alias("w"))
+    tiles = heatmap_pyramid(pts, _HEAT_ZMIN, _HEAT_Z, tile_size=ts,
+                            weight="w")
+    return _pixel_stats_of(
+        tiles.select("zoom", "x", "y", F.col("bytes").alias("png")), "u32")
+
+
 def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decoded-PIXEL value gates for all three render families —
-    u8 (z8-12), u32 adaptive palette/RGB (z8-12), and the overview
-    cascade pyramid (z4-9) — as one tagged union; each leg's per-tile
-    integer stats must match its own full SQL transcription of the
-    window arithmetic + mosaic + (for the pyramid) the strided
-    decimation identity."""
+    """The decoded-PIXEL value gates for all four render families —
+    u8 (z8-12), u32 adaptive palette/RGB (z8-12), the overview
+    cascade pyramid (z4-9), and the vector→raster heatmap pyramid
+    (z4-6) — as one tagged union; each leg's per-tile integer stats
+    must match its own full SQL transcription of the window
+    arithmetic + mosaic + (for the pyramids) the decimation
+    identity."""
     return _union_variants(
         ("u8", q_render_pixel_stats(spark, sf_dir)),
         ("u32", q_render_pixel_stats_u32(spark, sf_dir)),
-        ("pyramid", q_render_pyramid_pixel_stats(spark, sf_dir)))
+        ("pyramid", q_render_pyramid_pixel_stats(spark, sf_dir)),
+        ("heat", q_heatmap_pixel_stats(spark, sf_dir)))
 
 
 def q_render_tiles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3611,6 +3649,37 @@ def _render_pixel_stats_oracle_sql(dtype_tag: str = "u8") -> str:
             + _PIXEL_STATS_SELECT.format(ts=_PIXEL_STATS_TS, src="canvas"))
 
 
+def _heatmap_pixel_stats_oracle_sql() -> str:
+    """Integer twin of q_heatmap_pixel_stats: the fixture's pixel
+    indices come from an integer formula (points sit at pixel centers,
+    so the engine's float floor provably recovers them), letting the
+    twin state binning, both-side world clamping, weight summation and
+    the pyramid's gx >> k sum-decimation without a single float."""
+    ts = _PIXEL_STATS_TS
+    n_px = (1 << _HEAT_Z) * ts
+    n_lev = _HEAT_Z - _HEAT_ZMIN + 1
+    return f"""
+        WITH pts AS (
+          SELECT CASE WHEN i % 97 = 0 THEN {n_px - 3} + (i % 7)
+                      ELSE (i * 1000003 + 12345) % 2048 - 8 END AS gx0,
+                 (i * 998244353 + 54321) % 2048 AS gy0,
+                 1 + (i % 7) AS w
+          FROM range({_HEAT_N}) t(i)),
+        base AS (
+          SELECT LEAST({n_px - 1}, GREATEST(0, gx0)) AS gx,
+                 LEAST({n_px - 1}, GREATEST(0, gy0)) AS gy,
+                 SUM(w) AS cv
+          FROM pts GROUP BY 1, 2),
+        lev AS (
+          SELECT {_HEAT_Z} - k AS zoom, gx >> k AS gx, gy >> k AS gy,
+                 SUM(cv) AS cv
+          FROM base, range({n_lev}) lv(k) GROUP BY 1, 2, 3),
+        canvas_h AS (
+          SELECT zoom, gx // {ts} AS x, gy // {ts} AS y,
+                 gy % {ts} AS py, gx % {ts} AS pxc, cv
+          FROM lev)""" + _PIXEL_STATS_SELECT.format(ts=ts, src="canvas_h")
+
+
 def _render_pyramid_pixel_stats_oracle_sql() -> str:
     """Pixel-value twin for the OVERVIEW CASCADE: the engine's 2x
     nearest decimation composes to strided sampling (the
@@ -4163,7 +4232,8 @@ def oracle_sql() -> dict[str, str]:
         "render_pixel_stats": _variant_union_sql(
             ("u8", _render_pixel_stats_oracle_sql()),
             ("u32", _render_pixel_stats_oracle_sql("u32")),
-            ("pyramid", _render_pyramid_pixel_stats_oracle_sql())),
+            ("pyramid", _render_pyramid_pixel_stats_oracle_sql()),
+            ("heat", _heatmap_pixel_stats_oracle_sql())),
         "image_stats": _variant_union_sql(
             ("features", _image_features_oracle_sql()),
             ("resize", _image_resize_oracle_sql()),

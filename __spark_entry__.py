@@ -192,15 +192,26 @@ def q_geo_to_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tms_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9: TMS y-flip y' = 2^z - 1 - y (integer exact)."""
+    """Tile-ID schemes as a tagged union: S9's TMS y-flip
+    y' = 2^z - 1 - y (integer exact), plus the PMTiles v3 Hilbert
+    tile id (pmtiles/codec.tileid_col — the pure-JVM F.aggregate bit
+    fold) verified against a DuckDB RECURSIVE-CTE transcription of
+    the xy2d loop: two independent executors of the same curve, so a
+    rotation/complement slip at any bit level flips the hash."""
     from rastertiler_rs_spark.functions.columns import tms_flip_col
+    from rastertiler_rs_spark.pmtiles import tileid_col
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
-    return o.select(
-        "o_orderkey",
-        (F.col("o_orderkey") % 15).cast("int").alias("zoom"),
-        F.expr("o_orderkey % shiftleft(1L, cast(o_orderkey % 15 as int))").alias("y"),
-    ).withColumn("tile_row", tms_flip_col("zoom", "y"))
+    zoom = (F.col("o_orderkey") % 15).cast("int")
+    y = F.expr("o_orderkey % shiftleft(1L, cast(o_orderkey % 15 as int))")
+    x = F.expr("o_custkey % shiftleft(1L, cast(o_orderkey % 15 as int))")
+    flip = (o.select("o_orderkey", zoom.alias("zoom"),
+                     F.lit(0).cast("long").alias("x"), y.alias("y"))
+            .withColumn("v", tms_flip_col("zoom", "y").cast("long")))
+    hil = (o.select("o_orderkey", zoom.alias("zoom"), x.alias("x"),
+                    y.alias("y"))
+           .withColumn("v", tileid_col("zoom", "x", "y")))
+    return _union_variants(("flip", flip), ("hilbert", hil))
 
 
 def q_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4378,12 +4389,46 @@ def oracle_sql() -> dict[str, str]:
               {_sql_rnd(f"6378137.0 * ln(tan({math.pi * 0.25!r} + {0.5 * math.pi / 180.0!r} * lat))", "1e3")} AS my
             FROM pts
         """,
+        # two tile-id schemes; the hilbert leg is a recursive-CTE
+        # transcription of the xy2d loop (complement against the FULL
+        # grid n-1-coord — a clean bit-flip; s-1-coord would borrow
+        # into already-consumed high bits)
         "tms_flip": """
-            SELECT o_orderkey,
-                   CAST(o_orderkey % 15 AS INT) AS zoom,
-                   o_orderkey % (1::BIGINT << (o_orderkey % 15)) AS y,
-                   (1::BIGINT << (o_orderkey % 15)) - 1 - (o_orderkey % (1::BIGINT << (o_orderkey % 15))) AS tile_row
-            FROM orders WHERE o_orderkey <= 2000
+            WITH RECURSIVE src AS (
+              SELECT o_orderkey,
+                     CAST(o_orderkey % 15 AS INT) AS zoom,
+                     o_custkey % (1::BIGINT << (o_orderkey % 15)) AS x,
+                     o_orderkey % (1::BIGINT << (o_orderkey % 15)) AS y
+              FROM orders WHERE o_orderkey <= 2000),
+            hil AS (
+              SELECT o_orderkey, zoom, x, y, x AS hx, y AS hy,
+                     0::BIGINT AS d,
+                     CASE WHEN zoom = 0 THEN 0::BIGINT
+                          ELSE 1::BIGINT << (zoom - 1) END AS s
+              FROM src
+              UNION ALL
+              SELECT o_orderkey, zoom, x, y,
+                     CASE WHEN (hy & s) = 0 THEN
+                            CASE WHEN (hx & s) <> 0
+                                 THEN (1::BIGINT << zoom) - 1 - hy
+                                 ELSE hy END
+                          ELSE hx END,
+                     CASE WHEN (hy & s) = 0 THEN
+                            CASE WHEN (hx & s) <> 0
+                                 THEN (1::BIGINT << zoom) - 1 - hx
+                                 ELSE hx END
+                          ELSE hy END,
+                     d + s * s * xor(CASE WHEN (hx & s) <> 0 THEN 3 ELSE 0 END,
+                                     CASE WHEN (hy & s) <> 0 THEN 1 ELSE 0 END)::BIGINT,
+                     s >> 1
+              FROM hil WHERE s > 0)
+            SELECT 'flip' AS variant, o_orderkey, zoom, 0::BIGINT AS x, y,
+                   (1::BIGINT << zoom) - 1 - y AS v
+            FROM src
+            UNION ALL
+            SELECT 'hilbert' AS variant, o_orderkey, zoom, x, y,
+                   ((1::BIGINT << (2 * zoom)) - 1) // 3 + d AS v
+            FROM hil WHERE s = 0
         """,
         "cell_pack": """
             SELECT l_orderkey, l_linenumber,

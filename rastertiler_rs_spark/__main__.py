@@ -117,6 +117,21 @@ def cmd_render(args) -> None:
               f"({manifest['total_tiles']} tiles) to {args.shards_dir}")
         if args.out == "-":
             return
+    if args.out.endswith(".pmtiles"):
+        # cloud-native single-file archive: executor-parallel data
+        # parts, driver builds only header+directories
+        from .operators.pmtiles_sink import write_pmtiles_distributed
+        md = dict((r["name"], r["value"]) for r in meta.collect())
+        try:
+            stats = write_pmtiles_distributed(fused, args.out, metadata=md)
+        except ValueError as e:
+            sys.exit(f"ERROR: {e}")
+        finally:
+            if args.shards_dir:
+                fused.unpersist()
+        print(f"wrote {args.out} ({stats['n_addressed']} tiles, "
+              f"{stats['n_entries']} entries)")
+        return
     try:
         materialize_mbtiles(fused, meta, args.out, max_tiles=args.max_tiles)
     except ValueError as e:

@@ -1770,7 +1770,8 @@ def _render_pixel_stats(spark: SparkSession, dtype_tag: str) -> DataFrame:
     return _pixel_stats_of(fused, dtype_tag)
 
 
-def _pixel_stats_of(fused: DataFrame, dtype_tag: str) -> DataFrame:
+def _pixel_stats_of(fused: DataFrame, dtype_tag: str,
+                    fmt: str = "png") -> DataFrame:
     ts = _PIXEL_STATS_TS
 
     def stats_fn(batches):
@@ -1779,12 +1780,23 @@ def _pixel_stats_of(fused: DataFrame, dtype_tag: str) -> DataFrame:
 
         from rastertiler_rs_spark.operators.overview import decode_canvas
 
+        if fmt == "webp":
+            from rastertiler_rs_spark.operators.transcode import \
+                _rgba_to_canvas
+            from rastertiler_rs_spark.webp.codec import decode_webp
+
+            def _decode(blob):
+                return _rgba_to_canvas(decode_webp(blob), dtype_tag, 0)
+        else:
+            def _decode(blob):
+                return decode_canvas(blob, dtype_tag)
+
         pos = np.arange(ts * ts, dtype=np.int64).reshape(ts, ts)
         for pdf in batches:
             out = {k: [] for k in ("zoom", "x", "y", "px_count", "val_sum",
                                    "val_min", "val_max", "pos_sum")}
             for row in pdf.itertuples(index=False):
-                band = decode_canvas(bytes(row.png), dtype_tag).astype(np.int64)
+                band = _decode(bytes(row.png)).astype(np.int64)
                 mask = band != 0
                 vals = band[mask]
                 out["zoom"].append(int(row.zoom))
@@ -2338,19 +2350,42 @@ def q_heatmap_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiles.select("zoom", "x", "y", F.col("bytes").alias("png")), "u32")
 
 
+def q_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-PIXEL gate for the WebP TRANSCODE path: render z8-9,
+    transcode every PNG payload to lossless VP8L WebP
+    (operators/transcode.py), decode the WEBP bytes back with the
+    from-spec decoder and aggregate the same per-tile stats — the
+    twin is the same kernel transcription as the u8 leg restricted to
+    z8-9, so any loss anywhere in canvas→RGBA→VP8L→RGBA→canvas flips
+    the hash."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import render
+    from rastertiler_rs_spark.operators.transcode import transcode_tiles
+
+    images = spark.read.parquet(images_parquet(_PIXEL_STATS_N, "u8"))
+    with _gate_cell_mult():
+        fused = render(images, 8, 9, tile_size=_PIXEL_STATS_TS,
+                       dtype_tag="u8")
+    as_webp = transcode_tiles(fused, "webp", dtype_tag="u8")
+    return _pixel_stats_of(
+        as_webp.select("zoom", "x", "y", F.col("webp").alias("png")),
+        "u8", fmt="webp")
+
+
 def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decoded-PIXEL value gates for all four render families —
+    """The decoded-PIXEL value gates for all five render families —
     u8 (z8-12), u32 adaptive palette/RGB (z8-12), the overview
-    cascade pyramid (z4-9), and the vector→raster heatmap pyramid
-    (z4-6) — as one tagged union; each leg's per-tile integer stats
-    must match its own full SQL transcription of the window
-    arithmetic + mosaic + (for the pyramids) the decimation
-    identity."""
+    cascade pyramid (z4-9), the vector→raster heatmap pyramid (z4-6),
+    and the PNG→WebP transcode (z8-9) — as one tagged union; each
+    leg's per-tile integer stats must match its own full SQL
+    transcription of the window arithmetic + mosaic + (for the
+    pyramids) the decimation identity."""
     return _union_variants(
         ("u8", q_render_pixel_stats(spark, sf_dir)),
         ("u32", q_render_pixel_stats_u32(spark, sf_dir)),
         ("pyramid", q_render_pyramid_pixel_stats(spark, sf_dir)),
-        ("heat", q_heatmap_pixel_stats(spark, sf_dir)))
+        ("heat", q_heatmap_pixel_stats(spark, sf_dir)),
+        ("webp", q_webp_pixel_stats(spark, sf_dir)))
 
 
 def q_render_tiles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4244,7 +4279,11 @@ def oracle_sql() -> dict[str, str]:
             ("u8", _render_pixel_stats_oracle_sql()),
             ("u32", _render_pixel_stats_oracle_sql("u32")),
             ("pyramid", _render_pyramid_pixel_stats_oracle_sql()),
-            ("heat", _heatmap_pixel_stats_oracle_sql())),
+            ("heat", _heatmap_pixel_stats_oracle_sql()),
+            # transcode is lossless: same kernel twin, zooms 8-9
+            ("webp", _pixel_canvas_ctes(8, 9, "u8")
+             + _PIXEL_STATS_SELECT.format(ts=_PIXEL_STATS_TS,
+                                          src="canvas"))),
         "image_stats": _variant_union_sql(
             ("features", _image_features_oracle_sql()),
             ("resize", _image_resize_oracle_sql()),

@@ -791,6 +791,41 @@ def q_tile_halo_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_halo_sobel(tiles, 128)
 
 
+def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both halo-exchange stencils as one tagged union (same fixture,
+    same stats schema): `grad` = 4-neighbor central difference (edge
+    strips only), `sobel` = 8-neighbor Sobel (edge strips + corner
+    pixels). The DuckDB twins compute each stencil over the
+    UNPARTITIONED canvas formula grouped by owning tile — any halo
+    routing, orientation, or corner bug flips the border tiles."""
+    from rastertiler_rs_spark.fixtures import tiled_canvas_parquet
+    from rastertiler_rs_spark.operators.halo import (tile_halo_gradient,
+                                                     tile_halo_sobel)
+
+    tiles = spark.read.parquet(tiled_canvas_parquet(1024, 768, 128, 5))
+    return _union_variants(
+        ("grad", tile_halo_gradient(tiles, 128)),
+        ("sobel", tile_halo_sobel(tiles, 128)))
+
+
+def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed raster REGION LABELING under the value gate: the
+    engine sees only the 12 PNG tiles of a 256x192 quantized canvas
+    and must name every maximal 4-connected equal-value region
+    GLOBALLY (per-tile run CCL → border-strip equivalences →
+    connected components → one stats groupBy; operators/polygonize.py).
+    The DuckDB twin recomputes runs, the run adjacency graph, its
+    transitive closure, and the same integer stats from the canvas
+    formula — it never sees tiles, so fragment naming, halo routing,
+    and the distributed merge are all on the hook. 1504 regions, many
+    crossing tile borders (grid strides 23/29 are coprime to ts=64)."""
+    from rastertiler_rs_spark.fixtures import region_canvas_parquet
+    from rastertiler_rs_spark.operators.polygonize import region_label
+
+    tiles = spark.read.parquet(region_canvas_parquet(256, 192, 64, 5))
+    return region_label(tiles, 64)
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-corpus cleaning chain as ONE composed query:
     quality filter → exact dedup (planted doubles lose to originals) →
@@ -2447,8 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles_clip": q_vector_tiles_clip,
         "vector_tiles_lines": q_vector_tiles_lines,
         "raster_gradient": q_raster_gradient,
-        "tile_halo_gradient": q_tile_halo_gradient,
-        "tile_halo_sobel": q_tile_halo_sobel,
+        "tile_halo": q_tile_halo_all,
+        "raster_regions": q_raster_regions,
         "doc_keywords": q_doc_keywords,
         "tile_captions": q_tile_captions,
         "embedding_topk_int": q_embedding_topk_int,
@@ -3088,6 +3123,58 @@ def _halo_gradient_oracle_sql(w: int = 1024, h: int = 768,
                CAST(SUM(g2) AS BIGINT) AS sum_g2,
                CAST(MAX(g2) AS BIGINT) AS max_g2
         FROM g GROUP BY tx, ty
+    """
+
+
+def _raster_regions_oracle_sql(w: int = 256, h: int = 192,
+                               seed: int = 5) -> str:
+    """Independent region labeling in SQL: derive row runs from the
+    canvas formula (window over valid pixels — a run starts at a
+    column gap or a value change), build the vertical run-adjacency
+    graph, close it with a recursive CTE (min reachable run id ==
+    the region's first row-major pixel, the engine's region name),
+    then aggregate the same integer stats. The fixture's nodata grid
+    bounds region size so the closure stays tractable."""
+    from rastertiler_rs_spark.fixtures import splitmix64
+    import numpy as np
+
+    ph = int(splitmix64(np.uint64(seed))) & 0xFF
+    V = (f"(CASE WHEN (r % 23) = 7 OR (c % 29) = 11 THEN 0 "
+         f"ELSE ((r*31 + c*17 + {ph}) % 255 + 1) // 64 + 1 END)")
+    return f"""
+        WITH px AS (
+          SELECT rs.r AS r, cs.c AS c, {V} AS v
+          FROM (SELECT UNNEST(generate_series(0, {h - 1})) AS r) rs,
+               (SELECT UNNEST(generate_series(0, {w - 1})) AS c) cs
+          WHERE {V} <> 0),
+        runs AS (
+          SELECT r, c, v,
+                 MAX(CASE WHEN st THEN r * 4294967296 + c END)
+                   OVER (PARTITION BY r ORDER BY c
+                         ROWS UNBOUNDED PRECEDING) AS rid
+          FROM (SELECT r, c, v,
+                       (LAG(c) OVER w IS DISTINCT FROM c - 1)
+                       OR (LAG(v) OVER w IS DISTINCT FROM v) AS st
+                FROM px WINDOW w AS (PARTITION BY r ORDER BY c))),
+        eu AS (
+          SELECT DISTINCT a.rid AS src, b.rid AS dst
+          FROM runs a JOIN runs b
+            ON b.r = a.r + 1 AND b.c = a.c AND b.v = a.v
+          WHERE a.rid <> b.rid),
+        edges AS (SELECT src, dst FROM eu UNION SELECT dst, src FROM eu),
+        nodes AS (SELECT DISTINCT rid FROM runs),
+        reach AS (
+          WITH RECURSIVE rr(v, l) AS (
+            SELECT rid, rid FROM nodes
+            UNION
+            SELECT e.dst, rr.l FROM rr JOIN edges e ON e.src = rr.v
+          ) SELECT v, MIN(l) AS l FROM rr GROUP BY v)
+        SELECT CAST(p.v AS BIGINT) AS value, COUNT(*) AS n_pixels,
+               MIN(p.r) AS min_r, MIN(p.c) AS min_c,
+               MAX(p.r) AS max_r, MAX(p.c) AS max_c,
+               CAST(reach.l % 4294967296 AS BIGINT) AS first_c
+        FROM runs p JOIN reach ON reach.v = p.rid
+        GROUP BY reach.l, p.v
     """
 
 
@@ -4615,8 +4702,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN lang ON lang.doc_id = tok.doc_id
         """,
         "raster_gradient": _raster_gradient_oracle_sql(),
-        "tile_halo_gradient": _halo_gradient_oracle_sql(),
-        "tile_halo_sobel": _halo_sobel_oracle_sql(),
+        "tile_halo": _variant_union_sql(
+            ("grad", _halo_gradient_oracle_sql()),
+            ("sobel", _halo_sobel_oracle_sql())),
+        "raster_regions": _raster_regions_oracle_sql(),
         "zonal_stats": _variant_union_sql(
             ("u8", _zonal_stats_oracle_sql()),
             ("u32", _zonal_stats_oracle_sql(u32=True)),

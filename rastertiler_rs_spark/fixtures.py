@@ -798,6 +798,53 @@ def tiled_canvas_parquet(w: int = 1024, h: int = 768, ts: int = 128,
     return path
 
 
+def region_canvas_band(w: int = 256, h: int = 192,
+                       seed: int = 5) -> np.ndarray:
+    """Quantized canvas for the REGION-LABELING entry: the diagonal
+    formula collapsed to 4 plateau values (1..4) so equal-value
+    regions exist, cut by nodata grid lines at strides 23/29 — coprime
+    to every tile size used, so regions straddle tile borders in both
+    axes. Every clause is integer and restated verbatim by the DuckDB
+    twin; the grid bounds region size, keeping the twin's transitive
+    closure tractable."""
+    ph = int(splitmix64(np.uint64(seed))) & 0xFF
+    r, c = np.indices((h, w))
+    band = (((r * 31 + c * 17 + ph) % 255 + 1) // 64 + 1).astype(np.uint8)
+    band[(r % 23 == 7) | (c % 29 == 11)] = NODATA
+    return band
+
+
+def region_canvas_parquet(w: int = 256, h: int = 192, ts: int = 64,
+                          seed: int = 5,
+                          cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    """region_canvas_band split into ts x ts PNG tiles: (tx, ty, png)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .png import encode_grayscale8
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"regions_{w}x{h}_{ts}_{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    if w % ts or h % ts:
+        raise ValueError("canvas dims must be multiples of the tile size")
+    band = region_canvas_band(w, h, seed)
+    txs, tys, pngs = [], [], []
+    for ty in range(h // ts):
+        for tx in range(w // ts):
+            tile = band[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            txs.append(tx)
+            tys.append(ty)
+            pngs.append(encode_grayscale8(tile, NODATA))
+    pq.write_table(pa.table({
+        "tx": pa.array(txs, pa.int64()),
+        "ty": pa.array(tys, pa.int64()),
+        "png": pa.array(pngs, pa.binary()),
+    }), path, row_group_size=256)
+    return path
+
+
 # ---------------------------------------------------------------- GeoTIFF
 
 def geotiff_params() -> tuple[int, int, tuple, int]:

@@ -1589,12 +1589,19 @@ def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rastertiler_rs_spark.fixtures import webpanim_parquet
 
     wan = spark.read.parquet(webpanim_parquet(16))
+    # APNG leg: full-canvas solid RGBA frames through acTL/fcTL/fdAT
+    # demux + the still-PNG decoder + composition — exact because PNG
+    # is lossless, so composed-canvas stats are closed-form
+    from rastertiler_rs_spark.fixtures import apng_parquet
+
+    apg = spark.read.parquet(apng_parquet(16))
     return (video_frame_stats(mp4, every_n=2).select(*cols)
             .unionByName(video_frame_stats(avi, every_n=2).select(*cols))
             .unionByName(video_frame_stats(sub, every_n=2).select(*cols))
             .unionByName(video_frame_stats(gif, every_n=2).select(*cols))
             .unionByName(video_frame_stats(webm, every_n=2).select(*cols))
-            .unionByName(video_frame_stats(wan, every_n=2).select(*cols)))
+            .unionByName(video_frame_stats(wan, every_n=2).select(*cols))
+            .unionByName(video_frame_stats(apg, every_n=2).select(*cols)))
 
 
 def q_audio_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2252,12 +2259,23 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").alias("dim_a"), F.col("sum_sq").alias("dim_b"),
         F.col("n_samples").alias("n_units"), "duration_ms",
         F.lit("ogg").alias("codec"))
+    # apngprobe = animated-PNG header walk (png/apng.py: acTL/fcTL
+    # sequence validation + per-frame delay sum, no pixel decode),
+    # twin rederived from apng_params/apng_duration
+    from rastertiler_rs_spark.fixtures import apng_parquet
+
+    apg = spark.read.parquet(apng_parquet(24))
+    apngprobe = video_probe(apg).select(
+        F.lit("apngprobe").alias("variant"),
+        F.col("video_id").alias("media_id"),
+        F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
+        F.col("n_frames").alias("n_units"), "duration_ms", "codec")
     return (video.unionByName(mp3).unionByName(frames)
             .unionByName(aviprobe).unionByName(aviframes)
             .unionByName(l3spec).unionByName(gifprobe)
             .unionByName(webmprobe).unionByName(webmframes)
             .unionByName(wanprobe).unionByName(flacfeat)
-            .unionByName(oggfeat))
+            .unionByName(oggfeat).unionByName(apngprobe))
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4145,6 +4163,18 @@ def oracle_sql() -> dict[str, str]:
                 ) fp
               ) fk
             ) fv GROUP BY i, rate, ch
+            UNION ALL
+            SELECT 'apngprobe',
+                   'apg' || lpad(CAST(i AS VARCHAR), 6, '0'),
+                   CAST(10 + (i % 3) * 7 AS BIGINT),
+                   CAST(8 + (i % 2) * 5 AS BIGINT),
+                   CAST(2 + i % 3 AS BIGINT),
+                   CAST((SELECT SUM(20 + (7 * i + 11 * f.f) % 50)
+                         FROM (SELECT UNNEST(generate_series(
+                                 0, 2 + i % 3 - 1)) AS f) f)
+                        AS BIGINT),
+                   'apng'
+            FROM (SELECT UNNEST(generate_series(0, 23)) AS i) apc
         """,
         # decoded MJPEG pixel stats in closed form, BOTH containers:
         # mp4 frames are solid v = (17i + 29f + 23) % 256, avi frames
@@ -4328,6 +4358,43 @@ def oracle_sql() -> dict[str, str]:
                 ) wf WHERE fno % 2 = 0
               ) wv
             ) ws
+            UNION ALL
+            -- APNG leg: solid full-canvas RGBA frames, lossless PNG
+            -- round-trip => flat-RGBA stats closed-form (same shape
+            -- as the wan leg, apng_params/apng_channel constants)
+            SELECT 'apg' || lpad(CAST(pi AS VARCHAR), 6, '0'),
+                   CAST(fno AS BIGINT),
+                   CAST(w AS BIGINT),
+                   CAST(h AS BIGINT),
+                   4 * s AS n_px,
+                   CAST((r + g + b + a) * s AS BIGINT),
+                   CAST(LEAST(r, g, b, a) AS BIGINT),
+                   CAST(GREATEST(r, g, b, a) AS BIGINT),
+                   CAST(r * (base + s) + g * (base + 2 * s)
+                        + b * (base + 3 * s) + a * (base + 4 * s)
+                        AS BIGINT)
+            FROM (
+              SELECT pi, fno, w, h, s,
+                     4 * (s * (s - 1) // 2) AS base,
+                     (29 * pi + 43 * fno + 17) % 256 AS r,
+                     (31 * pi + 47 * fno + 23) % 256 AS g,
+                     (37 * pi + 53 * fno + 3) % 256 AS b,
+                     (41 * pi + 59 * fno + 7) % 256 AS a
+              FROM (
+                SELECT pi, fno, w, h, CAST(w AS BIGINT) * h AS s
+                FROM (
+                  SELECT pi, w, h,
+                         UNNEST(generate_series(0, nf - 1)) AS fno
+                  FROM (
+                    SELECT i AS pi,
+                           10 + (i % 3) * 7 AS w,
+                           8 + (i % 2) * 5 AS h,
+                           2 + i % 3 AS nf
+                    FROM (SELECT UNNEST(generate_series(0, 15)) AS i) c
+                  ) pp
+                ) pf WHERE fno % 2 = 0
+              ) pv
+            ) ps
         """,
         "audio_features": """
             WITH p AS (

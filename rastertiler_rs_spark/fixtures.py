@@ -1022,3 +1022,54 @@ def generate_webpanim_videos(n: int):
 def webpanim_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return _cached_parquet("webpanim_videos", generate_webpanim_videos, n,
                            cache_dir)
+
+
+def apng_params(i: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) of APNG clip i."""
+    return 10 + (i % 3) * 7, 8 + (i % 2) * 5, 2 + i % 3
+
+
+def apng_channel(i: int, f: int, c: int) -> int:
+    """Solid value of channel c (0=R 1=G 2=B 3=A) in clip i's frame f."""
+    return ((29, 31, 37, 41)[c] * i + (43, 47, 53, 59)[c] * f
+            + (17, 23, 3, 7)[c]) % 256
+
+
+def apng_duration(i: int, f: int) -> int:
+    """Per-frame duration in milliseconds."""
+    return 20 + (7 * i + 11 * f) % 50
+
+
+def generate_apng_videos(n: int):
+    """APNG clips table (video_id, bytes=real acTL/fcTL/fdAT APNG,
+    fmt): full-canvas solid RGBA frames, blend=source — PNG is
+    lossless, so composed per-frame RGBA stats and probe fields
+    rederive in SQL from apng_params / apng_channel / apng_duration
+    alone. Sub-rect placement, over-blending and all three disposal
+    modes are pinned separately in tests/test_apng.py."""
+    import pyarrow as pa
+
+    from .png import encode_apng
+
+    ids, blobs = [], []
+    for i in range(n):
+        w, h, nf = apng_params(i)
+        frames = []
+        for f in range(nf):
+            rgba = np.empty((h, w, 4), np.uint8)
+            for c in range(4):
+                rgba[:, :, c] = apng_channel(i, f, c)
+            frames.append({"rgba": rgba,
+                           "duration_ms": apng_duration(i, f)})
+        ids.append(f"apg{i:06d}")
+        blobs.append(encode_apng(w, h, frames))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["apng"] * n, pa.string()),
+    })
+
+
+def apng_parquet(n: int, cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    return _cached_parquet("apng_videos", generate_apng_videos, n,
+                           cache_dir)

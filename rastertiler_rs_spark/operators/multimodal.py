@@ -468,6 +468,17 @@ def video_frame_stats(videos: DataFrame, every_n: int = 1) -> DataFrame:
                     frames_px = [(f, d["canvas"]) for f, d in
                                  enumerate(webp_anim_frames(data))
                                  if f % every_n == 0]
+                elif fmt.startswith("apng"):
+                    # animated PNG: every frame payload decodes through
+                    # the engine's still-PNG decoder (lossless — exact
+                    # by construction); stats over the composed RGBA
+                    # canvas (sub-rects, blend, dispose honored by
+                    # png/apng.apng_frames)
+                    from ..png import apng_frames
+
+                    frames_px = [(f, d["canvas"]) for f, d in
+                                 enumerate(apng_frames(data))
+                                 if f % every_n == 0]
                 else:
                     if fmt.startswith("mp4"):
                         probe, demux = probe_mp4, demux_mp4
@@ -565,6 +576,14 @@ def video_probe(videos: DataFrame) -> DataFrame:
                     meta = {"width": m["width"], "height": m["height"],
                             "duration_ms": m["duration_ms"],
                             "codec": "webpanim"}
+                    n_frames = m["n_frames"]
+                elif fmt.startswith("apng"):
+                    from ..png import probe_apng
+
+                    m = probe_apng(bytes(row.bytes))
+                    meta = {"width": m["width"], "height": m["height"],
+                            "duration_ms": m["duration_ms"],
+                            "codec": "apng"}
                     n_frames = m["n_frames"]
                 else:
                     raise NotImplementedError(

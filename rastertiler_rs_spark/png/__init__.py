@@ -8,6 +8,8 @@ from .codec import (  # noqa: F401
     encode_interlaced,
     encode_paletted,
     encode_rgb,
+    encode_rgba,
     rgb_from_u32,
     select_bit_depth,
 )
+from .apng import apng_frames, encode_apng, probe_apng  # noqa: F401

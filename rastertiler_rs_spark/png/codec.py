@@ -296,6 +296,8 @@ def _expand_pixels(arr: np.ndarray, width: int, height: int,
             height, width).astype(np.uint16)
     if color_type == 2:
         return arr.reshape(height, width, 3)
+    if color_type == 6:
+        return arr.reshape(height, width, 4)
     if bit_depth == 8:
         return arr.reshape(height, width)
     per_byte = 8 // bit_depth
@@ -332,12 +334,13 @@ def decode_png(data: bytes):
         elif tag == b"IEND":
             break
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    channels = 3 if color_type == 2 else 1
+    channels = {2: 3, 6: 4}.get(color_type, 1)
     bpp = max(1, (bit_depth * channels) // 8)
     if interlace:
         # Adam7: seven independently filtered sub-images, scattered
         # back onto the full grid by each pass's (origin, step)
-        shape = (height, width, 3) if color_type == 2 else (height, width)
+        shape = ((height, width, channels) if channels > 1
+                 else (height, width))
         pixels = np.zeros(shape,
                           dtype=np.uint16 if bit_depth == 16 else np.uint8)
         off = 0
@@ -406,4 +409,17 @@ def decode_rgba(data: bytes) -> np.ndarray:
             r, g, b = struct.unpack(">HHH", d["trns"][:6])
             mask = (p[:, :, 0] == r) & (p[:, :, 1] == g) & (p[:, :, 2] == b)
             out[mask, 3] = 0
+    elif d["color_type"] == 6:
+        out[:] = p
     return out
+
+
+def encode_rgba(rgba: np.ndarray) -> bytes:
+    """8-bit RGBA PNG (color type 6) — the truecolor-with-alpha form
+    APNG frames use. The engine's tile sinks never emit it (gray /
+    paletted / RGB are the reference-parity contract); it exists for
+    the animation surface."""
+    if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
+        raise ValueError("encode_rgba expects (h, w, 4) uint8")
+    h, w = rgba.shape[:2]
+    return _encode(w, h, 8, 6, rgba.reshape(h, w * 4), None, None)

@@ -1191,6 +1191,18 @@ def q_image_resize_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _resize_stats_query(spark, method="mode", n=24)
 
 
+def q_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BILINEAR resample under the value gate — the continuous-raster
+    rule beside nearest/mode, in EXACT fixed-point arithmetic: source
+    coord of dst i is N/(2·dst) with N = (2i+1)·src − dst, corner
+    weights are integers over (2·dst)², blend = one round-half-up
+    integer division, nodata propagates strictly from any of the 4
+    corners. The DuckDB twin restates the identical integer clauses
+    over the fixture pixel formula (offset form M = N + 2·dst keeps
+    the quotient positive — DuckDB // truncates, numpy floors)."""
+    return _resize_stats_query(spark, method="bilinear", n=24)
+
+
 def _resize_stats_query(spark: SparkSession, method: str, n: int) -> DataFrame:
     from rastertiler_rs_spark.fixtures import images_parquet
     from rastertiler_rs_spark.operators.multimodal import resize_images
@@ -2362,9 +2374,11 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     adam7 = q_image_features_adam7(spark, sf_dir)
     mode = q_image_resize_mode(spark, sf_dir)
     u16 = q_image_features_u16(spark, sf_dir)
+    bil = q_image_resize_bilinear(spark, sf_dir)
     return _union_variants(("features", feats), ("resize", resized),
                            ("vp8", vp8), ("adam7", adam7),
-                           ("mode", mode), ("u16", u16))
+                           ("mode", mode), ("u16", u16),
+                           ("bil", bil))
 
 
 _HEAT_Z, _HEAT_ZMIN, _HEAT_N = 6, 4, 40000
@@ -3666,6 +3680,69 @@ def _image_resize_mode_oracle_sql(n: int = 24, target: int = 32) -> str:
     """
 
 
+def _image_resize_bilinear_oracle_sql(n: int = 24, target: int = 32) -> str:
+    """Twin of q_image_resize_bilinear: the fixed-point 4-corner blend
+    restated — M = (2i+1)·src + dst keeps the floor-division operand
+    positive (DuckDB // truncates toward zero; numpy floors; positive
+    operands agree), x0 = M//(2·dst) − 1, fraction = M % (2·dst),
+    indices clamp, any-corner-nodata ⇒ nodata, else round-half-up over
+    (2·dst)² — then the shared stats over the blended values."""
+    d2 = 2 * target
+    den = d2 * d2
+
+    def val(r, c):
+        return "(" + _PIXEL_VALUE_CASE.format(r=r, c=c) + ")"
+
+    return f"""
+        WITH img({_IMG_COLS}) AS (VALUES
+              {_image_consts_values(n)}),
+        co AS (
+          SELECT i, ti, tj, ph, all_nd, hr0, hr1, hc0, hc1, h, w,
+                 ((2 * ti + 1) * h + {target}) // {d2} - 1 AS y0,
+                 ((2 * ti + 1) * h + {target}) % {d2} AS fr,
+                 ((2 * tj + 1) * w + {target}) // {d2} - 1 AS x0,
+                 ((2 * tj + 1) * w + {target}) % {d2} AS fc
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, {target} - 1))) tr(ti),
+               LATERAL (SELECT UNNEST(generate_series(0, {target} - 1))) tc(tj)),
+        ix AS (
+          SELECT i, ti, tj, ph, all_nd, hr0, hr1, hc0, hc1, fr, fc,
+                 GREATEST(0, LEAST(y0, h - 1)) AS r0,
+                 GREATEST(0, LEAST(y0 + 1, h - 1)) AS r1,
+                 GREATEST(0, LEAST(x0, w - 1)) AS c0,
+                 GREATEST(0, LEAST(x0 + 1, w - 1)) AS c1
+          FROM co),
+        four AS (
+          SELECT i, ti, tj, fr, fc,
+                 {val("r0", "c0")} AS v00, {val("r0", "c1")} AS v01,
+                 {val("r1", "c0")} AS v10, {val("r1", "c1")} AS v11
+          FROM ix),
+        resized AS (
+          SELECT i, ti, tj,
+                 CASE WHEN v00 = 0 OR v01 = 0 OR v10 = 0 OR v11 = 0
+                      THEN 0
+                      ELSE (v00 * ({d2} - fr) * ({d2} - fc)
+                            + v01 * ({d2} - fr) * fc
+                            + v10 * fr * ({d2} - fc)
+                            + v11 * fr * fc + {den // 2}) // {den}
+                 END AS v
+          FROM four),
+        agg AS (
+          SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+                 CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_data,
+                 CAST(SUM(v) AS BIGINT) AS vsum,
+                 COALESCE(CAST(MIN(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmin,
+                 COALESCE(CAST(MAX(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmax,
+                 CAST(SUM(v * (ti * {target} + tj)) AS BIGINT) AS pos_sum
+          FROM resized GROUP BY i)
+        SELECT image_id, CAST({target * target} AS BIGINT) AS n_pixels,
+               n_data, vmin, vmax, vsum,
+               CASE WHEN n_data = 0 THEN 0 ELSE vsum * 100 // n_data END AS mean_x100,
+               pos_sum
+        FROM agg
+    """
+
+
 def _pixel_canvas_ctes(zmin: int, zmax: int, dtype_tag: str) -> str:
     """The shared kernel-twin CTE chain, ending at `canvas(zoom, x, y,
     py, pxc, cv)` — the mosaicked per-tile pixel values for every tile
@@ -4444,7 +4521,8 @@ def oracle_sql() -> dict[str, str]:
             ("vp8", _image_features_vp8_oracle_sql()),
             ("adam7", _image_features_oracle_sql(24, "adm")),
             ("mode", _image_resize_mode_oracle_sql()),
-            ("u16", _image_features_u16_oracle_sql())),
+            ("u16", _image_features_u16_oracle_sql()),
+            ("bil", _image_resize_bilinear_oracle_sql())),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),

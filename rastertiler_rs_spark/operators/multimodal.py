@@ -182,18 +182,55 @@ def _mode_resample(band: np.ndarray, target: int, nodata: int) -> np.ndarray:
     return out.reshape(target, target)
 
 
+def _bilinear_resample(band: np.ndarray, target: int,
+                       nodata: int) -> np.ndarray:
+    """Exact fixed-point bilinear: the source coordinate of dst index
+    i is (i+0.5)·src/dst − 0.5 = N/(2·dst) with N = (2i+1)·src − dst,
+    so corner weights are integers over denominator (2·dst)² and the
+    blend is a single round-half-up integer division — bit-identical
+    across engines (the DuckDB twin restates the same arithmetic).
+    Indices clamp (edge replication); if ANY of the 4 source corners
+    is nodata the output pixel is nodata (strict propagation — a
+    half-blended nodata value is meaningless)."""
+    h, w = band.shape
+    b = band.astype(np.int64)
+    d2 = 2 * target
+
+    def axis(s: int):
+        n = (2 * np.arange(target, dtype=np.int64) + 1) * s - target
+        x0 = np.floor_divide(n, d2)
+        f = n - x0 * d2                       # in [0, 2·dst)
+        return (np.clip(x0, 0, s - 1), np.clip(x0 + 1, 0, s - 1), f)
+
+    r0, r1, fr = axis(h)
+    c0, c1, fc = axis(w)
+    wr1, wc1 = fr[:, None], fc[None, :]
+    wr0, wc0 = d2 - wr1, d2 - wc1
+    p00, p01 = b[r0][:, c0], b[r0][:, c1]
+    p10, p11 = b[r1][:, c0], b[r1][:, c1]
+    num = p00 * wr0 * wc0 + p01 * wr0 * wc1 \
+        + p10 * wr1 * wc0 + p11 * wr1 * wc1
+    den = d2 * d2
+    out = (num + den // 2) // den
+    any_nd = ((p00 == nodata) | (p01 == nodata)
+              | (p10 == nodata) | (p11 == nodata))
+    return np.where(any_nd, nodata, out).astype(band.dtype)
+
+
 def resize_images(images: DataFrame, target: int,
                   fake_codecs: bool = False,
                   method: str = "nearest") -> DataFrame:
     """Resize to target x target: (image_id, bytes). ``method``
     'nearest' is the kernel's K2 index rule (idx = floor((i+0.5)*
     src/dst), clamped); 'mode' is the majority rule for categorical
-    rasters (see _mode_resample — downsampling only). Real decode for
+    rasters (see _mode_resample — downsampling only); 'bilinear' is
+    the exact fixed-point 4-corner blend (see _bilinear_resample —
+    strict nodata propagation). Real decode for
     png;u8, jpeg, gif, and webp (both VP8L lossless and the VP8
     keyframe family — from-spec codecs); ``fake_codecs`` keeps the
     legacy deterministic-fake webp path for plumbing tests that feed
     arbitrary bytes."""
-    if method not in ("nearest", "mode"):
+    if method not in ("nearest", "mode", "bilinear"):
         raise ValueError(f"unknown resize method {method!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -211,6 +248,8 @@ def resize_images(images: DataFrame, target: int,
                 h, w = band.shape
                 if method == "mode":
                     resized = _mode_resample(band, target, NODATA)
+                elif method == "bilinear":
+                    resized = _bilinear_resample(band, target, NODATA)
                 else:
                     rows_i = ((np.arange(target) + 0.5) * h / target).astype(np.int64)
                     cols_i = ((np.arange(target) + 0.5) * w / target).astype(np.int64)

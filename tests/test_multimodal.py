@@ -245,3 +245,49 @@ def test_mode_resample_matches_bruteforce_and_tiebreak():
 
     with pytest.raises(ValueError, match="downsampling"):
         _mode_resample(band, 4, 0)
+
+
+def test_bilinear_resample_matches_bruteforce():
+    """_bilinear_resample == per-pixel fraction-exact float brute force
+    (denominators are powers of two times small ints — exact in
+    float), incl. strict nodata propagation, up- AND downsampling,
+    and edge replication."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from rastertiler_rs_spark.operators.multimodal import \
+        _bilinear_resample
+
+    rng = np.random.default_rng(33)
+    for h, w, t in [(64, 48, 32), (20, 20, 32), (7, 9, 5), (3, 3, 8)]:
+        band = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        band[rng.random((h, w)) < 0.1] = 0          # nodata holes
+        got = _bilinear_resample(band, t, 0)
+        want = np.zeros((t, t), np.uint8)
+        for i in range(t):
+            for j in range(t):
+                y = Fraction(2 * i + 1, 2) * Fraction(h, t) - Fraction(1, 2)
+                x = Fraction(2 * j + 1, 2) * Fraction(w, t) - Fraction(1, 2)
+                y0, x0 = y.__floor__(), x.__floor__()
+                fy, fx = y - y0, x - x0
+                rr0 = min(max(y0, 0), h - 1)
+                rr1 = min(max(y0 + 1, 0), h - 1)
+                cc0 = min(max(x0, 0), w - 1)
+                cc1 = min(max(x0 + 1, 0), w - 1)
+                corners = [int(band[rr0, cc0]), int(band[rr0, cc1]),
+                           int(band[rr1, cc0]), int(band[rr1, cc1])]
+                if 0 in corners:
+                    continue
+                v = (corners[0] * (1 - fy) * (1 - fx)
+                     + corners[1] * (1 - fy) * fx
+                     + corners[2] * fy * (1 - fx)
+                     + corners[3] * fy * fx)
+                want[i, j] = int((v + Fraction(1, 2)).__floor__())  # half-up
+        assert np.array_equal(got, want), (h, w, t)
+    # constant band is invariant at any scale (weights sum to 1)
+    const = np.full((13, 17), 200, np.uint8)
+    assert (_bilinear_resample(const, 32, 0) == 200).all()
+    # 1:1 is the identity (fraction lands exactly on pixel centers)
+    sq = rng.integers(1, 256, (16, 16)).astype(np.uint8)
+    assert np.array_equal(_bilinear_resample(sq, 16, 0), sq)

@@ -803,9 +803,21 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      tile_halo_sobel)
 
     tiles = spark.read.parquet(tiled_canvas_parquet(1024, 768, 128, 5))
+    # algebra = two-raster map algebra (operators/algebra.py): seed-5
+    # mean-combined with the seed-13 canvas (different ph + hole rect),
+    # one tile-key equi-join + one python stage; either-side nodata
+    # propagates. Reuses the union's stats schema (sum_g2/max_g2 carry
+    # the combined-value sum/max for this leg).
+    from rastertiler_rs_spark.operators.algebra import raster_algebra_stats
+
+    other = spark.read.parquet(tiled_canvas_parquet(1024, 768, 128, 13))
+    alg = raster_algebra_stats(tiles, other, 128, op="mean").select(
+        "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
+        F.col("vmax").alias("max_g2"))
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
-        ("sobel", tile_halo_sobel(tiles, 128)))
+        ("sobel", tile_halo_sobel(tiles, 128)),
+        ("algebra", alg))
 
 
 def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3158,6 +3170,43 @@ def _halo_gradient_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _raster_algebra_oracle_sql(w: int = 1024, h: int = 768,
+                               ts: int = 128, seed_a: int = 5,
+                               seed_b: int = 13) -> str:
+    """Twin of the `algebra` leg of tile_halo: both canvas formulas
+    restated, mean = (a+b+1)//2 (operands nonneg — DuckDB truncation
+    == floor), either-side-zero ⇒ zero, grouped by owning tile over
+    nonzero outputs."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    def vcase(seed):
+        ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+        if all_nd:
+            return "0"
+        return (f"(CASE WHEN r >= {hr0} AND r < {hr1} AND c >= {hc0} "
+                f"AND c < {hc1} THEN 0 "
+                f"ELSE (r * 31 + c * 17 + {ph}) % 255 + 1 END)")
+
+    return f"""
+        WITH px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 {vcase(seed_a)} AS va,
+                 {vcase(seed_b)} AS vb
+          FROM (SELECT UNNEST(generate_series(0, {h - 1})) AS r) rs,
+               (SELECT UNNEST(generate_series(0, {w - 1})) AS c) cs),
+        comb AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty,
+                 CASE WHEN va = 0 OR vb = 0 THEN 0
+                      ELSE (va + vb + 1) // 2 END AS v
+          FROM px)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(v) AS BIGINT) AS sum_g2,
+               CAST(MAX(v) AS BIGINT) AS max_g2
+        FROM comb WHERE v <> 0 GROUP BY tx, ty
+    """
+
+
 def _raster_regions_oracle_sql(w: int = 256, h: int = 192,
                                seed: int = 5) -> str:
     """Independent region labeling in SQL: derive row runs from the
@@ -4849,7 +4898,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_gradient": _raster_gradient_oracle_sql(),
         "tile_halo": _variant_union_sql(
             ("grad", _halo_gradient_oracle_sql()),
-            ("sobel", _halo_sobel_oracle_sql())),
+            ("sobel", _halo_sobel_oracle_sql()),
+            ("algebra", _raster_algebra_oracle_sql())),
         "raster_regions": _raster_regions_oracle_sql(),
         "zonal_stats": _variant_union_sql(
             ("u8", _zonal_stats_oracle_sql()),

@@ -1,0 +1,72 @@
+"""Two-raster map algebra (operators/algebra.py): tile-join combine
+must equal the unpartitioned numpy rule for every op, with strict
+nodata propagation and inner-join tile domain."""
+
+import numpy as np
+import pytest
+
+from rastertiler_rs_spark.operators.algebra import (raster_algebra,
+                                                    raster_algebra_stats)
+from rastertiler_rs_spark.png import decode_band, encode_grayscale8
+
+
+def tiles_df(spark, band, ts, drop=()):
+    h, w = band.shape
+    rows = []
+    for ty in range(h // ts):
+        for tx in range(w // ts):
+            if (tx, ty) in drop:
+                continue
+            rows.append((tx, ty, bytearray(encode_grayscale8(
+                band[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts], 0))))
+    return spark.createDataFrame(rows, "tx long, ty long, png binary")
+
+
+def numpy_combine(a, b, op):
+    ia, ib = a.astype(np.int64), b.astype(np.int64)
+    c = {"mean": (ia + ib + 1) // 2, "absdiff": np.abs(ia - ib),
+         "min": np.minimum(ia, ib), "max": np.maximum(ia, ib)}[op]
+    return np.where((a == 0) | (b == 0), 0, c).astype(np.uint8)
+
+
+@pytest.mark.parametrize("op", ["mean", "absdiff", "min", "max"])
+def test_ops_match_numpy(spark, op):
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    b = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    got = raster_algebra(tiles_df(spark, a, 32),
+                         tiles_df(spark, b, 32), 32, op=op).collect()
+    want = numpy_combine(a, b, op)
+    assert len(got) == 6
+    for r in got:
+        tile = decode_band(bytes(r.png), "png;u8")
+        assert np.array_equal(
+            tile, want[r.ty * 32:(r.ty + 1) * 32,
+                       r.tx * 32:(r.tx + 1) * 32]), (r.tx, r.ty, op)
+
+
+def test_inner_join_domain_and_stats(spark):
+    rng = np.random.default_rng(8)
+    a = rng.integers(1, 256, (64, 64)).astype(np.uint8)
+    b = rng.integers(1, 256, (64, 64)).astype(np.uint8)
+    # tile (1, 0) missing on the b side → dropped from the result
+    out = raster_algebra_stats(tiles_df(spark, a, 32),
+                               tiles_df(spark, b, 32, drop={(1, 0)}),
+                               32).collect()
+    keys = {(r.tx, r.ty) for r in out}
+    assert keys == {(0, 0), (0, 1), (1, 1)}
+    want = numpy_combine(a, b, "mean")
+    for r in out:
+        w = want[r.ty * 32:(r.ty + 1) * 32, r.tx * 32:(r.tx + 1) * 32]
+        vals = w[w != 0].astype(np.int64)
+        assert (r.n_valid, r.vsum, r.vmax) == \
+            (vals.size, int(vals.sum()), int(vals.max()))
+
+
+def test_validation(spark):
+    a = tiles_df(spark, np.ones((32, 32), np.uint8), 32)
+    with pytest.raises(ValueError, match="unknown op"):
+        raster_algebra(a, a, 32, op="xor")
+    bad = tiles_df(spark, np.ones((16, 16), np.uint8), 16)
+    with pytest.raises(Exception, match="expected"):
+        raster_algebra(a, bad, 32).collect()

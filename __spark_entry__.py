@@ -2294,12 +2294,31 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("video_id").alias("media_id"),
         F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
         F.col("n_frames").alias("n_units"), "duration_ms", "codec")
+    # resamp = fixed-point linear sample-rate conversion to 12 kHz
+    # (multimodal.audio_resample_stats — the audio counterpart of the
+    # bilinear rule, unsigned-domain blend so both engines' integer
+    # division agrees); twin restates decode + the (j·rate)//out
+    # position rule + the round-half-up blend from the sample formula
+    from rastertiler_rs_spark.fixtures import audio_parquet
+    from rastertiler_rs_spark.operators.multimodal import \
+        audio_resample_stats
+
+    wavs = spark.read.parquet(audio_parquet(12))
+    resamp = audio_resample_stats(wavs, 12000).select(
+        F.lit("resamp").alias("variant"),
+        F.concat(F.col("audio_id"), F.lit("/"),
+                 F.col("channel").cast("string")).alias("media_id"),
+        F.col("peak_u").alias("dim_a"), F.col("pos_sum").alias("dim_b"),
+        F.col("n_out").alias("n_units"),
+        F.col("sum_u").alias("duration_ms"),
+        F.lit("resamp").alias("codec"))
     return (video.unionByName(mp3).unionByName(frames)
             .unionByName(aviprobe).unionByName(aviframes)
             .unionByName(l3spec).unionByName(gifprobe)
             .unionByName(webmprobe).unionByName(webmframes)
             .unionByName(wanprobe).unionByName(flacfeat)
-            .unionByName(oggfeat).unionByName(apngprobe))
+            .unionByName(oggfeat).unionByName(apngprobe)
+            .unionByName(resamp))
 
 
 def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4301,6 +4320,43 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT),
                    'apng'
             FROM (SELECT UNNEST(generate_series(0, 23)) AS i) apc
+            UNION ALL
+            SELECT 'resamp',
+                   'aud' || lpad(CAST(i AS VARCHAR), 8, '0')
+                         || '/' || CAST(c AS VARCHAR),
+                   CAST(MAX(u) AS BIGINT),
+                   CAST(SUM(u * (j + 1)) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(u) AS BIGINT),
+                   'resamp'
+            FROM (
+              SELECT i, c, j,
+                     (u0 * (12000 - f) + u1 * f + 6000) // 12000 AS u
+              FROM (
+                SELECT i, c, j, f,
+                       (i * 7919 + (x0 * ch + c) * 2654435761) % 65536 AS u0,
+                       (i * 7919
+                        + (LEAST(x0 + 1, nf - 1) * ch + c) * 2654435761)
+                       % 65536 AS u1
+                FROM (
+                  SELECT i, ch, nf, c, j,
+                         (j * rate) // 12000 AS x0,
+                         (j * rate) % 12000 AS f
+                  FROM (
+                    SELECT i, rate, ch, nf, cs.c AS c, js.j AS j
+                    FROM (
+                      SELECT i, 8000 * (1 + i % 3) AS rate,
+                             1 + (i % 2) AS ch,
+                             512 + (i * 193) % 1024 AS nf
+                      FROM (SELECT UNNEST(generate_series(0, 11)) AS i) rc
+                    ) rp,
+                    LATERAL (SELECT UNNEST(generate_series(0, rp.ch - 1))) cs(c),
+                    LATERAL (SELECT UNNEST(generate_series(
+                        0, (rp.nf * 12000) // rp.rate - 1))) js(j)
+                  ) rj
+                ) rx
+              ) ru
+            ) rs GROUP BY i, c
         """,
         # decoded MJPEG pixel stats in closed form, BOTH containers:
         # mp4 frames are solid v = (17i + 29f + 23) % 256, avi frames

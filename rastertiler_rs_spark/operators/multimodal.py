@@ -348,6 +348,74 @@ def parse_wav(data: bytes) -> dict:
             "samples": np.frombuffer(pcm, dtype=np.int16)}
 
 
+def audio_resample_stats(audio: DataFrame, out_rate: int) -> DataFrame:
+    """Linear sample-rate conversion in EXACT fixed-point integer
+    arithmetic — the 1D counterpart of the bilinear image rule, per
+    channel: output index j samples source position j·rate/out_rate =
+    (j·rate) // out_rate with fraction f = (j·rate) % out_rate, so the
+    blend is (u0·(out−f) + u1·f + out//2) // out — one round-half-up
+    division, no floats. Arithmetic runs in the UNSIGNED domain
+    (u = s + 32768 ∈ [0, 65535]) so every division operand is
+    non-negative: numpy floors, DuckDB truncates, and they agree only
+    there (the bilinear twin's same trick). n_out = (n·out_rate) //
+    rate per channel; the last source index clamps (edge hold).
+
+    Returns one row per (clip, channel): n_out, peak_u, sum_u and a
+    position-weighted checksum over the resampled unsigned stream —
+    the DuckDB twin (`resamp` leg of media_probe) restates the whole
+    chain from the fixture's sample formula. Real decode for WAV,
+    FLAC, and Ogg-FLAC via the engine's own codecs."""
+    out = int(out_rate)
+    if out <= 0:
+        raise ValueError("out_rate must be positive")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = {"audio_id": [], "channel": [], "n_out": [],
+                   "peak_u": [], "sum_u": [], "pos_sum": []}
+            for row in pdf.itertuples(index=False):
+                fmt = str(row.fmt)
+                if fmt.startswith("wav"):
+                    d = parse_wav(bytes(row.bytes))
+                elif fmt.startswith(("flac", "ogg")):
+                    from ..media.flac import decode_flac
+                    from ..media.ogg import decode_ogg_flac
+
+                    dec = (decode_flac if fmt.startswith("flac")
+                           else decode_ogg_flac)
+                    f = dec(bytes(row.bytes))
+                    d = {"sample_rate": f["sample_rate"],
+                         "channels": f["channels"],
+                         "samples": np.asarray(f["samples"]).reshape(-1)}
+                else:
+                    raise NotImplementedError(
+                        f"codec for {row.fmt!r} not available")
+                rate, ch = int(d["sample_rate"]), int(d["channels"])
+                inter = d["samples"].astype(np.int64) + 32768
+                n_in = inter.size // ch
+                n_out = (n_in * out) // rate
+                for c in range(ch):
+                    u = inter[c::ch]
+                    j = np.arange(n_out, dtype=np.int64)
+                    num = j * rate
+                    x0 = num // out
+                    f_ = num - x0 * out
+                    x1 = np.minimum(x0 + 1, n_in - 1)
+                    v = (u[x0] * (out - f_) + u[x1] * f_
+                         + out // 2) // out
+                    res["audio_id"].append(row.audio_id)
+                    res["channel"].append(c)
+                    res["n_out"].append(int(n_out))
+                    res["peak_u"].append(int(v.max()) if n_out else 0)
+                    res["sum_u"].append(int(v.sum()))
+                    res["pos_sum"].append(int((v * (j + 1)).sum()))
+            yield pd.DataFrame(res)
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn, "audio_id string, channel int, n_out long, peak_u long, "
+            "sum_u long, pos_sum long")
+
+
 def audio_features(audio: DataFrame, fake_codecs: bool = False) -> DataFrame:
     """Feature extraction for the audio modality: integer per-clip
     statistics — (audio_id, sample_rate, channels, n_samples,

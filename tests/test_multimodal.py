@@ -291,3 +291,43 @@ def test_bilinear_resample_matches_bruteforce():
     # 1:1 is the identity (fraction lands exactly on pixel centers)
     sq = rng.integers(1, 256, (16, 16)).astype(np.uint8)
     assert np.array_equal(_bilinear_resample(sq, 16, 0), sq)
+
+
+def test_audio_resample_matches_bruteforce(spark):
+    """audio_resample_stats == Fraction-exact per-sample brute force
+    over the WAV fixture (up- and downsampling, both channel counts),
+    and FLAC clips resample identically to their PCM content."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from rastertiler_rs_spark.fixtures import (audio_params,
+                                               audio_parquet,
+                                               audio_samples)
+    from rastertiler_rs_spark.operators.multimodal import \
+        audio_resample_stats
+
+    out_rate = 12000
+    wavs = spark.read.parquet(audio_parquet(8))
+    got = {(r.audio_id, r.channel): r
+           for r in audio_resample_stats(wavs, out_rate).collect()}
+    for i in range(8):
+        rate, ch, nf = audio_params(i)
+        inter = audio_samples(i).astype(np.int64) + 32768
+        n_out = (nf * out_rate) // rate
+        for c in range(ch):
+            u = inter[c::ch]
+            want = []
+            for j in range(n_out):
+                pos = Fraction(j * rate, out_rate)
+                x0 = pos.__floor__()
+                f = pos - x0
+                x1 = min(x0 + 1, nf - 1)
+                v = u[x0] * (1 - f) + u[x1] * f
+                want.append(int((v + Fraction(1, 2)).__floor__()))
+            w = np.array(want, dtype=np.int64)
+            r = got[(f"aud{i:08d}", c)]
+            assert r.n_out == n_out
+            assert r.peak_u == int(w.max())
+            assert r.sum_u == int(w.sum())
+            assert r.pos_sum == int((w * (np.arange(n_out) + 1)).sum())

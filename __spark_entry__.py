@@ -814,10 +814,22 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     alg = raster_algebra_stats(tiles, other, 128, op="mean").select(
         "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
         F.col("vmax").alias("max_g2"))
+    # iso = distributed marching squares (operators/isolines.py):
+    # segment count / endpoint-coordinate sum / orientation-sensitive
+    # cross-product sum per tile; cells straddling borders are built
+    # from shipped strips, so halo routing is on the hook. The twin
+    # restates the full 16-case table + fixed-point interpolation.
+    from rastertiler_rs_spark.operators.isolines import isoline_stats
+
+    iso = isoline_stats(tiles, 128, 128).select(
+        "tx", "ty", F.col("n_seg").alias("n_valid"),
+        F.col("coord_sum").alias("sum_g2"),
+        F.col("cross_sum").alias("max_g2"))
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
         ("sobel", tile_halo_sobel(tiles, 128)),
-        ("algebra", alg))
+        ("algebra", alg),
+        ("iso", iso))
 
 
 def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3226,6 +3238,114 @@ def _raster_algebra_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _isolines_oracle_sql(w: int = 1024, h: int = 768, ts: int = 128,
+                         seed: int = 5, thr: int = 128) -> str:
+    """Twin of the `iso` leg of tile_halo: marching squares restated
+    over the unpartitioned canvas formula — per cell the corner
+    classification, the fixed-point edge interpolation (quotients are
+    ≥0, where DuckDB's truncation == numpy's floor), the 16-case
+    topology with the center-rule saddle split, and the per-segment
+    (from → to) orientation, reduced to the same three per-tile sums.
+    The table below is an independent transcription of the published
+    marching-squares cases; a slip on either side flips the hash."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+    S = 256
+
+    def v(r, c):
+        return (f"(CASE WHEN {r} >= {hr0} AND {r} < {hr1} "
+                f"AND {c} >= {hc0} AND {c} < {hc1} THEN 0 "
+                f"ELSE ({r} * 31 + {c} * 17 + {ph}) % 255 + 1 END)")
+
+    # independent restatement of the case table (idx = a8 b4 c2 d1;
+    # region-on-left orientation; saddles keyed by the center rule)
+    cases = {
+        8: [("l", "t")], 7: [("t", "l")],
+        4: [("t", "r")], 11: [("r", "t")],
+        2: [("r", "b")], 13: [("b", "r")],
+        1: [("b", "l")], 14: [("l", "b")],
+        12: [("l", "r")], 3: [("r", "l")],
+        6: [("t", "b")], 9: [("b", "t")],
+    }
+    saddle_lo = {10: [("l", "t"), ("r", "b")],
+                 5: [("t", "r"), ("b", "l")]}
+    saddle_hi = {10: [("l", "b"), ("r", "t")],
+                 5: [("t", "l"), ("b", "r")]}
+    X = {"t": "xt", "r": "xr", "b": "xb", "l": "xl"}
+    Y = {"t": "yt", "r": "yr", "b": "yb", "l": "yl"}
+
+    def sums(segs):
+        coord = " + ".join(f"({X[a]} + {X[b]} + 3 * ({Y[a]} + {Y[b]}))"
+                           for a, b in segs)
+        cross = " + ".join(f"({X[a]} * {Y[b]} - {X[b]} * {Y[a]})"
+                           for a, b in segs)
+        return len(segs), coord, cross
+
+    n_when, co_when, cr_when = [], [], []
+    for idx, segs in cases.items():
+        n, co, cr = sums(segs)
+        n_when.append(f"WHEN idx = {idx} THEN {n}")
+        co_when.append(f"WHEN idx = {idx} THEN {co}")
+        cr_when.append(f"WHEN idx = {idx} THEN {cr}")
+    for table, cond in ((saddle_lo, "NOT hi"), (saddle_hi, "hi")):
+        for idx, segs in table.items():
+            n, co, cr = sums(segs)
+            n_when.append(f"WHEN idx = {idx} AND {cond} THEN {n}")
+            co_when.append(f"WHEN idx = {idx} AND {cond} THEN {co}")
+            cr_when.append(f"WHEN idx = {idx} AND {cond} THEN {cr}")
+    if all_nd:
+        return ("SELECT CAST(0 AS BIGINT) AS tx, CAST(0 AS BIGINT) AS ty,"
+                " CAST(0 AS BIGINT) AS n_valid, CAST(0 AS BIGINT) AS"
+                " sum_g2, CAST(0 AS BIGINT) AS max_g2 WHERE FALSE")
+    return f"""
+        WITH corners AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 {v("rs.r", "cs.c")} AS va,
+                 {v("rs.r", "(cs.c + 1)")} AS vb,
+                 {v("(rs.r + 1)", "(cs.c + 1)")} AS vc,
+                 {v("(rs.r + 1)", "cs.c")} AS vd
+          FROM (SELECT UNNEST(generate_series(0, {h - 2})) AS r) rs,
+               (SELECT UNNEST(generate_series(0, {w - 2})) AS c) cs),
+        cells AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty,
+                 (CASE WHEN va >= {thr} THEN 8 ELSE 0 END
+                  + CASE WHEN vb >= {thr} THEN 4 ELSE 0 END
+                  + CASE WHEN vc >= {thr} THEN 2 ELSE 0 END
+                  + CASE WHEN vd >= {thr} THEN 1 ELSE 0 END) AS idx,
+                 (va + vb + vc + vd) >= {4 * thr} AS hi,
+                 c * {S} + CASE WHEN vb = va THEN 0
+                   ELSE (({thr} - va) * {S}) // (vb - va) END AS xt,
+                 r * {S} AS yt,
+                 (c + 1) * {S} AS xr,
+                 r * {S} + CASE WHEN vc = vb THEN 0
+                   ELSE (({thr} - vb) * {S}) // (vc - vb) END AS yr,
+                 c * {S} + CASE WHEN vc = vd THEN 0
+                   ELSE (({thr} - vd) * {S}) // (vc - vd) END AS xb,
+                 (r + 1) * {S} AS yb,
+                 c * {S} AS xl,
+                 r * {S} + CASE WHEN vd = va THEN 0
+                   ELSE (({thr} - va) * {S}) // (vd - va) END AS yl
+          FROM corners
+          WHERE va <> 0 AND vb <> 0 AND vc <> 0 AND vd <> 0
+            AND NOT (va >= {thr} AND vb >= {thr} AND vc >= {thr}
+                     AND vd >= {thr})
+            AND NOT (va < {thr} AND vb < {thr} AND vc < {thr}
+                     AND vd < {thr})),
+        per_cell AS (
+          SELECT tx, ty,
+                 CASE {' '.join(n_when)} END AS n,
+                 CASE {' '.join(co_when)} END AS co,
+                 CASE {' '.join(cr_when)} END AS cr
+          FROM cells)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               CAST(SUM(n) AS BIGINT) AS n_valid,
+               CAST(SUM(co) AS BIGINT) AS sum_g2,
+               CAST(SUM(cr) AS BIGINT) AS max_g2
+        FROM per_cell GROUP BY tx, ty
+    """
+
+
 def _raster_regions_oracle_sql(w: int = 256, h: int = 192,
                                seed: int = 5) -> str:
     """Independent region labeling in SQL: derive row runs from the
@@ -4955,7 +5075,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_halo": _variant_union_sql(
             ("grad", _halo_gradient_oracle_sql()),
             ("sobel", _halo_sobel_oracle_sql()),
-            ("algebra", _raster_algebra_oracle_sql())),
+            ("algebra", _raster_algebra_oracle_sql()),
+            ("iso", _isolines_oracle_sql())),
         "raster_regions": _raster_regions_oracle_sql(),
         "zonal_stats": _variant_union_sql(
             ("u8", _zonal_stats_oracle_sql()),

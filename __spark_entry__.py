@@ -825,11 +825,28 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tx", "ty", F.col("n_seg").alias("n_valid"),
         F.col("coord_sum").alias("sum_g2"),
         F.col("cross_sum").alias("max_g2"))
+    # stack = temporal median composite (algebra.raster_stack_median):
+    # lower-median of the seed-5/13/0 canvases per pixel, nodata
+    # excluded per pixel — the twin restates the 3-way median as
+    # a+b+c−max−min / pairwise-min / identity by valid count
+    from rastertiler_rs_spark.operators.algebra import (
+        raster_stack_median, tile_stats)
+
+    third = spark.read.parquet(tiled_canvas_parquet(1024, 768, 128, 0))
+    stack = (tiles.select("tx", "ty", F.lit(0).alias("epoch"), "png")
+             .unionByName(other.select("tx", "ty",
+                                       F.lit(1).alias("epoch"), "png"))
+             .unionByName(third.select("tx", "ty",
+                                       F.lit(2).alias("epoch"), "png")))
+    stk = tile_stats(raster_stack_median(stack, 128)).select(
+        "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
+        F.col("vmax").alias("max_g2"))
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
         ("sobel", tile_halo_sobel(tiles, 128)),
         ("algebra", alg),
-        ("iso", iso))
+        ("iso", iso),
+        ("stack", stk))
 
 
 def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3238,6 +3255,48 @@ def _raster_algebra_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _raster_stack_oracle_sql(w: int = 1024, h: int = 768,
+                             ts: int = 128,
+                             seeds: tuple = (5, 13, 0)) -> str:
+    """Twin of the `stack` leg of tile_halo: per-pixel LOWER MEDIAN of
+    the three canvas formulas with per-pixel nodata exclusion,
+    restated scalar-wise — 3 valid → a+b+c−GREATEST−LEAST, 2 valid →
+    LEAST of the pair, 1 → identity — then the per-tile stats."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    def vcase(seed):
+        ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+        assert not all_nd
+        return (f"(CASE WHEN r >= {hr0} AND r < {hr1} AND c >= {hc0} "
+                f"AND c < {hc1} THEN 0 "
+                f"ELSE (r * 31 + c * 17 + {ph}) % 255 + 1 END)")
+
+    va, vb, vc = (vcase(s) for s in seeds)
+    return f"""
+        WITH px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 {va} AS a, {vb} AS b, {vc} AS v3
+          FROM (SELECT UNNEST(generate_series(0, {h - 1})) AS r) rs,
+               (SELECT UNNEST(generate_series(0, {w - 1})) AS c) cs),
+        med AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty,
+            CASE
+              WHEN a <> 0 AND b <> 0 AND v3 <> 0
+                THEN a + b + v3 - GREATEST(a, b, v3) - LEAST(a, b, v3)
+              WHEN a <> 0 AND b <> 0 THEN LEAST(a, b)
+              WHEN a <> 0 AND v3 <> 0 THEN LEAST(a, v3)
+              WHEN b <> 0 AND v3 <> 0 THEN LEAST(b, v3)
+              ELSE a + b + v3
+            END AS v
+          FROM px)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(v) AS BIGINT) AS sum_g2,
+               CAST(MAX(v) AS BIGINT) AS max_g2
+        FROM med WHERE v <> 0 GROUP BY tx, ty
+    """
+
+
 def _isolines_oracle_sql(w: int = 1024, h: int = 768, ts: int = 128,
                          seed: int = 5, thr: int = 128) -> str:
     """Twin of the `iso` leg of tile_halo: marching squares restated
@@ -5076,7 +5135,8 @@ def oracle_sql() -> dict[str, str]:
             ("grad", _halo_gradient_oracle_sql()),
             ("sobel", _halo_sobel_oracle_sql()),
             ("algebra", _raster_algebra_oracle_sql()),
-            ("iso", _isolines_oracle_sql())),
+            ("iso", _isolines_oracle_sql()),
+            ("stack", _raster_stack_oracle_sql())),
         "raster_regions": _raster_regions_oracle_sql(),
         "zonal_stats": _variant_union_sql(
             ("u8", _zonal_stats_oracle_sql()),

@@ -75,13 +75,51 @@ def raster_algebra(a: DataFrame, b: DataFrame, tile_size: int,
     return joined.mapInPandas(combine, "tx long, ty long, png binary")
 
 
-def raster_algebra_stats(a: DataFrame, b: DataFrame, tile_size: int,
-                         op: str = "mean", nodata: int = 0) -> DataFrame:
-    """Per-tile integer stats of the combined raster — the value-gate
-    reduction: (tx, ty, n_valid, vsum, vmax) over non-nodata output
-    pixels (tiles whose combine is all-nodata drop, mirroring the
-    halo stats contract)."""
-    combined = raster_algebra(a, b, tile_size, op=op, nodata=nodata)
+def raster_stack_median(stack: DataFrame, tile_size: int,
+                        nodata: int = 0) -> DataFrame:
+    """Temporal MEDIAN composite of a co-registered raster stack —
+    the cloud-free-mosaic primitive: given (tx, ty, epoch, png) with
+    one raster per epoch, emit per-tile PNGs where each pixel is the
+    LOWER MEDIAN of that pixel's valid (non-nodata) values across
+    epochs (even count → lower of the middle pair; all-nodata →
+    nodata). Integer-exact and order-free, so the DuckDB twin can
+    restate it scalar-wise (for 3 epochs: median = a+b+c−max−min on
+    full pixels, min on pairs, identity on singletons).
+
+    Plan: ONE groupBy on the tile key (epochs of a tile co-locate —
+    at scale the stack is written partitioned by tile, making this a
+    co-located agg), one python stage sorts the (T, ts, ts) cube
+    along the epoch axis with nodata as +∞ sentinel and gathers index
+    (cnt−1)//2 per pixel. Tile bytes cross one exchange."""
+    ts = int(tile_size)
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        bands = np.stack([decode_band(bytes(p), "png;u8")
+                          for p in pdf["png"]]).astype(np.int64)
+        if bands.shape[1:] != (ts, ts):
+            raise ValueError(
+                f"tile ({tx},{ty}) is {bands.shape[1:]}, "
+                f"expected {(ts, ts)}")
+        valid = bands != nodata
+        cnt = valid.sum(axis=0)
+        sent = np.where(valid, bands, np.int64(1 << 40))
+        sent.sort(axis=0)
+        idx = np.maximum(cnt - 1, 0) // 2
+        med = np.take_along_axis(sent, idx[None, :, :], axis=0)[0]
+        med = np.where(cnt == 0, nodata, med).astype(np.uint8)
+        return pd.DataFrame({"tx": [tx], "ty": [ty],
+                             "png": [encode_grayscale8(med, nodata)]})
+
+    return (stack.select("tx", "ty", "png")
+            .groupBy("tx", "ty")
+            .applyInPandas(fn, "tx long, ty long, png binary"))
+
+
+def tile_stats(tiles: DataFrame, nodata: int = 0) -> DataFrame:
+    """Value-gate reduction for any (tx, ty, png) table: per-tile
+    (n_valid, vsum, vmax) over non-nodata pixels; all-nodata tiles
+    drop (the halo stats contract)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,5 +137,13 @@ def raster_algebra_stats(a: DataFrame, b: DataFrame, tile_size: int,
                 out["vmax"].append(int(vals.max()))
             yield pd.DataFrame(out)
 
-    return combined.mapInPandas(
+    return tiles.mapInPandas(
         stats, "tx long, ty long, n_valid long, vsum long, vmax long")
+
+
+def raster_algebra_stats(a: DataFrame, b: DataFrame, tile_size: int,
+                         op: str = "mean", nodata: int = 0) -> DataFrame:
+    """Per-tile integer stats of the combined raster (tile_stats of
+    raster_algebra)."""
+    return tile_stats(raster_algebra(a, b, tile_size, op=op,
+                                     nodata=nodata), nodata)

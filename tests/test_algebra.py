@@ -70,3 +70,31 @@ def test_validation(spark):
     bad = tiles_df(spark, np.ones((16, 16), np.uint8), 16)
     with pytest.raises(Exception, match="expected"):
         raster_algebra(a, bad, 32).collect()
+
+
+def test_stack_median_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    epochs = [rng.integers(0, 256, (64, 64)).astype(np.uint8)
+              for _ in range(4)]          # even count → lower median
+    from pyspark.sql import functions as F
+
+    dfs = [tiles_df(spark, e, 32).withColumn("epoch", F.lit(i))
+           for i, e in enumerate(epochs)]
+    stack = dfs[0]
+    for d in dfs[1:]:
+        stack = stack.unionByName(d)
+    from rastertiler_rs_spark.operators.algebra import raster_stack_median
+
+    got = raster_stack_median(stack, 32).collect()
+    cube = np.stack(epochs).astype(np.int64)
+    want = np.zeros((64, 64), np.uint8)
+    for r in range(64):
+        for c in range(64):
+            vals = sorted(v for v in cube[:, r, c] if v != 0)
+            want[r, c] = vals[(len(vals) - 1) // 2] if vals else 0
+    assert len(got) == 4
+    for row in got:
+        tile = decode_band(bytes(row.png), "png;u8")
+        assert np.array_equal(
+            tile, want[row.ty * 32:(row.ty + 1) * 32,
+                       row.tx * 32:(row.tx + 1) * 32]), (row.tx, row.ty)

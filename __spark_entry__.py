@@ -2415,7 +2415,71 @@ def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts").cast("timestamp"))
          - F.unix_micros(F.col("start").cast("timestamp"))
          ).cast("long").alias("v"))
-    return ded.unionByName(win).unionByName(asof).unionByName(rng)
+    heat = q_stream_heatmap(spark, sf_dir)
+    return (ded.unionByName(win).unionByName(asof).unionByName(rng)
+            .unionByName(heat))
+
+
+_SHEAT_N = 12000
+
+
+def q_stream_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental heatmap under the value gate
+    (streaming/heatmap_stream.py): deterministic weighted points
+    arrive as three parquet files, drain through availableNow
+    micro-batches, and each batch folds its JVM pixel binning into
+    the versioned copy-on-write store (idempotent replay via the
+    atomic CURRENT pointer). The maintained store must equal the
+    batch binning of ALL points — the twin recomputes per-pixel
+    counts and weight sums from the point formula (the heat fixture's
+    pixel-center construction, so the float floor provably recovers
+    the index). One row per touched pixel: ekey = 'gx/gy', n = point
+    count, v = weight sum."""
+    import os
+    import shutil
+    import tempfile
+
+    from rastertiler_rs_spark.streaming.heatmap_stream import (
+        read_heatmap_store, stream_heatmap)
+    from rastertiler_rs_spark.tilemath import CE, ORIGIN
+
+    ts = _PIXEL_STATS_TS
+    n_px = (1 << _HEAT_Z) * ts
+    i = F.col("id")
+    gx = (F.when(i % 97 == 0, F.lit(n_px - 3) + (i % 7))
+          .otherwise((i * 1000003 + 12345) % 2048 - 8))
+    gy = (i * 998244353 + 54321) % 2048
+    step = CE / n_px
+    pts = spark.range(_SHEAT_N).select(
+        "id",
+        (F.lit(-ORIGIN) + (gx.cast("double") + F.lit(0.5))
+         * F.lit(step)).alias("px"),
+        (F.lit(ORIGIN) - (gy.cast("double") + F.lit(0.5))
+         * F.lit(step)).alias("py"),
+        (F.lit(1) + i % 7).cast("long").alias("w"))
+    work = tempfile.mkdtemp(prefix="stream_heat_")
+    inp, state = f"{work}/in", f"{work}/state"
+    try:
+        os.makedirs(inp, exist_ok=True)
+        for k in range(3):
+            pts.filter(F.col("id") % 3 == k).select(
+                "px", "py", "w").coalesce(1).write.mode(
+                "append").parquet(inp)
+        q = stream_heatmap(spark, inp, state, _HEAT_Z, ts, weight="w")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_heatmap did not drain within 300s — refusing "
+                "to read partial state as a result")
+        rows = read_heatmap_store(spark, state).select(
+            F.concat(F.col("gx").cast("string"), F.lit("/"),
+                     F.col("gy").cast("string")).alias("ekey"),
+            F.col("cnt").alias("n"),
+            F.col("wsum").alias("v")).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (spark.createDataFrame(rows, "ekey string, n long, v long")
+            .select(F.lit("heat").alias("variant"), "ekey", "n", "v"))
 
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4240,6 +4304,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT event_id, ts FROM events
                   WHERE event_type = 'error') e
               ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR
+            UNION ALL
+            -- heat = streaming incremental heatmap: maintained pixel
+            -- store == batch binning of all points (formula + clamp)
+            SELECT 'heat' AS variant,
+                   CAST(gx AS VARCHAR) || '/' || CAST(gy AS VARCHAR)
+                     AS ekey,
+                   COUNT(*) AS n,
+                   CAST(SUM(w) AS BIGINT) AS v
+            FROM (
+              SELECT GREATEST(0, LEAST(8191,
+                       CASE WHEN i % 97 = 0 THEN 8189 + (i % 7)
+                            ELSE (i * 1000003 + 12345) % 2048 - 8
+                       END)) AS gx,
+                     GREATEST(0, LEAST(8191,
+                       (i * 998244353 + 54321) % 2048)) AS gy,
+                     1 + i % 7 AS w
+              FROM (SELECT UNNEST(generate_series(0, 11999)) AS i) hp
+            ) hb GROUP BY gx, gy
         """,
         "star_rollup": """
             SELECT n.n_name,

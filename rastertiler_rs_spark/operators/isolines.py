@@ -192,6 +192,69 @@ def isoline_segments(tiles: DataFrame, tile_size: int, threshold: int,
                   "x2 long, y2 long"))
 
 
+def isolines_to_mvt(tiles: DataFrame, tile_size: int, threshold: int,
+                    nodata: int = 0, layer: str = "contours") -> DataFrame:
+    """Contours as MVT vector tiles: chain each tile's segments into
+    maximal polylines (every crossing has ≤1 incoming and ≤1 outgoing
+    segment within a tile, so chains are unambiguous walks; loops
+    close where the walk returns to its start) and encode one
+    LINESTRING feature per chain at extent = tile_size·SCALE, so
+    coordinates stay exact integers end to end (decode-back ==
+    isoline_segments, pinned in tests). Chains are deterministic:
+    open chains start at in-degree-0 points, loops at their minimal
+    point, features ordered by first vertex."""
+    ts = int(tile_size)
+    extent = ts * SCALE
+    segs = isoline_segments(tiles, tile_size, threshold, nodata)
+
+    def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..mvt import encode_mvt
+
+        tx, ty = int(key[0]), int(key[1])
+        ox, oy = tx * extent, ty * extent
+        # multigraph: a crossing that lands exactly on a cell corner
+        # (t = 0 or SCALE) can coincide with another edge's crossing,
+        # so a point may carry several in/out segments
+        outs: dict = {}
+        indeg: dict = {}
+        for r in pdf.itertuples(index=False):
+            a = (int(r.x1) - ox, int(r.y1) - oy)
+            b = (int(r.x2) - ox, int(r.y2) - oy)
+            outs.setdefault(a, []).append(b)
+            indeg[b] = indeg.get(b, 0) + 1
+        for lst in outs.values():
+            lst.sort(reverse=True)         # pop() takes the smallest
+        chains = []
+
+        def walk(start):
+            pts = [start]
+            p = start
+            while outs.get(p):
+                p = outs[p].pop()
+                pts.append(p)
+                if p == start:
+                    break
+            return pts
+
+        for s in sorted(outs):
+            excess = len(outs[s]) - indeg.get(s, 0)
+            for _ in range(max(0, excess)):
+                chains.append(walk(s))     # open chains
+        for s in sorted(outs):
+            while outs[s]:
+                chains.append(walk(s))     # residual closed loops
+        chains.sort(key=lambda c: (c[0], len(c)))
+        features = [(fid, 2, [pts], {}) for fid, pts in
+                    enumerate(chains, start=1)]
+        blob = encode_mvt([(layer, extent, features)])
+        return pd.DataFrame({"tx": [tx], "ty": [ty],
+                             "n_features": [len(features)],
+                             "mvt": [blob]})
+
+    return segs.groupBy("tx", "ty").applyInPandas(
+        encode, "tx long, ty long, n_features int, mvt binary")
+
+
 def isoline_stats(tiles: DataFrame, tile_size: int, threshold: int,
                   nodata: int = 0) -> DataFrame:
     """Value-gate reduction: per tile, the segment count, the

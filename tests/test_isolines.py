@@ -114,3 +114,45 @@ def test_stats_reduce(spark):
                   xs + s.x1 * s.y2 - s.x2 * s.y1)
     assert {k: (v.n_seg, v.coord_sum, v.cross_sum)
             for k, v in stats.items()} == agg
+
+
+def test_mvt_roundtrip_and_chaining(spark):
+    from rastertiler_rs_spark.mvt import decode_mvt
+    from rastertiler_rs_spark.operators.isolines import isolines_to_mvt
+
+    rng = np.random.default_rng(17)
+    band = rng.integers(1, 256, (32, 48)).astype(np.uint8)
+    df = tiles_df(spark, band, 16)
+    want = {}
+    for s in isoline_segments(df, 16, 128).collect():
+        want.setdefault((s.tx, s.ty), set()).add(
+            (s.x1, s.y1, s.x2, s.y2))
+    tiles = isolines_to_mvt(df, 16, 128).collect()
+    assert {(t.tx, t.ty) for t in tiles} == set(want)
+    ext = 16 * SCALE
+    for t in tiles:
+        layer = decode_mvt(bytes(t.mvt))[0]
+        assert layer["extent"] == ext
+        got = set()
+        for f in layer["features"]:
+            pts: list = []
+            for op, ps in f["geometry"]:
+                pts = list(ps) if op == "MoveTo" else pts + list(ps)
+            ox, oy = t.tx * ext, t.ty * ext
+            for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+                got.add((ax + ox, ay + oy, bx + ox, by + oy))
+        assert got == want[(t.tx, t.ty)], (t.tx, t.ty)
+
+
+def test_mvt_closed_loop_single_feature(spark):
+    from rastertiler_rs_spark.mvt import decode_mvt
+    from rastertiler_rs_spark.operators.isolines import isolines_to_mvt
+
+    band = blob(16, 16, 8, 8, 4)          # disc inside one tile
+    tiles = isolines_to_mvt(tiles_df(spark, band, 16), 16, 128).collect()
+    assert len(tiles) == 1 and tiles[0].n_features == 1
+    layer = decode_mvt(bytes(tiles[0].mvt))[0]
+    pts: list = []
+    for op, ps in layer["features"][0]["geometry"]:
+        pts = list(ps) if op == "MoveTo" else pts + list(ps)
+    assert pts[0] == pts[-1] and len(pts) > 8   # closed loop

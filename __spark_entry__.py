@@ -2416,8 +2416,22 @@ def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.unix_micros(F.col("start").cast("timestamp"))
          ).cast("long").alias("v"))
     heat = q_stream_heatmap(spark, sf_dir)
+    # quant = EXACT distributed quantiles (operators/quantiles.py:
+    # value-count shuffle + two-phase prefix sum, integer-ceiling rank
+    # rule); the twin restates the identical rule over a cumulative
+    # window — order statistics of the order totals in cents
+    from rastertiler_rs_spark.operators.quantiles import exact_quantiles
+
+    cents = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    quant = exact_quantiles(cents, "cents",
+                            [2500, 5000, 9000, 9900]).select(
+        F.lit("quant").alias("variant"),
+        F.concat(F.lit("p"), F.col("p_bp").cast("string")).alias("ekey"),
+        F.col("value").alias("n"),
+        F.col("k").alias("v"))
     return (ded.unionByName(win).unionByName(asof).unionByName(rng)
-            .unionByName(heat))
+            .unionByName(heat).unionByName(quant))
 
 
 _SHEAT_N = 12000
@@ -4322,6 +4336,27 @@ def oracle_sql() -> dict[str, str]:
                      1 + i % 7 AS w
               FROM (SELECT UNNEST(generate_series(0, 11999)) AS i) hp
             ) hb GROUP BY gx, gy
+            UNION ALL
+            -- quant = exact order statistics: smallest value whose
+            -- cumulative count reaches k = (p*n + 9999) // 10000
+            SELECT 'quant' AS variant,
+                   'p' || CAST(kk.p AS VARCHAR) AS ekey,
+                   CAST(MIN(w.v) AS BIGINT) AS n,
+                   kk.k AS v
+            FROM (
+              SELECT p.p AS p,
+                     (p.p * nn.n + 9999) // 10000 AS k
+              FROM (VALUES (2500), (5000), (9000), (9900)) p(p),
+                   (SELECT COUNT(*) AS n FROM orders) nn
+            ) kk
+            JOIN (
+              SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum
+              FROM (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                             AS v,
+                           COUNT(*) AS cnt
+                    FROM orders GROUP BY 1) c
+            ) w ON w.cum >= kk.k AND w.cum - w.cnt < kk.k
+            GROUP BY kk.p, kk.k
         """,
         "star_rollup": """
             SELECT n.n_name,

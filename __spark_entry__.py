@@ -791,6 +791,18 @@ def q_tile_halo_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_halo_sobel(tiles, 128)
 
 
+# rasterize fixture: concave + convex + self-intersecting polygons
+# spanning several 64px tiles of the 256x192 canvas, one reaching
+# off-canvas (clip), overlapping so painter's order matters
+_BURN_POLYS = [
+    (1, [(10, 10), (150, 30), (60, 120)], 60),            # triangle
+    (2, [(40, 60), (220, 60), (220, 150), (40, 150)], 110),  # box
+    (3, [(120, 20), (200, 100), (120, 180), (40, 100)], 160),  # diamond
+    (4, [(180, 120), (270, 120), (180, 210), (270, 210)], 210),  # bowtie,
+    # reaching past both canvas edges
+]
+
+
 def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both halo-exchange stencils as one tagged union (same fixture,
     same stats schema): `grad` = 4-neighbor central difference (edge
@@ -841,12 +853,27 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     stk = tile_stats(raster_stack_median(stack, 128)).select(
         "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
         F.col("vmax").alias("max_g2"))
+    # burn = polygon rasterization (operators/rasterize.py): the
+    # fixture polygons burn onto a 256x192 canvas (exact integer
+    # even-odd pixel-center rule, painter's order); the twin restates
+    # the crossing arithmetic per pixel per polygon
+    from rastertiler_rs_spark.operators.rasterize import burn_polygons
+
+    prows = [(pid, [{"x": x, "y": y} for x, y in pts], val)
+             for pid, pts, val in _BURN_POLYS]
+    polys = spark.createDataFrame(
+        prows, "poly_id long, pts array<struct<x: long, y: long>>, "
+               "value long")
+    burn = tile_stats(burn_polygons(polys, 256, 192, 64)).select(
+        "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
+        F.col("vmax").alias("max_g2"))
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
         ("sobel", tile_halo_sobel(tiles, 128)),
         ("algebra", alg),
         ("iso", iso),
-        ("stack", stk))
+        ("stack", stk),
+        ("burn", burn))
 
 
 def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3333,6 +3360,56 @@ def _raster_algebra_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _rasterize_oracle_sql(w: int = 256, h: int = 192,
+                          ts: int = 64) -> str:
+    """Twin of the `burn` leg of tile_halo: for every pixel center
+    and every fixture polygon, the even-odd crossing count restated
+    edge-by-edge in pure integers (edges pre-ordered y1 < y2 at
+    generation, horizontal edges dropped; crossing-right-of-center ⇔
+    (2c+1)·(y2−y1) < 2·x1·(y2−y1) + (2r+1−2·y1)·(x2−x1)), then the
+    highest covering poly_id paints and the per-tile stats reduce."""
+    per_poly = []
+    for pid, pts, val in _BURN_POLYS:
+        terms = []
+        n = len(pts)
+        for e in range(n):
+            x1, y1 = pts[e]
+            x2, y2 = pts[(e + 1) % n]
+            if y1 == y2:
+                continue
+            if y2 < y1:
+                x1, y1, x2, y2 = x2, y2, x1, y1
+            dy, dx = y2 - y1, x2 - x1
+            terms.append(
+                f"(CASE WHEN r >= {y1} AND r < {y2} AND "
+                f"(2*c + 1) * {dy} < {2 * x1 * dy} + "
+                f"(2*r + 1 - {2 * y1}) * ({dx}) THEN 1 ELSE 0 END)")
+        per_poly.append(
+            f"CASE WHEN ({' + '.join(terms)}) % 2 = 1 "
+            f"THEN {pid} ELSE 0 END AS in{pid}")
+    paint = " ".join(
+        f"WHEN in{pid} = {pid} THEN {val}"
+        for pid, _, val in sorted(_BURN_POLYS, reverse=True))
+    return f"""
+        WITH px AS (
+          SELECT rs.r AS r, cs.c AS c
+          FROM (SELECT UNNEST(generate_series(0, {h - 1})) AS r) rs,
+               (SELECT UNNEST(generate_series(0, {w - 1})) AS c) cs),
+        cov AS (
+          SELECT r, c, {', '.join(per_poly)}
+          FROM px),
+        painted AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty,
+                 CASE {paint} ELSE 0 END AS v
+          FROM cov)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(v) AS BIGINT) AS sum_g2,
+               CAST(MAX(v) AS BIGINT) AS max_g2
+        FROM painted WHERE v <> 0 GROUP BY tx, ty
+    """
+
+
 def _raster_stack_oracle_sql(w: int = 1024, h: int = 768,
                              ts: int = 128,
                              seeds: tuple = (5, 13, 0)) -> str:
@@ -5253,7 +5330,8 @@ def oracle_sql() -> dict[str, str]:
             ("sobel", _halo_sobel_oracle_sql()),
             ("algebra", _raster_algebra_oracle_sql()),
             ("iso", _isolines_oracle_sql()),
-            ("stack", _raster_stack_oracle_sql())),
+            ("stack", _raster_stack_oracle_sql()),
+            ("burn", _rasterize_oracle_sql())),
         "raster_regions": _raster_regions_oracle_sql(),
         "zonal_stats": _variant_union_sql(
             ("u8", _zonal_stats_oracle_sql()),

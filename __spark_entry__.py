@@ -197,8 +197,12 @@ def q_tms_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile id (pmtiles/codec.tileid_col — the pure-JVM F.aggregate bit
     fold) verified against a DuckDB RECURSIVE-CTE transcription of
     the xy2d loop: two independent executors of the same curve, so a
-    rotation/complement slip at any bit level flips the hash."""
-    from rastertiler_rs_spark.functions.columns import tms_flip_col
+    rotation/complement slip at any bit level flips the hash; plus
+    the Bing/Azure QUADKEY (columns.quadkey_id_col — the Morton
+    base-4 digit fold as its sentinel-int bijection 4^z + Σd_i·4^i)
+    vs a twin restating the bit interleave per level."""
+    from rastertiler_rs_spark.functions.columns import (quadkey_id_col,
+                                                        tms_flip_col)
     from rastertiler_rs_spark.pmtiles import tileid_col
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
@@ -211,7 +215,11 @@ def q_tms_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hil = (o.select("o_orderkey", zoom.alias("zoom"), x.alias("x"),
                     y.alias("y"))
            .withColumn("v", tileid_col("zoom", "x", "y")))
-    return _union_variants(("flip", flip), ("hilbert", hil))
+    quad = (o.select("o_orderkey", zoom.alias("zoom"), x.alias("x"),
+                     y.alias("y"))
+            .withColumn("v", quadkey_id_col("zoom", "x", "y")))
+    return _union_variants(("flip", flip), ("hilbert", hil),
+                           ("quad", quad))
 
 
 def q_cell_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5178,6 +5186,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'hilbert' AS variant, o_orderkey, zoom, x, y,
                    ((1::BIGINT << (2 * zoom)) - 1) // 3 + d AS v
             FROM hil WHERE s = 0
+            UNION ALL
+            SELECT 'quad' AS variant, o_orderkey, zoom, x, y,
+                   (1::BIGINT << (2 * zoom)) + COALESCE(
+                     (SELECT SUM((((src.x >> g.i) & 1)
+                                  + 2 * ((src.y >> g.i) & 1))
+                                 * (1::BIGINT << (2 * g.i)))
+                      FROM (SELECT UNNEST(generate_series(0, src.zoom - 1))
+                            AS i) g), 0) AS v
+            FROM src
         """,
         "cell_pack": """
             SELECT l_orderkey, l_linenumber,

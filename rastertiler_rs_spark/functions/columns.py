@@ -85,3 +85,53 @@ def cell_parent_cols(x, y, levels_up: int = 2) -> tuple[Column, Column]:
     """Parent cell coordinates ``levels_up`` zooms above (quadkey
     ancestor; the salting key family for dense-zoom skew)."""
     return F.shiftright(_c(x), levels_up), F.shiftright(_c(y), levels_up)
+
+
+def quadkey_id_col(zoom, x, y) -> Column:
+    """The Bing/Azure quadkey as its sentinel-int bijection:
+    4^zoom + Σ_{i<zoom} digit_i·4^i with digit_i = x_bit_i + 2·y_bit_i
+    (digit i is the quadkey CHARACTER for bit level i, so low digits
+    are the string's last characters; the leading 4^zoom preserves
+    zoom — i.e. leading-zero digits — exactly as the string does).
+    Pure JVM fold (F.aggregate over sequence), fits bigint to z ≤ 30.
+    z = 0 is guarded: sequence(0, -1) would silently DESCEND."""
+    z, xx, yy = _c(zoom).cast("int"), _c(x), _c(y)
+    shl = lambda v, n: F.call_function("shiftleft", v, n)  # noqa: E731
+    shr = lambda v, n: F.call_function("shiftrightunsigned", v, n)  # noqa: E731
+    digits = F.when(z <= 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), z - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + shl(
+                shr(xx, i).bitwiseAND(F.lit(1))
+                + shl(shr(yy, i).bitwiseAND(F.lit(1)), F.lit(1)),
+                i * 2,
+            ),
+        )
+    )
+    return shl(F.lit(1).cast("long"), z * 2) + digits
+
+
+def quadkey_col(zoom, x, y) -> Column:
+    """The Bing/Azure quadkey STRING of (zoom, x, y): zoom base-4
+    digits, most significant bit level first; z=0 is the empty string
+    (the world tile). digit_i = x_bit_i + 2·y_bit_i — the Bing docs'
+    worked example (x=3, y=5, level=3) → '213' pins the convention.
+    z = 0 is guarded: sequence(0, -1) would silently DESCEND."""
+    z, xx, yy = _c(zoom).cast("int"), _c(x), _c(y)
+    shl = lambda v, n: F.call_function("shiftleft", v, n)  # noqa: E731
+    shr = lambda v, n: F.call_function("shiftrightunsigned", v, n)  # noqa: E731
+    return F.when(z <= 0, F.lit("")).otherwise(
+        F.aggregate(
+            F.reverse(F.sequence(F.lit(0), z - 1)),
+            F.lit(""),
+            lambda acc, i: F.concat(
+                acc,
+                (
+                    shr(xx, i).bitwiseAND(F.lit(1))
+                    + shl(shr(yy, i).bitwiseAND(F.lit(1)), F.lit(1))
+                ).cast("string"),
+            ),
+        )
+    )

@@ -1279,6 +1279,17 @@ def q_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _resize_stats_query(spark, method="bilinear", n=24)
 
 
+def q_image_resize_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE (box-mean) resample under the value gate — gdaladdo's
+    default overview rule: every source pixel joins dst cell
+    (r*32//h, c*32//w) (the mode partition), nodata is excluded, the
+    cell is the round-half-up mean (2·sum + cnt)//(2·cnt) of its valid
+    members, empty cells stay nodata. All operands non-negative, so
+    DuckDB's truncating // and numpy's flooring // agree and the twin
+    restates the rule verbatim over the fixture pixel formula."""
+    return _resize_stats_query(spark, method="average", n=24)
+
+
 def _resize_stats_query(spark: SparkSession, method: str, n: int) -> DataFrame:
     from rastertiler_rs_spark.fixtures import images_parquet
     from rastertiler_rs_spark.operators.multimodal import resize_images
@@ -2539,8 +2550,9 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossy WebP through the from-spec VP8 keyframe codec at its
     bit-exact qi=0 solid family, `adam7` deinterlaces Adam7 PNGs of
     the same fixture bands, `mode` majority-resamples (the categorical
-    rule, vote restated in SQL) — all against pixel-formula /
-    closed-form SQL twins."""
+    rule, vote restated in SQL), `avg` box-mean-resamples (gdaladdo's
+    default overview rule, round-half-up mean restated in SQL) — all
+    against pixel-formula / closed-form SQL twins."""
     feats = q_image_features(spark, sf_dir)
     resized = q_image_resize(spark, sf_dir)
     vp8 = q_image_features_vp8(spark, sf_dir)
@@ -2548,10 +2560,11 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode = q_image_resize_mode(spark, sf_dir)
     u16 = q_image_features_u16(spark, sf_dir)
     bil = q_image_resize_bilinear(spark, sf_dir)
+    avg = q_image_resize_average(spark, sf_dir)
     return _union_variants(("features", feats), ("resize", resized),
                            ("vp8", vp8), ("adam7", adam7),
                            ("mode", mode), ("u16", u16),
-                           ("bil", bil))
+                           ("bil", bil), ("avg", avg))
 
 
 _HEAT_Z, _HEAT_ZMIN, _HEAT_N = 6, 4, 40000
@@ -4090,6 +4103,52 @@ def _image_resize_mode_oracle_sql(n: int = 24, target: int = 32) -> str:
     """
 
 
+def _image_resize_average_oracle_sql(n: int = 24, target: int = 32) -> str:
+    """Twin of q_image_resize_average: the box mean restated in SQL —
+    every source pixel maps to cell (r*target//h, c*target//w), zeros
+    are excluded, the cell value is (2·SUM + COUNT) // (2·COUNT)
+    (round-half-up; operands non-negative so DuckDB truncation agrees
+    with numpy floor), unfilled cells are 0 — then the shared stats."""
+    v = _PIXEL_VALUE_CASE.format(r="r", c="c")
+    return f"""
+        WITH img({_IMG_COLS}) AS (VALUES
+              {_image_consts_values(n)}),
+        px AS (
+          SELECT i, (r * {target}) // h AS ti, (c * {target}) // w AS tj,
+                 {v} AS v
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, img.h - 1))) tr(r),
+               LATERAL (SELECT UNNEST(generate_series(0, img.w - 1))) tc(c)),
+        means AS (
+          SELECT i, ti, tj,
+                 (2 * SUM(v) + COUNT(*)) // (2 * COUNT(*)) AS v
+          FROM px WHERE v <> 0 GROUP BY i, ti, tj),
+        cells AS (
+          SELECT img.i, ti, tj
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, {target} - 1))) tr(ti),
+               LATERAL (SELECT UNNEST(generate_series(0, {target} - 1))) tc(tj)),
+        resized AS (
+          SELECT cells.i, cells.ti, cells.tj, COALESCE(means.v, 0) AS v
+          FROM cells LEFT JOIN means
+            ON means.i = cells.i AND means.ti = cells.ti
+               AND means.tj = cells.tj),
+        agg AS (
+          SELECT 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+                 CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_data,
+                 CAST(SUM(v) AS BIGINT) AS vsum,
+                 COALESCE(CAST(MIN(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmin,
+                 COALESCE(CAST(MAX(v) FILTER (WHERE v <> 0) AS BIGINT), 0) AS vmax,
+                 CAST(SUM(v * (ti * {target} + tj)) AS BIGINT) AS pos_sum
+          FROM resized GROUP BY i)
+        SELECT image_id, CAST({target * target} AS BIGINT) AS n_pixels,
+               n_data, vmin, vmax, vsum,
+               CASE WHEN n_data = 0 THEN 0 ELSE vsum * 100 // n_data END AS mean_x100,
+               pos_sum
+        FROM agg
+    """
+
+
 def _image_resize_bilinear_oracle_sql(n: int = 24, target: int = 32) -> str:
     """Twin of q_image_resize_bilinear: the fixed-point 4-corner blend
     restated — M = (2i+1)·src + dst keeps the floor-division operand
@@ -5008,7 +5067,8 @@ def oracle_sql() -> dict[str, str]:
             ("adam7", _image_features_oracle_sql(24, "adm")),
             ("mode", _image_resize_mode_oracle_sql()),
             ("u16", _image_features_u16_oracle_sql()),
-            ("bil", _image_resize_bilinear_oracle_sql())),
+            ("bil", _image_resize_bilinear_oracle_sql()),
+            ("avg", _image_resize_average_oracle_sql())),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),

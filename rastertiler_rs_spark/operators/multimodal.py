@@ -182,6 +182,36 @@ def _mode_resample(band: np.ndarray, target: int, nodata: int) -> np.ndarray:
     return out.reshape(target, target)
 
 
+def _average_resample(band: np.ndarray, target: int,
+                      nodata: int) -> np.ndarray:
+    """AVERAGE (box-mean) resample — gdaladdo's default overview rule
+    for continuous rasters, in exact integers: each source pixel
+    belongs to dst cell (r*target//h, c*target//w) (the same exact
+    integer grid partition as mode), nodata pixels are excluded, the
+    cell value is the round-half-up mean (2·sum + cnt) // (2·cnt) of
+    its valid members, and a cell with no valid member stays nodata.
+    Sums fit int64 by construction (≤ 255·h·w), values are ≥ 1 so a
+    rounded mean can never collide with nodata=0. Downsampling only."""
+    h, w = band.shape
+    if target > h or target > w:
+        raise ValueError(
+            f"average resample is a downsampling rule: target {target} "
+            f"exceeds source {h}x{w}")
+    r_dst = (np.arange(h, dtype=np.int64) * target) // h
+    c_dst = (np.arange(w, dtype=np.int64) * target) // w
+    cell = (r_dst[:, None] * target + c_dst[None, :]).reshape(-1)
+    v = band.reshape(-1).astype(np.int64)
+    keep = v != nodata
+    sums = np.zeros(target * target, np.int64)
+    cnts = np.zeros(target * target, np.int64)
+    np.add.at(sums, cell[keep], v[keep])
+    np.add.at(cnts, cell[keep], 1)
+    out = np.full(target * target, nodata, dtype=band.dtype)
+    nz = cnts > 0
+    out[nz] = ((2 * sums[nz] + cnts[nz]) // (2 * cnts[nz])).astype(band.dtype)
+    return out.reshape(target, target)
+
+
 def _bilinear_resample(band: np.ndarray, target: int,
                        nodata: int) -> np.ndarray:
     """Exact fixed-point bilinear: the source coordinate of dst index
@@ -225,12 +255,14 @@ def resize_images(images: DataFrame, target: int,
     src/dst), clamped); 'mode' is the majority rule for categorical
     rasters (see _mode_resample — downsampling only); 'bilinear' is
     the exact fixed-point 4-corner blend (see _bilinear_resample —
-    strict nodata propagation). Real decode for
+    strict nodata propagation); 'average' is the box-mean overview
+    rule (see _average_resample — round-half-up mean of the valid
+    members of each exact grid cell, downsampling only). Real decode for
     png;u8, jpeg, gif, and webp (both VP8L lossless and the VP8
     keyframe family — from-spec codecs); ``fake_codecs`` keeps the
     legacy deterministic-fake webp path for plumbing tests that feed
     arbitrary bytes."""
-    if method not in ("nearest", "mode", "bilinear"):
+    if method not in ("nearest", "mode", "bilinear", "average"):
         raise ValueError(f"unknown resize method {method!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -250,6 +282,8 @@ def resize_images(images: DataFrame, target: int,
                     resized = _mode_resample(band, target, NODATA)
                 elif method == "bilinear":
                     resized = _bilinear_resample(band, target, NODATA)
+                elif method == "average":
+                    resized = _average_resample(band, target, NODATA)
                 else:
                     rows_i = ((np.arange(target) + 0.5) * h / target).astype(np.int64)
                     cols_i = ((np.arange(target) + 0.5) * w / target).astype(np.int64)

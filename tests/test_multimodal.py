@@ -247,6 +247,42 @@ def test_mode_resample_matches_bruteforce_and_tiebreak():
         _mode_resample(band, 4, 0)
 
 
+def test_average_resample_matches_bruteforce():
+    """_average_resample == per-cell brute-force round-half-up mean of
+    the valid members, incl. nodata exclusion and empty cells."""
+    import numpy as np
+    import pytest
+
+    from rastertiler_rs_spark.operators.multimodal import \
+        _average_resample
+
+    rng = np.random.default_rng(57)
+    for h, w, t in [(64, 64, 32), (96, 80, 32), (65, 67, 16), (7, 9, 3)]:
+        band = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        band[rng.random((h, w)) < 0.15] = 0         # nodata holes
+        got = _average_resample(band, t, 0)
+        r_dst = (np.arange(h) * t) // h
+        c_dst = (np.arange(w) * t) // w
+        want = np.zeros((t, t), np.uint8)
+        for i in range(t):
+            for j in range(t):
+                vals = band[(r_dst == i)[:, None] & (c_dst == j)[None, :]]
+                vals = vals[vals != 0].astype(np.int64)
+                if vals.size:
+                    want[i, j] = (2 * vals.sum() + vals.size) // (2 * vals.size)
+        assert np.array_equal(got, want), (h, w, t)
+    # round-half-up: mean 2.5 -> 3
+    band = np.array([[2, 3], [2, 3]], np.uint8)
+    assert _average_resample(band, 1, 0)[0, 0] == 3
+    # constant band is invariant
+    const = np.full((13, 17), 77, np.uint8)
+    assert (_average_resample(const, 4, 0) == 77).all()
+    # all-nodata cell stays nodata; upsampling fails fast
+    assert _average_resample(np.zeros((4, 4), np.uint8), 2, 0).sum() == 0
+    with pytest.raises(ValueError, match="downsampling"):
+        _average_resample(band, 4, 0)
+
+
 def test_bilinear_resample_matches_bruteforce():
     """_bilinear_resample == per-pixel fraction-exact float brute force
     (denominators are powers of two times small ints — exact in

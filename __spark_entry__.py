@@ -707,13 +707,61 @@ def _clip_lines() -> list[tuple[int, list[tuple[float, float]]]]:
     return lns
 
 
+def _dp_fixture() -> list[tuple[int, list[tuple[int, int]], int]]:
+    """Deterministic integer polylines for the Douglas–Peucker gate:
+    18 lines of 8-33 vertices, x strictly increasing (jitter < step,
+    so sum_lx pins the exact kept-vertex SET), wobbling y, per-line
+    tolerance 0-5 (0 = drop only exactly-collinear vertices)."""
+    out = []
+    for lid in range(18):
+        n = 8 + (lid * 7) % 26
+        pts = [(i * 29 + (i * i * 13 + lid * 17) % 9,
+                ((i * i * i + lid * 31) * 7) % 61 - 30)
+               for i in range(n)]
+        out.append((lid, pts, lid % 6))
+    return out
+
+
+def q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker simplification under the value gate
+    (operators/simplify.py): the exact-integer split rule
+    (cross² > tol²·|AB|², ties to the smallest index, |AB|² = 0
+    degrades to squared point distance) applied per line at a
+    per-line tolerance; the DuckDB twin re-executes the SAME
+    recursion as a recursive CTE whose step picks each chord's
+    argmax-deviation vertex with ORDER BY d DESC, i ASC LIMIT 1 —
+    a second independent executor of the algorithm, so any split,
+    tie, or threshold slip flips the hash. Shaped onto the shared
+    lines schema: n_seg = kept-vertex count, sum_lx/sum_ly = kept
+    coordinate sums (x strictly increasing ⇒ the sums pin the set)."""
+    from rastertiler_rs_spark.operators.simplify import simplify_polylines
+
+    rows = [(lid, [{"x": x, "y": y} for x, y in pts], tol)
+            for lid, pts, tol in _dp_fixture()]
+    df = spark.createDataFrame(
+        rows, "line_id long, pts array<struct<x: long, y: long>>, "
+              "tol long")
+    simp = simplify_polylines(df, 0)
+    zero = F.lit(0).cast("long")
+    return simp.select(
+        zero.alias("zoom"), zero.alias("x"), zero.alias("tile_row"),
+        F.col("line_id").alias("fid"),
+        F.size("pts").cast("long").alias("n_seg"),
+        F.aggregate("pts", F.lit(0).cast("long"),
+                    lambda a, p: a + p["x"]).alias("sum_lx"),
+        F.aggregate("pts", F.lit(0).cast("long"),
+                    lambda a, p: a + p["y"]).alias("sum_ly"))
+
+
 def q_vector_tiles_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """POLYLINE vector tiles under the value gate: paths → per-tile
-    Liang–Barsky-clipped MVT LINESTRING blobs (the clip is pure JVM
-    parametric math — operators/vector_tiles.lines_to_mvt) → decoded
-    BACK; per (tile, line) the segment count and endpoint-coordinate
-    sums are compared against a SQL twin stating the identical
-    closed-form entry/exit times and snap-then-floor quantization."""
+    """POLYLINE vector tiles under the value gate, two legs: `lb` —
+    paths → per-tile Liang–Barsky-clipped MVT LINESTRING blobs (the
+    clip is pure JVM parametric math — operators/vector_tiles.
+    lines_to_mvt) → decoded BACK; per (tile, line) the segment count
+    and endpoint-coordinate sums are compared against a SQL twin
+    stating the identical closed-form entry/exit times and
+    snap-then-floor quantization. `dp` — Douglas–Peucker
+    simplification vs a recursive-CTE twin (q_polyline_simplify)."""
     from rastertiler_rs_spark.mvt import decode_mvt
     from rastertiler_rs_spark.operators.vector_tiles import lines_to_mvt
 
@@ -752,9 +800,11 @@ def q_vector_tiles_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["sum_ly"].append(sy)
             yield pd.DataFrame(out)
 
-    return tiles.mapInPandas(
+    lb = tiles.mapInPandas(
         decode_fn, "zoom long, x long, tile_row long, fid long, "
                    "n_seg long, sum_lx long, sum_ly long")
+    return _union_variants(("lb", lb),
+                           ("dp", q_polyline_simplify(spark, sf_dir)))
 
 
 def q_raster_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3782,6 +3832,75 @@ def _vector_tiles_clip_oracle_sql(zoom: int = 5, extent: int = 4096) -> str:
     """
 
 
+def _polyline_simplify_oracle_sql() -> str:
+    """Twin of q_polyline_simplify: Douglas–Peucker re-executed as a
+    recursive CTE — seg(line_id, a, b) starts at each line's full
+    chord; the step finds each open chord's maximal-deviation interior
+    vertex (ORDER BY d DESC, i ASC LIMIT 1 — the smallest-index tie
+    rule), splits when d > tol²·|AB|² (STRICT, |AB|² = 0 falls back to
+    squared point distance vs tol²), and every endpoint of every
+    segment ever materialized is exactly the kept-vertex set."""
+    fix = _dp_fixture()
+    pts_rows = ",\n              ".join(
+        f"({lid}, {i}, {x}, {y})"
+        for lid, pts, _ in fix for i, (x, y) in enumerate(pts))
+    meta_rows = ",\n              ".join(
+        f"({lid}, {len(pts)}, {tol})" for lid, pts, tol in fix)
+    return f"""
+        WITH RECURSIVE dpts(line_id, i, x, y) AS (VALUES
+              {pts_rows}),
+        dmeta(line_id, n, tol) AS (VALUES
+              {meta_rows}),
+        seg(line_id, a, b) AS (
+          SELECT line_id, 0, n - 1 FROM dmeta
+          UNION ALL
+          SELECT t.line_id, u.a2, u.b2
+          FROM (
+            SELECT s.line_id, s.a, s.b, w.m, w.d,
+                   CASE WHEN w.ab2 = 0 THEN mt.tol * mt.tol
+                        ELSE mt.tol * mt.tol * w.ab2 END AS thr
+            FROM seg s
+            JOIN dmeta mt ON mt.line_id = s.line_id,
+            LATERAL (
+              SELECT p.i AS m,
+                     CASE WHEN (pb.x-pa.x)*(pb.x-pa.x)
+                               + (pb.y-pa.y)*(pb.y-pa.y) = 0
+                          THEN (p.x - pa.x)*(p.x - pa.x)
+                               + (p.y - pa.y)*(p.y - pa.y)
+                          ELSE ((pb.x-pa.x)*(p.y-pa.y)
+                                - (pb.y-pa.y)*(p.x-pa.x))
+                             * ((pb.x-pa.x)*(p.y-pa.y)
+                                - (pb.y-pa.y)*(p.x-pa.x))
+                     END AS d,
+                     (pb.x-pa.x)*(pb.x-pa.x)
+                       + (pb.y-pa.y)*(pb.y-pa.y) AS ab2
+              FROM dpts pa, dpts pb, dpts p
+              WHERE pa.line_id = s.line_id AND pa.i = s.a
+                AND pb.line_id = s.line_id AND pb.i = s.b
+                AND p.line_id = s.line_id AND p.i > s.a AND p.i < s.b
+              ORDER BY d DESC, p.i ASC
+              LIMIT 1
+            ) w
+            WHERE s.b - s.a >= 2
+          ) t,
+          LATERAL (SELECT * FROM (VALUES (t.a, t.m), (t.m, t.b))
+                   v(a2, b2)) u(a2, b2)
+          WHERE t.d > t.thr
+        ),
+        kept AS (
+          SELECT DISTINCT line_id, ki FROM (
+            SELECT line_id, a AS ki FROM seg
+            UNION ALL SELECT line_id, b FROM seg))
+        SELECT 0::BIGINT AS zoom, 0::BIGINT AS x, 0::BIGINT AS tile_row,
+               k.line_id AS fid, COUNT(*) AS n_seg,
+               CAST(SUM(p.x) AS BIGINT) AS sum_lx,
+               CAST(SUM(p.y) AS BIGINT) AS sum_ly
+        FROM kept k
+        JOIN dpts p ON p.line_id = k.line_id AND p.i = k.ki
+        GROUP BY k.line_id
+    """
+
+
 def _vector_tiles_lines_oracle_sql(zoom: int = 5, extent: int = 4096) -> str:
     """Liang–Barsky twin of q_vector_tiles_lines: the fixture segments
     are embedded pre-exploded; the parametric entry/exit times, the
@@ -5415,7 +5534,9 @@ def oracle_sql() -> dict[str, str]:
             ("u32", _zonal_stats_oracle_sql(u32=True)),
             ("poly", _zonal_poly_oracle_sql())),
         "vector_tiles_clip": _vector_tiles_clip_oracle_sql(),
-        "vector_tiles_lines": _vector_tiles_lines_oracle_sql(),
+        "vector_tiles_lines": _variant_union_sql(
+            ("lb", _vector_tiles_lines_oracle_sql()),
+            ("dp", _polyline_simplify_oracle_sql())),
         "vector_tiles": (
             "SELECT 'points' AS variant, zoom, x, tile_row, n_features, "
             "sum_lx AS sum_cx, sum_ly AS sum_cy, min_fid, max_fid FROM ("

@@ -641,6 +641,65 @@ def _clip_triangles() -> list[tuple[int, list[tuple[float, float]]]]:
     return tris
 
 
+def _shoelace_fixture() -> list[tuple[int, list[tuple[int, int]]]]:
+    """Deterministic integer rings (3-12 vertices, arbitrary winding,
+    concavity and self-intersection allowed — the shoelace forms are
+    formula-defined) for the geometry-metrics gate."""
+    return [(pid, [((i * i * 7 + pid * 11 + i * 3) % 51 - 25,
+                    (i * i * i * 5 + i * 13 + pid * 17) % 47 - 23)
+                   for i in range(3 + (pid * 5) % 10)])
+            for pid in range(16)]
+
+
+def _hull_fixture() -> list[tuple[int, list[tuple[int, int]]]]:
+    """Deterministic point sets in GENERAL POSITION (no duplicates, no
+    3 collinear — constants searched offline, asserted in
+    tests/test_geometry.py), so the strict monotone chain equals the
+    all-points-strictly-left hull-edge characterization the twin
+    states."""
+    return [(gid, [(((i * i * 10 + gid * 26 + i * 33) % 101) - 50,
+                    ((i * i * i * 58 + i * 18 + gid * 27) % 97) - 48)
+                   for i in range(10 + (gid * 5) % 14)])
+            for gid in range(12)]
+
+
+def q_geometry_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area/centroid (operators/geometry.polygon_metrics —
+    pure JVM F.aggregate folds, no python stage) shaped onto the clip
+    schema: tile_row = signed doubled area, sum_lx/sum_ly = the 6A·Cx
+    / 6A·Cy centroid numerators — exact int64 end to end."""
+    from rastertiler_rs_spark.operators.geometry import polygon_metrics
+
+    rows = [(pid, [{"x": x, "y": y} for x, y in pts])
+            for pid, pts in _shoelace_fixture()]
+    df = spark.createDataFrame(
+        rows, "poly_id long, pts array<struct<x: long, y: long>>")
+    zero = F.lit(0).cast("long")
+    return polygon_metrics(df).select(
+        zero.alias("zoom"), zero.alias("x"),
+        F.col("area2").alias("tile_row"),
+        F.col("poly_id").alias("fid"), "n_vtx",
+        F.col("cx6a").alias("sum_lx"), F.col("cy6a").alias("sum_ly"))
+
+
+def q_geometry_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict convex hull (operators/geometry.convex_hull_stats —
+    monotone chain after ONE group shuffle) shaped onto the clip
+    schema: n_vtx = hull size, sum_lx/sum_ly = hull coordinate sums;
+    the twin re-derives membership from the ccw hull-edge rule (all
+    other points STRICTLY left), exact on the general-position
+    fixture."""
+    from rastertiler_rs_spark.operators.geometry import convex_hull_stats
+
+    rows = [(gid, x, y) for gid, pts in _hull_fixture() for x, y in pts]
+    df = spark.createDataFrame(rows, "gid long, x long, y long")
+    zero = F.lit(0).cast("long")
+    return convex_hull_stats(df).select(
+        zero.alias("zoom"), zero.alias("x"), zero.alias("tile_row"),
+        F.col("gid").alias("fid"), "n_vtx",
+        F.col("sum_hx").alias("sum_lx"), F.col("sum_hy").alias("sum_ly"))
+
+
 def q_vector_tiles_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARBITRARY-polygon vector tiles under the value gate: triangle
     features → per-tile Sutherland–Hodgman clip + quantize + MVT
@@ -651,7 +710,9 @@ def q_vector_tiles_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     box ∪ edge×box-edge intersections ∪ box corners inside the
     triangle — exactly the Sutherland–Hodgman output set for convex
     input in general position), quantized with the same
-    snap-then-floor rule."""
+    snap-then-floor rule. Two geometry-aggregate legs share the
+    schema: `shoe` (shoelace area/centroid, q_geometry_metrics) and
+    `hull` (strict convex hull, q_geometry_hull)."""
     from rastertiler_rs_spark.mvt import decode_mvt
     from rastertiler_rs_spark.operators.vector_tiles import polys_to_mvt
 
@@ -681,9 +742,12 @@ def q_vector_tiles_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["sum_ly"].append(sum(p[1] for p in vset))
             yield pd.DataFrame(out)
 
-    return tiles.mapInPandas(
+    clip = tiles.mapInPandas(
         decode_fn, "zoom long, x long, tile_row long, fid long, "
                    "n_vtx long, sum_lx long, sum_ly long")
+    return _union_variants(("clip", clip),
+                           ("shoe", q_geometry_metrics(spark, sf_dir)),
+                           ("hull", q_geometry_hull(spark, sf_dir)))
 
 
 def _clip_lines() -> list[tuple[int, list[tuple[float, float]]]]:
@@ -3832,6 +3896,66 @@ def _vector_tiles_clip_oracle_sql(zoom: int = 5, extent: int = 4096) -> str:
     """
 
 
+def _geometry_metrics_oracle_sql() -> str:
+    """Twin of q_geometry_metrics: the shoelace forms restated per
+    edge — cr_i = x_i·y_{i+1} − x_{i+1}·y_i over the cyclic (i+1)%n
+    join, 2A = Σcr, 6A·Cx = Σ(x_i+x_{i+1})·cr, 6A·Cy likewise."""
+    pts_rows = ",\n              ".join(
+        f"({pid}, {i}, {x}, {y})"
+        for pid, pts in _shoelace_fixture()
+        for i, (x, y) in enumerate(pts))
+    meta_rows = ",\n              ".join(
+        f"({pid}, {len(pts)})" for pid, pts in _shoelace_fixture())
+    return f"""
+        WITH gpts(pid, i, x, y) AS (VALUES
+              {pts_rows}),
+        gmeta(pid, n) AS (VALUES
+              {meta_rows}),
+        terms AS (
+          SELECT p0.pid, m.n,
+                 p0.x * p1.y - p1.x * p0.y AS cr,
+                 p0.x + p1.x AS sx, p0.y + p1.y AS sy
+          FROM gpts p0
+          JOIN gmeta m ON m.pid = p0.pid
+          JOIN gpts p1 ON p1.pid = p0.pid AND p1.i = (p0.i + 1) % m.n)
+        SELECT 0::BIGINT AS zoom, 0::BIGINT AS x,
+               CAST(SUM(cr) AS BIGINT) AS tile_row,
+               pid AS fid, CAST(n AS BIGINT) AS n_vtx,
+               CAST(SUM(sx * cr) AS BIGINT) AS sum_lx,
+               CAST(SUM(sy * cr) AS BIGINT) AS sum_ly
+        FROM terms GROUP BY pid, n
+    """
+
+
+def _geometry_hull_oracle_sql() -> str:
+    """Twin of q_geometry_hull: strict-hull membership by the ccw
+    hull-edge rule — vertex a is on the hull iff some ordered edge
+    a→b leaves EVERY other point strictly left (cross > 0); exact
+    because the fixture is in general position."""
+    pts_rows = ",\n              ".join(
+        f"({gid}, {i}, {x}, {y})"
+        for gid, pts in _hull_fixture()
+        for i, (x, y) in enumerate(pts))
+    return f"""
+        WITH hp(gid, i, x, y) AS (VALUES
+              {pts_rows}),
+        hv AS (
+          SELECT DISTINCT a.gid, a.i
+          FROM hp a JOIN hp b ON b.gid = a.gid AND b.i <> a.i
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hp c
+            WHERE c.gid = a.gid AND c.i <> a.i AND c.i <> b.i
+              AND (b.x - a.x) * (c.y - a.y)
+                  - (b.y - a.y) * (c.x - a.x) <= 0))
+        SELECT 0::BIGINT AS zoom, 0::BIGINT AS x, 0::BIGINT AS tile_row,
+               hv.gid AS fid, COUNT(*) AS n_vtx,
+               CAST(SUM(p.x) AS BIGINT) AS sum_lx,
+               CAST(SUM(p.y) AS BIGINT) AS sum_ly
+        FROM hv JOIN hp p ON p.gid = hv.gid AND p.i = hv.i
+        GROUP BY hv.gid
+    """
+
+
 def _polyline_simplify_oracle_sql() -> str:
     """Twin of q_polyline_simplify: Douglas–Peucker re-executed as a
     recursive CTE — seg(line_id, a, b) starts at each line's full
@@ -5533,7 +5657,10 @@ def oracle_sql() -> dict[str, str]:
             ("u8", _zonal_stats_oracle_sql()),
             ("u32", _zonal_stats_oracle_sql(u32=True)),
             ("poly", _zonal_poly_oracle_sql())),
-        "vector_tiles_clip": _vector_tiles_clip_oracle_sql(),
+        "vector_tiles_clip": _variant_union_sql(
+            ("clip", _vector_tiles_clip_oracle_sql()),
+            ("shoe", _geometry_metrics_oracle_sql()),
+            ("hull", _geometry_hull_oracle_sql())),
         "vector_tiles_lines": _variant_union_sql(
             ("lb", _vector_tiles_lines_oracle_sql()),
             ("dp", _polyline_simplify_oracle_sql())),

@@ -1687,14 +1687,43 @@ def q_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("revenue_cents")))
 
 
+# window-funnel parameters shared by the Spark leg and the DuckDB twin:
+# signup→view→click→purchase within 24 h (chosen so the sf0.001/sf0.01
+# tables exercise every level 1..4, not a degenerate all-max corpus)
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_W_US = 86_400 * 1_000_000
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization rollup over events (30-min gap): lag +
-    cumulative-sum session assignment, one shuffle on user_id shared by
-    both windows and the aggregate. Epoch seconds floored on both
-    engines before the gap compare (repo float rule)."""
+    """User-behavior analytics union over events, two legs sharing the
+    per-user shuffle shape:
+    - rollup: gap-based sessionization (30-min gap) — lag +
+      cumulative-sum session assignment, one shuffle on user_id shared
+      by both windows and the aggregate; epoch seconds floored on both
+      engines before the gap compare (repo float rule).
+    - funnel: windowFunnel (max completed ordered-step level within a
+      sliding 24 h window) — single-sort DP, one exchange, k running-max
+      window passes (operators/funnel.py). Coerced into the rollup
+      shape: session_seq←level, n_events←n_entry (count of entry-step
+      events), start_es←latest full-chain start (epoch µs, -1 if none),
+      end_es←sum of per-event DP levels (pins the whole DP table),
+      duration_s/value_cents←0."""
+    from rastertiler_rs_spark.operators.funnel import window_funnel
     from rastertiler_rs_spark.operators.sessionize import session_rollup
 
-    return session_rollup(_t(spark, sf_dir, "events"), gap_minutes=30)
+    ev = _t(spark, sf_dir, "events")
+    roll = session_rollup(ev, gap_minutes=30)
+    fn = window_funnel(ev, _FUNNEL_STEPS, _FUNNEL_W_US)
+    fleg = fn.select(
+        F.col("user").alias("user_id"),
+        F.col("level").alias("session_seq"),
+        F.col("n_entry").alias("n_events"),
+        F.coalesce(F.col("last_full_start_us"), F.lit(-1))
+        .cast("long").alias("start_es"),
+        F.col("sum_levels").alias("end_es"),
+        F.lit(0).cast("long").alias("duration_s"),
+        F.lit(0).cast("long").alias("value_cents"))
+    return _union_variants(("rollup", roll), ("funnel", fleg))
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4757,7 +4786,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         # same lag/cumsum/floored-epoch expressions as the Spark windows
-        "sessionize": """
+        "sessionize": _variant_union_sql(
+            ("rollup", """
             WITH o AS (
               SELECT event_id, user_id, ts, value,
                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
@@ -4775,7 +4805,47 @@ def oracle_sql() -> dict[str, str]:
                    MAX(es) - MIN(es) AS duration_s,
                    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM t GROUP BY 1, 2
-        """,
+            """),
+            # windowFunnel DP twin (operators/funnel.py): f_j(e) = latest
+            # chain start among length-j chains ending at e; "strictly
+            # earlier" is by VALUE via the RANGE (unbounded, 1 PRECEDING)
+            # frame over epoch-µs, matching Spark rangeBetween(-∞, -1).
+            ("funnel", f"""
+            WITH e AS (SELECT user_id, event_type AS etype,
+                              epoch_us(ts) AS us FROM events),
+            c1 AS (SELECT user_id, etype, us,
+                          CASE WHEN etype = '{_FUNNEL_STEPS[0]}' THEN us END AS f1
+                   FROM e),
+            c2 AS (SELECT *, CASE WHEN etype = '{_FUNNEL_STEPS[1]}'
+                                  AND MAX(f1) OVER w >= us - {_FUNNEL_W_US}
+                                  THEN MAX(f1) OVER w END AS f2
+                   FROM c1 WINDOW w AS (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            c3 AS (SELECT *, CASE WHEN etype = '{_FUNNEL_STEPS[2]}'
+                                  AND MAX(f2) OVER w >= us - {_FUNNEL_W_US}
+                                  THEN MAX(f2) OVER w END AS f3
+                   FROM c2 WINDOW w AS (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            c4 AS (SELECT *, CASE WHEN etype = '{_FUNNEL_STEPS[3]}'
+                                  AND MAX(f3) OVER w >= us - {_FUNNEL_W_US}
+                                  THEN MAX(f3) OVER w END AS f4
+                   FROM c3 WINDOW w AS (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            r AS (SELECT *, CASE WHEN f4 IS NOT NULL THEN 4
+                                 WHEN f3 IS NOT NULL THEN 3
+                                 WHEN f2 IS NOT NULL THEN 2
+                                 WHEN f1 IS NOT NULL THEN 1
+                                 ELSE 0 END AS row_lvl FROM c4)
+            SELECT user_id,
+                   CAST(MAX(row_lvl) AS BIGINT) AS session_seq,
+                   CAST(SUM(CASE WHEN etype = '{_FUNNEL_STEPS[0]}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                   CAST(COALESCE(MAX(f4), -1) AS BIGINT) AS start_es,
+                   CAST(SUM(row_lvl) AS BIGINT) AS end_es,
+                   CAST(0 AS BIGINT) AS duration_s,
+                   CAST(0 AS BIGINT) AS value_cents
+            FROM r GROUP BY 1
+            """)),
         # container probes in the shared (variant, media_id, dim_a,
         # dim_b, n_units, duration_ms, codec) shape of q_media_probe;
         # every field rederived from the generation formulas, so the

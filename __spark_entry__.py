@@ -989,9 +989,16 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     burn = tile_stats(burn_polygons(polys, 256, 192, 64)).select(
         "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
         F.col("vmax").alias("max_g2"))
+    # terrain = Horn aspect-octant histogram (operators/halo.py
+    # tile_halo_terrain): same 8-neighbor halo as sobel, but the pin is
+    # the surface-DIRECTION histogram (8 compass sectors by exact
+    # integer comparisons), packed 4×16-bit per stats column
+    from rastertiler_rs_spark.operators.halo import tile_halo_terrain
+
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
         ("sobel", tile_halo_sobel(tiles, 128)),
+        ("terrain", tile_halo_terrain(tiles, 128)),
         ("algebra", alg),
         ("iso", iso),
         ("stack", stk),
@@ -3821,6 +3828,69 @@ def _halo_sobel_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _halo_terrain_oracle_sql(w: int = 1024, h: int = 768,
+                             ts: int = 128, seed: int = 5) -> str:
+    """Unpartitioned-canvas twin of tile_halo_terrain: Horn gradient
+    numerators per valid pixel, the SAME sign/magnitude CASE ladder as
+    halo.aspect_octant (no trig — exact integers both engines), octant
+    histogram packed 4×16-bit into sum_g2 (octants 0-3) / max_g2
+    (4-7)."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+
+    def v(r, c):
+        return "(" + _PIXEL_VALUE_CASE.format(r=r, c=c) + ")"
+
+    ladder = """CASE
+                 WHEN gx = 0 AND gy = 0 THEN -1
+                 WHEN gx > 0 AND gy >= 0 AND gy < gx THEN 0
+                 WHEN gy > 0 AND gx > 0 AND gy >= gx THEN 1
+                 WHEN gy > 0 AND gx <= 0 AND gy > -gx THEN 2
+                 WHEN gy > 0 AND gx < 0 AND gy <= -gx THEN 3
+                 WHEN gy <= 0 AND gx < 0 AND -gy < -gx THEN 4
+                 WHEN gy < 0 AND gx < 0 AND -gy >= -gx THEN 5
+                 WHEN gy < 0 AND gx >= 0 AND -gy > gx THEN 6
+                 ELSE 7 END"""
+    lo = " + ".join(
+        f"SUM(CASE WHEN oct = {k} THEN 1 ELSE 0 END) * {1 << (16 * k)}"
+        for k in range(4))
+    hi = " + ".join(
+        f"SUM(CASE WHEN oct = {k + 4} THEN 1 ELSE 0 END) * {1 << (16 * k)}"
+        for k in range(4))
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 {v("rs.r", "cs.c")} AS vc,
+                 {v("rs.r", "(cs.c + 1)")} AS ve,
+                 {v("rs.r", "(cs.c - 1)")} AS vw,
+                 {v("(rs.r + 1)", "cs.c")} AS vs,
+                 {v("(rs.r - 1)", "cs.c")} AS vn,
+                 {v("(rs.r - 1)", "(cs.c - 1)")} AS vnw,
+                 {v("(rs.r - 1)", "(cs.c + 1)")} AS vne,
+                 {v("(rs.r + 1)", "(cs.c - 1)")} AS vsw,
+                 {v("(rs.r + 1)", "(cs.c + 1)")} AS vse
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(1, {h - 2})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(1, {w - 2})) AS c) cs(c)),
+        g AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty,
+                 ((vne + 2 * ve + vse) - (vnw + 2 * vw + vsw)) AS gx,
+                 ((vsw + 2 * vs + vse) - (vnw + 2 * vn + vne)) AS gy
+          FROM px
+          WHERE vc <> 0 AND ve <> 0 AND vw <> 0 AND vs <> 0 AND vn <> 0
+            AND vnw <> 0 AND vne <> 0 AND vsw <> 0 AND vse <> 0),
+        o AS (SELECT tx, ty, {ladder} AS oct FROM g)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST({lo} AS BIGINT) AS sum_g2,
+               CAST({hi} AS BIGINT) AS max_g2
+        FROM o GROUP BY tx, ty
+    """
+
+
 def _vector_tiles_clip_oracle_sql(zoom: int = 5, extent: int = 4096) -> str:
     """Convex∩box vertex-set twin of q_vector_tiles_clip: for every
     (triangle, covered z-tile) pair, the clipped polygon's vertex set
@@ -5718,6 +5788,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_halo": _variant_union_sql(
             ("grad", _halo_gradient_oracle_sql()),
             ("sobel", _halo_sobel_oracle_sql()),
+            ("terrain", _halo_terrain_oracle_sql()),
             ("algebra", _raster_algebra_oracle_sql()),
             ("iso", _isolines_oracle_sql()),
             ("stack", _raster_stack_oracle_sql()),

@@ -37,11 +37,16 @@ _EMPTY_STATS = {"tx": "int64", "ty": "int64", "n_valid": "int64",
 def _halo_stats(tiles: DataFrame, tile_size: int, nodata: int,
                 corners: bool,
                 stencil: Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]],
+                reduce: Callable[[np.ndarray, object],
+                                 tuple[int, int, int]] | None = None,
                 ) -> DataFrame:
     """Shared halo-exchange plumbing: explode strips (+ corner pixels
     when the kernel is 8-neighbor), one shuffle on the owning tile,
-    assemble the padded canvas, run `stencil(pad) -> (valid, g2)` over
-    the tile's own pixels, reduce to integer stats."""
+    assemble the padded canvas, run `stencil(pad) -> (valid, aux)` over
+    the tile's own pixels, reduce to integer stats.  Default reduce
+    treats aux as per-pixel g² and emits (n_valid, Σg², max g²); a
+    custom `reduce(valid, aux) -> (n_valid, sum_g2, max_g2)` may pack
+    anything integer into the shared stats schema."""
     ts = int(tile_size)
 
     def explode_strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,15 +125,19 @@ def _halo_stats(tiles: DataFrame, tile_size: int, nodata: int,
             strip = np.frombuffer(bytes(payload), dtype=band.dtype)
             pad[rs, cs] = strip.reshape(rs.stop - rs.start,
                                         cs.stop - cs.start)
-        valid, g2 = stencil(pad)
+        valid, aux = stencil(pad)
         if not valid.any():
             return pd.DataFrame(
                 {k: [] for k in _EMPTY_STATS}).astype(_EMPTY_STATS)
-        vg2 = g2[valid]
+        if reduce is None:
+            vg2 = aux[valid]
+            stats = (int(valid.sum()), int(vg2.sum()), int(vg2.max()))
+        else:
+            stats = reduce(valid, aux)
         return pd.DataFrame({"tx": [tx], "ty": [ty],
-                             "n_valid": [int(valid.sum())],
-                             "sum_g2": [int(vg2.sum())],
-                             "max_g2": [int(vg2.max())]})
+                             "n_valid": [int(stats[0])],
+                             "sum_g2": [int(stats[1])],
+                             "max_g2": [int(stats[2])]})
 
     return unified.groupBy("tx", "ty").applyInPandas(assemble, _STATS_SCHEMA)
 
@@ -184,3 +193,67 @@ def tile_halo_sobel(tiles: DataFrame, tile_size: int,
 
     return _halo_stats(tiles, tile_size, nodata, corners=True,
                        stencil=stencil)
+
+
+def aspect_octant(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Exact-integer aspect sector: the half-open 45° sector of
+    atan2(gy, gx) in [0°, 360°), 0 = [0°, 45°), …, 7 = [315°, 360°);
+    -1 for flat cells (gx = gy = 0).  Pure sign/magnitude comparisons
+    — no trig crosses the engine boundary, so the DuckDB twin's CASE
+    ladder is bit-identical by construction (tests pin the ladder
+    against math.atan2 away from sector boundaries AND the boundary
+    rays explicitly)."""
+    conds = [
+        (gx > 0) & (gy >= 0) & (gy < gx),          # [0, 45)
+        (gy > 0) & (gx > 0) & (gy >= gx),          # [45, 90)
+        (gy > 0) & (gx <= 0) & (gy > -gx),         # [90, 135)
+        (gy > 0) & (gx < 0) & (gy <= -gx),         # [135, 180)
+        (gy <= 0) & (gx < 0) & (-gy < -gx),        # [180, 225)
+        (gy < 0) & (gx < 0) & (-gy >= -gx),        # [225, 270)
+        (gy < 0) & (gx >= 0) & (-gy > gx),         # [270, 315)
+        (gy < 0) & (gx > 0) & (-gy <= gx),         # [315, 360)
+    ]
+    return np.select(conds, list(range(8)), default=-1)
+
+
+def tile_halo_terrain(tiles: DataFrame, tile_size: int,
+                      nodata: int = 0) -> DataFrame:
+    """Horn terrain ASPECT analysis (the `gdaldem aspect` class-map
+    analog, kept exact-integer): per pixel the Horn 1981 gradient
+    numerators gx = (ne+2e+se)-(nw+2w+sw), gy = (sw+2s+se)-(nw+2n+ne)
+    — the same 3×3 sums gdaldem divides by 8·cellsize before the
+    atan2 — classified into 8 half-open 45° compass sectors by
+    sign/magnitude comparisons alone (aspect_octant), so the whole
+    surface-direction histogram crosses the SQL gate bit-exactly.
+
+    Output packs the per-tile octant histogram into the shared halo
+    stats schema: n_valid = valid 8-neighborhood pixels (flats
+    included), sum_g2 = Σ count(oct k)·2^(16k) for k 0..3, max_g2 =
+    the same for k 4..7 (counts ≤ ts² = 16384 < 2^16, so the packing
+    is lossless and the top term stays under 2^62).  Border pixels use
+    edge strips + corner halos from the 8 neighbor tiles, like
+    tile_halo_sobel."""
+
+    def stencil(pad: np.ndarray):
+        c = pad[1:-1, 1:-1]
+        n_, s_ = pad[:-2, 1:-1], pad[2:, 1:-1]
+        w_, e_ = pad[1:-1, :-2], pad[1:-1, 2:]
+        nw, ne = pad[:-2, :-2], pad[:-2, 2:]
+        sw, se = pad[2:, :-2], pad[2:, 2:]
+        gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+        gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+        valid = (c != nodata)
+        for nb in (n_, s_, w_, e_, nw, ne, sw, se):
+            valid &= nb != nodata
+        return valid, (gx, gy)
+
+    def reduce(valid: np.ndarray, aux) -> tuple[int, int, int]:
+        gx, gy = aux
+        oct_ = aspect_octant(gx[valid], gy[valid])
+        counts = np.bincount(oct_[oct_ >= 0], minlength=8)
+        lo = sum(int(counts[k]) << (16 * k) for k in range(4))
+        hi = sum(int(counts[k + 4]) << (16 * k) for k in range(4))
+        return int(valid.sum()), lo, hi
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil, reduce=reduce)

@@ -110,3 +110,74 @@ def test_halo_sobel_corner_pixels_need_corner_halos(spark):
     # impossible without the diagonal pads (its corner pixels would
     # lose their NW/NE/SW/SE neighbors)
     assert any(n == ts * ts for n, _, _ in interior.values())
+
+
+def test_aspect_octant_vs_atan2():
+    """The integer sector ladder == floor(atan2°/45) for random integer
+    gradients away from sector boundaries, and matches the hand-derived
+    sector ON each boundary ray (half-open [k·45°, (k+1)·45°))."""
+    import math
+
+    from rastertiler_rs_spark.operators.halo import aspect_octant
+
+    rng = np.random.default_rng(7)
+    gx = rng.integers(-2000, 2001, size=4000)
+    gy = rng.integers(-2000, 2001, size=4000)
+    got = aspect_octant(gx, gy)
+    for x, y, o in zip(gx, gy, got):
+        if x == 0 and y == 0:
+            assert o == -1
+            continue
+        deg = math.degrees(math.atan2(y, x)) % 360.0
+        if min(deg % 45.0, 45.0 - deg % 45.0) < 1e-9:
+            continue  # boundary rays pinned below
+        assert o == int(deg // 45.0), (x, y, deg, o)
+    # boundary rays: angle k·45° belongs to sector k (half-open)
+    rays = [(5, 0, 0), (5, 5, 1), (0, 5, 2), (-5, 5, 3),
+            (-5, 0, 4), (-5, -5, 5), (0, -5, 6), (5, -5, 7)]
+    bx = np.array([r[0] for r in rays])
+    by = np.array([r[1] for r in rays])
+    assert list(aspect_octant(bx, by)) == [r[2] for r in rays]
+
+
+def test_halo_terrain_equals_global(spark):
+    """Terrain octant histogram over tiles == the global Horn gradient
+    classified per pixel and histogrammed per tile (packed 4×16-bit)."""
+    from rastertiler_rs_spark.operators.halo import (aspect_octant,
+                                                     tile_halo_terrain)
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5).astype(np.int64)
+    h, w = band.shape
+    c = band[1:-1, 1:-1]
+    n_, s_ = band[:-2, 1:-1], band[2:, 1:-1]
+    w_, e_ = band[1:-1, :-2], band[1:-1, 2:]
+    nw, ne = band[:-2, :-2], band[:-2, 2:]
+    sw, se = band[2:, :-2], band[2:, 2:]
+    gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+    gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+    valid = c != NODATA
+    for nb in (n_, s_, w_, e_, nw, ne, sw, se):
+        valid = valid & (nb != NODATA)
+    oct_ = aspect_octant(gx, gy)
+    want = {}
+    for r in range(1, h - 1):
+        for cc in range(1, w - 1):
+            if not valid[r - 1, cc - 1]:
+                continue
+            key = (cc // ts, r // ts)
+            nv, counts = want.get(key, (0, [0] * 8))
+            o = int(oct_[r - 1, cc - 1])
+            if o >= 0:
+                counts = list(counts)
+                counts[o] += 1
+            want[key] = (nv + 1, counts)
+    expect = {k: (nv,
+                  sum(counts[i] << (16 * i) for i in range(4)),
+                  sum(counts[i + 4] << (16 * i) for i in range(4)))
+              for k, (nv, counts) in want.items()}
+    path = tiled_canvas_parquet(256, 192, ts, seed=5)
+    tiles = spark.read.parquet(path)
+    got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+           for r in tile_halo_terrain(tiles, ts).collect()}
+    assert got == expect

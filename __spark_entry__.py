@@ -299,17 +299,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(_t(spark, sf_dir, "documents"))
 
 
+# heavy-hitter threshold: count·(k+1) > N over the document token
+# stream (k = 50 keeps ~30 genuinely frequent words at sf0.01)
+_HEAVY_K = 50
+
+
 def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-minute window aggregate over the events stream table
-    (integer-valued cross-engine sums)."""
+    """Aggregation union over two streams:
+    - tumbling: 1-minute tumbling window aggregate over events
+      (integer-valued cross-engine sums).
+    - heavy: EXACT heavy hitters over the exploded document token
+      stream via distributed Misra-Gries sketches + broadcast exact
+      verify (operators/sketch.py) — output provably equals the plain
+      GROUP BY + HAVING twin, so the mergeable-sketch candidate bound
+      is under the value gate. Coerced into the tumbling shape:
+      minute_bucket←exact total N (pins the sentinel-row total path),
+      event_type←token, n←exact count, v100←count·(k+1)−N (pins the
+      threshold arithmetic)."""
+    from rastertiler_rs_spark.operators.sketch import frequent_items
+
     e = _t(spark, sf_dir, "events")
-    return e.groupBy(
+    tumbling = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 60).alias("minute_bucket"),
         "event_type",
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v100"),
     )
+    words = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("w"))
+    heavy = frequent_items(words, "w", _HEAVY_K).select(
+        F.col("total").alias("minute_bucket"),
+        F.col("key").alias("event_type"),
+        F.col("n"),
+        (F.col("n") * (_HEAVY_K + 1) - F.col("total")).alias("v100"))
+    return _union_variants(("tumbling", tumbling), ("heavy", heavy))
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5711,12 +5735,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1
         """,
-        "window_agg": """
+        "window_agg": _variant_union_sql(
+            ("tumbling", """
             SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 60) AS BIGINT) AS minute_bucket,
                    event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v100
             FROM events GROUP BY 1, 2
-        """,
+            """),
+            # exact-frequent-items twin of the Misra-Gries leg: the
+            # operator's output is provably EXACT, so the twin is the
+            # plain GROUP BY + HAVING it must equal
+            ("heavy", f"""
+            WITH tok AS (SELECT UNNEST(string_split(LOWER(text), ' ')) AS w
+                         FROM documents),
+            t AS (SELECT COUNT(*) AS total FROM tok)
+            SELECT (SELECT total FROM t) AS minute_bucket,
+                   w AS event_type,
+                   COUNT(*) AS n,
+                   CAST(COUNT(*) * {_HEAVY_K + 1}
+                        - (SELECT total FROM t) AS BIGINT) AS v100
+            FROM tok GROUP BY w
+            HAVING COUNT(*) * {_HEAVY_K + 1} > (SELECT total FROM t)
+            """)),
         "knn": """
             WITH pts AS (SELECT c_custkey AS pid,
                                 CAST((c_custkey * 13) % 100 AS DOUBLE) + 0.7 AS px,

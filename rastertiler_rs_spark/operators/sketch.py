@@ -1,0 +1,89 @@
+"""MISRA-GRIES HEAVY HITTERS, distributed — exact frequent items
+without shuffling the full key space.
+
+The 100 TB problem: `GROUP BY key` over a high-cardinality column
+shuffles every distinct key; when only the φ-frequent keys matter
+(hot users, hot tokens, hot tiles), that shuffle is almost entirely
+waste.  The mergeable-summaries route (Misra–Gries 1982; merge rule
+from Agarwal et al., "Mergeable Summaries", PODS 2012):
+
+1. SKETCH, map-side only: each partition folds its rows into a
+   k-counter Misra-Gries summary (mapInPandas — the one imperative
+   step; batch-vectorized via value_counts, then the merge-and-prune
+   rule: add counts, subtract the (k+1)-th largest from all, drop
+   non-positive).  Each prune removes ≥ (k+1)·sub mass, so the total
+   subtracted per partition is ≤ n_p/(k+1): any key with LOCAL count
+   > n_p/(k+1) survives its partition's summary.
+2. CANDIDATES: the union of partition summaries (≤ k·P tiny rows).
+   If a key's global count exceeds N/(k+1) then some partition has
+   local count > n_p/(k+1) (otherwise summing the contrapositive
+   bounds the global count by N/(k+1)) — so the union is a guaranteed
+   SUPERSET of every global (N/(k+1))-heavy key, independent of how
+   rows are partitioned.
+3. VERIFY, exact: one broadcast semi-join of the raw rows against the
+   candidate set + a partial-aggregated count (map-side combine on ≤
+   k·P keys), filtered by count·(k+1) > N in exact integers.
+
+The output is therefore EXACT — identical to the full GROUP BY +
+HAVING — which is what lets a plain SQL twin sit under the value
+gate; the sketch only bounds WHICH keys can reach the verify pass.
+Two passes over the source by design (the classic 2-pass exact heavy
+hitters); at scale persist the projected key column or accept the
+re-scan — both beat shuffling the full key space.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def mg_merge(counters: dict, batch_counts: dict, k: int) -> dict:
+    """Fold exact batch counts into a Misra-Gries summary, pruned to
+    ≤ k counters: add, then subtract the (k+1)-th largest value from
+    every counter and keep the strictly positive ones."""
+    for key, c in batch_counts.items():
+        counters[key] = counters.get(key, 0) + int(c)
+    if len(counters) > k:
+        vals = sorted(counters.values(), reverse=True)
+        sub = vals[k]
+        counters = {key: v - sub for key, v in counters.items() if v > sub}
+    return counters
+
+
+def frequent_items(rows: DataFrame, key_col: str, k: int) -> DataFrame:
+    """→ (key, n, total): every key whose exact count satisfies
+    n·(k+1) > total, with its exact count and the exact row total —
+    equal to the full GROUP BY + HAVING, computed via per-partition
+    Misra-Gries sketches + one broadcast-verified exact pass."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = rows.select(F.col(key_col).cast("string").alias("key"))
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_p = 0
+        for pdf in batches:
+            # total counts every row (null keys included, matching the
+            # SQL COUNT(*)); null keys can never become candidates
+            n_p += len(pdf)
+            counters = mg_merge(counters, pdf["key"].value_counts().to_dict(), k)
+        # sentinel row (key NULL) carries the partition's row count so
+        # the exact total needs no extra job
+        yield pd.DataFrame({
+            "key": list(counters.keys()) + [None],
+            "n": np.array(list(counters.values()) + [n_p], dtype="int64"),
+        })
+
+    summaries = keys.mapInPandas(sketch, "key string, n long")
+    cands = summaries.where(F.col("key").isNotNull()).select("key").distinct()
+    total = summaries.where(F.col("key").isNull()).agg(
+        F.sum("n").alias("total"))
+    exact = (keys.join(F.broadcast(cands), "key")
+             .groupBy("key").agg(F.count("*").alias("n")))
+    return (exact.crossJoin(F.broadcast(total))
+            .where(F.col("n") * F.lit(k + 1) > F.col("total"))
+            .select("key", "n", "total"))

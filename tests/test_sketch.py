@@ -1,0 +1,67 @@
+"""frequent_items (distributed Misra-Gries + exact verify) vs brute
+force, including the adversarial shape the sketch must survive: a key
+below every LOCAL prune threshold that is still globally frequent."""
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from rastertiler_rs_spark.operators.sketch import frequent_items, mg_merge
+
+
+def _brute(vals, k):
+    n = len(vals)
+    c = Counter(v for v in vals if v is not None)
+    return {key: (cnt, n) for key, cnt in c.items() if cnt * (k + 1) > n}
+
+
+def _run(spark, vals, k, parts):
+    df = spark.createDataFrame([(v,) for v in vals], "key string") \
+              .repartition(parts)
+    out = frequent_items(df, "key", k)
+    return {r["key"]: (r["n"], r["total"]) for r in out.collect()}
+
+
+def test_worked_example(spark):
+    vals = ["a"] * 50 + ["b"] * 30 + [chr(99 + i % 20) for i in range(20)]
+    # n = 100, k = 3: threshold count*4 > 100 -> a (200) and b (120)
+    got = _run(spark, vals, 3, parts=4)
+    assert got == {"a": (50, 100), "b": (30, 100)}
+
+
+def test_globally_frequent_locally_sparse(spark):
+    """'h' is 3 of 12 rows in each of 4 partitions — never a local
+    majority — but globally 12/48 > 48/(k+1) for k=4. The candidate
+    union must still carry it (the mergeable-summaries bound)."""
+    part = ["h"] * 3 + [f"x{i}" for i in range(9)]
+    rows = []
+    for p in range(4):
+        rows += [(v if v == "h" else f"{v}_{p}",) for v in part]
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    got = {r["key"]: (r["n"], r["total"])
+           for r in frequent_items(df, "key", 4).collect()}
+    assert got == {"h": (12, 48)}
+
+
+def test_mg_merge_prune_bound():
+    c = mg_merge({}, {"a": 5, "b": 5, "c": 5}, 2)
+    assert c == {}  # (k+1)-th largest is 5; nothing strictly above
+    c = mg_merge({}, {"a": 9, "b": 5, "c": 5}, 2)
+    assert c == {"a": 4}
+    c = mg_merge({"a": 4}, {"b": 1}, 2)
+    assert c == {"a": 4, "b": 1}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=5))
+def test_matches_brute_force(spark, vals, k, parts):
+    assert _run(spark, vals, k, parts) == _brute(vals, k)
+
+
+def test_k_validation(spark):
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError):
+        frequent_items(df, "key", 0)

@@ -269,10 +269,26 @@ def q_merge_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: value → count histogram."""
+    """Aggregate-sketch union:
+    - quantity: A1 value → count histogram over lineitem.
+    - hll: HyperLogLog register table (operators/sketch.py) over
+      customer keys — the mergeable approx-distinct sketch, with the
+      SQL-expressible 31-bit Lehmer hash twin so register indexing,
+      the bin()-based rho rule, and the max-merge are all VALUE-gated
+      (the engine default uses JVM xxhash64; estimate quality and the
+      xxhash64 bit-parity pin live in tests/test_sketch.py). Coerced
+      to (value←register, n←rho_max)."""
+    from rastertiler_rs_spark.operators.sketch import hll_registers_int
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_quantity").cast("int").alias("value")).agg(
+    quantity = li.groupBy(F.col("l_quantity").cast("int").alias("value")).agg(
         F.count("*").alias("n"))
+    hll = hll_registers_int(
+        _t(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey", p=6).select(
+            F.col("register").alias("value"),
+            F.col("rho_max").alias("n"))
+    return _union_variants(("quantity", quantity), ("hll", hll))
 
 
 def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5712,10 +5728,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM r WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.tid = r.tid)
         """,
-        "histogram": """
+        "histogram": _variant_union_sql(
+            ("quantity", """
             SELECT CAST(l_quantity AS INT) AS value, COUNT(*) AS n
             FROM lineitem GROUP BY 1
-        """,
+            """),
+            # HLL register twin: same Lehmer hash, register = top 6 of
+            # 31 bits, rho = 26 - floor(log2(suffix)) via length(bin())
+            # — exact string op, no float log on either engine
+            ("hll", f"""
+            WITH h AS (SELECT (c_custkey * 48271 + 11) % 2147483647 AS h
+                       FROM customer),
+            r AS (SELECT CAST(h // {1 << 25} AS INT) AS value,
+                         CASE WHEN (h % {1 << 25}) = 0 THEN 26
+                              ELSE 26 - LENGTH(bin(h % {1 << 25})) END AS rho
+                  FROM h)
+            SELECT value, CAST(MAX(rho) AS BIGINT) AS n FROM r GROUP BY 1
+            """)),
         "envelope": f"""
             WITH b AS ({part_boxes_2000})
             SELECT {_sql_rnd("MIN(minx)", "1e6")} AS xmin, {_sql_rnd("MIN(miny)", "1e6")} AS ymin,

@@ -87,3 +87,74 @@ def frequent_items(rows: DataFrame, key_col: str, k: int) -> DataFrame:
     return (exact.crossJoin(F.broadcast(total))
             .where(F.col("n") * F.lit(k + 1) > F.col("total"))
             .select("key", "n", "total"))
+
+
+# ---------------------------------------------------------------------------
+# HYPERLOGLOG approx-distinct (Flajolet-Fuchs-Gandouet-Meunier 2007).
+# The register TABLE is the sketch: (register, rho_max), mergeable by
+# elementwise max — union two streams' registers with groupBy-max and
+# the estimate of the union falls out, the property that makes HLL the
+# 100 TB count-distinct (per shard/day/partition sketches roll up
+# without re-reading data). Registers are exact integers, so the whole
+# sketch sits under the SQL value gate; only the final estimate is
+# float, and that is a driver-side formula over ≤ 2^p rows.
+# ---------------------------------------------------------------------------
+
+
+def _rho_cols(h, p: int, bits: int):
+    """(register, rho) from a non-negative-suffix hash: register = top
+    p bits, rho = 1-based position of the first 1 in the remaining
+    (bits-p)-bit suffix, bits-p+1 when the suffix is 0.  floor(log2)
+    via length(bin(w)) — an exact string op with identical semantics in
+    Spark and DuckDB (no float log)."""
+    q = bits - p
+    if bits == 64:
+        idx = F.shiftrightunsigned(h, q)
+    else:
+        idx = F.shiftright(h, q)
+    w = h.bitwiseAND(F.lit((1 << q) - 1))
+    rho = F.when(w == F.lit(0), F.lit(q + 1)).otherwise(
+        F.lit(q + 1) - F.length(F.bin(w)))
+    return idx.cast("int").alias("register"), rho.cast("long").alias("rho")
+
+
+def hll_registers(rows: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """→ (register, rho_max), 2^p registers max: the HyperLogLog
+    sketch of `key_col` via the engine's JVM xxhash64 (bit-identical
+    to functions/hashing.xxhash64 on the key's little-endian bytes —
+    pinned in tests). Whole pipeline is built-in column exprs + one
+    2^p-key groupBy; merge sketches by unioning and re-aggregating."""
+    if not 2 <= p <= 18:
+        raise ValueError("p must be in [2, 18]")
+    reg, rho = _rho_cols(F.xxhash64(F.col(key_col)), p, 64)
+    return rows.select(reg, rho).groupBy("register").agg(
+        F.max("rho").alias("rho_max"))
+
+
+def hll_registers_int(rows: DataFrame, key_col: str, p: int = 6,
+                      a: int = 48271, b: int = 11) -> DataFrame:
+    """SQL-twin variant for the value gate: a Lehmer-style 31-bit hash
+    (key·a + b) mod (2^31 − 1) — exact in BIGINT for |key| < 2^44 on
+    both engines — then the same register/rho rule over 31 bits. The
+    engine default is hll_registers (xxhash64); this leg exists so the
+    register/rho/merge PLUMBING is value-verified by DuckDB."""
+    h = (F.col(key_col) * F.lit(a) + F.lit(b)) % F.lit((1 << 31) - 1)
+    reg, rho = _rho_cols(h, p, 31)
+    return rows.select(reg, rho).groupBy("register").agg(
+        F.max("rho").alias("rho_max"))
+
+
+def hll_estimate(registers: dict[int, int], p: int) -> float:
+    """Bias-corrected HLL estimate from a collected register table
+    (missing registers = 0), with the standard small-range linear
+    counting switch."""
+    import math
+
+    m = 1 << p
+    z = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / z
+    zeros = m - sum(1 for j in range(m) if registers.get(j, 0) > 0)
+    if e <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return e

@@ -65,3 +65,69 @@ def test_k_validation(spark):
     df = spark.createDataFrame([("a",)], "key string")
     with pytest.raises(ValueError):
         frequent_items(df, "key", 0)
+
+
+def _py_registers(keys, p, bits=64, hash_fn=None):
+    regs = {}
+    q = bits - p
+    for key in keys:
+        h = hash_fn(key)
+        idx = (h & ((1 << bits) - 1)) >> q if bits == 64 else h >> q
+        w = h & ((1 << q) - 1)
+        rho = q + 1 if w == 0 else q + 1 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def test_hll_registers_pin_xxhash64(spark):
+    """Spark hll_registers == a pure-python recompute through the
+    repo's verified xxhash64 twin on the key's LE bytes — pins the
+    JVM hash, the unsigned top-p split, and the bin()-length rho."""
+    import struct
+
+    from rastertiler_rs_spark.functions.hashing import xxhash64
+    from rastertiler_rs_spark.operators.sketch import hll_registers
+
+    keys = list(range(500)) + [10**12 + 7 * i for i in range(100)] + [-5, -1]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["register"]: r["rho_max"]
+           for r in hll_registers(df, "k", p=8).collect()}
+    want = _py_registers(keys, 8,
+                         hash_fn=lambda k: xxhash64(struct.pack("<q", k)))
+    assert got == want
+
+
+def test_hll_merge_is_elementwise_max(spark):
+    from rastertiler_rs_spark.operators.sketch import hll_registers
+
+    a = spark.createDataFrame([(i,) for i in range(300)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(200, 600)], "k long")
+    ra = {r["register"]: r["rho_max"] for r in hll_registers(a, "k", 6).collect()}
+    rb = {r["register"]: r["rho_max"] for r in hll_registers(b, "k", 6).collect()}
+    ru = {r["register"]: r["rho_max"]
+          for r in hll_registers(a.unionByName(b), "k", 6).collect()}
+    merged = {j: max(ra.get(j, 0), rb.get(j, 0))
+              for j in set(ra) | set(rb)}
+    assert ru == merged
+
+
+def test_hll_estimate_quality(spark):
+    from rastertiler_rs_spark.operators.sketch import (hll_estimate,
+                                                       hll_registers)
+
+    from pyspark.sql import functions as F
+
+    n = 20000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    regs = {r["register"]: r["rho_max"]
+            for r in hll_registers(df, "k", p=8).collect()}
+    est = hll_estimate(regs, 8)
+    assert abs(est - n) / n < 0.15, est
+
+
+def test_hll_p_validation(spark):
+    from rastertiler_rs_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", p=1)

@@ -2322,12 +2322,14 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned shuffles at corpus scale)."""
     from rastertiler_rs_spark.operators.text import (lang_scores,
                                                      quality_scores,
+                                                     repetition_scores,
                                                      token_counts)
 
     docs = _t(spark, sf_dir, "documents")
     return (token_counts(docs)
             .join(quality_scores(docs), "doc_id")
-            .join(lang_scores(docs), "doc_id"))
+            .join(lang_scores(docs), "doc_id")
+            .join(repetition_scores(docs), "doc_id"))
 
 
 def q_vector_tiles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5844,14 +5846,34 @@ def oracle_sql() -> dict[str, str]:
                           WHEN score_en = GREATEST(score_en, score_fr, score_de) THEN 'en'
                           WHEN score_fr = GREATEST(score_en, score_fr, score_de) THEN 'fr'
                           ELSE 'de' END AS lang_guess
-              FROM s)
+              FROM s),
+            -- Gopher repetition signals (exact integer counts)
+            arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+            wcc AS (SELECT doc_id, w, COUNT(*) AS c
+                    FROM (SELECT doc_id, UNNEST(a) AS w FROM arr) GROUP BY 1, 2),
+            wd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                          COUNT(*) AS n_distinct_words,
+                          CAST(MAX(c) AS BIGINT) AS top_word_n
+                   FROM wcc GROUP BY 1),
+            bcc AS (SELECT doc_id, b, COUNT(*) AS c FROM (
+                      SELECT doc_id, a[i] || ' ' || a[i + 1] AS b
+                      FROM arr, LATERAL (SELECT UNNEST(generate_series(1, LEN(a) - 1)) AS i) s)
+                    GROUP BY 1, 2),
+            bd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                          CAST(MAX(c) AS BIGINT) AS top_bigram_n
+                   FROM bcc GROUP BY 1)
             SELECT tok.doc_id, tok.n_tokens, tok.n_bpe_tokens,
                    qual.n_chars_m, qual.n_punct, qual.n_digit, qual.n_space,
                    qual.mean_wordlen_x100,
-                   lang.score_en, lang.score_fr, lang.score_de, lang.lang_guess
+                   lang.score_en, lang.score_fr, lang.score_de, lang.lang_guess,
+                   wd.n_words, wd.n_distinct_words, wd.top_word_n,
+                   COALESCE(bd.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(bd.top_bigram_n, 0) AS top_bigram_n
             FROM tok
             JOIN qual ON qual.doc_id = tok.doc_id
             JOIN lang ON lang.doc_id = tok.doc_id
+            JOIN wd ON wd.doc_id = tok.doc_id
+            LEFT JOIN bd ON bd.doc_id = tok.doc_id
         """,
         "raster_gradient": _raster_gradient_oracle_sql(),
         "tile_halo": _variant_union_sql(

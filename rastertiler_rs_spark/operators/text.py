@@ -343,6 +343,44 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style REPETITION quality signals (Rae et al. 2021 §A1.1:
+    duplicate-fraction and top-n-gram-fraction filters), kept as exact
+    integer counts so they cross the SQL gate bit-for-bit — callers
+    derive the fractions: (doc_id, n_words, n_distinct_words,
+    top_word_n, n_bigrams, top_bigram_n).  A high top_word_n/n_words or
+    top_bigram_n/n_bigrams flags the degenerate repetitive text LLM
+    corpora drop.  All JVM: split + explode + two hash aggregations
+    (per-(doc, gram) then per-doc), bigrams built by a transform over
+    the split array — no python stage, partial aggregation map-side."""
+    arr = F.split(F.col(text_col), " ", -1)
+    words = docs.select("doc_id", F.explode(arr).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    wd = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_n"))
+    # NB sequence(1, 0) DESCENDS in Spark (it is not empty like DuckDB
+    # generate_series) — guard the <2-word case explicitly
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(split({text_col}, ' ', -1)) >= 2 THEN "
+            f"transform(sequence(1, size(split({text_col}, ' ', -1)) - 1), "
+            f"i -> concat_ws(' ', element_at(split({text_col}, ' ', -1), i), "
+            f"element_at(split({text_col}, ' ', -1), i + 1))) "
+            f"ELSE array() END")).alias("b"))
+    bc = bigrams.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    bd = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"))
+    return (wd.join(bd, "doc_id", "left")
+            .select("doc_id", "n_words", "n_distinct_words", "top_word_n",
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+                    F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                    .alias("top_bigram_n")))
+
+
 _LANG_MARKERS = {
     "en": [" the ", " and ", " of "],
     "fr": [" le ", " la ", " et "],

@@ -94,3 +94,29 @@ def test_token_counts_whitespace_and_bpeish(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"])
            for r in token_counts(docs).collect()}
     assert got == {0: (2, 4), 1: (3, 7), 2: (2, 2)}
+
+
+def test_repetition_scores_brute_force(spark):
+    """Gopher repetition counts vs a pure-python recompute, including
+    the single-word (no-bigram) edge and heavy repetition."""
+    from collections import Counter
+
+    from rastertiler_rs_spark.operators.text import repetition_scores
+
+    texts = {
+        1: "a b a b a b",          # top bigram 'a b' x3 (of 5), top word a x3
+        2: "solo",                  # no bigrams
+        3: "x x x x",               # degenerate repeat
+        4: "the quick brown fox jumps over the lazy dog",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_distinct_words"], r["top_word_n"],
+                         r["n_bigrams"], r["top_bigram_n"])
+           for r in repetition_scores(df).collect()}
+    for did, t in texts.items():
+        ws = t.split(" ")
+        wc = Counter(ws)
+        bgs = Counter(" ".join(p) for p in zip(ws, ws[1:]))
+        want = (len(ws), len(wc), max(wc.values()),
+                sum(bgs.values()), max(bgs.values()) if bgs else 0)
+        assert got[did] == want, (did, got[did], want)

@@ -1033,12 +1033,19 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tile_halo_terrain): same 8-neighbor halo as sobel, but the pin is
     # the surface-DIRECTION histogram (8 compass sectors by exact
     # integer comparisons), packed 4×16-bit per stats column
-    from rastertiler_rs_spark.operators.halo import tile_halo_terrain
+    # morph/median = 3×3 rank filters (morphological gradient, median
+    # denoise) on the same 8-neighbor exchange; twins are GREATEST−LEAST
+    # and list_sort[5] over the shared 9-window canvas CTE
+    from rastertiler_rs_spark.operators.halo import (tile_halo_median,
+                                                     tile_halo_morph,
+                                                     tile_halo_terrain)
 
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
         ("sobel", tile_halo_sobel(tiles, 128)),
         ("terrain", tile_halo_terrain(tiles, 128)),
+        ("morph", tile_halo_morph(tiles, 128)),
+        ("median", tile_halo_median(tiles, 128)),
         ("algebra", alg),
         ("iso", iso),
         ("stack", stk),
@@ -3870,6 +3877,54 @@ def _halo_sobel_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _halo_window9_oracle_sql(pixel_expr: str, w: int = 1024, h: int = 768,
+                             ts: int = 128, seed: int = 5) -> str:
+    """Shared unpartitioned-canvas twin for 3×3-window halo stencils:
+    emits per valid pixel (all 9 cells non-nodata) the value
+    `pixel_expr` over columns vc/vn/vs/vw/ve/vnw/vne/vsw/vse, grouped
+    to (tx, ty, n_valid, sum_g2, max_g2)."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+
+    def v(r, c):
+        return "(" + _PIXEL_VALUE_CASE.format(r=r, c=c) + ")"
+
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 {v("rs.r", "cs.c")} AS vc,
+                 {v("rs.r", "(cs.c + 1)")} AS ve,
+                 {v("rs.r", "(cs.c - 1)")} AS vw,
+                 {v("(rs.r + 1)", "cs.c")} AS vs,
+                 {v("(rs.r - 1)", "cs.c")} AS vn,
+                 {v("(rs.r - 1)", "(cs.c - 1)")} AS vnw,
+                 {v("(rs.r - 1)", "(cs.c + 1)")} AS vne,
+                 {v("(rs.r + 1)", "(cs.c - 1)")} AS vsw,
+                 {v("(rs.r + 1)", "(cs.c + 1)")} AS vse
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(1, {h - 2})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(1, {w - 2})) AS c) cs(c)),
+        g AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty, {pixel_expr} AS g2
+          FROM px
+          WHERE vc <> 0 AND ve <> 0 AND vw <> 0 AND vs <> 0 AND vn <> 0
+            AND vnw <> 0 AND vne <> 0 AND vsw <> 0 AND vse <> 0)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(g2) AS BIGINT) AS sum_g2,
+               CAST(MAX(g2) AS BIGINT) AS max_g2
+        FROM g GROUP BY tx, ty
+    """
+
+
+_W9 = "vc, vn, vs, vw, ve, vnw, vne, vsw, vse"
+_MORPH_EXPR = f"GREATEST({_W9}) - LEAST({_W9})"
+_MEDIAN_EXPR = f"list_sort([{_W9}])[5]"
+
+
 def _halo_terrain_oracle_sql(w: int = 1024, h: int = 768,
                              ts: int = 128, seed: int = 5) -> str:
     """Unpartitioned-canvas twin of tile_halo_terrain: Horn gradient
@@ -5880,6 +5935,8 @@ def oracle_sql() -> dict[str, str]:
             ("grad", _halo_gradient_oracle_sql()),
             ("sobel", _halo_sobel_oracle_sql()),
             ("terrain", _halo_terrain_oracle_sql()),
+            ("morph", _halo_window9_oracle_sql(_MORPH_EXPR)),
+            ("median", _halo_window9_oracle_sql(_MEDIAN_EXPR)),
             ("algebra", _raster_algebra_oracle_sql()),
             ("iso", _isolines_oracle_sql()),
             ("stack", _raster_stack_oracle_sql()),

@@ -195,6 +195,50 @@ def tile_halo_sobel(tiles: DataFrame, tile_size: int,
                        stencil=stencil)
 
 
+def _window9(pad: np.ndarray, nodata: int):
+    """The 9 shifted views of the 3×3 neighborhood plus the all-valid
+    mask (center + 8 neighbors non-nodata)."""
+    views = [pad[r:r + pad.shape[0] - 2, c:c + pad.shape[1] - 2]
+             for r in range(3) for c in range(3)]
+    valid = views[4] != nodata
+    for v in views:
+        valid &= v != nodata
+    return views, valid
+
+
+def tile_halo_morph(tiles: DataFrame, tile_size: int,
+                    nodata: int = 0) -> DataFrame:
+    """Morphological GRADIENT (3×3 dilation − erosion, the edge
+    detector of mathematical morphology) over the 8-neighbor halo
+    exchange: per valid pixel g = max₉ − min₉ of the 3×3 window;
+    per-tile (n_valid, Σg, max g).  Exact integers; the DuckDB twin is
+    GREATEST(…9…) − LEAST(…9…) over the canvas formula."""
+
+    def stencil(pad: np.ndarray):
+        views, valid = _window9(pad, nodata)
+        stack = np.stack(views)
+        return valid, stack.max(axis=0) - stack.min(axis=0)
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil)
+
+
+def tile_halo_median(tiles: DataFrame, tile_size: int,
+                     nodata: int = 0) -> DataFrame:
+    """3×3 MEDIAN filter (salt-and-pepper denoise) over the 8-neighbor
+    halo exchange: per valid pixel the 5th-smallest of the 9 window
+    values; per-tile (n_valid, Σmedian, max median).  Exact integers;
+    the DuckDB twin sorts the 9-element list and takes element 5."""
+
+    def stencil(pad: np.ndarray):
+        views, valid = _window9(pad, nodata)
+        med = np.partition(np.stack(views), 4, axis=0)[4]
+        return valid, med
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil)
+
+
 def aspect_octant(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
     """Exact-integer aspect sector: the half-open 45° sector of
     atan2(gy, gx) in [0°, 360°), 0 = [0°, 45°), …, 7 = [315°, 360°);

@@ -181,3 +181,40 @@ def test_halo_terrain_equals_global(spark):
     got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
            for r in tile_halo_terrain(tiles, ts).collect()}
     assert got == expect
+
+
+def test_halo_morph_and_median_equal_global(spark):
+    """3×3 rank filters over tiles == the global-canvas filters
+    restricted per tile (dilate−erode gradient; 5th-of-9 median)."""
+    from rastertiler_rs_spark.operators.halo import (tile_halo_median,
+                                                     tile_halo_morph)
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5).astype(np.int64)
+    h, w = band.shape
+    views = [band[r:r + h - 2, c:c + w - 2]
+             for r in range(3) for c in range(3)]
+    valid = views[4] != NODATA
+    for v in views:
+        valid = valid & (v != NODATA)
+    stack = np.stack(views)
+    cases = {
+        "morph": stack.max(axis=0) - stack.min(axis=0),
+        "median": np.sort(stack, axis=0)[4],
+    }
+    path = tiled_canvas_parquet(256, 192, ts, seed=5)
+    tiles = spark.read.parquet(path)
+    ops = {"morph": tile_halo_morph, "median": tile_halo_median}
+    for name, vals in cases.items():
+        want = {}
+        for r in range(1, h - 1):
+            for cc in range(1, w - 1):
+                if not valid[r - 1, cc - 1]:
+                    continue
+                key = (cc // ts, r // ts)
+                n, s, m = want.get(key, (0, 0, 0))
+                x = int(vals[r - 1, cc - 1])
+                want[key] = (n + 1, s + x, max(m, x))
+        got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+               for r in ops[name](tiles, ts).collect()}
+        assert got == want, name

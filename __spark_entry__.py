@@ -308,11 +308,33 @@ def q_zoom_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.agg(F.min("zoom").alias("minzoom"), F.max("zoom").alias("maxzoom"))
 
 
+_SAMPLE_K = 64
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 / training-data exact dedup: content-hash groups."""
+    """Content-identity union:
+    - groups: A5 / training-data exact dedup, content-hash groups.
+    - sample: bottom-k (KMV) deterministic sample of documents
+      (operators/sketch.py sample_bottom_k — TakeOrderedAndProject
+      per-partition heaps, no shuffle of non-sample rows) by the
+      SQL-twinnable Lehmer hash of doc_id; emits the sampled docs'
+      md5(text) so content rides the sample under the gate. Coerced
+      as content_md5←md5, n_docs←rank, keep_doc_id←doc_id."""
+    from rastertiler_rs_spark.operators.sketch import sample_bottom_k
     from rastertiler_rs_spark.operators.text import exact_dup_groups
 
-    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    groups = exact_dup_groups(docs)
+    lehmer = (F.col("doc_id") * F.lit(48271) + F.lit(11)) % F.lit(
+        (1 << 31) - 1)
+    sampled = sample_bottom_k(docs, "doc_id", _SAMPLE_K, hash_expr=lehmer)
+    sample = (docs.select("doc_id", "text")
+              .join(F.broadcast(sampled.select("id", "rank")),
+                    F.col("doc_id") == F.col("id"))
+              .select(F.md5("text").alias("content_md5"),
+                      F.col("rank").alias("n_docs"),
+                      F.col("doc_id").alias("keep_doc_id")))
+    return _union_variants(("groups", groups), ("sample", sample))
 
 
 # heavy-hitter threshold: count·(k+1) > N over the document token
@@ -1777,7 +1799,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_levels").alias("end_es"),
         F.lit(0).cast("long").alias("duration_s"),
         F.lit(0).cast("long").alias("value_cents"))
-    return _union_variants(("rollup", roll), ("funnel", fleg))
+    # cohort = daily cohort-retention triangle (sessionize.py
+    # cohort_retention: one user shuffle, set-valued activity, no
+    # self-join); coerced as user_id←cohort, session_seq←k (periods
+    # since first activity), n_events←active distinct users
+    from rastertiler_rs_spark.operators.sessionize import cohort_retention
+
+    z = F.lit(0).cast("long")
+    cleg = cohort_retention(ev, period_s=86400).select(
+        F.col("cohort").alias("user_id"),
+        F.col("k").alias("session_seq"),
+        F.col("n_users").alias("n_events"),
+        z.alias("start_es"), z.alias("end_es"),
+        z.alias("duration_s"), z.alias("value_cents"))
+    return _union_variants(("rollup", roll), ("funnel", fleg),
+                           ("cohort", cleg))
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5012,6 +5048,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS duration_s,
                    CAST(0 AS BIGINT) AS value_cents
             FROM r GROUP BY 1
+            """),
+            ("cohort", """
+            WITH pe AS (SELECT user_id AS u,
+                               CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS p
+                        FROM events),
+            f AS (SELECT u, MIN(p) AS cohort FROM pe GROUP BY 1),
+            a AS (SELECT DISTINCT pe.u, f.cohort, pe.p
+                  FROM pe JOIN f ON pe.u = f.u)
+            SELECT cohort AS user_id, p - cohort AS session_seq,
+                   COUNT(*) AS n_events,
+                   CAST(0 AS BIGINT) AS start_es, CAST(0 AS BIGINT) AS end_es,
+                   CAST(0 AS BIGINT) AS duration_s,
+                   CAST(0 AS BIGINT) AS value_cents
+            FROM a GROUP BY 1, 2
             """)),
         # container probes in the shared (variant, media_id, dim_a,
         # dim_b, n_units, duration_ms, codec) shape of q_media_probe;
@@ -5817,10 +5867,19 @@ def oracle_sql() -> dict[str, str]:
                        SELECT * FROM r WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.tid = r.tid))
             SELECT MIN(zoom) AS minzoom, MAX(zoom) AS maxzoom FROM m
         """,
-        "dedup_exact": """
+        "dedup_exact": _variant_union_sql(
+            ("groups", """
             SELECT md5(text) AS content_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1
-        """,
+            """),
+            ("sample", f"""
+            SELECT md5(text) AS content_md5,
+                   ROW_NUMBER() OVER (ORDER BY h, doc_id) AS n_docs,
+                   doc_id AS keep_doc_id
+            FROM (SELECT doc_id, text,
+                         (doc_id * 48271 + 11) % 2147483647 AS h
+                  FROM documents ORDER BY h, doc_id LIMIT {_SAMPLE_K})
+            """)),
         "window_agg": _variant_union_sql(
             ("tumbling", """
             SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 60) AS BIGINT) AS minute_bucket,

@@ -53,3 +53,29 @@ def session_rollup(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             (F.max("es") - F.min("es")).alias("duration_s"),
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
         ))
+
+
+def cohort_retention(events: DataFrame, period_s: int = 86400,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """COHORT RETENTION — the product-analytics triangle: users are
+    grouped into cohorts by the period (floor(epoch/period_s)) of
+    their FIRST event; output (cohort, k, n_users) counts the cohort's
+    distinct users active exactly k periods later.
+
+    ONE shuffle on user builds (first period, set of active periods)
+    per user in the same aggregate — collect_set is bounded by the
+    number of periods a user can touch, not by events — then the
+    explode is already (user, period)-distinct so the (cohort, k)
+    rollup is a plain count, pre-combined map-side. No self-join of
+    events against first-events, no countDistinct shuffle."""
+    p = F.floor(F.unix_timestamp(F.col(ts_col)) / period_s).cast("long")
+    per_user = (events.select(F.col(user_col).alias("user"), p.alias("p"))
+                .groupBy("user")
+                .agg(F.min("p").alias("cohort"),
+                     F.collect_set("p").alias("ps")))
+    active = per_user.select(
+        "user", "cohort", F.explode("ps").alias("p"))
+    return (active.groupBy(
+                "cohort", (F.col("p") - F.col("cohort")).alias("k"))
+            .agg(F.count("*").alias("n_users")))

@@ -158,3 +158,38 @@ def hll_estimate(registers: dict[int, int], p: int) -> float:
     if e <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return e
+
+
+def sample_bottom_k(rows: DataFrame, id_col: str, k: int,
+                    hash_expr=None) -> DataFrame:
+    """BOTTOM-K (KMV) deterministic sample: the k rows whose hashed ids
+    are smallest, ties broken by id — a uniform-without-replacement
+    sample that is DETERMINISTIC (re-runs and re-partitions agree),
+    MERGEABLE (bottom-k of a union = bottom-k of the concatenated
+    bottom-k's — per-shard samples roll up without re-reading), and
+    doubles as the KMV distinct-count estimator via the k-th smallest
+    hash (kmv_distinct_estimate). Catalyst plans orderBy+limit as
+    TakeOrderedAndProject: per-partition top-k heaps + a k-row merge —
+    no global sort, no shuffle of non-sample rows.
+
+    hash_expr defaults to the engine's JVM xxhash64 of the id column;
+    pass an explicit Column (e.g. the Lehmer hash) for a SQL-twinnable
+    variant. Output: (id, h, rank) with rank 1..k in hash order."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(id_col)) if hash_expr is None else hash_expr
+    top = (rows.select(F.col(id_col).alias("id"), h.alias("h"))
+           .orderBy("h", "id").limit(k))
+    w = Window.orderBy("h", "id")
+    return top.select("id", "h",
+                      F.row_number().over(w).cast("long").alias("rank"))
+
+
+def kmv_distinct_estimate(kth_hash_unit: float, k: int) -> float:
+    """KMV estimator: with k-th smallest hash mapped to (0,1) as u,
+    distinct ≈ (k − 1)/u (Bar-Yossef et al. 2002)."""
+    if not 0 < kth_hash_unit <= 1:
+        raise ValueError("kth hash must be in (0, 1]")
+    return (k - 1) / kth_hash_unit

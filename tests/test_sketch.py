@@ -131,3 +131,66 @@ def test_hll_p_validation(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         hll_registers(df, "k", p=1)
+
+
+def test_sample_bottom_k_deterministic_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.sketch import sample_bottom_k
+
+    df = spark.range(1000).select(F.col("id"))
+    h = (F.col("id") * 48271 + 11) % ((1 << 31) - 1)
+    got = [(r["id"], r["h"], r["rank"])
+           for r in sample_bottom_k(df, "id", 10, hash_expr=h)
+           .orderBy("rank").collect()]
+    # brute force
+    want = sorted(((i * 48271 + 11) % ((1 << 31) - 1), i)
+                  for i in range(1000))[:10]
+    assert got == [(i, hh, r + 1) for r, (hh, i) in enumerate(want)]
+    # repartitioning must not change the sample (determinism)
+    got2 = [(r["id"], r["h"], r["rank"])
+            for r in sample_bottom_k(df.repartition(7), "id", 10,
+                                     hash_expr=h).orderBy("rank").collect()]
+    assert got2 == got
+    # mergeable: bottom-k of two halves' bottom-k's == global bottom-k
+    a = sample_bottom_k(df.where("id < 500"), "id", 10, hash_expr=h)
+    b = sample_bottom_k(df.where("id >= 500"), "id", 10, hash_expr=h)
+    merged = sample_bottom_k(a.unionByName(b).select("id"), "id", 10,
+                             hash_expr=h).orderBy("rank").collect()
+    assert [(r["id"], r["h"], r["rank"]) for r in merged] == got
+
+
+def test_kmv_estimate_quality(spark):
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.sketch import (kmv_distinct_estimate,
+                                                       sample_bottom_k)
+
+    n, k = 50000, 256
+    df = spark.range(n).select(F.col("id"))
+    top = sample_bottom_k(df, "id", k).collect()  # xxhash64 default
+    kth = max(r["h"] for r in top)
+    # map signed 64-bit hash to (0, 1]
+    u = (kth + (1 << 63) + 1) / float(1 << 64)
+    est = kmv_distinct_estimate(u, k)
+    assert abs(est - n) / n < 0.2, est
+
+
+def test_cohort_retention_brute_force(spark):
+    from datetime import datetime, timezone
+
+    from rastertiler_rs_spark.operators.sessionize import cohort_retention
+
+    day = 86400
+    rows = [  # (user, epoch_s)
+        (1, 0), (1, day + 5), (1, 3 * day),        # cohort 0, k 0/1/3
+        (2, day), (2, day + 10), (2, 2 * day),     # cohort 1, k 0/0/1
+        (3, 3 * day),                              # cohort 3, k 0
+    ]
+    df = spark.createDataFrame(
+        [(u, datetime.fromtimestamp(s, tz=timezone.utc)) for u, s in rows],
+        "user_id long, ts timestamp")
+    got = {(r["cohort"], r["k"]): r["n_users"]
+           for r in cohort_retention(df, period_s=day).collect()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1, (3, 0): 1}

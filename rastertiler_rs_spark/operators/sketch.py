@@ -78,7 +78,11 @@ def frequent_items(rows: DataFrame, key_col: str, k: int) -> DataFrame:
             "n": np.array(list(counters.values()) + [n_p], dtype="int64"),
         })
 
-    summaries = keys.mapInPandas(sketch, "key string, n long")
+    # candidates and total both fork off the sketch output; Catalyst
+    # does NOT reuse exchanges under python-stage consumers (measured —
+    # see CLAUDE.md), so persist the ≤ (k+1)·P tiny summary rows or the
+    # map-side sketch pass would run once per consumer
+    summaries = keys.mapInPandas(sketch, "key string, n long").persist()
     cands = summaries.where(F.col("key").isNotNull()).select("key").distinct()
     total = summaries.where(F.col("key").isNull()).agg(
         F.sum("n").alias("total"))

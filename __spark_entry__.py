@@ -1770,6 +1770,33 @@ _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 _FUNNEL_W_US = 86_400 * 1_000_000
 
 
+def _funnel_dp_cte(standalone: bool = True) -> str:
+    """Shared DuckDB transcription of the windowFunnel DP over the
+    events table: CTE `r` holds per-event f1..f4 latest-chain-starts
+    and row_lvl; used by the sessionize `funnel` leg (batch operator)
+    AND the stream_events `funnel` leg (incremental state operator) —
+    one twin, two executors under it. standalone=False omits the WITH
+    keyword so the chain can join an existing CTE list."""
+    legs = [f"""e AS (SELECT user_id, event_type AS etype,
+                  epoch_us(ts) AS us FROM events),
+    c1 AS (SELECT user_id, etype, us,
+                  CASE WHEN etype = '{_FUNNEL_STEPS[0]}' THEN us END AS f1
+           FROM e)"""]
+    for j in range(2, len(_FUNNEL_STEPS) + 1):
+        legs.append(f"""c{j} AS (SELECT *, CASE WHEN etype = '{_FUNNEL_STEPS[j - 1]}'
+                          AND MAX(f{j - 1}) OVER w >= us - {_FUNNEL_W_US}
+                          THEN MAX(f{j - 1}) OVER w END AS f{j}
+           FROM c{j - 1} WINDOW w AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))""")
+    lvl = "CASE " + " ".join(
+        f"WHEN f{j} IS NOT NULL THEN {j}"
+        for j in range(len(_FUNNEL_STEPS), 0, -1)) + " ELSE 0 END"
+    k = len(_FUNNEL_STEPS)
+    body = (",\n".join(legs)
+            + f",\nr AS (SELECT *, {lvl} AS row_lvl FROM c{k})")
+    return "WITH " + body if standalone else body
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-behavior analytics union over events, two legs sharing the
     per-user shuffle shape:
@@ -2711,8 +2738,68 @@ def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("p_bp").cast("string")).alias("ekey"),
         F.col("value").alias("n"),
         F.col("k").alias("v"))
+    fun = q_stream_funnel(spark, sf_dir)
     return (ded.unionByName(win).unionByName(asof).unionByName(rng)
-            .unionByName(heat).unionByName(quant))
+            .unionByName(heat).unionByName(quant).unionByName(fun))
+
+
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING windowFunnel under the value gate: events drain in
+    THREE time-tertile micro-batches (availableNow, fresh checkpoint),
+    so per-user funnel chains genuinely SPAN batches and complete from
+    carried applyInPandasWithState state; the monotone per-user
+    (level, n_entry, sum_levels) maxes must equal the batch DP, whose
+    DuckDB twin restates the whole running-max window formulation.
+    ekey = user, n = level, v = sum_levels·100000 + n_entry."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from rastertiler_rs_spark.streaming.events import stream_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).first()
+    work = tempfile.mkdtemp(prefix="stream_funnel_")
+    inp, out = f"{work}/in", f"{work}/out"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(inp, exist_ok=True)
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * (hi - lo) // 3
+        conds = [us <= cut1, (us > cut1) & (us <= cut2), us > cut2]
+        for k, cond in enumerate(conds):
+            tmp = f"{work}/w{k}"
+            ev.where(cond).coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            os.replace(part, f"{inp}/{k:03d}.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = stream_funnel(spark, inp, out, _FUNNEL_STEPS,
+                              _FUNNEL_W_US, max_files_per_trigger=1)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "stream_funnel did not drain within 300s — refusing "
+                    "to read partial output as a result")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        rows = (spark.read.parquet(f"{out}/levels")
+                .groupBy("user")
+                .agg(F.max("level").alias("level"),
+                     F.max("n_entry").alias("n_entry"),
+                     F.max("sum_levels").alias("sum_levels"))
+                .collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    got = spark.createDataFrame(
+        rows, "user long, level long, n_entry long, sum_levels long")
+    return got.select(
+        F.lit("funnel").alias("variant"),
+        F.col("user").cast("string").alias("ekey"),
+        F.col("level").alias("n"),
+        (F.col("sum_levels") * 100000 + F.col("n_entry")).alias("v"))
 
 
 _SHEAT_N = 12000
@@ -4894,8 +4981,9 @@ def oracle_sql() -> dict[str, str]:
         # ending at or before the final watermark (max ts - 2h); single
         # batch ⇒ no late drops. Long (variant, ekey, n, v) shape shared
         # with q_stream_events.
-        "stream_events": """
-            WITH f AS (SELECT * FROM events WHERE event_id % 3 = 0),
+        "stream_events": f"""
+            WITH {_funnel_dp_cte(standalone=False)},
+            f AS (SELECT * FROM events WHERE event_id % 3 = 0),
             m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM f),
             w AS (SELECT
                     make_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000) AS win_start,
@@ -4976,6 +5064,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM orders GROUP BY 1) c
             ) w ON w.cum >= kk.k AND w.cum - w.cnt < kk.k
             GROUP BY kk.p, kk.k
+            UNION ALL
+            -- funnel = streaming incremental windowFunnel: carried
+            -- per-user DP state across three time-tertile batches ==
+            -- the batch DP (CTE r above, shared with sessionize)
+            SELECT 'funnel' AS variant,
+                   CAST(user_id AS VARCHAR) AS ekey,
+                   CAST(MAX(row_lvl) AS BIGINT) AS n,
+                   CAST(SUM(row_lvl) * 100000
+                        + SUM(CASE WHEN etype = '{_FUNNEL_STEPS[0]}'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v
+            FROM r GROUP BY 2
         """,
         "star_rollup": """
             SELECT n.n_name,
@@ -5014,31 +5113,7 @@ def oracle_sql() -> dict[str, str]:
             # earlier" is by VALUE via the RANGE (unbounded, 1 PRECEDING)
             # frame over epoch-µs, matching Spark rangeBetween(-∞, -1).
             ("funnel", f"""
-            WITH e AS (SELECT user_id, event_type AS etype,
-                              epoch_us(ts) AS us FROM events),
-            c1 AS (SELECT user_id, etype, us,
-                          CASE WHEN etype = '{_FUNNEL_STEPS[0]}' THEN us END AS f1
-                   FROM e),
-            c2 AS (SELECT *, CASE WHEN etype = '{_FUNNEL_STEPS[1]}'
-                                  AND MAX(f1) OVER w >= us - {_FUNNEL_W_US}
-                                  THEN MAX(f1) OVER w END AS f2
-                   FROM c1 WINDOW w AS (PARTITION BY user_id ORDER BY us
-                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-            c3 AS (SELECT *, CASE WHEN etype = '{_FUNNEL_STEPS[2]}'
-                                  AND MAX(f2) OVER w >= us - {_FUNNEL_W_US}
-                                  THEN MAX(f2) OVER w END AS f3
-                   FROM c2 WINDOW w AS (PARTITION BY user_id ORDER BY us
-                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-            c4 AS (SELECT *, CASE WHEN etype = '{_FUNNEL_STEPS[3]}'
-                                  AND MAX(f3) OVER w >= us - {_FUNNEL_W_US}
-                                  THEN MAX(f3) OVER w END AS f4
-                   FROM c3 WINDOW w AS (PARTITION BY user_id ORDER BY us
-                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-            r AS (SELECT *, CASE WHEN f4 IS NOT NULL THEN 4
-                                 WHEN f3 IS NOT NULL THEN 3
-                                 WHEN f2 IS NOT NULL THEN 2
-                                 WHEN f1 IS NOT NULL THEN 1
-                                 ELSE 0 END AS row_lvl FROM c4)
+            {_funnel_dp_cte()}
             SELECT user_id,
                    CAST(MAX(row_lvl) AS BIGINT) AS session_seq,
                    CAST(SUM(CASE WHEN etype = '{_FUNNEL_STEPS[0]}'

@@ -211,3 +211,118 @@ def stream_dedup_first_seen(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING WINDOW FUNNEL — the incremental form of operators/funnel.py.
+# The batch DP's entire per-user memory is K latest-chain-start values
+# (m_j = max f_j over processed events) plus three monotone counters —
+# constant-size state per user, the property that makes the funnel
+# streamable at all. Each micro-batch folds its (ts-sorted) events into
+# that state; emitted (level, n_entry, sum_levels) are monotone
+# nondecreasing, so the stream's final answer per user is the max over
+# emissions and equals the batch window_funnel exactly when batches
+# arrive in event-time order per user (the file-source contract used
+# by the gate; out-of-order ARRIVAL within a batch is handled by the
+# sort, ties by VALUE never chain — same rule as batch).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_OUT = StructType([
+    StructField("user", LongType()),
+    StructField("level", LongType()),
+    StructField("n_entry", LongType()),
+    StructField("sum_levels", LongType()),
+])
+
+
+def _funnel_state_schema(k: int) -> StructType:
+    return StructType(
+        [StructField(f"m{j}", LongType()) for j in range(1, k + 1)]
+        + [StructField("best", LongType()),
+           StructField("n_entry", LongType()),
+           StructField("sum_levels", LongType())])
+
+
+def _funnel_fn_factory(steps: list, window_us: int):
+    k = len(steps)
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            m = [st[j] for j in range(k)]
+            best, n_entry, suml = st[k], st[k + 1], st[k + 2]
+        else:
+            m = [None] * k
+            best, n_entry, suml = 0, 0, 0
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values(["us", "event_id"])
+        us = rows["us"].to_numpy()
+        types = rows["event_type"].to_numpy()
+        i, n = 0, len(rows)
+        while i < n:
+            # one group of equal timestamps: every event in it sees the
+            # state from BEFORE the group (strictly-earlier-by-value)
+            j = i
+            staged: dict = {}
+            while j < n and us[j] == us[i]:
+                t, ty = int(us[j]), types[j]
+                lvls = []
+                if ty == steps[0]:
+                    n_entry += 1
+                    lvls.append(1)
+                    staged[1] = max(staged.get(1, t), t)
+                for lev in range(2, k + 1):
+                    if (ty == steps[lev - 1] and m[lev - 2] is not None
+                            and m[lev - 2] >= t - window_us):
+                        lvls.append(lev)
+                        f = m[lev - 2]
+                        staged[lev] = max(staged.get(lev, f), f)
+                row_lvl = max(lvls, default=0)
+                suml += row_lvl
+                best = max(best, row_lvl)
+                j += 1
+            for lev, v in staged.items():
+                m[lev - 1] = v if m[lev - 1] is None else max(m[lev - 1], v)
+            i = j
+        state.update(tuple(m) + (best, n_entry, suml))
+        yield pd.DataFrame({"user": [int(key[0])], "level": [best],
+                            "n_entry": [n_entry], "sum_levels": [suml]})
+
+    return fn
+
+
+def stream_funnel(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    steps: list,
+    window_us: int,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming windowFunnel: events arrive as parquet files; per user
+    the completed-funnel state (K latest chain starts) is carried in
+    the state store and each batch emits the user's current monotone
+    (level, n_entry, sum_levels). Reader contract: max per user ==
+    batch window_funnel when files arrive in event-time order."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    keyed = stream.select(
+        F.col("user_id").alias("user"), "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    out = keyed.groupBy("user").applyInPandasWithState(
+        _funnel_fn_factory(list(steps), int(window_us)),
+        _FUNNEL_OUT, _funnel_state_schema(len(steps)), "append",
+        GroupStateTimeout.NoTimeout)
+    return (
+        out.writeStream.outputMode("append").format("parquet")
+        .option("path", os.path.join(out_dir, "levels"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -45,6 +45,10 @@ def _brute_row_level(evts, end_idx, steps, window_us):
 
 
 def _brute_user(evts, steps, window_us):
+    # combinations() respect LIST order; chains are defined by ts-VALUE
+    # order, so sort first (ties stay adjacent and are rejected by the
+    # strict-increase check)
+    evts = sorted(evts)
     row_lvls = [_brute_row_level(evts, i, steps, window_us)
                 for i in range(len(evts))]
     level = max(row_lvls, default=0)

@@ -420,7 +420,29 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = r["r_regionkey"]
         x0, y0 = 10.0 * k + 2.5, 7.0 * k + 1.5
         polys.append((k, [(x0, y0), (x0 + 15.5, y0), (x0 + 15.5, y0 + 20.25), (x0, y0 + 20.25)]))
-    return pip_join(points, polys, cell_size=16.0)
+    inside = pip_join(points, polys, cell_size=16.0)
+    # dbscan = distributed density clustering (operators/dbscan.py:
+    # eps-grid cell equi-join → core counts → connected components →
+    # min-rule border attach, all exact integers). Fixture: 4 planted
+    # diagonal blobs (80% of points, 40×40 spread) + modular scatter
+    # noise; result coerced into the (pid, poly_id) pair shape as
+    # poly_id = cluster·2 + is_core (noise → -2). The DuckDB twin
+    # restates the whole pipeline with an all-pairs predicate + a
+    # recursive-CTE closure — an independent executor of the same
+    # deterministic DBSCAN.
+    from rastertiler_rs_spark.operators.dbscan import dbscan
+
+    c = F.col("c_custkey")
+    blob = c % 10 < 8
+    ipts = _t(spark, sf_dir, "customer").select(
+        c.alias("pid"),
+        F.when(blob, 150 + 200 * (c % 4) + (c * 7) % 40)
+        .otherwise((c * 97) % 900).cast("long").alias("x"),
+        F.when(blob, 300 + 37 * (c % 4) + (c * 11) % 40)
+        .otherwise((c * 89) % 900).cast("long").alias("y"))
+    db = dbscan(ipts, eps=15, min_pts=5).select(
+        "pid", (F.col("cluster") * 2 + F.col("is_core")).alias("poly_id"))
+    return _union_variants(("pip", inside), ("dbscan", db))
 
 
 def q_point_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5992,14 +6014,56 @@ def oracle_sql() -> dict[str, str]:
               SELECT qid, pid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, pid) AS rank
               FROM scored) WHERE rank <= 5
         """,
-        "pip": """
+        "pip": _variant_union_sql(
+            ("pip", """
             SELECT c.c_custkey AS pid, r.r_regionkey AS poly_id
             FROM customer c, region r
             WHERE CAST((c.c_custkey * 13) % 100 AS DOUBLE) + 0.7 > 10.0 * r.r_regionkey + 2.5
               AND CAST((c.c_custkey * 13) % 100 AS DOUBLE) + 0.7 < 10.0 * r.r_regionkey + 18.0
               AND CAST((c.c_custkey * 29) % 100 AS DOUBLE) + 0.1 > 7.0 * r.r_regionkey + 1.5
               AND CAST((c.c_custkey * 29) % 100 AS DOUBLE) + 0.1 < 7.0 * r.r_regionkey + 21.75
-        """,
+            """),
+            # DBSCAN twin: all-pairs eps predicate, core counts,
+            # recursive-CTE min-label closure over core-core edges,
+            # min-rule border attach — an independent executor of the
+            # deterministic DBSCAN (eps 15, min_pts 5, integer coords)
+            ("dbscan", """
+            WITH pts AS (
+              SELECT c_custkey AS pid,
+                     CASE WHEN c_custkey % 10 < 8
+                          THEN 150 + 200 * (c_custkey % 4) + (c_custkey * 7) % 40
+                          ELSE (c_custkey * 97) % 900 END AS x,
+                     CASE WHEN c_custkey % 10 < 8
+                          THEN 300 + 37 * (c_custkey % 4) + (c_custkey * 11) % 40
+                          ELSE (c_custkey * 89) % 900 END AS y
+              FROM customer),
+            pairs AS (
+              SELECT a.pid AS pid, b.pid AS bpid
+              FROM pts a JOIN pts b ON a.pid <> b.pid
+               AND (a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y) <= 225),
+            cnt AS (SELECT pid, COUNT(*) + 1 AS n FROM pairs GROUP BY 1),
+            core AS (SELECT p.pid FROM pts p LEFT JOIN cnt ON cnt.pid = p.pid
+                     WHERE COALESCE(cnt.n, 1) >= 5),
+            ce AS (SELECT pr.pid AS src, pr.bpid AS dst FROM pairs pr
+                   JOIN core ca ON ca.pid = pr.pid
+                   JOIN core cb ON cb.pid = pr.bpid),
+            reach AS (
+              WITH RECURSIVE rr(v, l) AS (
+                SELECT pid, pid FROM core
+                UNION
+                SELECT e.dst, rr.l FROM rr JOIN ce e ON e.src = rr.v
+              ) SELECT v, MIN(l) AS l FROM rr GROUP BY v),
+            border AS (SELECT pr.pid, MIN(cl.l) AS bc FROM pairs pr
+                       JOIN reach cl ON cl.v = pr.bpid GROUP BY 1)
+            SELECT p.pid,
+                   CAST(CASE WHEN cl.l IS NOT NULL THEN cl.l * 2 + 1
+                             WHEN b.bc IS NOT NULL THEN b.bc * 2
+                             ELSE -2 END AS BIGINT) AS poly_id
+            FROM pts p
+            LEFT JOIN reach cl ON cl.v = p.pid
+            LEFT JOIN border b ON b.pid = p.pid
+            """)),
         # token counts + quality features + language-ID scores joined
         # into the per-doc profile row of q_doc_stats
         "doc_stats": r"""

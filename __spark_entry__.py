@@ -2981,8 +2981,56 @@ def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("u8", q_render_pixel_stats(spark, sf_dir)),
         ("u32", q_render_pixel_stats_u32(spark, sf_dir)),
         ("pyramid", q_render_pyramid_pixel_stats(spark, sf_dir)),
+        ("cog", q_cog_pixel_stats(spark, sf_dir)),
         ("heat", q_heatmap_pixel_stats(spark, sf_dir)),
         ("webp", q_webp_pixel_stats(spark, sf_dir)))
+
+
+def q_cog_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOUD-OPTIMIZED GEOTIFF SINK under the value gate: the z4-9
+    pyramid is assembled into ONE real tiled COG (executor-written
+    deflate+predictor blocks, chained overview IFDs, shared-nodata
+    sparse filler — operators/cog_sink.write_cog_distributed), then
+    ranged-read back distributed (header-only IFD probe + per-block
+    reads, cog_blocks) and reduced to the standard per-tile pixel
+    stats. The transcode is lossless, so the DuckDB twin is exactly
+    the pyramid twin — any defect in block layout, IFD offsets,
+    deflate/predictor coding, grid alignment, or the read path flips
+    the hash."""
+    import shutil
+    import tempfile
+
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.cog_sink import (
+        cog_blocks, write_cog_distributed)
+    from rastertiler_rs_spark.operators.overview import render_pyramid
+
+    images = spark.read.parquet(images_parquet(_PIXEL_STATS_N, "u8"))
+    with _gate_cell_mult():
+        fused = render_pyramid(images, 4, 9, tile_size=_PIXEL_STATS_TS,
+                               dtype_tag="u8", overview_below=8)
+    work = tempfile.mkdtemp(prefix="cog_sink_")
+    try:
+        path = f"{work}/pyramid.tif"
+        man = write_cog_distributed(fused, path, tile_size=_PIXEL_STATS_TS)
+        lv_rows = [(man["base_zoom"] - lvl, lvl, lv["ox"], lv["oy"])
+                   for lvl, lv in enumerate(man["levels"])]
+        lv_df = spark.createDataFrame(lv_rows,
+                                      "zoom int, lvl int, ox long, oy long")
+        stats = (cog_blocks(spark, path)
+                 .join(F.broadcast(lv_df), "lvl")
+                 .select("zoom", (F.col("bx") + F.col("ox")).alias("x"),
+                         (F.col("by") + F.col("oy")).alias("y"),
+                         "px_count", "val_sum", "val_min", "val_max",
+                         "pos_sum"))
+        # materialize before the tempdir is reclaimed (bounded: one row
+        # per non-empty tile of the gate pyramid)
+        rows = stats.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "zoom int, x long, y long, px_count long, val_sum long, "
+              "val_min long, val_max long, pos_sum long")
 
 
 def q_render_tiles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5682,6 +5730,10 @@ def oracle_sql() -> dict[str, str]:
             ("u8", _render_pixel_stats_oracle_sql()),
             ("u32", _render_pixel_stats_oracle_sql("u32")),
             ("pyramid", _render_pyramid_pixel_stats_oracle_sql()),
+            # cog = the SAME pyramid pushed through the distributed
+            # COG sink and ranged-read back (operators/cog_sink.py):
+            # a lossless transcode, so the twin is the pyramid twin
+            ("cog", _render_pyramid_pixel_stats_oracle_sql()),
             ("heat", _heatmap_pixel_stats_oracle_sql()),
             # transcode is lossless: same kernel twin, zooms 8-9
             ("webp", _pixel_canvas_ctes(8, 9, "u8")

@@ -494,6 +494,25 @@ _TYPE_SIZES = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8,
                _TYPE_ASCII: 1, _TYPE_LONG8: 8}
 
 
+def _tiff_head(read_at) -> tuple[bool, int]:
+    """(bigtiff?, first IFD offset) from the 16-byte header."""
+    head = read_at(0, 16)
+    if head[:2] != b"II":
+        raise ValueError("not a little-endian TIFF")
+    (magic,) = struct.unpack_from("<H", head, 2)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from("<I", head, 4)
+        return False, ifd_off
+    if magic == 43:
+        osize, pad = struct.unpack_from("<HH", head, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {osize}, "
+                             f"pad {pad})")
+        (ifd_off,) = struct.unpack_from("<Q", head, 8)
+        return True, ifd_off
+    raise ValueError(f"bad TIFF magic {magic} (42/43)")
+
+
 def _parse_ifd(read_at) -> dict:
     """Parse the first IFD through a ranged-read callable — the same
     code path works over in-memory bytes (read_geotiff) and over file
@@ -502,29 +521,24 @@ def _parse_ifd(read_at) -> dict:
     32-bit offsets) AND BigTIFF (magic 43, 64-bit offsets — the layout
     any >4 GB COG must use): 8-byte entry counts, 20-byte entries with
     an 8-byte inline-value window, and LONG8 block offset arrays."""
-    head = read_at(0, 16)
-    if head[:2] != b"II":
-        raise ValueError("not a little-endian TIFF")
-    (magic,) = struct.unpack_from("<H", head, 2)
-    if magic == 42:
-        big = False
-        (ifd_off,) = struct.unpack_from("<I", head, 4)
-    elif magic == 43:
-        big = True
-        osize, pad = struct.unpack_from("<HH", head, 4)
-        if osize != 8 or pad != 0:
-            raise ValueError(f"bad BigTIFF header (offset size {osize}, "
-                             f"pad {pad})")
-        (ifd_off,) = struct.unpack_from("<Q", head, 8)
-    else:
-        raise ValueError(f"bad TIFF magic {magic} (42/43)")
+    big, ifd_off = _tiff_head(read_at)
+    tags, _next = _parse_ifd_at(read_at, ifd_off, big)
+    return tags
+
+
+def _parse_ifd_at(read_at, ifd_off: int, big: bool) -> tuple[dict, int]:
+    """One IFD at a known offset → (tags, next-IFD offset or 0)."""
     esize, inline_w = (20, 8) if big else (12, 4)
     if big:
         (n,) = struct.unpack("<Q", read_at(ifd_off, 8))
         table = read_at(ifd_off + 8, n * esize)
+        (next_off,) = struct.unpack(
+            "<Q", read_at(ifd_off + 8 + n * esize, 8))
     else:
         (n,) = struct.unpack("<H", read_at(ifd_off, 2))
         table = read_at(ifd_off + 2, n * esize)
+        (next_off,) = struct.unpack(
+            "<I", read_at(ifd_off + 2 + n * esize, 4))
     tags = {}
     for i in range(n):
         if big:
@@ -557,7 +571,28 @@ def _parse_ifd(read_at) -> dict:
                 tags[tag] = struct.unpack(f"<{count}Q", payload)
             else:
                 tags[tag] = payload
-    return tags
+    return tags, next_off
+
+
+def geotiff_ifds(path: str) -> list[dict]:
+    """Walk the whole IFD CHAIN header-only (seeks, no pixel I/O): a
+    cloud-optimized GeoTIFF is IFD0 (full resolution) followed by one
+    reduced-resolution IFD per overview level, each a standalone block
+    manifest with its own pixel scale — this is the driver-side probe
+    of a COG written by operators/cog_sink.write_cog_distributed."""
+    with open(path, "rb") as fh:
+        def read_at(off, size):
+            fh.seek(off)
+            return fh.read(size)
+
+        big, off = _tiff_head(read_at)
+        out = []
+        while off:
+            tags, off = _parse_ifd_at(read_at, off, big)
+            out.append(_meta_from_tags(tags))
+            if len(out) > 64:
+                raise ValueError("IFD chain too long (cycle?)")
+        return out
 
 
 def _meta_from_tags(tags: dict) -> dict:
@@ -668,3 +703,132 @@ def read_geotiff(data: bytes) -> dict:
     return {"width": w, "height": h, "pixels": pixels,
             "transform": meta["transform"], "epsg": meta["epsg"],
             "nodata": meta["nodata"]}
+
+
+# ---------------------------------------------------------------------------
+# COG directory builder — the driver-side half of the distributed COG
+# sink (operators/cog_sink.py). Unlike write_geotiff (one in-memory
+# IFD + its pixels), this emits ONLY the header + chained IFDs for a
+# multi-level tiled file whose block DATA the caller lays out itself
+# (executor-written part files streamed into place) — the same
+# header-is-tiny/data-is-streamed split as the PMTiles sink.
+# ---------------------------------------------------------------------------
+
+
+def _pack_tag_vals(typ: int, vals) -> bytes:
+    if typ == _TYPE_ASCII:
+        return bytes(vals)
+    fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I",
+           _TYPE_LONG8: "Q", _TYPE_DOUBLE: "d"}[typ]
+    return struct.pack(f"<{len(vals)}{fmt}", *vals)
+
+
+def cog_directory(levels: list[dict], transform: tuple, nodata: int,
+                  epsg: int = 3857, compression: str = "deflate",
+                  predictor: int = 2, bigtiff: bool = False,
+                  bits: int = 8) -> bytes:
+    """Header + chained IFDs for a tiled multi-level GeoTIFF.
+
+    ``levels``: base level first, then overviews; each a dict with
+    ``w``/``h`` (pixel dims), ``ts`` (tile size), ``counts`` and
+    ``offsets`` (row-major per-block byte counts and ABSOLUTE file
+    offsets — aliases/shared blocks simply repeat an offset, the TIFF
+    reading model addresses blocks by (offset, count) so sharing is
+    legal and is how the sink dedups nodata tiles). ``transform`` is
+    the BASE level's engine affine; overview IFDs carry the 2^L-scaled
+    pixel scale with the same tiepoint, so every IFD parses as a
+    standalone georeferenced dataset (geotiff_ifds). The returned
+    bytes are the complete file prefix: block data must start at
+    ``len(result)`` — compute it first with offsets=[0,...] (the size
+    does not depend on offset VALUES), assign real offsets, rebuild.
+    """
+    if compression not in _COMPRESSION_IDS:
+        raise ValueError(f"unsupported compression {compression!r}")
+    a, b, c, d, e, f = transform
+    if b or d:
+        raise ValueError("rotated transforms are not supported")
+    inline_w = 8 if bigtiff else 4
+    esize = 20 if bigtiff else 12
+    off_typ = _TYPE_LONG8 if bigtiff else _TYPE_LONG
+    nodata_ascii = (str(int(nodata)) + "\x00").encode()
+    geokeys = (1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg)
+
+    # build per-level entry lists (tag, typ, values)
+    per_level = []
+    for lvl_i, lv in enumerate(levels):
+        w, h, ts = int(lv["w"]), int(lv["h"]), int(lv["ts"])
+        counts, offsets = list(lv["counts"]), list(lv["offsets"])
+        nb = (-(-w // ts)) * (-(-h // ts))
+        if len(counts) != nb or len(offsets) != nb:
+            raise ValueError(f"level {lvl_i}: {len(offsets)} offsets / "
+                             f"{len(counts)} counts, expected {nb}")
+        if ts <= 0 or ts % 16:
+            raise ValueError("TIFF tile size must be a positive multiple "
+                             "of 16")
+        scale = 1 << lvl_i
+        ents = [
+            (254, _TYPE_LONG, [0 if lvl_i == 0 else 1]),  # NewSubfileType
+            (_IMAGE_WIDTH, _TYPE_LONG, [w]),
+            (_IMAGE_LENGTH, _TYPE_LONG, [h]),
+            (_BITS_PER_SAMPLE, _TYPE_SHORT, [bits]),
+            (_COMPRESSION, _TYPE_SHORT, [_COMPRESSION_IDS[compression]]),
+            (_PHOTOMETRIC, _TYPE_SHORT, [1]),
+            (_SAMPLES_PER_PIXEL, _TYPE_SHORT, [1]),
+            (_TILE_WIDTH, _TYPE_LONG, [ts]),
+            (_TILE_LENGTH, _TYPE_LONG, [ts]),
+            (_TILE_OFFSETS, off_typ, offsets),
+            (_TILE_BYTE_COUNTS, _TYPE_LONG, counts),
+            (_PREDICTOR, _TYPE_SHORT, [predictor]),
+            (_SAMPLE_FORMAT, _TYPE_SHORT, [1]),
+            (_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [a * scale, -e * scale, 0.0]),
+            (_MODEL_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, c, f, 0.0]),
+            (_GEO_KEY_DIRECTORY, _TYPE_SHORT, list(geokeys)),
+            (_GDAL_NODATA, _TYPE_ASCII, nodata_ascii),
+        ]
+        per_level.append(sorted(ents))
+
+    # lay out: header | (IFD table + out-of-line blob) per level
+    head_size = 16 if bigtiff else 8
+    pos = head_size
+    out = bytearray(b"\x00" * head_size)
+    if bigtiff:
+        struct.pack_into("<2sHHHQ", out, 0, b"II", 43, 8, 0, pos)
+    else:
+        struct.pack_into("<2sHI", out, 0, b"II", 42, pos)
+    for lvl_i, ents in enumerate(per_level):
+        n = len(ents)
+        table_size = (8 + n * esize + 8) if bigtiff else (2 + n * esize + 4)
+        blob_start = pos + table_size
+        blob = bytearray()
+        table = bytearray()
+        if bigtiff:
+            table += struct.pack("<Q", n)
+        else:
+            table += struct.pack("<H", n)
+        for tag, typ, vals in ents:
+            packed = _pack_tag_vals(typ, vals)
+            count = len(vals)
+            if len(packed) <= inline_w:
+                raw = packed.ljust(inline_w, b"\x00")
+            else:
+                voff = blob_start + len(blob)
+                blob += packed
+                if len(blob) % 2:
+                    blob += b"\x00"
+                raw = struct.pack("<Q" if bigtiff else "<I",
+                                  voff).ljust(inline_w, b"\x00")
+            if bigtiff:
+                table += struct.pack("<HHQ", tag, typ, count) + raw
+            else:
+                table += struct.pack("<HHI", tag, typ, count) + raw
+        next_pos = blob_start + len(blob)
+        if len(per_level) - 1 == lvl_i:
+            next_ifd = 0
+        else:
+            next_ifd = next_pos
+        table += struct.pack("<Q" if bigtiff else "<I", next_ifd)
+        out += table + blob
+        pos = next_pos
+    if len(out) % 2:
+        out += b"\x00"
+    return bytes(out)

@@ -117,6 +117,23 @@ def cmd_render(args) -> None:
               f"({manifest['total_tiles']} tiles) to {args.shards_dir}")
         if args.out == "-":
             return
+    if args.out.endswith((".tif", ".tiff")):
+        # cloud-optimized GeoTIFF: the pyramid becomes one tiled COG
+        # (executor-written blocks, chained overview IFDs); requires a
+        # gap-free zoom range, which render/render_pyramid emit
+        from .operators.cog_sink import write_cog_distributed
+        try:
+            man = write_cog_distributed(fused, args.out,
+                                        tile_size=args.tilesize)
+        except ValueError as e:
+            sys.exit(f"ERROR: {e}")
+        finally:
+            if args.shards_dir:
+                fused.unpersist()
+        print(f"wrote {args.out} (base z{man['base_zoom']}, "
+              f"{len(man['levels'])} levels, {man['n_blocks']} blocks, "
+              f"{man['size']} bytes)")
+        return
     if args.out.endswith(".pmtiles"):
         # cloud-native single-file archive: executor-parallel data
         # parts, driver builds only header+directories

@@ -56,8 +56,12 @@ def write_cog_distributed(tiles: DataFrame, path: str, tile_size: int,
     pyramid where every zoom below the max is its 2× overview — →
     one COG at ``path``. Returns a manifest dict (levels, grids,
     data_start, n_blocks, n_filler)."""
+    from .pmtiles_sink import _xyz_y
+
     spark = tiles.sparkSession
     ts = int(tile_size)
+    tiles = tiles.select("zoom", "x",
+                         _xyz_y(tiles).cast("long").alias("y"), "png")
     boxes = {r["zoom"]: (r["x0"], r["x1"], r["y0"], r["y1"])
              for r in tiles.groupBy("zoom").agg(
                  F.min("x").alias("x0"), F.max("x").alias("x1"),

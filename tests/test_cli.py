@@ -232,3 +232,31 @@ def test_cli_merge_shard_dirs_and_mixed_error(spark, tmp_path):
     f.write_bytes(b"")
     with pytest.raises(SystemExit, match="both"):
         main(["merge", d1, str(f), str(tmp_path / "o")])
+
+
+def test_cli_render_cog(spark, tmp_path):
+    """render OUT.tif writes a real multi-IFD COG whose base blocks
+    decode back to the rendered tiles."""
+    import numpy as np
+
+    from rastertiler_rs_spark.geotiff import _decode_block, geotiff_ifds
+
+    tbl = generate_images(12, "u8")
+    src = str(tmp_path / "imgs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "out.tif")
+    main(["render", src, out, "--minzoom", "5", "--maxzoom", "7",
+          "--tilesize", "64"])
+    metas = geotiff_ifds(out)
+    assert len(metas) == 3          # z7 base + z6/z5 overviews
+    m0 = metas[0]
+    assert m0["tile_width"] == 64 and m0["compression"] == "deflate"
+    # at least one non-filler block decodes with data pixels
+    nz = 0
+    with open(out, "rb") as fh:
+        for b in m0["blocks"]:
+            fh.seek(b["off"])
+            band = _decode_block(fh.read(b["cnt"]), m0["compression"],
+                                 m0["predictor"], np.uint8, 64, 64, 64, 64)
+            nz += int((band != 0).any())
+    assert nz > 0

@@ -86,6 +86,8 @@ def write_cog_distributed(tiles: DataFrame, path: str, tile_size: int,
         lvls.append({"zoom": z, "ox": ox, "oy": oy, "nx": nx, "ny": ny,
                      "w": nx * ts, "h": ny * ts, "ts": ts})
 
+    if any(lv["nx"] * lv["ny"] >= (1 << _LVL_SHIFT) for lv in lvls):
+        raise ValueError("grid too large for the (level, idx) key packing")
     lvl_rows = [(lv["zoom"], zb - lv["zoom"], lv["ox"], lv["oy"], lv["nx"])
                 for lv in lvls]
     lvl_df = spark.createDataFrame(
@@ -102,6 +104,8 @@ def write_cog_distributed(tiles: DataFrame, path: str, tile_size: int,
 
     parts_dir = path + ".parts"
     os.makedirs(parts_dir, exist_ok=True)
+
+    import shutil
 
     def write_part(batches):
         import hashlib
@@ -135,6 +139,17 @@ def write_cog_distributed(tiles: DataFrame, path: str, tile_size: int,
                             "ln": [e[2] for e in ents],
                             "part": [pid] * len(ents)})
 
+    try:
+        return _assemble(spark, keyed, write_part, path, parts_dir, lvls,
+                         zb, ox0, oy0, ts, nodata, compression, predictor,
+                         bigtiff, max_blocks)
+    finally:
+        shutil.rmtree(parts_dir, ignore_errors=True)
+
+
+def _assemble(spark, keyed, write_part, path, parts_dir, lvls, zb, ox0,
+              oy0, ts, nodata, compression, predictor, bigtiff,
+              max_blocks) -> dict:
     entries = keyed.mapInPandas(
         write_part, "key long, rel long, ln long, part int") \
         .limit(max_blocks + 1).collect()
@@ -205,9 +220,6 @@ def write_cog_distributed(tiles: DataFrame, path: str, tile_size: int,
                     out.write(chunk)
         out.write(nodata_block + b"\x00" * (len(nodata_block) % 2))
     os.replace(tmp, path)
-    for pf in part_files:
-        os.remove(pf)
-    os.rmdir(parts_dir)
     return {"path": path, "base_zoom": zb, "levels": lvls,
             "data_start": data_start, "n_blocks": len(by_key),
             "n_filler": n_filler, "size": data_start + total_data}

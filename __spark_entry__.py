@@ -2970,20 +2970,22 @@ def q_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decoded-PIXEL value gates for all five render families —
-    u8 (z8-12), u32 adaptive palette/RGB (z8-12), the overview
-    cascade pyramid (z4-9), the vector→raster heatmap pyramid (z4-6),
-    and the PNG→WebP transcode (z8-9) — as one tagged union; each
-    leg's per-tile integer stats must match its own full SQL
-    transcription of the window arithmetic + mosaic + (for the
-    pyramids) the decimation identity."""
+    """The decoded-PIXEL value gates for every render family — u8
+    (z8-12), u32 adaptive palette/RGB (z8-12), the overview cascade
+    pyramid (z4-9), its COG-sink round-trip, the vector→raster heatmap
+    pyramid (z4-6), the PNG→WebP transcode (z8-9), and the EPSG:4326
+    reprojection warp (z4-6) — as one tagged union; each leg's
+    per-tile integer stats must match its own full SQL transcription
+    of the window/warp arithmetic + mosaic + (for the pyramids) the
+    decimation identity."""
     return _union_variants(
         ("u8", q_render_pixel_stats(spark, sf_dir)),
         ("u32", q_render_pixel_stats_u32(spark, sf_dir)),
         ("pyramid", q_render_pyramid_pixel_stats(spark, sf_dir)),
         ("cog", q_cog_pixel_stats(spark, sf_dir)),
         ("heat", q_heatmap_pixel_stats(spark, sf_dir)),
-        ("webp", q_webp_pixel_stats(spark, sf_dir)))
+        ("webp", q_webp_pixel_stats(spark, sf_dir)),
+        ("warp", q_warp_pixel_stats(spark, sf_dir)))
 
 
 def q_cog_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3031,6 +3033,34 @@ def q_cog_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "zoom int, x long, y long, px_count long, val_sum long, "
               "val_min long, val_max long, pos_sum long")
+
+
+_WARP_N = 24
+_WARP_ZMIN, _WARP_ZMAX = 4, 6
+
+
+def q_warp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPROJECTION WARP under the value gate (S5 — the reference's
+    warped-VRT role, /root/reference/src/dataset.rs:74-109): render a
+    GEOGRAPHIC (EPSG:4326) images table into mercator tiles via
+    operators/warp.render_warp (inverse-projected nearest gather),
+    decode the emitted PNGs and reduce to the standard per-tile pixel
+    stats. The DuckDB twin re-derives every warped pixel from the geo
+    fixture constants: forward mercator of the footprint corners for
+    the cover, then per destination pixel center the inverse mercator
+    (atan/exp, mirrored op order of tilemath.mercator_to_geo), the
+    floor source-index rule, the footprint/hole masks and the
+    ascending-image mosaic. Fixture geometry keeps every floor quotient
+    ≥1e-4 from integers (test_warp pins the scan), so last-ulp
+    exp/atan differences between numpy and DuckDB cannot flip a
+    pixel."""
+    from rastertiler_rs_spark.fixtures import images_geo_parquet
+    from rastertiler_rs_spark.operators.warp import render_warp
+
+    images = spark.read.parquet(images_geo_parquet(_WARP_N))
+    warped = render_warp(images, _WARP_ZMIN, _WARP_ZMAX,
+                         tile_size=_PIXEL_STATS_TS, dtype_tag="u8")
+    return _pixel_stats_of(warped, "u8")
 
 
 def q_render_tiles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4978,6 +5008,117 @@ def _render_pixel_stats_oracle_sql(dtype_tag: str = "u8") -> str:
             + _PIXEL_STATS_SELECT.format(ts=_PIXEL_STATS_TS, src="canvas"))
 
 
+def _geo_image_consts_values(n: int) -> str:
+    """Per-image GENERATION constants for the GEOGRAPHIC fixture table
+    (fixtures.generate_images_geo): footprint in degrees + the same
+    size/hash/hole constants as _image_consts_values."""
+    import numpy as np
+
+    from rastertiler_rs_spark.fixtures import (_H_CYCLE, _W_CYCLE,
+                                               geo_footprint_from_index)
+    from rastertiler_rs_spark.functions.hashing import splitmix64
+
+    idx = np.arange(n, dtype=np.uint64)
+    minlon, minlat, maxlon, maxlat = geo_footprint_from_index(idx)
+    rows = []
+    for i in range(n):
+        w, h = int(_W_CYCLE[i % 4]), int(_H_CYCLE[i % 4])
+        g = int(splitmix64(np.uint64(i)))
+        ph = g & 0xFF
+        hole = (g >> 34) & 7
+        if hole == 7:
+            all_nd, hr0, hr1, hc0, hc1 = 1, 0, 0, 0, 0
+        elif hole != 0:
+            p = min((g >> 37) & 7, 5)
+            qq = min((g >> 40) & 7, 5)
+            all_nd = 0
+            hr0, hr1 = h * qq // 8, h * (qq + 3) // 8
+            hc0, hc1 = w * p // 8, w * (p + 3) // 8
+        else:
+            all_nd, hr0, hr1, hc0, hc1 = 0, 0, 0, 0, 0
+        rows.append(
+            f"({i}, {minlon[i]!r}, {minlat[i]!r}, {maxlon[i]!r}, "
+            f"{maxlat[i]!r}, {w}, {h}, {ph}, {all_nd}, {hr0}, {hr1}, "
+            f"{hc0}, {hc1})")
+    return ",\n              ".join(rows)
+
+
+def _warp_pixel_stats_oracle_sql() -> str:
+    """Twin of q_warp_pixel_stats: re-derives every warped tile pixel
+    in SQL from the geo fixture constants. Float ops mirror the IEEE
+    op order of tilemath.geo_to_mercator (forward, for the cover:
+    lon·(ORIGIN/180), RE·ln(tan(π/4 + (deg2rad/2)·lat))) and
+    tilemath.mercator_to_geo (inverse, per destination pixel center:
+    mx/(ORIGIN/180), (2·atan(exp(my/RE)) − π/2)·(180/π)) — constants
+    embedded via repr so both engines fold the same doubles. numpy's
+    SIMD exp/atan and DuckDB's libm may disagree in the last ulp;
+    correctness rests on the fixture's ≥1e-4 floor-quotient margins
+    (tests/test_warp.py::test_floor_margins), not on transcendental
+    bit-parity."""
+    ts = _PIXEL_STATS_TS
+    od = repr(ORIGIN / 180.0)
+    pi4 = repr(math.pi * 0.25)
+    hdeg = repr(0.5 * (math.pi / 180.0))
+    pih = repr(math.pi * 0.5)
+    r2d = repr(180.0 / math.pi)
+    re = repr(6378137.0)
+    case = _PIXEL_VALUE_CASE.format(r="rsrc", c="csrc")
+    return f"""
+        WITH img(i, minlon, minlat, maxlon, maxlat, w, h, ph, all_nd,
+                 hr0, hr1, hc0, hc1) AS (VALUES
+              {_geo_image_consts_values(_WARP_N)}),
+        proj AS (  -- forward mercator of the footprint corners (tileid.rs:21-34)
+          SELECT *,
+            minlon * {od} AS minx,
+            maxlon * {od} AS maxx,
+            {re} * LN(TAN({pi4} + {hdeg} * minlat)) AS miny,
+            {re} * LN(TAN({pi4} + {hdeg} * maxlat)) AS maxy,
+            (maxlon - minlon) / w AS xres_g,
+            (maxlat - minlat) / h AS yres_g
+          FROM img),
+        z(zoom) AS (SELECT UNNEST(generate_series({_WARP_ZMIN}, {_WARP_ZMAX}))),
+        rng AS (  -- exact tile cover of the projected bounds (tileid.rs:100-131)
+          SELECT p.*, zoom,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR(((minx - (-{_O})) / {_CE}) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS txmin,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR((1.0 - ((maxy - (-{_O})) / {_CE})) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS tymin,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR((((maxx - (-{_O})) / {_CE}) - 1e-11) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS txmax,
+            GREATEST(0, LEAST((1::BIGINT << zoom) - 1, CAST(FLOOR((1.0 - (((miny - (-{_O})) / {_CE}) + 1e-11)) * CAST(1::BIGINT << zoom AS DOUBLE)) AS BIGINT))) AS tymax
+          FROM proj p, z),
+        tiles AS (
+          SELECT r.*, xs.x, ys.y
+          FROM rng r,
+               LATERAL (SELECT UNNEST(generate_series(r.txmin, r.txmax))) xs(x),
+               LATERAL (SELECT UNNEST(generate_series(r.tymin, r.tymax))) ys(y)),
+        geo AS (  -- destination tile frame (warp.warp_tile)
+          SELECT t.*,
+            {_CE} / CAST(1::BIGINT << zoom AS DOUBLE) AS ts_m
+          FROM tiles t),
+        geo2 AS (
+          SELECT *,
+            ts_m / {ts}.0 AS res_t,
+            CAST(x AS DOUBLE) * ts_m - {_CE} / 2.0 AS t_xmin,
+            {_CE} / 2.0 - CAST(y AS DOUBLE) * ts_m AS t_ymax
+          FROM geo),
+        px AS (  -- inverse-projected nearest source index per pixel center
+          SELECT g.zoom, g.x, g.y, g.i, g.ph, g.all_nd,
+                 g.hr0, g.hr1, g.hc0, g.hc1, g.w, g.h,
+                 tr.py, tc.pxc,
+                 CAST(FLOOR((((g.t_xmin + (CAST(tc.pxc AS DOUBLE) + 0.5) * g.res_t) / {od}) - g.minlon) / g.xres_g) AS BIGINT) AS csrc,
+                 CAST(FLOOR((g.maxlat - (2.0 * ATAN(EXP((g.t_ymax - (CAST(tr.py AS DOUBLE) + 0.5) * g.res_t) / {re})) - {pih}) * {r2d}) / g.yres_g) AS BIGINT) AS rsrc
+          FROM geo2 g,
+               LATERAL (SELECT UNNEST(generate_series(0, {ts - 1}))) tr(py),
+               LATERAL (SELECT UNNEST(generate_series(0, {ts - 1}))) tc(pxc)),
+        contrib AS (  -- footprint mask + fixture pixel formula
+          SELECT zoom, x, y, py, pxc, i, {case} AS v
+          FROM px
+          WHERE csrc >= 0 AND csrc < w AND rsrc >= 0 AND rsrc < h),
+        canvas_w AS (  -- mosaic: ascending-image overwrite where != nodata
+          SELECT zoom, x, y, py, pxc,
+                 arg_max(v, i) FILTER (WHERE v <> 0) AS cv
+          FROM contrib GROUP BY zoom, x, y, py, pxc)""" \
+        + _PIXEL_STATS_SELECT.format(ts=ts, src="canvas_w")
+
+
 def _heatmap_pixel_stats_oracle_sql() -> str:
     """Integer twin of q_heatmap_pixel_stats: the fixture's pixel
     indices come from an integer formula (points sit at pixel centers,
@@ -5738,7 +5879,8 @@ def oracle_sql() -> dict[str, str]:
             # transcode is lossless: same kernel twin, zooms 8-9
             ("webp", _pixel_canvas_ctes(8, 9, "u8")
              + _PIXEL_STATS_SELECT.format(ts=_PIXEL_STATS_TS,
-                                          src="canvas"))),
+                                          src="canvas")),
+            ("warp", _warp_pixel_stats_oracle_sql())),
         "image_stats": _variant_union_sql(
             ("features", _image_features_oracle_sql()),
             ("resize", _image_resize_oracle_sql()),

@@ -65,6 +65,59 @@ def footprint_from_index(i):
     return minx, maxy - span * cs, minx + span * cs, maxy
 
 
+def geo_footprint_from_index(i):
+    """Geographic (EPSG:4326) footprint rule for the WARP fixtures:
+    row index → (minlon, minlat, maxlon, maxlat) in degrees, vectorized
+    and deterministic via splitmix64 on an independent stream. Centers
+    stay within lon ±150 / lat ±60 and spans within 4-11°, so every
+    footprint is strictly inside the mercator-valid band (no clamp ever
+    fires) and covers a handful of z4-z6 tiles. The 1048575-denominator
+    hash fractions make every projected coordinate "generic": no source
+    pixel-index quotient lands near an integer (margin pinned in
+    tests/test_warp.py — the cross-engine floor-tie guard)."""
+    i = np.asarray(i, dtype=np.uint64)
+    g = splitmix64(i + np.uint64(0x9E000101))
+    lonc = ((g & np.uint64(0xFFFFF)).astype(np.float64) / 1048575.0) * 300.0 - 150.0
+    latc = (((g >> np.uint64(20)) & np.uint64(0xFFFFF)).astype(np.float64)
+            / 1048575.0) * 120.0 - 60.0
+    span = 4.0 + ((g >> np.uint64(40)) & np.uint64(7)).astype(np.float64)
+    minlon = lonc - span * 0.5
+    maxlon = lonc + span * 0.5
+    minlat = latc - span * 0.35
+    maxlat = latc + span * 0.35
+    return minlon, minlat, maxlon, maxlat
+
+
+def generate_images_geo(n: int, dtype_tag: str = "u8"):
+    """Images table variant whose georeferencing is GEOGRAPHIC
+    (EPSG:4326): input_hint schema + (minlon, minlat, maxlon, maxlat)
+    columns — the warp operator's input shape (a 4326 table carries its
+    own georef; the mercator footprint rule only defaults the bare
+    schema). Pixel content reuses pixel_band, so the warp oracle reuses
+    the shared pixel-formula CASE."""
+    import pyarrow as pa
+
+    base = generate_images(n, dtype_tag)
+    idx = np.arange(n, dtype=np.uint64)
+    minlon, minlat, maxlon, maxlat = geo_footprint_from_index(idx)
+    for name, arr in (("minlon", minlon), ("minlat", minlat),
+                      ("maxlon", maxlon), ("maxlat", maxlat)):
+        base = base.append_column(name, pa.array(arr, pa.float64()))
+    return base
+
+
+def images_geo_parquet(n: int, dtype_tag: str = "u8",
+                       cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"images_geo_{dtype_tag}_{n}_rg256.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_images_geo(n, dtype_tag), path,
+                       row_group_size=256)
+    return path
+
+
 def pixel_band(i: int, w: int, h: int, dtype_tag: str) -> np.ndarray:
     """Deterministic pixel content with nodata holes.
 

@@ -1,0 +1,168 @@
+"""REPROJECTION WARP — geographic (EPSG:4326) rasters → web-mercator
+tiles, nearest resampling.
+
+The reference reprojects through GDAL's warped VRT
+(/root/reference/src/dataset.rs:74-109: GDALAutoCreateWarpedVRT to
+EPSG:3857, then window-reads the VRT like a native-3857 raster). The
+engine's equivalent is the direct form of the same map: for every
+destination tile pixel CENTER, invert the spherical-mercator projection
+(tilemath.mercator_to_geo), land in the source's geographic grid, and
+take the nearest source pixel — one inverse-mapped gather instead of
+warp-to-intermediate-grid + window-read. Same semantics class (GDAL
+nearest warp also inverse-maps destination centers); not bit-parity
+with GDAL's two-stage VRT snap, which resamples twice. The projection
+is separable (lon depends only on the tile column, lat only on the
+row), so the per-tile gather is two ts-length index vectors + one fancy
+index — no per-pixel python.
+
+Scale shape: stage 1 is the blocks-path pattern (decode each image
+once, emit its per-tile warped canvases), stage 2 one tile-key shuffle
++ mosaic/encode. A pathologically global footprint (one image covering
+z0) concentrates on one tile key like any low-zoom render — at scale
+build low zooms with the overview cascade or the salted two-phase
+mosaic (operators/render.py salt_buckets); this operator keeps the
+plain path and documents the same guidance.
+
+Cross-engine contract (the DuckDB twin re-derives warped pixels from
+fixture constants): every float op mirrors tilemath.mercator_to_geo /
+geo_to_mercator IEEE op order exactly, and the fixture geometry keeps
+every floor() quotient ≥1e-6 away from integers (numpy's SIMD exp/atan
+and DuckDB's libm may differ in the last ulp — margin, not luck,
+absorbs it; pinned by tests/test_warp.py::test_floor_margins).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import tilemath as tm
+from ..kernel import encode_tile, mosaic
+from ..png import decode_band
+
+_WARP_BLOCK_SCHEMA = "zoom int, x long, y long, image_id string, canvas binary"
+
+
+def warp_tile(band: np.ndarray, minlon: float, minlat: float,
+              maxlon: float, maxlat: float, zoom: int, tx: int, ty: int,
+              tile_size: int, nodata) -> np.ndarray | None:
+    """Warp one geographic north-up grid onto one mercator tile.
+
+    Returns the full (tile_size, tile_size) canvas (nodata where the
+    pixel center inverse-maps outside the footprint), or None when no
+    pixel maps to data — the dropped-tile rule, same as
+    kernel.read_tile_block.
+    """
+    src_h, src_w = band.shape
+    xres = (maxlon - minlon) / src_w
+    yres = (maxlat - minlat) / src_h
+
+    ts_m = tm.CE / float(1 << zoom)
+    res_t = ts_m / float(tile_size)
+    t_xmin = float(tx) * ts_m - tm.CE / 2.0
+    t_ymax = tm.CE / 2.0 - float(ty) * ts_m
+    centers = np.arange(tile_size, dtype=np.float64) + 0.5
+    mx = t_xmin + centers * res_t
+    my = t_ymax - centers * res_t
+    lon, lat = tm.mercator_to_geo(mx, my)
+
+    ci = np.floor((lon - minlon) / xres).astype(np.int64)
+    rj = np.floor((maxlat - lat) / yres).astype(np.int64)
+    cvalid = (ci >= 0) & (ci < src_w)
+    rvalid = (rj >= 0) & (rj < src_h)
+    if not (cvalid.any() and rvalid.any()):
+        return None
+    canvas = np.full((tile_size, tile_size), nodata, dtype=band.dtype)
+    canvas[np.ix_(rvalid, cvalid)] = band[rj[rvalid][:, None],
+                                          ci[cvalid][None, :]]
+    if (canvas == nodata).all():
+        return None
+    return canvas
+
+
+def _warp_kernel_fn(minzoom: int, maxzoom: int, tile_size: int, nodata):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("zoom", "x", "y", "image_id", "canvas")}
+            for row in pdf.itertuples(index=False):
+                band = decode_band(bytes(row.bytes), row.fmt)
+                # projected cover bounds: forward mercator of the geo
+                # corners (monotone in both axes for north-up grids)
+                xs, ys = tm.geo_to_mercator(
+                    np.array([row.minlon, row.maxlon]),
+                    np.array([row.minlat, row.maxlat]))
+                minx, maxx = float(xs[0]), float(xs[1])
+                miny, maxy = float(ys[0]), float(ys[1])
+                for zoom in range(minzoom, maxzoom + 1):
+                    r = tm.tile_range(zoom, minx, miny, maxx, maxy)
+                    for _, txx, tyy in tm.tile_range_iter(zoom, *r):
+                        canvas = warp_tile(
+                            band, row.minlon, row.minlat, row.maxlon,
+                            row.maxlat, zoom, txx, tyy, tile_size, nodata)
+                        if canvas is None:
+                            continue
+                        out["zoom"].append(zoom)
+                        out["x"].append(txx)
+                        out["y"].append(tyy)
+                        out["image_id"].append(row.image_id)
+                        out["canvas"].append(
+                            np.ascontiguousarray(canvas).tobytes())
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _warp_encode_fn(tile_size: int, dtype_tag: str, nodata):
+    np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("zoom", "x", "y", "png")}
+            for row in pdf.itertuples(index=False):
+                contribs = [
+                    (c["image_id"], 0, 0, tile_size, tile_size,
+                     np.frombuffer(bytes(c["canvas"]), dtype=np_dtype)
+                     .reshape(tile_size, tile_size))
+                    for c in row.contribs
+                ]
+                cv = mosaic(contribs, tile_size, nodata, np_dtype)
+                if cv is None:
+                    continue
+                out["zoom"].append(int(row.zoom))
+                out["x"].append(int(row.x))
+                out["y"].append(int(row.y))
+                out["png"].append(encode_tile(cv, dtype_tag, nodata))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def render_warp(images: DataFrame, minzoom: int, maxzoom: int,
+                tile_size: int = 256, dtype_tag: str = "u8",
+                nodata: int = 0, n_parts: int | None = None) -> DataFrame:
+    """Render geographic (EPSG:4326) images into the mercator pyramid.
+
+    ``images`` carries the input_hint schema PLUS its geographic
+    georeferencing (minlon, minlat, maxlon, maxlat in degrees — a 4326
+    table brings its own georef). Two python stages, one tile-key
+    shuffle: decode+warp per image, then mosaic+encode per tile with
+    the ascending-image_id overwrite rule shared with the native-3857
+    render. Output (zoom, x, y, png) in XYZ rows; feed through
+    render._finish / tiles_table for the TMS sink shape.
+    """
+    spark = images.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    n_parts = n_parts or max(cores, 1)
+
+    blocks = images.repartition(n_parts, "image_id").mapInPandas(
+        _warp_kernel_fn(minzoom, maxzoom, tile_size, nodata),
+        _WARP_BLOCK_SCHEMA)
+    return (blocks.repartition(n_parts, "zoom", "x", "y")
+            .groupBy("zoom", "x", "y")
+            .agg(F.collect_list(F.struct("image_id", "canvas"))
+                 .alias("contribs"))
+            .mapInPandas(_warp_encode_fn(tile_size, dtype_tag, nodata),
+                         "zoom int, x long, y long, png binary"))

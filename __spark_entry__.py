@@ -2985,7 +2985,8 @@ def q_render_pixel_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cog", q_cog_pixel_stats(spark, sf_dir)),
         ("heat", q_heatmap_pixel_stats(spark, sf_dir)),
         ("webp", q_webp_pixel_stats(spark, sf_dir)),
-        ("warp", q_warp_pixel_stats(spark, sf_dir)))
+        ("warp", q_warp_pixel_stats(spark, sf_dir)),
+        ("wtif", q_warp_tif_pixel_stats(spark, sf_dir)))
 
 
 def q_cog_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3058,6 +3059,26 @@ def q_warp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rastertiler_rs_spark.operators.warp import render_warp
 
     images = spark.read.parquet(images_geo_parquet(_WARP_N))
+    warped = render_warp(images, _WARP_ZMIN, _WARP_ZMAX,
+                         tile_size=_PIXEL_STATS_TS, dtype_tag="u8")
+    return _pixel_stats_of(warped, "u8")
+
+
+def q_warp_tif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full any-CRS CLI chain under the value gate: a real
+    EPSG:4326 GeoTIFF (geographic GeoKeys) → distributed block ingest
+    (geotiff_source, which emits degree footprints for geographic
+    files) → reprojection warp → decoded per-tile pixel stats. The
+    DuckDB twin re-derives every warped pixel from the fixture's
+    degree affine + the shared block_footprint helper + the global
+    pixel formula — so IFD GeoKey parsing, block decode, footprint
+    derivation AND the warp all sit under one hash."""
+    from rastertiler_rs_spark.fixtures import geotiff_geo_fixture
+    from rastertiler_rs_spark.operators.geotiff_source import \
+        images_from_geotiff
+    from rastertiler_rs_spark.operators.warp import render_warp
+
+    images = images_from_geotiff(spark, geotiff_geo_fixture())
     warped = render_warp(images, _WARP_ZMIN, _WARP_ZMAX,
                          tile_size=_PIXEL_STATS_TS, dtype_tag="u8")
     return _pixel_stats_of(warped, "u8")
@@ -5037,22 +5058,26 @@ def _geo_image_consts_values(n: int) -> str:
         else:
             all_nd, hr0, hr1, hc0, hc1 = 0, 0, 0, 0, 0
         rows.append(
-            f"({i}, {minlon[i]!r}, {minlat[i]!r}, {maxlon[i]!r}, "
-            f"{maxlat[i]!r}, {w}, {h}, {ph}, {all_nd}, {hr0}, {hr1}, "
+            f"({i}, {minlon[i]!r}::DOUBLE, {minlat[i]!r}::DOUBLE, "
+            f"{maxlon[i]!r}::DOUBLE, {maxlat[i]!r}::DOUBLE, "
+            f"{w}, {h}, {ph}, {all_nd}, {hr0}, {hr1}, "
             f"{hc0}, {hc1})")
     return ",\n              ".join(rows)
 
 
-def _warp_pixel_stats_oracle_sql() -> str:
-    """Twin of q_warp_pixel_stats: re-derives every warped tile pixel
-    in SQL from the geo fixture constants. Float ops mirror the IEEE
-    op order of tilemath.geo_to_mercator (forward, for the cover:
-    lon·(ORIGIN/180), RE·ln(tan(π/4 + (deg2rad/2)·lat))) and
-    tilemath.mercator_to_geo (inverse, per destination pixel center:
-    mx/(ORIGIN/180), (2·atan(exp(my/RE)) − π/2)·(180/π)) — constants
-    embedded via repr so both engines fold the same doubles. numpy's
-    SIMD exp/atan and DuckDB's libm may disagree in the last ulp;
-    correctness rests on the fixture's ≥1e-4 floor-quotient margins
+def _warp_twin_sql(img_cols: str, img_values: str, case: str) -> str:
+    """The shared warp twin CTE chain: re-derives every warped tile
+    pixel in SQL from embedded per-image constants (``img_values`` —
+    geographic footprint in degrees, source dims, pixel-formula
+    extras; ``case`` states the source pixel value at (rsrc, csrc)).
+    Float ops mirror the IEEE op order of tilemath.geo_to_mercator
+    (forward, for the cover: lon·(ORIGIN/180),
+    RE·ln(tan(π/4 + (deg2rad/2)·lat))) and tilemath.mercator_to_geo
+    (inverse, per destination pixel center: mx/(ORIGIN/180),
+    (2·atan(exp(my/RE)) − π/2)·(180/π)) — constants embedded via repr
+    so both engines fold the same doubles. numpy's SIMD exp/atan and
+    DuckDB's libm may disagree in the last ulp; correctness rests on
+    the fixtures' ≥1e-4 floor-quotient margins
     (tests/test_warp.py::test_floor_margins), not on transcendental
     bit-parity."""
     ts = _PIXEL_STATS_TS
@@ -5062,11 +5087,9 @@ def _warp_pixel_stats_oracle_sql() -> str:
     pih = repr(math.pi * 0.5)
     r2d = repr(180.0 / math.pi)
     re = repr(6378137.0)
-    case = _PIXEL_VALUE_CASE.format(r="rsrc", c="csrc")
     return f"""
-        WITH img(i, minlon, minlat, maxlon, maxlat, w, h, ph, all_nd,
-                 hr0, hr1, hc0, hc1) AS (VALUES
-              {_geo_image_consts_values(_WARP_N)}),
+        WITH img({img_cols}) AS (VALUES
+              {img_values}),
         proj AS (  -- forward mercator of the footprint corners (tileid.rs:21-34)
           SELECT *,
             minlon * {od} AS minx,
@@ -5100,9 +5123,7 @@ def _warp_pixel_stats_oracle_sql() -> str:
             {_CE} / 2.0 - CAST(y AS DOUBLE) * ts_m AS t_ymax
           FROM geo),
         px AS (  -- inverse-projected nearest source index per pixel center
-          SELECT g.zoom, g.x, g.y, g.i, g.ph, g.all_nd,
-                 g.hr0, g.hr1, g.hc0, g.hc1, g.w, g.h,
-                 tr.py, tc.pxc,
+          SELECT g.*, tr.py, tc.pxc,
                  CAST(FLOOR((((g.t_xmin + (CAST(tc.pxc AS DOUBLE) + 0.5) * g.res_t) / {od}) - g.minlon) / g.xres_g) AS BIGINT) AS csrc,
                  CAST(FLOOR((g.maxlat - (2.0 * ATAN(EXP((g.t_ymax - (CAST(tr.py AS DOUBLE) + 0.5) * g.res_t) / {re})) - {pih}) * {r2d}) / g.yres_g) AS BIGINT) AS rsrc
           FROM geo2 g,
@@ -5117,6 +5138,45 @@ def _warp_pixel_stats_oracle_sql() -> str:
                  arg_max(v, i) FILTER (WHERE v <> 0) AS cv
           FROM contrib GROUP BY zoom, x, y, py, pxc)""" \
         + _PIXEL_STATS_SELECT.format(ts=ts, src="canvas_w")
+
+
+def _warp_pixel_stats_oracle_sql() -> str:
+    """Twin of q_warp_pixel_stats: the shared warp chain over the
+    GEOGRAPHIC images fixture (hole classes + per-image hash byte)."""
+    return _warp_twin_sql(
+        "i, minlon, minlat, maxlon, maxlat, w, h, ph, all_nd, "
+        "hr0, hr1, hc0, hc1",
+        _geo_image_consts_values(_WARP_N),
+        _PIXEL_VALUE_CASE.format(r="rsrc", c="csrc"))
+
+
+def _warp_tif_pixel_stats_oracle_sql() -> str:
+    """Twin of q_warp_tif_pixel_stats: the shared warp chain over the
+    EPSG:4326 GeoTIFF fixture's strip blocks — degree footprints from
+    the SAME block_footprint helper the executor emit path uses, pixel
+    values from the global fixture formula (fixtures.geotiff_band:
+    1 + (r·31 + c·17) % 255, fully opaque) at row brow0 + rsrc."""
+    from rastertiler_rs_spark.fixtures import geotiff_geo_params
+    from rastertiler_rs_spark.operators.geotiff_source import \
+        block_footprint
+
+    w, h, transform, rps = geotiff_geo_params()
+    rows = []
+    i = 0
+    for row0 in range(0, h, rps):
+        nrows = min(rps, h - row0)
+        minlon, minlat, maxlon, maxlat = block_footprint(
+            transform, row0, nrows, 0, w)
+        # ::DOUBLE: a short repr like -43.177311 would otherwise parse
+        # as DECIMAL and poison downstream arithmetic
+        rows.append(f"({i}, {minlon!r}::DOUBLE, {minlat!r}::DOUBLE, "
+                    f"{maxlon!r}::DOUBLE, {maxlat!r}::DOUBLE, "
+                    f"{w}, {nrows}, {row0})")
+        i += 1
+    return _warp_twin_sql(
+        "i, minlon, minlat, maxlon, maxlat, w, h, brow0",
+        ",\n              ".join(rows),
+        "1 + ((brow0 + rsrc) * 31 + csrc * 17) % 255")
 
 
 def _heatmap_pixel_stats_oracle_sql() -> str:
@@ -5880,7 +5940,8 @@ def oracle_sql() -> dict[str, str]:
             ("webp", _pixel_canvas_ctes(8, 9, "u8")
              + _PIXEL_STATS_SELECT.format(ts=_PIXEL_STATS_TS,
                                           src="canvas")),
-            ("warp", _warp_pixel_stats_oracle_sql())),
+            ("warp", _warp_pixel_stats_oracle_sql()),
+            ("wtif", _warp_tif_pixel_stats_oracle_sql())),
         "image_stats": _variant_union_sql(
             ("features", _image_features_oracle_sql()),
             ("resize", _image_resize_oracle_sql()),

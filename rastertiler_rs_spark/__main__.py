@@ -74,7 +74,19 @@ def cmd_render(args) -> None:
     if args.colormap and tag != "u8":
         sys.exit("ERROR: colormap can only be provided for uint8 data")
 
-    if args.tiles_dir:
+    if "minlon" in images.columns:
+        # geographic (EPSG:4326) source: reproject through the warp
+        # operator (the reference's warped-VRT role, dataset.rs:74-109)
+        from .operators.warp import render_warp_pyramid
+
+        if args.tiles_dir:
+            sys.exit("ERROR: --tiles-dir is not supported for "
+                     "geographic sources yet (warp renders in-memory)")
+        fused = render_warp_pyramid(
+            images, args.minzoom, args.maxzoom, args.tilesize, tag,
+            args.colormap,
+            overview_below=None if args.disable_overviews else 8)
+    elif args.tiles_dir:
         # sink-boundary pyramid (the at-scale fork): direct zooms write
         # once, cascade reads the base partition back — no executor-
         # memory cache of the output; .mbtiles materializes from the

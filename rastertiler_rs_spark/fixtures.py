@@ -935,6 +935,34 @@ def geotiff_fixture(cache_dir: str = "/root/repo/.fixture_cache") -> str:
     return path
 
 
+def geotiff_geo_params() -> tuple[int, int, tuple, int]:
+    """Constants of the GEOGRAPHIC (EPSG:4326) GeoTIFF fixture:
+    (width, height, degree affine, rows_per_strip). The affine's
+    hash-fraction origin/scale keep every warp floor quotient (tile
+    cover AND per-pixel source index, z4-z6) far from integers — the
+    transcendental cross-engine margin, scanned+pinned in
+    tests/test_warp.py."""
+    a = 0.00791237                            # degrees / pixel
+    x0 = -43.177311
+    y0 = 36.911523
+    return 1536, 1024, (a, 0.0, x0, 0.0, -a, y0), 256
+
+
+def geotiff_geo_fixture(cache_dir: str = "/root/repo/.fixture_cache") -> str:
+    """Write (or reuse) the cached EPSG:4326 multi-strip GeoTIFF
+    fixture (same deterministic fully-opaque band as the mercator
+    fixture — the oracle restates it in global pixel coordinates)."""
+    from .geotiff import write_geotiff
+
+    os.makedirs(cache_dir, exist_ok=True)
+    w, h, transform, rps = geotiff_geo_params()
+    path = os.path.join(cache_dir, f"fixture_geo_{w}x{h}_rps{rps}.tif")
+    if not os.path.exists(path):
+        write_geotiff(path, geotiff_band(w, h), transform, NODATA,
+                      epsg=4326, rows_per_strip=rps)
+    return path
+
+
 def geotiff_cog_fixture(cache_dir: str = "/root/repo/.fixture_cache") -> str:
     """Write (or reuse) the COG-layout twin of the GeoTIFF fixture:
     same pixels and affine, but tiled 512x512 + deflate + horizontal

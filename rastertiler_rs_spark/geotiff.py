@@ -351,12 +351,16 @@ def write_geotiff(path: str, data: np.ndarray, transform: tuple,
     inline_w = 8 if bigtiff else 4
     nodata_ascii = (str(int(nodata)) + "\x00").ljust(inline_w + 1,
                                                      "\x00").encode()
-    # GeoKeyDirectory: version 1.1.0, 3 keys — model type projected,
-    # raster type PixelIsArea, projected CRS = epsg
-    geokeys = struct.pack("<16H", 1, 1, 0, 3,
-                          1024, 0, 1, 1,       # GTModelTypeGeoKey = Projected
-                          1025, 0, 1, 1,       # GTRasterTypeGeoKey = PixelIsArea
-                          3072, 0, 1, epsg)    # ProjectedCSTypeGeoKey
+    # GeoKeyDirectory: version 1.1.0, 3 keys — raster type PixelIsArea
+    # plus the CRS. Geographic CRSs (EPSG:4326) use GTModelType=2 and
+    # GeographicTypeGeoKey (2048); projected ones GTModelType=1 and
+    # ProjectedCSTypeGeoKey (3072) — GeoTIFF 1.1 §B.2/B.3.
+    geographic = epsg == 4326
+    geokeys = struct.pack(
+        "<16H", 1, 1, 0, 3,
+        1024, 0, 1, 2 if geographic else 1,   # GTModelTypeGeoKey
+        1025, 0, 1, 1,                        # GTRasterTypeGeoKey = PixelIsArea
+        2048 if geographic else 3072, 0, 1, epsg)
     pixel_scale = struct.pack("<3d", a, -e, 0.0)
     tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, c, f, 0.0)
 
@@ -656,7 +660,10 @@ def _meta_from_tags(tags: dict) -> dict:
     sx, sy, _ = tags[_MODEL_PIXEL_SCALE]
     ti = tags[_MODEL_TIEPOINT]
     geokeys = tags[_GEO_KEY_DIRECTORY]
-    epsg = dict(zip(geokeys[4::4], geokeys[7::4])).get(3072)
+    keymap = dict(zip(geokeys[4::4], geokeys[7::4]))
+    # projected CRS key when the model is projected; geographic key
+    # (GeoTIFF 1.1 §B.3, e.g. EPSG:4326) otherwise
+    epsg = keymap.get(3072, keymap.get(2048))
     meta = {"width": w, "height": h, "bits": bits,
             "compression": compression, "predictor": predictor,
             "tiled": tiled, "blocks": blocks,

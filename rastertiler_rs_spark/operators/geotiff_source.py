@@ -44,6 +44,12 @@ from ..geotiff import geotiff_ifd
 _OUT_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                "minx double, miny double, maxx double, maxy double")
 
+# geographic sources (EPSG:4326): same table, georef in DEGREES under
+# the geo column names — operators/warp.render_warp's input shape
+_OUT_SCHEMA_GEO = ("image_id string, bytes binary, w int, h int, "
+                   "fmt string, minlon double, minlat double, "
+                   "maxlon double, maxlat double")
+
 _MANIFEST_SCHEMA = ("off long, cnt long, brow0 int, bcol0 int, "
                     "bnrows int, bncols int, pad_h int, pad_w int, "
                     "col0 int, ncols int")
@@ -85,16 +91,19 @@ def images_from_geotiff(spark: SparkSession, path: str,
     decodes its whole source block, then slices; useful when a raster
     is wide but short on strips).
 
-    Source CRS must already be EPSG:3857 — matching the engine's S5
-    design decision that georeferencing is native-mercator (the
-    reference warps through a VRT; see SURVEY.md §2 S5).
+    CRS dispatch (the reference's warped-VRT role, dataset.rs:74-109):
+    EPSG:3857 sources emit mercator footprints (minx..maxy) and feed
+    ``render`` directly; EPSG:4326 sources emit the SAME table with
+    the georef in DEGREES under geo column names (minlon..maxlat) —
+    ``operators/warp.render_warp``'s input shape, so `render IN.tif`
+    reprojects end to end. Any other CRS fails fast.
     """
     meta = geotiff_ifd(path)
-    if meta["epsg"] != 3857:
+    if meta["epsg"] not in (3857, 4326):
         raise ValueError(
-            f"GeoTIFF CRS must be EPSG:3857, got {meta['epsg']} "
-            "(reproject upstream; the engine's footprints are native "
-            "mercator)")
+            f"GeoTIFF CRS must be EPSG:3857 or EPSG:4326, got "
+            f"{meta['epsg']} (reproject upstream)")
+    geographic = meta["epsg"] == 4326
     if meta["bits"] == 8:
         dtype_tag = "u8"
     elif meta["bits"] == 32:
@@ -129,6 +138,9 @@ def images_from_geotiff(spark: SparkSession, path: str,
                        spark.sparkContext.defaultParallelism))
     mdf = mdf.repartition(npart)
 
+    fp_cols = (("minlon", "minlat", "maxlon", "maxlat") if geographic
+               else ("minx", "miny", "maxx", "maxy"))
+
     def emit(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
@@ -140,9 +152,8 @@ def images_from_geotiff(spark: SparkSession, path: str,
         fmt = f"png;{dtype_tag}"
         with open(abs_path, "rb") as fh:
             for pdf in batches:
-                out = {k: [] for k in ("image_id", "bytes", "w", "h",
-                                       "fmt", "minx", "miny", "maxx",
-                                       "maxy")}
+                out = {k: [] for k in
+                       ("image_id", "bytes", "w", "h", "fmt") + fp_cols}
                 for r in pdf.itertuples(index=False):
                     fh.seek(r.off)
                     raw = fh.read(r.cnt)
@@ -158,7 +169,7 @@ def images_from_geotiff(spark: SparkSession, path: str,
                         png = encode_grayscale8(band, nodata)
                     else:
                         png = encode_rgb(rgb_from_u32(band), nodata)
-                    minx, miny, maxx, maxy = block_footprint(
+                    fp = block_footprint(
                         transform, r.brow0, r.bnrows, r.col0, r.ncols)
                     out["image_id"].append(
                         f"{prefix}#r{r.brow0:07d}c{r.col0:07d}")
@@ -166,10 +177,9 @@ def images_from_geotiff(spark: SparkSession, path: str,
                     out["w"].append(r.ncols)
                     out["h"].append(r.bnrows)
                     out["fmt"].append(fmt)
-                    out["minx"].append(minx)
-                    out["miny"].append(miny)
-                    out["maxx"].append(maxx)
-                    out["maxy"].append(maxy)
+                    for col, v in zip(fp_cols, fp):
+                        out[col].append(v)
                 yield pd.DataFrame(out)
 
-    return mdf.mapInPandas(emit, _OUT_SCHEMA)
+    return mdf.mapInPandas(emit,
+                           _OUT_SCHEMA_GEO if geographic else _OUT_SCHEMA)

@@ -907,15 +907,26 @@ def blobs_table(fused: DataFrame) -> DataFrame:
 def metadata_table(spark: SparkSession, images: DataFrame, minzoom: int, maxzoom: int,
                    name: str = "tiles") -> DataFrame:
     """S8: tileset metadata (/root/reference/src/render.rs:50-89) via a
-    distributed envelope aggregate (A3) + driver-side formatting."""
-    env = (
-        with_footprints(images)
-        .agg(F.min("minx").alias("xmin"), F.min("miny").alias("ymin"),
-             F.max("maxx").alias("xmax"), F.max("maxy").alias("ymax"))
-        .collect()[0]
-    )
-    gxmin, gymin = tm.mercator_to_geo(env["xmin"], env["ymin"])
-    gxmax, gymax = tm.mercator_to_geo(env["xmax"], env["ymax"])
+    distributed envelope aggregate (A3) + driver-side formatting.
+    Geographic tables (minlon..maxlat columns — the warp input shape)
+    aggregate their degree bounds directly; mercator tables project the
+    envelope back to CRS84 like the reference."""
+    if "minlon" in images.columns:
+        env = images.agg(
+            F.min("minlon").alias("xmin"), F.min("minlat").alias("ymin"),
+            F.max("maxlon").alias("xmax"), F.max("maxlat").alias("ymax"),
+        ).collect()[0]
+        gxmin, gymin = env["xmin"], env["ymin"]
+        gxmax, gymax = env["xmax"], env["ymax"]
+    else:
+        env = (
+            with_footprints(images)
+            .agg(F.min("minx").alias("xmin"), F.min("miny").alias("ymin"),
+                 F.max("maxx").alias("xmax"), F.max("maxy").alias("ymax"))
+            .collect()[0]
+        )
+        gxmin, gymin = tm.mercator_to_geo(env["xmin"], env["ymin"])
+        gxmax, gymax = tm.mercator_to_geo(env["xmax"], env["ymax"])
     rows = [
         ("name", name),
         ("minzoom", str(minzoom)),

@@ -115,10 +115,15 @@ def _warp_kernel_fn(minzoom: int, maxzoom: int, tile_size: int, nodata):
     return fn
 
 
-def _warp_encode_fn(tile_size: int, dtype_tag: str, nodata):
+def _warp_encode_fn(tile_size: int, dtype_tag: str, nodata,
+                    colormap_str: str | None = None):
     np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..png import Colormap
+
+        colormap = (Colormap.parse(colormap_str, nodata)
+                    if colormap_str else None)
         for pdf in batches:
             out = {k: [] for k in ("zoom", "x", "y", "png")}
             for row in pdf.itertuples(index=False):
@@ -134,7 +139,8 @@ def _warp_encode_fn(tile_size: int, dtype_tag: str, nodata):
                 out["zoom"].append(int(row.zoom))
                 out["x"].append(int(row.x))
                 out["y"].append(int(row.y))
-                out["png"].append(encode_tile(cv, dtype_tag, nodata))
+                out["png"].append(encode_tile(cv, dtype_tag, nodata,
+                                              colormap))
             yield pd.DataFrame(out)
 
     return fn
@@ -142,6 +148,7 @@ def _warp_encode_fn(tile_size: int, dtype_tag: str, nodata):
 
 def render_warp(images: DataFrame, minzoom: int, maxzoom: int,
                 tile_size: int = 256, dtype_tag: str = "u8",
+                colormap_str: str | None = None,
                 nodata: int = 0, n_parts: int | None = None) -> DataFrame:
     """Render geographic (EPSG:4326) images into the mercator pyramid.
 
@@ -164,5 +171,35 @@ def render_warp(images: DataFrame, minzoom: int, maxzoom: int,
             .groupBy("zoom", "x", "y")
             .agg(F.collect_list(F.struct("image_id", "canvas"))
                  .alias("contribs"))
-            .mapInPandas(_warp_encode_fn(tile_size, dtype_tag, nodata),
+            .mapInPandas(_warp_encode_fn(tile_size, dtype_tag, nodata,
+                                         colormap_str),
                          "zoom int, x long, y long, png binary"))
+
+
+def render_warp_pyramid(images: DataFrame, minzoom: int, maxzoom: int,
+                        tile_size: int = 256, dtype_tag: str = "u8",
+                        colormap_str: str | None = None,
+                        overview_below: int | None = None,
+                        persisted: list | None = None) -> DataFrame:
+    """Full warped pyramid in the FUSED sink schema (zoom, x, y,
+    tile_row, tile_hash, png): zooms in [overview_below, maxzoom] warp
+    directly from source; zooms below cascade 2× per step through the
+    shared overview machinery (operators/overview.cascade_down — same
+    decimation, persist-fork and colormap contracts as
+    render_pyramid). ``overview_below=None`` → all-direct."""
+    from .overview import cascade_down
+    from .render import _finish
+
+    if overview_below is None or overview_below <= minzoom:
+        return _finish(render_warp(images, minzoom, maxzoom, tile_size,
+                                   dtype_tag, colormap_str))
+    base = min(max(overview_below, minzoom), maxzoom)
+    full = _finish(render_warp(images, base, maxzoom, tile_size,
+                               dtype_tag, colormap_str))
+    shared = full.persist()
+    if persisted is not None:
+        persisted.append(shared)
+    base_level = shared.filter(F.col("zoom") == base)
+    low = cascade_down(base_level, minzoom, tile_size, dtype_tag,
+                       colormap_str, top_zoom=base, persisted=persisted)
+    return shared.unionByName(low)

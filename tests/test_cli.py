@@ -91,6 +91,49 @@ def test_cli_default_overviews_respects_maxzoom(spark, tmp_path):
         assert h in blobs
 
 
+def test_cli_render_warp_geotiff(spark, tmp_path):
+    """`render GEO.tif OUT.mbtiles` over an EPSG:4326 GeoTIFF: the CLI
+    dispatches to the reprojection warp (the reference's any-CRS
+    behavior via its warped VRT). Tile set + bytes must equal the
+    in-process warp pyramid; metadata bounds are the source's degree
+    envelope."""
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.fixtures import (geotiff_geo_fixture,
+                                               geotiff_geo_params)
+    from rastertiler_rs_spark.operators.geotiff_source import \
+        images_from_geotiff
+    from rastertiler_rs_spark.operators.warp import render_warp_pyramid
+
+    src = geotiff_geo_fixture()
+    out = str(tmp_path / "warp.mbtiles")
+    # maxzoom 6 < overview threshold 8 -> base clamps to 6, z4-5 cascade
+    main(["render", src, out, "--minzoom", "4", "--maxzoom", "6",
+          "--tilesize", "128"])
+    tiles, blobs, meta = _mb(out)
+
+    images = images_from_geotiff(spark, src)
+    persisted = []
+    try:
+        fused = render_warp_pyramid(images, 4, 6, tile_size=128,
+                                    dtype_tag="u8", overview_below=8,
+                                    persisted=persisted)
+        want = {(r["zoom"], r["x"], r["tile_row"]):
+                (r["tile_hash"], bytes(r["png"])) for r in fused.collect()}
+    finally:
+        for df in persisted:
+            df.unpersist()
+    assert tiles == {k: h for k, (h, _) in want.items()}
+    for k, (h, png) in want.items():
+        assert bytes(blobs[tiles[k]]) == png
+    w, h_px, transform, _rps = geotiff_geo_params()
+    a, _b, x0, _d, e, y0 = transform
+    lo_lon, hi_lon = x0, x0 + w * a
+    lo_lat, hi_lat = y0 + h_px * e, y0
+    bl = [float(v) for v in meta["bounds"].split(",")]
+    assert bl == [round(v, 5) for v in (lo_lon, lo_lat, hi_lon, hi_lat)]
+
+
 def test_cli_validation(tmp_path):
     with pytest.raises(SystemExit):
         main(["render", "/nonexistent.parquet", str(tmp_path / "o.mbtiles")])

@@ -131,8 +131,8 @@ def test_ingest_u32(spark, tmp_path):
 
 def test_ingest_validation(spark, tmp_path):
     data = np.ones((8, 8), np.uint8)
-    p = _tmp_tif(tmp_path, data, (1.0, 0, 0, 0, -1.0, 8.0), epsg=4326)
-    with pytest.raises(ValueError, match="EPSG:3857"):
+    p = _tmp_tif(tmp_path, data, (1.0, 0, 0, 0, -1.0, 8.0), epsg=32633)
+    with pytest.raises(ValueError, match="EPSG:3857 or EPSG:4326"):
         images_from_geotiff(spark, p)
 
 

@@ -135,6 +135,117 @@ def test_warp_drop_rules():
     assert warp_tile(nd_band, *fp, ZMIN, tx, ty, TS, NODATA) is None
 
 
+def test_geotiff_geo_roundtrip(tmp_path):
+    """EPSG:4326 GeoTIFF write→probe: geographic GeoKeys (GTModelType=2,
+    GeographicTypeGeoKey 2048) survive the IFD round trip."""
+    from rastertiler_rs_spark.fixtures import geotiff_geo_params
+    from rastertiler_rs_spark.geotiff import geotiff_ifd, write_geotiff
+
+    w, h, transform, rps = geotiff_geo_params()
+    band = pixel_band(0, 64, 48, "u8")
+    path = str(tmp_path / "geo.tif")
+    write_geotiff(path, band, transform, NODATA, epsg=4326,
+                  rows_per_strip=16)
+    meta = geotiff_ifd(path)
+    assert meta["epsg"] == 4326
+    assert meta["transform"] == transform
+
+
+def test_geotiff_geo_ingest_footprints(spark):
+    """Geographic ingest emits DEGREE footprints (minlon..maxlat) that
+    equal the shared block_footprint rule over the degree affine."""
+    from rastertiler_rs_spark.fixtures import (geotiff_geo_fixture,
+                                               geotiff_geo_params)
+    from rastertiler_rs_spark.operators.geotiff_source import (
+        block_footprint, images_from_geotiff)
+
+    w, h, transform, rps = geotiff_geo_params()
+    df = images_from_geotiff(spark, geotiff_geo_fixture())
+    assert {"minlon", "minlat", "maxlon", "maxlat"} <= set(df.columns)
+    rows = {r["image_id"]: r for r in df.collect()}
+    assert len(rows) == h // rps
+    for row0 in range(0, h, rps):
+        nrows = min(rps, h - row0)
+        want = block_footprint(transform, row0, nrows, 0, w)
+        got = rows[[k for k in rows if f"r{row0:07d}" in k][0]]
+        assert (got["minlon"], got["minlat"],
+                got["maxlon"], got["maxlat"]) == want
+
+
+def test_warp_tif_floor_margins():
+    """Same cross-engine floor-margin guard for the EPSG:4326 GeoTIFF
+    fixture's strip blocks (z4-z6)."""
+    from rastertiler_rs_spark.fixtures import geotiff_geo_params
+    from rastertiler_rs_spark.operators.geotiff_source import \
+        block_footprint
+
+    w, h, transform, rps = geotiff_geo_params()
+    worst = 1.0
+    for row0 in range(0, h, rps):
+        nrows = min(rps, h - row0)
+        fp = block_footprint(transform, row0, nrows, 0, w)
+        minx, miny, maxx, maxy = _proj_bounds(fp)
+        xres = (fp[2] - fp[0]) / w
+        yres = (fp[3] - fp[1]) / nrows
+        for zoom in range(ZMIN, ZMAX + 1):
+            n = float(1 << zoom)
+            for q in ((minx + tm.ORIGIN) / tm.CE * n,
+                      (1.0 - ((maxy + tm.ORIGIN) / tm.CE)) * n,
+                      (((maxx + tm.ORIGIN) / tm.CE) - 1e-11) * n,
+                      (1.0 - (((miny + tm.ORIGIN) / tm.CE) + 1e-11)) * n):
+                worst = min(worst, abs(q - round(q)))
+            for _, tx, ty in _cover(fp, zoom):
+                ts_m = tm.CE / float(1 << zoom)
+                res_t = ts_m / float(TS)
+                t_xmin = float(tx) * ts_m - tm.CE / 2.0
+                t_ymax = tm.CE / 2.0 - float(ty) * ts_m
+                centers = np.arange(TS, dtype=np.float64) + 0.5
+                lon, lat = tm.mercator_to_geo(t_xmin + centers * res_t,
+                                              t_ymax - centers * res_t)
+                for q in ((lon - fp[0]) / xres, (fp[3] - lat) / yres):
+                    worst = min(worst, float(np.abs(q - np.round(q)).min()))
+    assert worst > 1e-5, worst
+
+
+def test_render_warp_pyramid_cascade_identity(spark):
+    """render_warp_pyramid: cascaded zooms equal the 2×2 nearest
+    decimation of the direct base — overview pixel (r, c) of parent
+    (x, y) == the 2·ts super-canvas of its four children at stride 2
+    offset 1 (the engine's decimation-composition identity)."""
+    from rastertiler_rs_spark.operators.overview import decode_canvas
+    from rastertiler_rs_spark.operators.warp import render_warp_pyramid
+
+    images = spark.read.parquet(images_geo_parquet(N))
+    persisted = []
+    try:
+        fused = render_warp_pyramid(images, ZMIN, ZMAX, tile_size=TS,
+                                    dtype_tag="u8", overview_below=ZMAX,
+                                    persisted=persisted)
+        tiles = {(r["zoom"], r["x"], r["y"]): bytes(r["png"])
+                 for r in fused.collect()}
+    finally:
+        for df in persisted:
+            df.unpersist()
+    zs = sorted({z for z, _, _ in tiles})
+    assert zs and zs[0] == ZMIN and zs[-1] == ZMAX
+    # verify every z(max-1) tile against its z(max) children
+    checked = 0
+    for (z, x, y), png in tiles.items():
+        if z != ZMAX - 1:
+            continue
+        sup = np.zeros((2 * TS, 2 * TS), dtype=np.uint8)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                child = tiles.get((ZMAX, 2 * x + dx, 2 * y + dy))
+                if child is not None:
+                    sup[dy * TS:(dy + 1) * TS, dx * TS:(dx + 1) * TS] = \
+                        decode_canvas(child, "u8")
+        np.testing.assert_array_equal(decode_canvas(png, "u8"),
+                                      sup[1::2, 1::2])
+        checked += 1
+    assert checked >= 4
+
+
 def test_render_warp_spark_parity(spark):
     """End to end: Spark render_warp over the gate fixture == the
     driver-side numpy composition (cover → warp_tile → ascending-id

@@ -1080,14 +1080,22 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # morph/median = 3×3 rank filters (morphological gradient, median
     # denoise) on the same 8-neighbor exchange; twins are GREATEST−LEAST
     # and list_sort[5] over the shared 9-window canvas CTE
-    from rastertiler_rs_spark.operators.halo import (tile_halo_median,
+    # shade/slope = gdaldem hillshade/slope analogs on the same Horn
+    # gradients: trig folded driver-side (hillshade_constants), the
+    # remaining + · / sqrt floor all IEEE correctly-rounded — the twins
+    # are bit-identical with NO margin fixtures (contrast warp)
+    from rastertiler_rs_spark.operators.halo import (tile_halo_hillshade,
+                                                     tile_halo_median,
                                                      tile_halo_morph,
+                                                     tile_halo_slope,
                                                      tile_halo_terrain)
 
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
         ("sobel", tile_halo_sobel(tiles, 128)),
         ("terrain", tile_halo_terrain(tiles, 128)),
+        ("shade", tile_halo_hillshade(tiles, 128)),
+        ("slope", tile_halo_slope(tiles, 128)),
         ("morph", tile_halo_morph(tiles, 128)),
         ("median", tile_halo_median(tiles, 128)),
         ("algebra", alg),
@@ -4232,6 +4240,98 @@ def _halo_terrain_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _halo_horn_g_cte(w: int, h: int, ts: int, seed: int) -> str:
+    """Shared CTE prefix for Horn-gradient halo twins: yields table
+    `g(tx, ty, gx, gy)` — the integer Horn numerators of every valid
+    8-neighborhood pixel of the unpartitioned canvas formula, keyed by
+    owning tile."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+
+    def v(r, c):
+        return "(" + _PIXEL_VALUE_CASE.format(r=r, c=c) + ")"
+
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 {v("rs.r", "cs.c")} AS vc,
+                 {v("rs.r", "(cs.c + 1)")} AS ve,
+                 {v("rs.r", "(cs.c - 1)")} AS vw,
+                 {v("(rs.r + 1)", "cs.c")} AS vs,
+                 {v("(rs.r - 1)", "cs.c")} AS vn,
+                 {v("(rs.r - 1)", "(cs.c - 1)")} AS vnw,
+                 {v("(rs.r - 1)", "(cs.c + 1)")} AS vne,
+                 {v("(rs.r + 1)", "(cs.c - 1)")} AS vsw,
+                 {v("(rs.r + 1)", "(cs.c + 1)")} AS vse
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(1, {h - 2})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(1, {w - 2})) AS c) cs(c)),
+        g AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty,
+                 ((vne + 2 * ve + vse) - (vnw + 2 * vw + vsw)) AS gx,
+                 ((vsw + 2 * vs + vse) - (vnw + 2 * vn + vne)) AS gy
+          FROM px
+          WHERE vc <> 0 AND ve <> 0 AND vw <> 0 AND vs <> 0 AND vn <> 0
+            AND vnw <> 0 AND vne <> 0 AND vsw <> 0 AND vse <> 0)"""
+
+
+def _halo_hillshade_oracle_sql(w: int = 1024, h: int = 768,
+                               ts: int = 128, seed: int = 5) -> str:
+    """Unpartitioned-canvas twin of tile_halo_hillshade: trig folded
+    driver-side into repr'd doubles (hillshade_constants — the SAME
+    call the operator makes), then term-for-term the shade_u8 op
+    order. Every op crossing the engines (+ · / sqrt floor) is IEEE
+    correctly-rounded over identical inputs, so this twin is
+    bit-identical to numpy with no margin fixtures."""
+    from rastertiler_rs_spark.operators.halo import hillshade_constants
+
+    sa, bx, cy, d = (repr(v) for v in hillshade_constants())
+    return _halo_horn_g_cte(w, h, ts, seed) + f""",
+        s AS (
+          SELECT tx, ty,
+                 (({sa} + {bx} * CAST(gx AS DOUBLE))
+                  + {cy} * CAST(gy AS DOUBLE))
+                 / SQRT(1.0 + {d} * CAST(gx * gx + gy * gy AS DOUBLE))
+                   AS cang
+          FROM g),
+        sh AS (
+          SELECT tx, ty,
+                 CASE WHEN cang <= 0.0 THEN 1
+                      ELSE CAST(FLOOR((1.0 + 254.0 * cang) + 0.5)
+                                AS BIGINT) END AS shade
+          FROM s)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(shade) AS BIGINT) AS sum_g2,
+               CAST(MAX(shade) * 256 + MIN(shade) AS BIGINT) AS max_g2
+        FROM sh GROUP BY tx, ty
+    """
+
+
+def _halo_slope_oracle_sql(w: int = 1024, h: int = 768,
+                           ts: int = 128, seed: int = 5) -> str:
+    """Unpartitioned-canvas twin of tile_halo_slope: slope-percent
+    ×1000 fixed point, k = 100·z/(8·cs) folded driver-side; sqrt and
+    · correctly rounded — bit-identical to numpy."""
+    k = repr(100.0 * 1.0 / (8.0 * 1.0))
+    return _halo_horn_g_cte(w, h, ts, seed) + f""",
+        sp AS (
+          SELECT tx, ty,
+                 CAST(FLOOR(({k} * SQRT(CAST(gx * gx + gy * gy
+                                             AS DOUBLE))) * 1000.0
+                            + 0.5) AS BIGINT) AS sl
+          FROM g)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(sl) AS BIGINT) AS sum_g2,
+               CAST(MAX(sl) AS BIGINT) AS max_g2
+        FROM sp GROUP BY tx, ty
+    """
+
+
 def _vector_tiles_clip_oracle_sql(zoom: int = 5, extent: int = 4096) -> str:
     """Convex∩box vertex-set twin of q_vector_tiles_clip: for every
     (triangle, covered z-tile) pair, the clipped polygon's vertex set
@@ -6388,6 +6488,8 @@ def oracle_sql() -> dict[str, str]:
             ("grad", _halo_gradient_oracle_sql()),
             ("sobel", _halo_sobel_oracle_sql()),
             ("terrain", _halo_terrain_oracle_sql()),
+            ("shade", _halo_hillshade_oracle_sql()),
+            ("slope", _halo_slope_oracle_sql()),
             ("morph", _halo_window9_oracle_sql(_MORPH_EXPR)),
             ("median", _halo_window9_oracle_sql(_MEDIAN_EXPR)),
             ("algebra", _raster_algebra_oracle_sql()),

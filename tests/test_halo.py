@@ -300,3 +300,40 @@ def test_halo_hillshade_and_slope_equal_global(spark):
               for r in tile_halo_slope(tiles, ts).collect()}
     assert got_sh == want_sh
     assert got_sp == want_sp
+
+
+def test_halo_shade_tiles_equal_global(spark):
+    """PNG-emitting hillshade: decoded tiles == shade_u8 over the
+    unpartitioned canvas (invalid-neighborhood pixels nodata), and
+    tile_stats of the emitted rasters reproduces the stats leg's
+    n_valid/Σshade."""
+    from rastertiler_rs_spark.operators.algebra import tile_stats
+    from rastertiler_rs_spark.operators.halo import (hillshade_constants,
+                                                     shade_u8,
+                                                     tile_halo_hillshade,
+                                                     tile_halo_shade_tiles)
+    from rastertiler_rs_spark.operators.overview import decode_canvas
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    gx, gy, valid = _horn_gradients(band)
+    want = np.full(band.shape, NODATA, dtype=np.int64)
+    inner = np.full(valid.shape, NODATA, dtype=np.int64)
+    inner[valid] = shade_u8(gx[valid], gy[valid], hillshade_constants())
+    want[1:-1, 1:-1] = inner
+    got = {(r["tx"], r["ty"]): decode_canvas(bytes(r["png"]), "u8")
+           for r in tile_halo_shade_tiles(tiles, ts).collect()}
+    h, w = band.shape
+    for ty in range(h // ts):
+        for tx in range(w // ts):
+            sub = want[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            if (sub == NODATA).all():
+                assert (tx, ty) not in got
+                continue
+            np.testing.assert_array_equal(got[(tx, ty)], sub)
+    st = {(r["tx"], r["ty"]): (r["n_valid"], r["vsum"])
+          for r in tile_stats(tile_halo_shade_tiles(tiles, ts)).collect()}
+    leg = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"])
+           for r in tile_halo_hillshade(tiles, ts).collect()}
+    assert st == leg

@@ -265,6 +265,51 @@ def cmd_merge(args) -> None:
     print(f"wrote {args.out}")
 
 
+def cmd_tileop(args) -> None:
+    """Apply a tiled-raster operator to a (tx, ty, png) parquet table
+    and write the result as parquet — raster ops (hillshade /
+    equalize / overzoom) emit tiles, analysis ops emit per-tile
+    stats."""
+    from .session import get_spark
+
+    if not os.path.exists(args.src):
+        sys.exit(f"ERROR: input does not exist: {args.src}")
+    spark = get_spark("rastertiler-tileop", cpus=args.workers)
+    spark.sparkContext.setLogLevel("ERROR")
+    tiles = spark.read.parquet(args.src)
+    missing = {"tx", "ty", "png"} - set(tiles.columns)
+    if missing:
+        sys.exit(f"ERROR: input table lacks columns {sorted(missing)}")
+    ts = args.tilesize
+
+    from .operators import halo
+    from .operators.algebra import equalize_tiles
+    from .operators.overzoom import overzoom_tiles
+
+    if args.op == "hillshade":
+        out = halo.tile_halo_shade_tiles(
+            tiles, ts, azimuth_deg=args.azimuth,
+            altitude_deg=args.altitude, z_factor=args.zfactor,
+            cellsize=args.cellsize)
+    elif args.op == "equalize":
+        out = equalize_tiles(tiles, ts)
+    elif args.op == "overzoom":
+        out = overzoom_tiles(tiles, args.levels, ts)
+    elif args.op == "slope":
+        out = halo.tile_halo_slope(tiles, ts, z_factor=args.zfactor,
+                                   cellsize=args.cellsize)
+    else:
+        fn = {"aspect": halo.tile_halo_terrain,
+              "gradient": halo.tile_halo_gradient,
+              "sobel": halo.tile_halo_sobel,
+              "morph": halo.tile_halo_morph,
+              "median": halo.tile_halo_median}[args.op]
+        out = fn(tiles, ts)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote {n} rows to {args.out}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="rastertiler_rs_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -317,6 +362,25 @@ def main(argv=None) -> None:
     m.add_argument("out")
     m.add_argument("--workers", type=int, default=4)
     m.set_defaults(fn=cmd_merge)
+
+    t = sub.add_parser(
+        "tileop", help="apply a tiled-raster operator to a (tx, ty, "
+                       "png) parquet table")
+    t.add_argument("src")
+    t.add_argument("out")
+    t.add_argument("--op", required=True,
+                   choices=["hillshade", "equalize", "overzoom", "slope",
+                            "aspect", "gradient", "sobel", "morph",
+                            "median"])
+    t.add_argument("--tilesize", type=int, default=256)
+    t.add_argument("--workers", type=int, default=4)
+    t.add_argument("--azimuth", type=float, default=315.0)
+    t.add_argument("--altitude", type=float, default=45.0)
+    t.add_argument("--zfactor", type=float, default=1.0)
+    t.add_argument("--cellsize", type=float, default=1.0)
+    t.add_argument("--levels", type=int, default=1,
+                   help="overzoom levels (children per parent = 4^levels)")
+    t.set_defaults(fn=cmd_tileop)
 
     args = p.parse_args(argv)
     args.fn(args)

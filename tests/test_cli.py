@@ -303,3 +303,40 @@ def test_cli_render_cog(spark, tmp_path):
                                  m0["predictor"], np.uint8, 64, 64, 64, 64)
             nz += int((band != 0).any())
     assert nz > 0
+
+
+def test_cli_tileop_hillshade_and_overzoom(spark, tmp_path):
+    """`tileop` applies tiled-raster operators from the CLI: hillshade
+    output == the operator; overzoom row count is 4x parents minus
+    all-nodata drops; stats ops emit the stats schema."""
+    from rastertiler_rs_spark.fixtures import tiled_canvas_parquet
+    from rastertiler_rs_spark.operators.halo import tile_halo_shade_tiles
+
+    src = tiled_canvas_parquet(256, 192, 64, seed=5)
+    out = str(tmp_path / "shade.parquet")
+    main(["tileop", src, out, "--op", "hillshade", "--tilesize", "64"])
+    got = {(r["tx"], r["ty"]): bytes(r["png"])
+           for r in spark.read.parquet(out).collect()}
+    tiles = spark.read.parquet(src)
+    want = {(r["tx"], r["ty"]): bytes(r["png"])
+            for r in tile_halo_shade_tiles(tiles, 64).collect()}
+    assert got == want
+
+    out2 = str(tmp_path / "oz.parquet")
+    main(["tileop", src, out2, "--op", "overzoom", "--tilesize", "64",
+          "--levels", "1"])
+    oz = spark.read.parquet(out2)
+    assert set(oz.columns) == {"tx", "ty", "png"}
+    assert 0 < oz.count() <= 4 * tiles.count()
+
+    out3 = str(tmp_path / "slope.parquet")
+    main(["tileop", src, out3, "--op", "slope", "--tilesize", "64"])
+    sl = spark.read.parquet(out3)
+    assert set(sl.columns) == {"tx", "ty", "n_valid", "sum_g2", "max_g2"}
+    assert sl.count() > 0
+
+
+def test_cli_tileop_validation(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["tileop", "/nonexistent.parquet", str(tmp_path / "o"),
+              "--op", "hillshade"])

@@ -107,6 +107,30 @@ def main() -> None:
         plan_text(interval_join(cpts, errs, point_ts="ts",
                                 cell_width_us=1_800_000_000))))
 
+    # tiled-raster ops (tileop CLI surface): hillshade = halo strips ->
+    # ONE exchange on owning tile -> applyInPandas; overzoom = ZERO
+    # exchanges (embarrassingly parallel); equalize = 256-bin agg
+    # (bytes-free shuffle) + shuffle-free remap
+    from rastertiler_rs_spark.fixtures import tiled_canvas_parquet
+    from rastertiler_rs_spark.operators.algebra import equalize_tiles
+    from rastertiler_rs_spark.operators.halo import tile_halo_shade_tiles
+    from rastertiler_rs_spark.operators.overzoom import overzoom_tiles
+
+    tc = spark.read.parquet(tiled_canvas_parquet(256, 192, 64, 5))
+    sections.append((
+        "tile_halo_shade_tiles (hillshade): strips explode -> ONE "
+        "exchange on the owning tile -> padded-canvas applyInPandas",
+        plan_text(tile_halo_shade_tiles(tc, 64))))
+    sections.append((
+        "overzoom_tiles: NO exchange — one mapInPandas, each parent "
+        "independent",
+        plan_text(overzoom_tiles(tc, 1, 64))))
+    sections.append((
+        "equalize_tiles (remap pass; the 256-bin histogram agg ran "
+        "eagerly): shuffle-free mapInPandas with the broadcast LUT "
+        "closed over",
+        plan_text(equalize_tiles(tc, 64))))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plans (generated by tools/dump_plans.py)\n\n"
                 "What to look for: `PushedFilters`/`ReadSchema` on scans "

@@ -1088,7 +1088,9 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      tile_halo_median,
                                                      tile_halo_morph,
                                                      tile_halo_slope,
-                                                     tile_halo_terrain)
+                                                     tile_halo_terrain,
+                                                     tile_halo_tpi,
+                                                     tile_halo_tri)
 
     # zoomin = overzoom (operators/overzoom.py): every parent tile
     # emits its 4 nearest-upsampled children (shuffle-free python
@@ -1115,6 +1117,8 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("terrain", tile_halo_terrain(tiles, 128)),
         ("shade", tile_halo_hillshade(tiles, 128)),
         ("slope", tile_halo_slope(tiles, 128)),
+        ("tri", tile_halo_tri(tiles, 128)),
+        ("tpi", tile_halo_tpi(tiles, 128)),
         ("zoomin", oz),
         ("eq", eqz),
         ("morph", tile_halo_morph(tiles, 128)),
@@ -4196,6 +4200,9 @@ def _halo_window9_oracle_sql(pixel_expr: str, w: int = 1024, h: int = 768,
 _W9 = "vc, vn, vs, vw, ve, vnw, vne, vsw, vse"
 _MORPH_EXPR = f"GREATEST({_W9}) - LEAST({_W9})"
 _MEDIAN_EXPR = f"list_sort([{_W9}])[5]"
+_TRI_EXPR = ("ABS(vc-vn) + ABS(vc-vs) + ABS(vc-vw) + ABS(vc-ve) "
+             "+ ABS(vc-vnw) + ABS(vc-vne) + ABS(vc-vsw) + ABS(vc-vse)")
+_TPI_EXPR = "8*vc - (vn + vs + vw + ve + vnw + vne + vsw + vse)"
 
 
 def _halo_terrain_oracle_sql(w: int = 1024, h: int = 768,
@@ -6577,6 +6584,8 @@ def oracle_sql() -> dict[str, str]:
             ("terrain", _halo_terrain_oracle_sql()),
             ("shade", _halo_hillshade_oracle_sql()),
             ("slope", _halo_slope_oracle_sql()),
+            ("tri", _halo_window9_oracle_sql(_TRI_EXPR)),
+            ("tpi", _halo_window9_oracle_sql(_TPI_EXPR)),
             ("zoomin", _overzoom_oracle_sql()),
             ("eq", _equalize_oracle_sql()),
             ("morph", _halo_window9_oracle_sql(_MORPH_EXPR)),

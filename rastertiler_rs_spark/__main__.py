@@ -303,7 +303,9 @@ def cmd_tileop(args) -> None:
               "gradient": halo.tile_halo_gradient,
               "sobel": halo.tile_halo_sobel,
               "morph": halo.tile_halo_morph,
-              "median": halo.tile_halo_median}[args.op]
+              "median": halo.tile_halo_median,
+              "tri": halo.tile_halo_tri,
+              "tpi": halo.tile_halo_tpi}[args.op]
         out = fn(tiles, ts)
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
@@ -371,7 +373,7 @@ def main(argv=None) -> None:
     t.add_argument("--op", required=True,
                    choices=["hillshade", "equalize", "overzoom", "slope",
                             "aspect", "gradient", "sobel", "morph",
-                            "median"])
+                            "median", "tri", "tpi"])
     t.add_argument("--tilesize", type=int, default=256)
     t.add_argument("--workers", type=int, default=4)
     t.add_argument("--azimuth", type=float, default=315.0)

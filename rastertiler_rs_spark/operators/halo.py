@@ -261,6 +261,44 @@ def tile_halo_median(tiles: DataFrame, tile_size: int,
                        stencil=stencil)
 
 
+def tile_halo_tri(tiles: DataFrame, tile_size: int,
+                  nodata: int = 0) -> DataFrame:
+    """Terrain Ruggedness Index (×8 fixed point, exact integer):
+    per valid pixel Σ|center − neighbor| over the 8 neighbors — 8×
+    the Wilson mean-absolute-difference TRI, kept integer so the
+    DuckDB twin is a plain ABS sum. Per-tile (n_valid, Σtri, max
+    tri) over the 8-neighbor halo exchange."""
+
+    def stencil(pad: np.ndarray):
+        views, valid = _window9(pad, nodata)
+        c = views[4]
+        tri = np.zeros_like(c)
+        for i, v in enumerate(views):
+            if i != 4:
+                tri += np.abs(c - v)
+        return valid, tri
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil)
+
+
+def tile_halo_tpi(tiles: DataFrame, tile_size: int,
+                  nodata: int = 0) -> DataFrame:
+    """Topographic Position Index (×8 fixed point, exact integer):
+    per valid pixel 8·center − Σneighbors (positive = ridge,
+    negative = valley). Per-tile (n_valid, Σtpi, max tpi); sums and
+    maxima may be negative — the stats schema is signed."""
+
+    def stencil(pad: np.ndarray):
+        views, valid = _window9(pad, nodata)
+        c = views[4]
+        nb = sum(v for i, v in enumerate(views) if i != 4)
+        return valid, 8 * c - nb
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil)
+
+
 def aspect_octant(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
     """Exact-integer aspect sector: the half-open 45° sector of
     atan2(gy, gx) in [0°, 360°), 0 = [0°, 45°), …, 7 = [315°, 360°);

@@ -337,3 +337,35 @@ def test_halo_shade_tiles_equal_global(spark):
     leg = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"])
            for r in tile_halo_hillshade(tiles, ts).collect()}
     assert st == leg
+
+
+def test_halo_tri_tpi_equal_global(spark):
+    """TRI/TPI == the unpartitioned 3×3 loop restricted per tile
+    (exact integers, TPI signed)."""
+    from rastertiler_rs_spark.operators.halo import (tile_halo_tpi,
+                                                     tile_halo_tri)
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5).astype(np.int64)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    h, w = band.shape
+    want_tri, want_tpi = {}, {}
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            win = band[r - 1:r + 2, c - 1:c + 2]
+            if (win == NODATA).any():
+                continue
+            cen = int(band[r, c])
+            tri = int(np.abs(win - cen).sum())
+            tpi = 9 * cen - int(win.sum())      # == 8c − Σneighbors
+            key = (c // ts, r // ts)
+            n, s, m = want_tri.get(key, (0, 0, 0))
+            want_tri[key] = (n + 1, s + tri, max(m, tri))
+            n, s, m = want_tpi.get(key, (0, 0, -(1 << 62)))
+            want_tpi[key] = (n + 1, s + tpi, max(m, tpi))
+    got_tri = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+               for r in tile_halo_tri(tiles, ts).collect()}
+    got_tpi = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+               for r in tile_halo_tpi(tiles, ts).collect()}
+    assert got_tri == want_tri
+    assert got_tpi == want_tpi

@@ -25,6 +25,14 @@ only the new images' tiles, restart-safe via the Spark checkpoint:
       --minzoom 2 --maxzoom 8 [--pyramid] [--tilesize N] [--workers N] \
       [--colormap ...] [--max-files-per-trigger N]
 
+``tileop`` applies the tiled-raster operator family (gdaldem-style
+terrain analysis, global contrast equalization, overzoom) to a
+(tx, ty, png) parquet table:
+
+  python -m rastertiler_rs_spark tileop TILES.parquet OUT.parquet \
+      --op hillshade|slope|aspect|tri|tpi|gradient|sobel|morph|median| \
+           equalize|overzoom [--tilesize N] [--azimuth A] [--altitude A]
+
 ``--workers`` sets local[] parallelism here (the reference's worker
 threads, /root/reference/src/main.rs:73-75); on a cluster, submit with
 spark-submit and the flag is ignored. ``--disable-overviews`` forces

@@ -1110,6 +1110,13 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     eqz = tile_stats(equalize_tiles(tiles, 128)).select(
         "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
         F.col("vmax").alias("max_g2"))
+    # relief = gdaldem color-relief (algebra.color_relief_tiles):
+    # piecewise-linear ramp in the division-safe weighted-average
+    # integer form, RGB PNG decode-back stats (ΣR / ΣG<<23|ΣB)
+    from rastertiler_rs_spark.operators.algebra import (color_relief_tiles,
+                                                        relief_stats)
+
+    rel = relief_stats(color_relief_tiles(tiles, 128))
 
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
@@ -1121,6 +1128,7 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tpi", tile_halo_tpi(tiles, 128)),
         ("zoomin", oz),
         ("eq", eqz),
+        ("relief", rel),
         ("morph", tile_halo_morph(tiles, 128)),
         ("median", tile_halo_median(tiles, 128)),
         ("algebra", alg),
@@ -4372,6 +4380,54 @@ def _equalize_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _relief_channel_case(ramp, ch: int) -> str:
+    """Nested CASE restating relief_rgb for one channel: the same
+    weighted-average integer segments (non-negative numerators — the
+    // truncation-vs-floor trap never fires)."""
+    vs = [s[0] for s in ramp]
+    cs = [s[1 + ch] for s in ramp]
+    parts = [f"WHEN v < {vs[0]} THEN {cs[0]}"]
+    for i in range(len(ramp) - 1):
+        v0, v1, c0, c1 = vs[i], vs[i + 1], cs[i], cs[i + 1]
+        parts.append(f"WHEN v < {v1} THEN "
+                     f"({c0} * ({v1} - v) + {c1} * (v - {v0})) "
+                     f"// {v1 - v0}")
+    parts.append(f"ELSE {cs[-1]}")
+    return "CASE " + " ".join(parts) + " END"
+
+
+def _relief_oracle_sql(w: int = 1024, h: int = 768,
+                       ts: int = 128, seed: int = 5) -> str:
+    """Twin of the `relief` leg: ramp CASEs per channel over the full
+    canvas formula, per-tile channel sums packed like relief_stats
+    (sum_g2 = ΣR, max_g2 = ΣG·2^23 + ΣB)."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+    from rastertiler_rs_spark.operators.algebra import DEFAULT_RELIEF_RAMP
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+    vcase = _PIXEL_VALUE_CASE.format(r="rs.r", c="cs.c")
+    r_, g_, b_ = (_relief_channel_case(DEFAULT_RELIEF_RAMP, ch)
+                  for ch in range(3))
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c, ({vcase}) AS v
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, {h - 1})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(0, {w - 1})) AS c) cs(c)),
+        rgb AS (
+          SELECT r, c, {r_} AS cr, {g_} AS cg, {b_} AS cb
+          FROM px WHERE v <> 0)
+        SELECT CAST(c // {ts} AS BIGINT) AS tx,
+               CAST(r // {ts} AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(cr) AS BIGINT) AS sum_g2,
+               CAST(SUM(cg) * {1 << 23} + SUM(cb) AS BIGINT) AS max_g2
+        FROM rgb GROUP BY tx, ty
+    """
+
+
 def _halo_hillshade_oracle_sql(w: int = 1024, h: int = 768,
                                ts: int = 128, seed: int = 5) -> str:
     """Unpartitioned-canvas twin of tile_halo_hillshade: trig folded
@@ -6588,6 +6644,7 @@ def oracle_sql() -> dict[str, str]:
             ("tpi", _halo_window9_oracle_sql(_TPI_EXPR)),
             ("zoomin", _overzoom_oracle_sql()),
             ("eq", _equalize_oracle_sql()),
+            ("relief", _relief_oracle_sql()),
             ("morph", _halo_window9_oracle_sql(_MORPH_EXPR)),
             ("median", _halo_window9_oracle_sql(_MEDIAN_EXPR)),
             ("algebra", _raster_algebra_oracle_sql()),

@@ -294,7 +294,11 @@ def cmd_tileop(args) -> None:
     from .operators.algebra import equalize_tiles
     from .operators.overzoom import overzoom_tiles
 
-    if args.op == "hillshade":
+    if args.op == "relief":
+        from .operators.algebra import color_relief_tiles
+
+        out = color_relief_tiles(tiles, ts)
+    elif args.op == "hillshade":
         out = halo.tile_halo_shade_tiles(
             tiles, ts, azimuth_deg=args.azimuth,
             altitude_deg=args.altitude, z_factor=args.zfactor,
@@ -381,7 +385,7 @@ def main(argv=None) -> None:
     t.add_argument("--op", required=True,
                    choices=["hillshade", "equalize", "overzoom", "slope",
                             "aspect", "gradient", "sobel", "morph",
-                            "median", "tri", "tpi"])
+                            "median", "tri", "tpi", "relief"])
     t.add_argument("--tilesize", type=int, default=256)
     t.add_argument("--workers", type=int, default=4)
     t.add_argument("--azimuth", type=float, default=315.0)

@@ -223,3 +223,98 @@ def equalize_tiles(tiles: DataFrame, tile_size: int,
 
     return tiles.select("tx", "ty", "png").mapInPandas(
         remap_fn, "tx long, ty long, png binary")
+
+
+# gdaldem color-relief default ramp (value, r, g, b): deep blue-green
+# lowlands → green → tan → brown → white peaks. No stop is (0,0,0) —
+# that packed value is reserved for nodata.
+DEFAULT_RELIEF_RAMP = ((1, 0, 60, 120), (60, 30, 140, 60),
+                       (120, 220, 200, 80), (200, 150, 80, 40),
+                       (255, 245, 245, 245))
+
+
+def relief_rgb(band: np.ndarray, ramp=DEFAULT_RELIEF_RAMP,
+               nodata: int = 0) -> np.ndarray:
+    """Piecewise-linear color ramp (the `gdaldem color-relief`
+    analog), exact-integer: for v in [v_i, v_{i+1}] each channel is
+    the weighted average
+
+        c = (c_i·(v_{i+1} − v) + c_{i+1}·(v − v_i)) // (v_{i+1} − v_i)
+
+    — numerator non-negative by construction, so numpy floor division
+    and DuckDB's truncating `//` agree (the lerp form c_i + Δ·t would
+    put a NEGATIVE numerator under // whenever the ramp descends).
+    Below the first stop clamps to its color, at/above the last to
+    its; nodata pixels become (0,0,0) (encode_rgb marks that color
+    transparent via tRNS)."""
+    vs = np.array([s[0] for s in ramp], dtype=np.int64)
+    cols = np.array([s[1:] for s in ramp], dtype=np.int64)
+    v = band.astype(np.int64)
+    seg = np.clip(np.searchsorted(vs, v, side="right") - 1,
+                  0, len(ramp) - 2)
+    v0, v1 = vs[seg], vs[seg + 1]
+    w1 = np.clip(v, vs[0], vs[-1]) - v0
+    w0 = v1 - np.clip(v, vs[0], vs[-1])
+    out = np.empty(v.shape + (3,), dtype=np.uint8)
+    for ch in range(3):
+        c0, c1 = cols[seg, ch], cols[seg + 1, ch]
+        out[:, :, ch] = ((c0 * w0 + c1 * w1) // (v1 - v0)).astype(np.uint8)
+    out[band == nodata] = 0
+    return out
+
+
+def color_relief_tiles(tiles: DataFrame, tile_size: int,
+                       ramp=DEFAULT_RELIEF_RAMP,
+                       nodata: int = 0) -> DataFrame:
+    """(tx, ty, png u8) -> (tx, ty, png RGB) through the color ramp —
+    pointwise, shuffle-free (one mapInPandas)."""
+    from ..png import encode_rgb
+
+    ts = int(tile_size)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"tx": [], "ty": [], "png": []}
+            for row in pdf.itertuples(index=False):
+                band = decode_band(bytes(row.png), "png;u8")
+                if band.shape != (ts, ts):
+                    raise ValueError(
+                        f"tile ({row.tx},{row.ty}) is {band.shape}, "
+                        f"expected {(ts, ts)}")
+                out["tx"].append(int(row.tx))
+                out["ty"].append(int(row.ty))
+                out["png"].append(encode_rgb(
+                    relief_rgb(band, ramp, nodata), 0))
+            yield pd.DataFrame(out)
+
+    return tiles.select("tx", "ty", "png").mapInPandas(
+        fn, "tx long, ty long, png binary")
+
+
+def relief_stats(relief: DataFrame) -> DataFrame:
+    """Value-gate reduction for RGB relief tiles: per tile n_valid
+    (non-black pixels — black is the nodata color by contract),
+    sum_g2 = ΣR, max_g2 = ΣG·2^23 + ΣB (channel sums ≤ 255·ts² <
+    2^23 for ts ≤ 181, lossless)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"tx": [], "ty": [], "n_valid": [], "sum_g2": [],
+                   "max_g2": []}
+            for row in pdf.itertuples(index=False):
+                packed = decode_band(bytes(row.png), "png;u32")
+                m = packed != 0
+                if not m.any():
+                    continue
+                r = (packed[m] >> 16).astype(np.int64)
+                g = ((packed[m] >> 8) & 0xFF).astype(np.int64)
+                b = (packed[m] & 0xFF).astype(np.int64)
+                out["tx"].append(int(row.tx))
+                out["ty"].append(int(row.ty))
+                out["n_valid"].append(int(m.sum()))
+                out["sum_g2"].append(int(r.sum()))
+                out["max_g2"].append((int(g.sum()) << 23) + int(b.sum()))
+            yield pd.DataFrame(out)
+
+    return relief.mapInPandas(
+        stats, "tx long, ty long, n_valid long, sum_g2 long, max_g2 long")

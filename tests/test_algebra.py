@@ -161,3 +161,49 @@ def test_equalize_tiles_global(spark):
     # cdf stretch pins the endpoints: the rarest present value maps
     # to 1, the largest to 255 (when more than one value is present)
     assert valid.min() == 1 and valid.max() == 255
+
+
+def test_color_relief_bruteforce(spark):
+    """Relief vs a scalar per-pixel loop (independent construction:
+    fractions, then floor), including stop-exactness, clamps, nodata;
+    Spark tiles equal the global ramp of the raw canvas."""
+    from fractions import Fraction
+
+    from rastertiler_rs_spark.fixtures import (NODATA, canvas_band,
+                                               tiled_canvas_parquet)
+    from rastertiler_rs_spark.operators.algebra import (
+        DEFAULT_RELIEF_RAMP, color_relief_tiles, relief_rgb)
+
+    ramp = DEFAULT_RELIEF_RAMP
+    vs = [s[0] for s in ramp]
+
+    def scalar(v):
+        if v == NODATA:
+            return (0, 0, 0)
+        x = min(max(v, vs[0]), vs[-1])
+        i = max(j for j in range(len(vs)) if vs[j] <= x or j == 0)
+        i = min(i, len(vs) - 2)
+        out = []
+        for ch in range(3):
+            c0, c1 = ramp[i][1 + ch], ramp[i + 1][1 + ch]
+            t = Fraction(c0 * (vs[i + 1] - x) + c1 * (x - vs[i]),
+                         vs[i + 1] - vs[i])
+            out.append(int(t.numerator // t.denominator))
+        return tuple(out)
+
+    band = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    got = relief_rgb(band)
+    for v in range(256):
+        assert tuple(got[v // 16, v % 16]) == scalar(v), v
+
+    ts = 64
+    canvas = canvas_band(256, 192, seed=5)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    want = relief_rgb(canvas)
+    rows = color_relief_tiles(tiles, ts).collect()
+    from rastertiler_rs_spark.png import decode_png
+    for r in rows:
+        px = decode_png(bytes(r["png"]))["pixels"]
+        sub = want[r["ty"] * ts:(r["ty"] + 1) * ts,
+                   r["tx"] * ts:(r["tx"] + 1) * ts]
+        np.testing.assert_array_equal(px, sub)

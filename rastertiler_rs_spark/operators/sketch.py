@@ -197,3 +197,51 @@ def kmv_distinct_estimate(kth_hash_unit: float, k: int) -> float:
     if not 0 < kth_hash_unit <= 1:
         raise ValueError("kth hash must be in (0, 1]")
     return (k - 1) / kth_hash_unit
+
+
+def stratified_bottom_k(rows: DataFrame, stratum_col: str, id_col: str,
+                        k: int, hash_expr=None) -> DataFrame:
+    """STRATIFIED deterministic sample: the k rows with smallest
+    hashed id PER STRATUM (per-language / per-source quotas — the
+    training-data mix-balancing primitive), ties broken by id.
+    Deterministic and mergeable per stratum like sample_bottom_k.
+
+    Plan: a LOCAL per-partition prune first (each input partition
+    keeps at most k rows per stratum it sees — pandas sort+head, no
+    state beyond the partition), so the stratum shuffle moves at most
+    k·strata·partitions pruned rows, never the corpus; the final
+    exact rank is a Window over the pruned set. A hot stratum
+    therefore costs one task sorting ≤ k·partitions rows — bounded by
+    parallelism, not by the stratum's corpus share (the skew story a
+    plain Window-over-everything lacks).
+
+    hash_expr defaults to JVM xxhash64(id); pass a Column (e.g. the
+    Lehmer hash) for a SQL-twinnable variant. Output: (stratum, id,
+    h, rank) with rank 1..k per stratum in hash order."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(id_col)) if hash_expr is None else hash_expr
+    hashed = rows.select(F.col(stratum_col).alias("stratum"),
+                         F.col(id_col).alias("id"), h.alias("h"))
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # stream batches, keep a running ≤k-per-stratum frontier so
+        # the task never holds more than k·strata rows
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cat = pdf if best is None else pd.concat((best, pdf))
+            best = (cat.sort_values(["h", "id"])
+                    .groupby("stratum", sort=False).head(k))
+        yield (best if best is not None
+               else pd.DataFrame({"stratum": [], "id": [], "h": []}))
+
+    pruned = hashed.mapInPandas(prune, hashed.schema)
+    w = Window.partitionBy("stratum").orderBy("h", "id")
+    return (pruned
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

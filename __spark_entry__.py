@@ -309,6 +309,7 @@ def q_zoom_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SAMPLE_K = 64
+_STRAT_K = 16
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,8 +321,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SQL-twinnable Lehmer hash of doc_id; emits the sampled docs'
       md5(text) so content rides the sample under the gate. Coerced
       as content_md5←md5, n_docs←rank, keep_doc_id←doc_id."""
-    from rastertiler_rs_spark.operators.sketch import sample_bottom_k
-    from rastertiler_rs_spark.operators.text import exact_dup_groups
+    from rastertiler_rs_spark.operators.sketch import (sample_bottom_k,
+                                                       stratified_bottom_k)
+    from rastertiler_rs_spark.operators.text import (exact_dup_groups,
+                                                     lang_scores)
 
     docs = _t(spark, sf_dir, "documents")
     groups = exact_dup_groups(docs)
@@ -334,7 +337,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.md5("text").alias("content_md5"),
                       F.col("rank").alias("n_docs"),
                       F.col("doc_id").alias("keep_doc_id")))
-    return _union_variants(("groups", groups), ("sample", sample))
+    # strat: deterministic per-language quota sample — the training-
+    # data mix-balancing primitive (sketch.stratified_bottom_k: local
+    # per-partition prune bounds the stratum shuffle to k·strata rows
+    # per task). Stratum = the value-gated lang_scores guess, hash =
+    # the same Lehmer rule; coerced content_md5←lang, n_docs←rank.
+    strat = stratified_bottom_k(
+        lang_scores(docs).select("doc_id", "lang_guess"),
+        "lang_guess", "doc_id", _STRAT_K, hash_expr=lehmer).select(
+            F.col("stratum").alias("content_md5"),
+            F.col("rank").alias("n_docs"),
+            F.col("id").alias("keep_doc_id"))
+    return _union_variants(("groups", groups), ("sample", sample),
+                           ("strat", strat))
 
 
 # heavy-hitter threshold: count·(k+1) > N over the document token
@@ -2317,6 +2332,30 @@ def q_render_pyramid_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window. The per-leg q_* functions above stay as the documented units
 # (and as pytest surface); these wrappers only union them.
 # ---------------------------------------------------------------------------
+
+# Shared DuckDB twin of text.lang_scores (used by the doc_stats
+# profile AND the stratified-sample leg of dedup_exact): CTEs
+# t -> s -> lang over the `documents` view.
+_LANG_CTES = """t AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS tt FROM documents),
+            s AS (SELECT doc_id,
+              CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' the ', ''))) / 5
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' and ', ''))) / 5
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' of ', ''))) / 4 AS BIGINT) AS score_en,
+              CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' le ', ''))) / 4
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' la ', ''))) / 4
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' et ', ''))) / 4 AS BIGINT) AS score_fr,
+              CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' der ', ''))) / 5
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' und ', ''))) / 5
+                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' die ', ''))) / 5 AS BIGINT) AS score_de
+              FROM t),
+            lang AS (
+              SELECT doc_id, score_en, score_fr, score_de,
+                     CASE WHEN GREATEST(score_en, score_fr, score_de) = 0 THEN 'und'
+                          WHEN score_en = GREATEST(score_en, score_fr, score_de) THEN 'en'
+                          WHEN score_fr = GREATEST(score_en, score_fr, score_de) THEN 'fr'
+                          ELSE 'de' END AS lang_guess
+              FROM s)"""
+
 
 def _union_variants(*legs: tuple[str, DataFrame]) -> DataFrame:
     out = None
@@ -6481,6 +6520,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          (doc_id * 48271 + 11) % 2147483647 AS h
                   FROM documents ORDER BY h, doc_id LIMIT {_SAMPLE_K})
+            """),
+            ("strat", f"""
+            WITH {_LANG_CTES},
+            hh AS (SELECT lang_guess, doc_id,
+                          (doc_id * 48271 + 11) % 2147483647 AS h
+                   FROM lang),
+            rk AS (SELECT lang_guess, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY lang_guess
+                                             ORDER BY h, doc_id) AS rnk
+                   FROM hh)
+            SELECT lang_guess AS content_md5,
+                   CAST(rnk AS BIGINT) AS n_docs,
+                   doc_id AS keep_doc_id
+            FROM rk WHERE rnk <= {_STRAT_K}
             """)),
         "window_agg": _variant_union_sql(
             ("tumbling", """
@@ -6571,7 +6624,7 @@ def oracle_sql() -> dict[str, str]:
             """)),
         # token counts + quality features + language-ID scores joined
         # into the per-doc profile row of q_doc_stats
-        "doc_stats": r"""
+        "doc_stats": rf"""
             WITH tok AS (
               SELECT doc_id,
                      LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
@@ -6586,25 +6639,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(FLOOR((LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))) * 100
                           / LEN(regexp_split_to_array(TRIM(text), '\s+'))) AS BIGINT) AS mean_wordlen_x100
               FROM documents),
-            t AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS tt FROM documents),
-            s AS (SELECT doc_id,
-              CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' the ', ''))) / 5
-                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' and ', ''))) / 5
-                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' of ', ''))) / 4 AS BIGINT) AS score_en,
-              CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' le ', ''))) / 4
-                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' la ', ''))) / 4
-                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' et ', ''))) / 4 AS BIGINT) AS score_fr,
-              CAST((LENGTH(tt) - LENGTH(REPLACE(tt, ' der ', ''))) / 5
-                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' und ', ''))) / 5
-                 + (LENGTH(tt) - LENGTH(REPLACE(tt, ' die ', ''))) / 5 AS BIGINT) AS score_de
-              FROM t),
-            lang AS (
-              SELECT doc_id, score_en, score_fr, score_de,
-                     CASE WHEN GREATEST(score_en, score_fr, score_de) = 0 THEN 'und'
-                          WHEN score_en = GREATEST(score_en, score_fr, score_de) THEN 'en'
-                          WHEN score_fr = GREATEST(score_en, score_fr, score_de) THEN 'fr'
-                          ELSE 'de' END AS lang_guess
-              FROM s),
+            {_LANG_CTES},
             -- Gopher repetition signals (exact integer counts)
             arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
             wcc AS (SELECT doc_id, w, COUNT(*) AS c

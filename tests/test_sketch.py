@@ -194,3 +194,43 @@ def test_cohort_retention_brute_force(spark):
            for r in cohort_retention(df, period_s=day).collect()}
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
                    (1, 0): 1, (1, 1): 1, (3, 0): 1}
+
+
+def test_stratified_bottom_k_bruteforce(spark):
+    """Per-stratum bottom-k == the python sort per stratum, exact
+    ranks, invariant to input partitioning; k larger than a stratum
+    returns the whole stratum."""
+    import numpy as np
+    import pandas as pd
+
+    from rastertiler_rs_spark.operators.sketch import stratified_bottom_k
+
+    rng = np.random.default_rng(5)
+    n = 500
+    strata = rng.choice(["en", "fr", "de", "und"], size=n,
+                        p=[0.6, 0.2, 0.15, 0.05])
+    ids = rng.permutation(10_000)[:n]
+    pdf = pd.DataFrame({"lang": strata, "doc_id": ids.astype("int64")})
+    want = {}
+    for lang in set(strata):
+        sub = sorted(((int(i) * 48271 + 11) % ((1 << 31) - 1), int(i))
+                     for i in pdf[pdf["lang"] == lang]["doc_id"])
+        for r, (_, i) in enumerate(sub[:7], start=1):
+            want[(lang, i)] = r
+    from pyspark.sql import functions as F
+
+    lehmer = (F.col("doc_id") * F.lit(48271) + F.lit(11)) % F.lit(
+        (1 << 31) - 1)
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(pdf).repartition(nparts)
+        got = {(r["stratum"], r["id"]): r["rank"]
+               for r in stratified_bottom_k(df, "lang", "doc_id", 7,
+                                            hash_expr=lehmer).collect()}
+        assert got == want, nparts
+    # k >= stratum size → everything sampled
+    full = stratified_bottom_k(spark.createDataFrame(pdf), "lang",
+                               "doc_id", n, hash_expr=lehmer)
+    assert full.count() == n
+    with pytest.raises(ValueError, match="k must be"):
+        stratified_bottom_k(spark.createDataFrame(pdf), "lang",
+                            "doc_id", 0)

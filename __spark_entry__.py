@@ -2467,10 +2467,26 @@ def q_zonal_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three zonal-statistics gates (u8 boxes, u32 boxes, polygon
     ray-cast) as one tagged union — same schema, dtype/geometry
     variants of the same decode→mask→aggregate pipeline."""
+    # quant = exact counting-sort quantiles (zonal.zonal_quantiles):
+    # p25/median/p75 by division-free rank inequalities, coerced into
+    # the shared zonal columns (n_images←distinct values, vsum←median,
+    # vmin←p25, vmax←p75)
+    import rastertiler_rs_spark.tilemath as tm
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.zonal import zonal_quantiles
+
+    zones = _part_boxes(spark, sf_dir, 500).select(
+        F.col("p_partkey").alias("zone_id"), "minx", "miny", "maxx", "maxy")
+    images = spark.read.parquet(images_parquet(64, "u8"))
+    quant = zonal_quantiles(zones, images, cell_size=tm.CE / 64).select(
+        "zone_id", F.col("n_vals").alias("n_images"), "n_px",
+        F.col("median").alias("vsum"), F.col("p25").alias("vmin"),
+        F.col("p75").alias("vmax"))
     return _union_variants(
         ("u8", q_zonal_stats(spark, sf_dir)),
         ("u32", q_zonal_stats_u32(spark, sf_dir)),
-        ("poly", q_zonal_stats_poly(spark, sf_dir)))
+        ("poly", q_zonal_stats_poly(spark, sf_dir)),
+        ("quant", quant))
 
 
 def q_embedding_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3624,6 +3640,52 @@ def _zonal_stats_oracle_sql(n_images: int = 64, limit: int = 500,
                CAST(MIN(mn) AS BIGINT) AS vmin,
                CAST(MAX(mx) AS BIGINT) AS vmax
         FROM per_img GROUP BY zone_id
+    """.replace("{case}", case)
+
+
+def _zonal_quantiles_oracle_sql(n_images: int = 64,
+                                limit: int = 500) -> str:
+    """Counting-sort quantile twin of operators/zonal.zonal_quantiles
+    over the same pairs/px/filt chain as the u8 stats twin: per-zone
+    (value, count) -> windowed cumsum -> division-free lower-quantile
+    rank inequalities (cdf·4 ≥ n, cdf·2 ≥ n, cdf·4 ≥ 3n). Columns
+    coerced into the zonal union shape: n_images←n distinct values,
+    vsum←median, vmin←p25, vmax←p75."""
+    case = _PIXEL_VALUE_CASE.format(r="rs.r", c="cs.c")
+    return f"""
+        WITH img({_IMG_COLS}) AS (VALUES
+              {_image_consts_values(n_images)}),
+        boxes AS ({_PART_BOXES_SQL.format(limit=limit)}),
+        pairs AS (
+          SELECT b.p_partkey AS zone_id, b.minx AS zxmin, b.miny AS zymin,
+                 b.maxx AS zxmax, b.maxy AS zymax, img.*
+          FROM boxes b JOIN img ON b.minx < img.maxx AND b.maxx > img.minx
+                               AND b.miny < img.maxy AND b.maxy > img.miny),
+        px AS (
+          SELECT zone_id, i, v, xc, yc, zxmin, zxmax, zymin, zymax FROM (
+            SELECT p.*, rs.r, cs.c,
+                   {{case}} AS v,
+                   p.minx + (cs.c + 0.5) * ((p.maxx - p.minx) / p.w) AS xc,
+                   p.maxy - (rs.r + 0.5) * ((p.maxy - p.miny) / p.h) AS yc
+            FROM pairs p,
+                 LATERAL (SELECT UNNEST(generate_series(0, p.h - 1)) AS r) rs(r),
+                 LATERAL (SELECT UNNEST(generate_series(0, p.w - 1)) AS c) cs(c))),
+        filt AS (SELECT * FROM px
+                 WHERE xc >= zxmin AND xc < zxmax
+                   AND yc >= zymin AND yc < zymax AND v <> 0),
+        vc AS (SELECT zone_id, v, COUNT(*) AS cnt FROM filt GROUP BY 1, 2),
+        cum AS (SELECT zone_id, v,
+                       SUM(cnt) OVER (PARTITION BY zone_id ORDER BY v) AS cdf,
+                       SUM(cnt) OVER (PARTITION BY zone_id) AS n,
+                       COUNT(*) OVER (PARTITION BY zone_id) AS nv
+                FROM vc)
+        SELECT CAST(zone_id AS BIGINT) AS zone_id,
+               CAST(MAX(nv) AS BIGINT) AS n_images,
+               CAST(MAX(n) AS BIGINT) AS n_px,
+               CAST(MIN(CASE WHEN cdf * 2 >= n THEN v END) AS BIGINT) AS vsum,
+               CAST(MIN(CASE WHEN cdf * 4 >= n THEN v END) AS BIGINT) AS vmin,
+               CAST(MIN(CASE WHEN cdf * 4 >= 3 * n THEN v END) AS BIGINT) AS vmax
+        FROM cum GROUP BY zone_id
     """.replace("{case}", case)
 
 
@@ -6690,7 +6752,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": _variant_union_sql(
             ("u8", _zonal_stats_oracle_sql()),
             ("u32", _zonal_stats_oracle_sql(u32=True)),
-            ("poly", _zonal_poly_oracle_sql())),
+            ("poly", _zonal_poly_oracle_sql()),
+            ("quant", _zonal_quantiles_oracle_sql())),
         "vector_tiles_clip": _variant_union_sql(
             ("clip", _vector_tiles_clip_oracle_sql()),
             ("shoe", _geometry_metrics_oracle_sql()),

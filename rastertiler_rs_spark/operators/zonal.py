@@ -227,3 +227,58 @@ def zonal_stats_poly(polygons: list[tuple], images: DataFrame,
             yield pd.DataFrame(out)
 
     return _finalize(pairs.mapInPandas(fn, _PARTIAL_SCHEMA))
+
+
+def zonal_quantiles(zones: DataFrame, images: DataFrame, cell_size: float,
+                    nodata: int = 0) -> DataFrame:
+    """EXACT per-zone quantiles via counting sort over the u8 domain —
+    (zone_id, n_vals, n_px, p25, median, p75), all lower quantiles
+    (1-based rank ceil(q·n), division-free: cdf·4 ≥ n / cdf·2 ≥ n /
+    cdf·4 ≥ 3n picks the smallest qualifying value).
+
+    Scale shape: the python stage reduces each (zone, image) pair to
+    ≤256 (zone, value, count) rows; everything after is JVM — one
+    groupBy on (zone, value) then one windowed cumsum per zone (≤256
+    rows/zone regardless of pixel count). No pixel list is ever
+    collected — the exact-median trick that works at 100 TB because
+    the value domain is bounded."""
+    from pyspark.sql import Window
+
+    pairs = _zone_image_pairs(zones, images, cell_size)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"zone_id": [], "v": [], "cnt": []}
+            for row in pdf.itertuples(index=False):
+                band, xc, yc = _pixel_centers(row)
+                inside = np.ix_((yc >= row.miny) & (yc < row.maxy),
+                                (xc >= row.minx) & (xc < row.maxx))
+                sub = band[inside]
+                vals = sub[sub != nodata].astype(np.int64)
+                if not vals.size:
+                    continue
+                vs, counts = np.unique(vals, return_counts=True)
+                out["zone_id"].extend([row.zone_id] * len(vs))
+                out["v"].extend(int(x) for x in vs)
+                out["cnt"].extend(int(x) for x in counts)
+            yield pd.DataFrame({"zone_id": out["zone_id"],
+                                "v": out["v"], "cnt": out["cnt"]})
+
+    vc = (pairs.mapInPandas(fn, "zone_id long, v long, cnt long")
+          .groupBy("zone_id", "v").agg(F.sum("cnt").alias("cnt")))
+    w = Window.partitionBy("zone_id").orderBy("v")
+    wz = Window.partitionBy("zone_id")
+    cum = vc.select(
+        "zone_id", "v",
+        F.sum("cnt").over(w).alias("cdf"),
+        F.sum("cnt").over(wz).alias("n"),
+        F.count("*").over(wz).alias("nv"))
+    return cum.groupBy("zone_id").agg(
+        F.max("nv").alias("n_vals"),
+        F.max("n").alias("n_px"),
+        F.min(F.when(F.col("cdf") * 4 >= F.col("n"), F.col("v")))
+         .alias("p25"),
+        F.min(F.when(F.col("cdf") * 2 >= F.col("n"), F.col("v")))
+         .alias("median"),
+        F.min(F.when(F.col("cdf") * 4 >= F.col("n") * 3, F.col("v")))
+         .alias("p75"))

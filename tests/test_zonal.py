@@ -124,3 +124,54 @@ def test_raster_gradient_matches_numpy(spark):
         assert got[key] == (int(valid.sum()), int(g2.sum()), int(g2.max()))
         checked += 1
     assert checked >= 8
+
+
+def test_zonal_quantiles_matches_numpy(spark):
+    """Counting-sort quantiles == np.sort + explicit lower-quantile
+    ranks over the pooled per-zone pixel values (cross-image pooling
+    on the hook), including the distinct-value count."""
+    from rastertiler_rs_spark.operators.zonal import zonal_quantiles
+
+    n = 32
+    images = spark.read.parquet(images_parquet(n, "u8"))
+    zones = []
+    for i in (0, 3, 7, 11):
+        minx, miny, maxx, maxy = (v.item() for v in
+                                  footprint_from_index(np.array([i])))
+        cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+        zones.append((i, minx - 1000.0, miny - 1000.0, cx, cy))
+    zones.append((99, 0.0, 0.0, 10.0, 10.0))
+    zdf = spark.createDataFrame(
+        zones, "zone_id long, minx double, miny double, "
+               "maxx double, maxy double")
+    want = {}
+    for zid, zxmin, zymin, zxmax, zymax in zones:
+        pool = []
+        for i in range(n):
+            minx, miny, maxx, maxy = (v.item() for v in
+                                      footprint_from_index(np.array([i])))
+            w, h = int(_W_CYCLE[i % 4]), int(_H_CYCLE[i % 4])
+            band = pixel_band(i, w, h, "u8")
+            psx = (maxx - minx) / w
+            psy = (maxy - miny) / h
+            xc = minx + (np.arange(w) + 0.5) * psx
+            yc = maxy - (np.arange(h) + 0.5) * psy
+            sub = band[np.ix_((yc >= zymin) & (yc < zymax),
+                              (xc >= zxmin) & (xc < zxmax))]
+            pool.extend(sub[sub != NODATA].astype(np.int64).tolist())
+        if not pool:
+            continue
+        pool.sort()
+        m = len(pool)
+
+        def rank(p, q):
+            return pool[(m * p + q - 1) // q - 1]   # 1-based ceil(m·p/q)
+
+        want[zid] = (len(set(pool)), m, rank(1, 4), rank(1, 2),
+                     rank(3, 4))
+    got = {r["zone_id"]: (r["n_vals"], r["n_px"], r["p25"],
+                          r["median"], r["p75"])
+           for r in zonal_quantiles(zdf, images,
+                                    cell_size=tm.CE / 256).collect()}
+    assert got == want
+    assert 99 not in got

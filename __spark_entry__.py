@@ -1100,6 +1100,7 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remaining + · / sqrt floor all IEEE correctly-rounded — the twins
     # are bit-identical with NO margin fixtures (contrast warp)
     from rastertiler_rs_spark.operators.halo import (tile_halo_hillshade,
+                                                     tile_halo_mean,
                                                      tile_halo_median,
                                                      tile_halo_morph,
                                                      tile_halo_slope,
@@ -1146,6 +1147,7 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("relief", rel),
         ("morph", tile_halo_morph(tiles, 128)),
         ("median", tile_halo_median(tiles, 128)),
+        ("fmean", tile_halo_mean(tiles, 128)),
         ("algebra", alg),
         ("iso", iso),
         ("stack", stk),
@@ -4312,6 +4314,7 @@ _MEDIAN_EXPR = f"list_sort([{_W9}])[5]"
 _TRI_EXPR = ("ABS(vc-vn) + ABS(vc-vs) + ABS(vc-vw) + ABS(vc-ve) "
              "+ ABS(vc-vnw) + ABS(vc-vne) + ABS(vc-vsw) + ABS(vc-vse)")
 _TPI_EXPR = "8*vc - (vn + vs + vw + ve + vnw + vne + vsw + vse)"
+_FMEAN_EXPR = "((" + _W9.replace(", ", " + ") + ") + 4) // 9"
 
 
 def _halo_terrain_oracle_sql(w: int = 1024, h: int = 768,
@@ -6744,6 +6747,7 @@ def oracle_sql() -> dict[str, str]:
             ("relief", _relief_oracle_sql()),
             ("morph", _halo_window9_oracle_sql(_MORPH_EXPR)),
             ("median", _halo_window9_oracle_sql(_MEDIAN_EXPR)),
+            ("fmean", _halo_window9_oracle_sql(_FMEAN_EXPR)),
             ("algebra", _raster_algebra_oracle_sql()),
             ("iso", _isolines_oracle_sql()),
             ("stack", _raster_stack_oracle_sql()),

@@ -261,6 +261,23 @@ def tile_halo_median(tiles: DataFrame, tile_size: int,
                        stencil=stencil)
 
 
+def tile_halo_mean(tiles: DataFrame, tile_size: int,
+                   nodata: int = 0) -> DataFrame:
+    """3×3 FOCAL MEAN (box smoothing) over the 8-neighbor halo
+    exchange: per valid pixel round-half-up of the 9-window average,
+    (Σ₉ + 4) // 9 — numerator non-negative, so numpy floor division
+    equals DuckDB's truncating `//`. Per-tile (n_valid, Σmean, max
+    mean)."""
+
+    def stencil(pad: np.ndarray):
+        views, valid = _window9(pad, nodata)
+        total = sum(views)
+        return valid, (total + 4) // 9
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil)
+
+
 def tile_halo_tri(tiles: DataFrame, tile_size: int,
                   nodata: int = 0) -> DataFrame:
     """Terrain Ruggedness Index (×8 fixed point, exact integer):

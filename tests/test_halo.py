@@ -369,3 +369,27 @@ def test_halo_tri_tpi_equal_global(spark):
                for r in tile_halo_tpi(tiles, ts).collect()}
     assert got_tri == want_tri
     assert got_tpi == want_tpi
+
+
+def test_halo_focal_mean_equals_global(spark):
+    """3×3 focal mean == the unpartitioned round-half-up window
+    average restricted per tile."""
+    from rastertiler_rs_spark.operators.halo import tile_halo_mean
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5).astype(np.int64)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    h, w = band.shape
+    want = {}
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            win = band[r - 1:r + 2, c - 1:c + 2]
+            if (win == NODATA).any():
+                continue
+            m = (int(win.sum()) + 4) // 9
+            key = (c // ts, r // ts)
+            n, s, mx = want.get(key, (0, 0, 0))
+            want[key] = (n + 1, s + m, max(mx, m))
+    got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+           for r in tile_halo_mean(tiles, ts).collect()}
+    assert got == want

@@ -119,14 +119,29 @@ def cmd_render(args) -> None:
                  ("attribution", args.attribution or "")]
         extra = [(k, v) for k, v in extra if v]
         meta = meta.unionByName(spark.createDataFrame(extra, meta.schema))
-    if args.out == "-" and not args.shards_dir:
+    if args.out == "-" and not (args.shards_dir or args.xyz_dir):
         sys.exit("ERROR: OUT='-' (skip single-file output) requires "
-                 "--shards-dir")
-    if args.shards_dir:
-        # both sinks consume fused: persist so the render runs ONCE
+                 "--shards-dir or --xyz-dir")
+    n_sinks = sum(1 for v in (args.shards_dir, args.xyz_dir,
+                              args.out != "-") if v)
+    if n_sinks > 1:
+        # every sink consumes fused: persist so the render runs ONCE
         # (lazy-DataFrame forks re-execute the producer otherwise)
-        if args.out != "-":
-            fused = fused.persist()
+        fused = fused.persist()
+    if args.xyz_dir:
+        from .operators.xyz_sink import write_xyz_tree
+
+        try:
+            st = write_xyz_tree(fused, meta, args.xyz_dir)
+        except OSError as e:
+            sys.exit(f"ERROR: {e}")
+        print(f"wrote {st['n_tiles']} tiles (z{st['minzoom']}-"
+              f"z{st['maxzoom']}) to {args.xyz_dir}")
+        if args.out == "-" and not args.shards_dir:
+            if n_sinks > 1:
+                fused.unpersist()
+            return
+    if args.shards_dir:
         try:
             manifest = write_mbtiles_shards(
                 fused, meta, args.shards_dir,
@@ -148,7 +163,7 @@ def cmd_render(args) -> None:
         except ValueError as e:
             sys.exit(f"ERROR: {e}")
         finally:
-            if args.shards_dir:
+            if n_sinks > 1:
                 fused.unpersist()
         print(f"wrote {args.out} (base z{man['base_zoom']}, "
               f"{len(man['levels'])} levels, {man['n_blocks']} blocks, "
@@ -164,7 +179,7 @@ def cmd_render(args) -> None:
         except ValueError as e:
             sys.exit(f"ERROR: {e}")
         finally:
-            if args.shards_dir:
+            if n_sinks > 1:
                 fused.unpersist()
         print(f"wrote {args.out} ({stats['n_addressed']} tiles, "
               f"{stats['n_entries']} entries)")
@@ -174,7 +189,7 @@ def cmd_render(args) -> None:
     except ValueError as e:
         sys.exit(f"ERROR: {e}")
     finally:
-        if args.shards_dir:
+        if n_sinks > 1:
             fused.unpersist()
     print(f"wrote {args.out}")
 
@@ -351,6 +366,11 @@ def main(argv=None) -> None:
                         "written executor-side); pass OUT as '-' to skip "
                         "the single-file materialization entirely")
     r.add_argument("--shard-prefix-zoom", type=int, default=2)
+    r.add_argument("--xyz-dir", default=None,
+                   help="also write the slippy-map z/x/y.png file tree "
+                        "+ tilejson.json here (executor-parallel, "
+                        "atomic per tile); pass OUT as '-' to skip the "
+                        "single-file output")
     r.add_argument("--tiles-dir", default=None,
                    help="materialize the pyramid as a zoom-partitioned "
                         "parquet tile table here (the at-scale sink "

@@ -1,0 +1,93 @@
+"""XYZ DIRECTORY sink — the slippy-map ``z/x/y.png`` file tree (+
+TileJSON), the most widely served tile layout after MBTiles.
+
+100 TB shape: NO shuffle — every task writes its own partition's
+tiles straight into the tree (each tile is its own file; no
+cross-task file is ever shared, so unlike the SQLite shard sink no
+routing exchange is needed). Writes are atomic per tile (temp +
+``os.replace``), so task retries are idempotent and a reader never
+sees a partial PNG. The driver writes only ``tilejson.json``.
+
+SHARED-FILESYSTEM CONTRACT: executors write into ``out_dir`` and the
+driver writes the TileJSON — like the shard sink this requires a
+filesystem shared by driver and executors (local[*], NFS, or a
+mounted object store); a sample tile is verified driver-side before
+the TileJSON is written, failing fast otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_xyz_tree(fused: DataFrame, metadata: DataFrame,
+                   out_dir: str) -> dict:
+    """Materialize a fused pyramid (zoom, x, y, png — XYZ y, top-left
+    origin, the slippy-map URL scheme) as ``out_dir/z/x/y.png`` plus
+    ``tilejson.json`` (TileJSON 3.0: tiles template, zoom range,
+    bounds/center from the metadata table). Returns
+    {"n_tiles", "minzoom", "maxzoom"}; existing tiles at the same
+    coordinates are atomically replaced (re-render refreshes a tree
+    in place)."""
+    meta = {r["name"]: r["value"] for r in metadata.collect()}
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(batches: Iterator) -> Iterator:
+        import uuid
+
+        import pandas as pd
+
+        n = 0
+        sample = None
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d = os.path.join(out_dir, str(int(row.zoom)),
+                                 str(int(row.x)))
+                os.makedirs(d, exist_ok=True)
+                final = os.path.join(d, f"{int(row.y)}.png")
+                tmp = os.path.join(d, f".{int(row.y)}.{uuid.uuid4().hex}")
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(row.png))
+                os.replace(tmp, final)
+                n += 1
+                if sample is None:
+                    sample = final
+        yield pd.DataFrame({"n": [n], "sample": [sample]})
+
+    parts = (fused.select("zoom", "x", "y", "png")
+             .mapInPandas(write_partition, "n long, sample string")
+             .collect())
+    n_tiles = sum(int(r["n"]) for r in parts)
+    for r in parts:
+        if r["sample"] is not None and not os.path.exists(r["sample"]):
+            raise OSError(
+                f"executor-written tile {r['sample']!r} is not visible "
+                f"driver-side — write_xyz_tree requires a filesystem "
+                f"shared by driver and executors")
+    zr = fused.agg(F.min("zoom").alias("lo"),
+                   F.max("zoom").alias("hi")).collect()[0]
+    minzoom = int(zr["lo"]) if zr["lo"] is not None else 0
+    maxzoom = int(zr["hi"]) if zr["hi"] is not None else 0
+    tilejson = {
+        "tilejson": "3.0.0",
+        "name": meta.get("name", "tiles"),
+        "format": meta.get("format", "png"),
+        "scheme": "xyz",
+        "tiles": ["{z}/{x}/{y}.png"],
+        "minzoom": minzoom,
+        "maxzoom": maxzoom,
+    }
+    if "bounds" in meta:
+        b = [float(v) for v in meta["bounds"].split(",")]
+        tilejson["bounds"] = b
+        tilejson["center"] = [(b[0] + b[2]) / 2, (b[1] + b[3]) / 2,
+                              minzoom]
+    tmp = os.path.join(out_dir, ".tilejson.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(tilejson, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "tilejson.json"))
+    return {"n_tiles": n_tiles, "minzoom": minzoom, "maxzoom": maxzoom}

@@ -340,3 +340,37 @@ def test_cli_tileop_validation(tmp_path):
     with pytest.raises(SystemExit):
         main(["tileop", "/nonexistent.parquet", str(tmp_path / "o"),
               "--op", "hillshade"])
+
+
+def test_cli_render_xyz_tree(spark, tmp_path):
+    """`render --xyz-dir`: the z/x/y.png tree holds exactly the fused
+    pyramid's tiles byte-for-byte (XYZ y scheme) and tilejson.json
+    carries the zoom range + bounds."""
+    import json
+
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.overview import render_pyramid
+
+    src = images_parquet(8, "u8")
+    xyz = str(tmp_path / "tree")
+    out = str(tmp_path / "t.mbtiles")
+    main(["render", src, out, "--minzoom", "6", "--maxzoom", "8",
+          "--tilesize", "128", "--xyz-dir", xyz])
+    fused = render_pyramid(spark.read.parquet(src), 6, 8, 128, "u8",
+                           None, overview_below=8)
+    want = {(r["zoom"], r["x"], r["y"]): bytes(r["png"])
+            for r in fused.collect()}
+    found = {}
+    for z in os.listdir(xyz):
+        if not z.isdigit():
+            continue
+        for x in os.listdir(os.path.join(xyz, z)):
+            for y in os.listdir(os.path.join(xyz, z, x)):
+                assert y.endswith(".png")
+                found[(int(z), int(x), int(y[:-4]))] = open(
+                    os.path.join(xyz, z, x, y), "rb").read()
+    assert found == want
+    tj = json.load(open(os.path.join(xyz, "tilejson.json")))
+    assert tj["minzoom"] == 6 and tj["maxzoom"] == 8
+    assert tj["scheme"] == "xyz" and len(tj["bounds"]) == 4
+    assert os.path.exists(out)

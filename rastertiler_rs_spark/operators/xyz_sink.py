@@ -91,3 +91,48 @@ def write_xyz_tree(fused: DataFrame, metadata: DataFrame,
         json.dump(tilejson, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "tilejson.json"))
     return {"n_tiles": n_tiles, "minzoom": minzoom, "maxzoom": maxzoom}
+
+
+def read_xyz_tree(spark, in_dir: str) -> DataFrame:
+    """Read a slippy-map tree back into (zoom, x, y, png): the driver
+    LISTS paths only (the geotiff-source planning shape — metadata
+    driver-side, bytes executor-side); executors ranged-read their
+    partition's files. Non-numeric directories and non-.png files are
+    ignored."""
+    rows = []
+    if not os.path.isdir(in_dir):
+        raise ValueError(f"not a directory: {in_dir}")
+    for z in os.listdir(in_dir):
+        zdir = os.path.join(in_dir, z)
+        if not (z.isdigit() and os.path.isdir(zdir)):
+            continue
+        for x in os.listdir(zdir):
+            xdir = os.path.join(zdir, x)
+            if not (x.isdigit() and os.path.isdir(xdir)):
+                continue
+            for y in os.listdir(xdir):
+                if y.endswith(".png") and y[:-4].isdigit():
+                    rows.append((int(z), int(x), int(y[:-4]),
+                                 os.path.join(xdir, y)))
+    if not rows:
+        return spark.createDataFrame(
+            [], "zoom int, x long, y long, png binary")
+    npart = max(1, min(len(rows) // 64 + 1,
+                       spark.sparkContext.defaultParallelism))
+    paths = spark.createDataFrame(
+        rows, "zoom int, x long, y long, path string").repartition(npart)
+
+    def fetch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "y": [], "png": []}
+            for row in pdf.itertuples(index=False):
+                with open(row.path, "rb") as fh:
+                    out["png"].append(fh.read())
+                out["zoom"].append(int(row.zoom))
+                out["x"].append(int(row.x))
+                out["y"].append(int(row.y))
+            yield pd.DataFrame(out)
+
+    return paths.mapInPandas(fetch, "zoom int, x long, y long, png binary")

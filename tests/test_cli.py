@@ -374,3 +374,24 @@ def test_cli_render_xyz_tree(spark, tmp_path):
     assert tj["minzoom"] == 6 and tj["maxzoom"] == 8
     assert tj["scheme"] == "xyz" and len(tj["bounds"]) == 4
     assert os.path.exists(out)
+
+
+def test_xyz_tree_roundtrip(spark, tmp_path):
+    """write_xyz_tree -> read_xyz_tree is the identity on (zoom, x,
+    y, png)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.render import (metadata_table,
+                                                       render)
+    from rastertiler_rs_spark.operators.xyz_sink import (read_xyz_tree,
+                                                         write_xyz_tree)
+
+    images = spark.read.parquet(images_parquet(8, "u8"))
+    fused = render(images, 7, 8, tile_size=128, dtype_tag="u8")
+    meta = metadata_table(spark, images, 7, 8)
+    d = str(tmp_path / "tree")
+    st = write_xyz_tree(fused, meta, d)
+    back = {(r["zoom"], r["x"], r["y"]): bytes(r["png"])
+            for r in read_xyz_tree(spark, d).collect()}
+    want = {(r["zoom"], r["x"], r["y"]): bytes(r["png"])
+            for r in fused.collect()}
+    assert back == want and st["n_tiles"] == len(want)

@@ -1100,6 +1100,7 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remaining + · / sqrt floor all IEEE correctly-rounded — the twins
     # are bit-identical with NO margin fixtures (contrast warp)
     from rastertiler_rs_spark.operators.halo import (tile_halo_hillshade,
+                                                     tile_halo_flowdir,
                                                      tile_halo_mean,
                                                      tile_halo_median,
                                                      tile_halo_morph,
@@ -1148,6 +1149,7 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("morph", tile_halo_morph(tiles, 128)),
         ("median", tile_halo_median(tiles, 128)),
         ("fmean", tile_halo_mean(tiles, 128)),
+        ("flow", tile_halo_flowdir(tiles, 128)),
         ("algebra", alg),
         ("iso", iso),
         ("stack", stk),
@@ -4532,6 +4534,81 @@ def _relief_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
+def _d8_case_sql() -> str:
+    """Generated first-wins argmax of drop/distance over the 8 D8
+    neighbors (priority order halo._D8_OFFSETS), cross-multiplied
+    integer slope comparisons — the verbatim SQL of
+    halo.d8_direction."""
+    cols = {(0, 1): "ve", (1, 1): "vse", (1, 0): "vs", (1, -1): "vsw",
+            (0, -1): "vw", (-1, -1): "vnw", (-1, 0): "vn", (-1, 1): "vne"}
+    from rastertiler_rs_spark.operators.halo import _D8_OFFSETS
+
+    names = [cols[(dr, dc)] for dr, dc, _ in _D8_OFFSETS]
+    d2s = [d2 for _, _, d2 in _D8_OFFSETS]
+    ds = [f"(vc - {n})" for n in names]
+    whens = []
+    for i in range(8):
+        conj = [f"{ds[i]} > 0"]
+        for j in range(8):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conj.append(
+                f"({ds[j]} <= 0 OR {ds[i]}*{ds[i]}*{d2s[j]} {op} "
+                f"{ds[j]}*{ds[j]}*{d2s[i]})")
+        whens.append("WHEN " + " AND ".join(conj) + f" THEN {i}")
+    return "CASE " + " ".join(whens) + " ELSE -1 END"
+
+
+def _halo_flowdir_oracle_sql(w: int = 1024, h: int = 768,
+                             ts: int = 128, seed: int = 5) -> str:
+    """Unpartitioned-canvas twin of tile_halo_flowdir: the generated
+    D8 argmax ladder per valid pixel, direction histogram packed
+    4×16-bit like the terrain twin."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+
+    def v(r, c):
+        return "(" + _PIXEL_VALUE_CASE.format(r=r, c=c) + ")"
+
+    lo = " + ".join(
+        f"SUM(CASE WHEN dir = {k} THEN 1 ELSE 0 END) * {1 << (16 * k)}"
+        for k in range(4))
+    hi = " + ".join(
+        f"SUM(CASE WHEN dir = {k + 4} THEN 1 ELSE 0 END) * {1 << (16 * k)}"
+        for k in range(4))
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 {v("rs.r", "cs.c")} AS vc,
+                 {v("rs.r", "(cs.c + 1)")} AS ve,
+                 {v("rs.r", "(cs.c - 1)")} AS vw,
+                 {v("(rs.r + 1)", "cs.c")} AS vs,
+                 {v("(rs.r - 1)", "cs.c")} AS vn,
+                 {v("(rs.r - 1)", "(cs.c - 1)")} AS vnw,
+                 {v("(rs.r - 1)", "(cs.c + 1)")} AS vne,
+                 {v("(rs.r + 1)", "(cs.c - 1)")} AS vsw,
+                 {v("(rs.r + 1)", "(cs.c + 1)")} AS vse
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(1, {h - 2})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(1, {w - 2})) AS c) cs(c)),
+        g AS (
+          SELECT c // {ts} AS tx, r // {ts} AS ty,
+                 {_d8_case_sql()} AS dir
+          FROM px
+          WHERE vc <> 0 AND ve <> 0 AND vw <> 0 AND vs <> 0 AND vn <> 0
+            AND vnw <> 0 AND vne <> 0 AND vsw <> 0 AND vse <> 0)
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST({lo} AS BIGINT) AS sum_g2,
+               CAST({hi} AS BIGINT) AS max_g2
+        FROM g GROUP BY tx, ty
+    """
+
+
 def _halo_hillshade_oracle_sql(w: int = 1024, h: int = 768,
                                ts: int = 128, seed: int = 5) -> str:
     """Unpartitioned-canvas twin of tile_halo_hillshade: trig folded
@@ -6748,6 +6825,7 @@ def oracle_sql() -> dict[str, str]:
             ("morph", _halo_window9_oracle_sql(_MORPH_EXPR)),
             ("median", _halo_window9_oracle_sql(_MEDIAN_EXPR)),
             ("fmean", _halo_window9_oracle_sql(_FMEAN_EXPR)),
+            ("flow", _halo_flowdir_oracle_sql()),
             ("algebra", _raster_algebra_oracle_sql()),
             ("iso", _isolines_oracle_sql()),
             ("stack", _raster_stack_oracle_sql()),

@@ -333,7 +333,8 @@ def cmd_tileop(args) -> None:
               "median": halo.tile_halo_median,
               "tri": halo.tile_halo_tri,
               "tpi": halo.tile_halo_tpi,
-              "fmean": halo.tile_halo_mean}[args.op]
+              "fmean": halo.tile_halo_mean,
+              "flowdir": halo.tile_halo_flowdir}[args.op]
         out = fn(tiles, ts)
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
@@ -406,7 +407,7 @@ def main(argv=None) -> None:
     t.add_argument("--op", required=True,
                    choices=["hillshade", "equalize", "overzoom", "slope",
                             "aspect", "gradient", "sobel", "morph",
-                            "median", "tri", "tpi", "relief", "fmean"])
+                            "median", "tri", "tpi", "relief", "fmean", "flowdir"])
     t.add_argument("--tilesize", type=int, default=256)
     t.add_argument("--workers", type=int, default=4)
     t.add_argument("--azimuth", type=float, default=315.0)

@@ -261,6 +261,61 @@ def tile_halo_median(tiles: DataFrame, tile_size: int,
                        stencil=stencil)
 
 
+# D8 neighbor order (priority for ties — fixed, part of the contract):
+# E, SE, S, SW, W, NW, N, NE; dist² = 1 orthogonal, 2 diagonal.
+_D8_OFFSETS = ((0, 1, 1), (1, 1, 2), (1, 0, 1), (1, -1, 2),
+               (0, -1, 1), (-1, -1, 2), (-1, 0, 1), (-1, 1, 2))
+
+
+def d8_direction(window_drops: list[np.ndarray]) -> np.ndarray:
+    """D8 steepest-descent direction from the 8 drops (center −
+    neighbor, priority order _D8_OFFSETS): index 0-7 of the winning
+    neighbor, −1 for pits/flats (no positive drop). Slope comparison
+    is cross-multiplied integer arithmetic — d_i²·dist²_j vs
+    d_j²·dist²_i — so no √2 ever materializes and the SQL twin is
+    bit-identical; earlier index wins exact slope ties (only possible
+    between equal-distance neighbors: 2a² = b² forces a = b = 0)."""
+    best = np.full(window_drops[0].shape, -1, dtype=np.int64)
+    best_drop = np.zeros_like(window_drops[0])
+    best_d2 = np.ones_like(window_drops[0])
+    for i, (_, _, d2) in enumerate(_D8_OFFSETS):
+        drop = window_drops[i]
+        challenger = (drop > 0) & (
+            (best < 0)
+            | (drop * drop * best_d2 > best_drop * best_drop * d2))
+        best = np.where(challenger, i, best)
+        best_drop = np.where(challenger, drop, best_drop)
+        best_d2 = np.where(challenger, d2, best_d2)
+    return best
+
+
+def tile_halo_flowdir(tiles: DataFrame, tile_size: int,
+                      nodata: int = 0) -> DataFrame:
+    """D8 FLOW DIRECTION histogram (the hydrology primitive) over the
+    8-neighbor halo exchange: per valid pixel the steepest-descent
+    neighbor (d8_direction), per tile the 8-direction histogram
+    packed like tile_halo_terrain (dirs 0-3 in sum_g2, 4-7 in max_g2,
+    4×16 bits each; pits/flats = n_valid − Σ directions)."""
+
+    def stencil(pad: np.ndarray):
+        views, valid = _window9(pad, nodata)
+        c = views[4]
+        # views index r*3+c: map _D8_OFFSETS (dr, dc) -> view index
+        drops = [c - views[(dr + 1) * 3 + (dc + 1)]
+                 for dr, dc, _ in _D8_OFFSETS]
+        return valid, drops
+
+    def reduce(valid: np.ndarray, aux) -> tuple[int, int, int]:
+        dirs = d8_direction([d[valid] for d in aux])
+        counts = np.bincount(dirs[dirs >= 0], minlength=8)
+        lo = sum(int(counts[k]) << (16 * k) for k in range(4))
+        hi = sum(int(counts[k + 4]) << (16 * k) for k in range(4))
+        return int(valid.sum()), lo, hi
+
+    return _halo_stats(tiles, tile_size, nodata, corners=True,
+                       stencil=stencil, reduce=reduce)
+
+
 def tile_halo_mean(tiles: DataFrame, tile_size: int,
                    nodata: int = 0) -> DataFrame:
     """3×3 FOCAL MEAN (box smoothing) over the 8-neighbor halo

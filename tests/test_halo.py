@@ -393,3 +393,67 @@ def test_halo_focal_mean_equals_global(spark):
     got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
            for r in tile_halo_mean(tiles, ts).collect()}
     assert got == want
+
+
+def test_d8_direction_bruteforce():
+    """d8_direction vs a float math.sqrt slope argmax on random
+    windows — they agree everywhere the float comparison is not an
+    exact tie (integer drops make cross-ortho/diag float ties
+    impossible except both-zero; equal-distance ties break by
+    priority order on both sides)."""
+    import math
+
+    from rastertiler_rs_spark.operators.halo import (_D8_OFFSETS,
+                                                     d8_direction)
+
+    rng = np.random.default_rng(17)
+    drops = [rng.integers(-20, 21, 400).astype(np.int64)
+             for _ in range(8)]
+    got = d8_direction(drops)
+    for p in range(400):
+        best, best_s = -1, 0.0
+        for i, (_, _, d2) in enumerate(_D8_OFFSETS):
+            d = int(drops[i][p])
+            if d <= 0:
+                continue
+            sl = d / math.sqrt(d2)
+            if sl > best_s + 1e-12:
+                best, best_s = i, sl
+        assert got[p] == best, (p, [int(d[p]) for d in drops], got[p], best)
+
+
+def test_halo_flowdir_equals_global(spark):
+    """Distributed D8 histogram == the unpartitioned loop restricted
+    per tile."""
+    from rastertiler_rs_spark.operators.halo import (_D8_OFFSETS,
+                                                     d8_direction,
+                                                     tile_halo_flowdir)
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5).astype(np.int64)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    h, w = band.shape
+    c = band[1:-1, 1:-1]
+    views = {(-1, -1): band[:-2, :-2], (-1, 0): band[:-2, 1:-1],
+             (-1, 1): band[:-2, 2:], (0, -1): band[1:-1, :-2],
+             (0, 1): band[1:-1, 2:], (1, -1): band[2:, :-2],
+             (1, 0): band[2:, 1:-1], (1, 1): band[2:, 2:]}
+    valid = c != NODATA
+    for v in views.values():
+        valid &= v != NODATA
+    drops = [c - views[(dr, dc)] for dr, dc, _ in _D8_OFFSETS]
+    dirs = d8_direction([d[valid] for d in drops])
+    rr, cc = np.nonzero(valid)
+    want = {}
+    for k in range(dirs.size):
+        key = ((cc[k] + 1) // ts, (rr[k] + 1) // ts)
+        n, counts = want.get(key, (0, [0] * 8))
+        if dirs[k] >= 0:
+            counts[dirs[k]] += 1
+        want[key] = (n + 1, counts)
+    wantp = {k: (n, sum(cnt[i] << (16 * i) for i in range(4)),
+                 sum(cnt[i + 4] << (16 * i) for i in range(4)))
+             for k, (n, cnt) in want.items()}
+    got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+           for r in tile_halo_flowdir(tiles, ts).collect()}
+    assert got == wantp

@@ -1307,11 +1307,23 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style fingerprint, integer-exact twin (min polynomial
-    hash over 8-grams)."""
-    from rastertiler_rs_spark.operators.text import doc_fingerprints_int
+    """Content-hash union:
+    - win: winnowing-style fingerprint (min polynomial hash over
+      8-grams).
+    - chunks: overlapping token-window chunking (text.doc_chunks, the
+      RAG prep primitive) with the chunk CONTENT pinned: each chunk's
+      space-joined text runs through the same polynomial hash, keyed
+      doc_id·100000 + chunk_id."""
+    from rastertiler_rs_spark.operators.text import (doc_chunks,
+                                                     doc_fingerprints_int,
+                                                     poly_hash_col)
 
-    return doc_fingerprints_int(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    win = doc_fingerprints_int(docs)
+    chunks = doc_chunks(docs, size=32, stride=24).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("doc_id"),
+        poly_hash_col(F.col("chunk_text")).alias("fingerprint"))
+    return _union_variants(("win", win), ("chunks", chunks))
 
 
 def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3556,6 +3568,24 @@ def _doc_fingerprint_oracle_sql(window: int = 8) -> str:
                        UNNEST(generate_series(1, GREATEST(LENGTH(text) - {window - 1}, 1))) AS pos
                 FROM documents))
         GROUP BY doc_id
+    """
+
+
+def _doc_chunks_oracle_sql(size: int = 32, stride: int = 24) -> str:
+    """Twin of the chunks leg: same whitespace split the doc_tokens
+    twin pins, 1-based inclusive list slice (both engines cap at the
+    array end), polynomial hash of the space-rejoined chunk."""
+    return f"""
+        WITH tk AS (SELECT doc_id,
+                           regexp_split_to_array(TRIM(text), '\\s+') AS a
+                    FROM documents),
+        ch AS (SELECT doc_id, i AS chunk_id,
+                      a[(i * {stride} + 1):(i * {stride} + {size})] AS sl
+               FROM tk, LATERAL (SELECT UNNEST(generate_series(
+                      0, (LEN(a) - 1) // {stride})) AS i) s(i))
+        SELECT doc_id * 100000 + chunk_id AS doc_id,
+               {_poly_sql("array_to_string(sl, ' ')")} AS fingerprint
+        FROM ch
     """
 
 
@@ -6384,7 +6414,9 @@ def oracle_sql() -> dict[str, str]:
             ("avg", _image_resize_average_oracle_sql())),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
-        "doc_fingerprint": _doc_fingerprint_oracle_sql(),
+        "doc_fingerprint": _variant_union_sql(
+            ("win", _doc_fingerprint_oracle_sql()),
+            ("chunks", _doc_chunks_oracle_sql())),
         "stream_render_tile_ids": _render_tile_ids_oracle_sql(),
         # strict-left-fold cosine: same IEEE op sequence as the Spark
         # F.aggregate folds, so ordering (score DESC, vec_id) is exact

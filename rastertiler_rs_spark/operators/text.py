@@ -419,3 +419,31 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", window: int = 8) -
         F.col(text_col),
     ).select("doc_id", F.xxhash64(F.expr(f"substr({text_col}, pos, {window})")).alias("gh"))
     return grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))
+
+
+def doc_chunks(docs: DataFrame, size: int = 32, stride: int = 24,
+               text_col: str = "text") -> DataFrame:
+    """Overlapping token-window CHUNKING — the RAG/embedding-prep
+    primitive: one row per (doc, chunk) with the chunk's token count
+    and text. Chunk i covers tokens [i·stride+1, i·stride+size]
+    (1-based, whitespace tokens — the same split rule the doc_tokens
+    twin pins); chunks start while i·stride < n, so every token is
+    covered and the tail chunk may be short. Pure JVM (split +
+    sequence-explode + slice) — the explode is the only row
+    amplification, ~n/stride rows per doc."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    base = (docs.select("doc_id",
+                        F.split(F.trim(F.col(text_col)), r"\s+")
+                        .alias("toks"))
+            .withColumn("n", F.size("toks")))
+    nchunks = (F.floor((F.col("n") - 1) / stride) + 1).cast("int")
+    ch = base.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("chunk_id"))
+    sliced = F.slice(F.col("toks"),
+                     F.col("chunk_id") * stride + 1, size)
+    return ch.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(sliced).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", sliced).alias("chunk_text"))

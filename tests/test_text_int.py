@@ -120,3 +120,40 @@ def test_repetition_scores_brute_force(spark):
         want = (len(ws), len(wc), max(wc.values()),
                 sum(bgs.values()), max(bgs.values()) if bgs else 0)
         assert got[did] == want, (did, got[did], want)
+
+
+def test_doc_chunks_bruteforce(spark):
+    """Chunking vs a python loop: full token coverage, overlap stride,
+    short tail, 1-token doc edge; chunk_text joins the exact token
+    slice."""
+    from rastertiler_rs_spark.operators.text import doc_chunks
+
+    rows = [(1, "a b c d e f g h i j"), (2, "solo"),
+            (3, "  padded   with   runs  of spaces "),
+            (4, " ".join(f"t{i}" for i in range(50)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in doc_chunks(docs, size=4, stride=3).collect():
+        got[(r["doc_id"], r["chunk_id"])] = (r["n_chunk_tokens"],
+                                             r["chunk_text"])
+    want = {}
+    for did, text in rows:
+        toks = text.split()
+        n = len(toks)
+        i = 0
+        while i * 3 < n:
+            sl = toks[i * 3:i * 3 + 4]
+            want[(did, i)] = (len(sl), " ".join(sl))
+            i += 1
+    assert got == want
+    # every token index is covered by at least one chunk
+    for did, text in rows:
+        n = len(text.split())
+        covered = set()
+        for (d, i), (ln, _) in want.items():
+            if d == did:
+                covered.update(range(i * 3, i * 3 + ln))
+        assert covered == set(range(n))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="size and stride"):
+        doc_chunks(docs, size=0)

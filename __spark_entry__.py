@@ -1114,6 +1114,7 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage); the twin reads the canvas formula at (R>>1, C>>1) over
     # the child grid — the integer-shift form of the +0.5-floor rule
     from rastertiler_rs_spark.operators.overzoom import overzoom_tiles
+    from rastertiler_rs_spark.operators.watershed import watershed_stats
 
     oz = tile_stats(overzoom_tiles(tiles, 1, 128)).select(
         "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
@@ -1150,6 +1151,9 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("median", tile_halo_median(tiles, 128)),
         ("fmean", tile_halo_mean(tiles, 128)),
         ("flow", tile_halo_flowdir(tiles, 128)),
+        ("basin", watershed_stats(
+            spark.read.parquet(tiled_canvas_parquet(256, 192, 64, 5)),
+            64)),
         ("algebra", alg),
         ("iso", iso),
         ("stack", stk),
@@ -4564,18 +4568,24 @@ def _relief_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
-def _d8_case_sql() -> str:
+def _d8_case_sql(results: list[str] | None = None,
+                 default: str = "-1",
+                 drops: list[str] | None = None) -> str:
     """Generated first-wins argmax of drop/distance over the 8 D8
     neighbors (priority order halo._D8_OFFSETS), cross-multiplied
     integer slope comparisons — the verbatim SQL of
-    halo.d8_direction."""
+    halo.d8_direction. ``results[i]`` is the THEN branch for winning
+    neighbor i (default: the index itself); ``drops`` overrides the
+    per-neighbor drop expressions (watershed masks nodata neighbors
+    to −1)."""
     cols = {(0, 1): "ve", (1, 1): "vse", (1, 0): "vs", (1, -1): "vsw",
             (0, -1): "vw", (-1, -1): "vnw", (-1, 0): "vn", (-1, 1): "vne"}
     from rastertiler_rs_spark.operators.halo import _D8_OFFSETS
 
     names = [cols[(dr, dc)] for dr, dc, _ in _D8_OFFSETS]
     d2s = [d2 for _, _, d2 in _D8_OFFSETS]
-    ds = [f"(vc - {n})" for n in names]
+    ds = drops if drops is not None else [f"(vc - {n})" for n in names]
+    res = results if results is not None else [str(i) for i in range(8)]
     whens = []
     for i in range(8):
         conj = [f"{ds[i]} > 0"]
@@ -4586,8 +4596,68 @@ def _d8_case_sql() -> str:
             conj.append(
                 f"({ds[j]} <= 0 OR {ds[i]}*{ds[i]}*{d2s[j]} {op} "
                 f"{ds[j]}*{ds[j]}*{d2s[i]})")
-        whens.append("WHEN " + " AND ".join(conj) + f" THEN {i}")
-    return "CASE " + " ".join(whens) + " ELSE -1 END"
+        whens.append("WHEN " + " AND ".join(conj) + f" THEN {res[i]}")
+    return "CASE " + " ".join(whens) + f" ELSE {default} END"
+
+
+def _watershed_oracle_sql(w: int = 256, h: int = 192,
+                          ts: int = 64, seed: int = 5) -> str:
+    """Twin of watershed_stats (operators/watershed.py): D8
+    successors from the bounds-checked canvas formula (outside = 
+    nodata, drops masked to −1 like the operator), then a recursive
+    walk to the terminal pit — the chain row whose pointer is a
+    self-loop — grouped per tile (n_valid, Σ pit id, distinct
+    basins)."""
+    from rastertiler_rs_spark.fixtures import canvas_params
+    from rastertiler_rs_spark.operators.halo import _D8_OFFSETS
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+
+    def vb(r, c):
+        # bounds-checked canvas value: outside the canvas is nodata
+        inner = _PIXEL_VALUE_CASE.format(r=r, c=c)
+        return (f"(CASE WHEN ({r}) < 0 OR ({r}) >= {h} OR ({c}) < 0 "
+                f"OR ({c}) >= {w} THEN 0 ELSE ({inner}) END)")
+
+    cols = {(0, 1): "ve", (1, 1): "vse", (1, 0): "vs", (1, -1): "vsw",
+            (0, -1): "vw", (-1, -1): "vnw", (-1, 0): "vn", (-1, 1): "vne"}
+    # masked drops + successor ids in _D8_OFFSETS priority order
+    drops = [f"(CASE WHEN {cols[(dr, dc)]} = 0 THEN -1 "
+             f"ELSE vc - {cols[(dr, dc)]} END)"
+             for dr, dc, _ in _D8_OFFSETS]
+    succs = [f"v + {dr * w + dc}" for dr, dc, _ in _D8_OFFSETS]
+    ladder = _d8_case_sql(results=succs, default="v", drops=drops)
+    nb_selects = (",\n                 ").join(
+        f"{vb(f'(rs.r + {dr})', f'(cs.c + {dc})')} AS {name}"
+        for (dr, dc), name in cols.items())
+    return f"""
+        WITH RECURSIVE img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 ({_PIXEL_VALUE_CASE.format(r="rs.r", c="cs.c")}) AS vc,
+                 {nb_selects}
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, {h - 1})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(0, {w - 1})) AS c) cs(c)),
+        succ AS (
+          SELECT r * {w} + c AS v, {ladder} AS p
+          FROM px WHERE vc <> 0),
+        walk(v, p) AS (
+          SELECT v, p FROM succ
+          UNION ALL
+          SELECT wk.v, s.p FROM walk wk
+          JOIN succ s ON s.v = wk.p AND s.p <> wk.p),
+        final AS (
+          SELECT wk.v, wk.p AS pit FROM walk wk
+          JOIN succ s ON s.v = wk.p AND s.p = s.v)
+        SELECT CAST((v % {w}) // {ts} AS BIGINT) AS tx,
+               CAST((v // {w}) // {ts} AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(pit) AS BIGINT) AS sum_g2,
+               CAST(COUNT(DISTINCT pit) AS BIGINT) AS max_g2
+        FROM final GROUP BY tx, ty
+    """
 
 
 def _halo_flowdir_oracle_sql(w: int = 1024, h: int = 768,
@@ -6858,6 +6928,7 @@ def oracle_sql() -> dict[str, str]:
             ("median", _halo_window9_oracle_sql(_MEDIAN_EXPR)),
             ("fmean", _halo_window9_oracle_sql(_FMEAN_EXPR)),
             ("flow", _halo_flowdir_oracle_sql()),
+            ("basin", _watershed_oracle_sql()),
             ("algebra", _raster_algebra_oracle_sql()),
             ("iso", _isolines_oracle_sql()),
             ("stack", _raster_stack_oracle_sql()),

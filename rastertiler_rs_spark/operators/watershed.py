@@ -120,3 +120,11 @@ def watershed_stats(tiles: DataFrame, tile_size: int,
         .agg(F.count("*").alias("n_valid"),
              F.sum("pit").alias("sum_g2"),
              F.count_distinct("pit").alias("max_g2")))
+
+
+def basin_sizes(tiles: DataFrame, tile_size: int,
+                nodata: int = 0) -> DataFrame:
+    """(pit, n_px): drainage-basin size per terminal pit — the flow
+    accumulation AT the outlets (one groupBy over the labels)."""
+    return (watershed_labels(tiles, tile_size, nodata)
+            .groupBy("pit").agg(F.count("*").alias("n_px")))

@@ -73,3 +73,21 @@ def test_watershed_matches_scalar_walk(spark):
         pits.add(p)
         agg[key] = (n + 1, s + p, pits)
     assert st == {k: (n, s, len(p)) for k, (n, s, p) in agg.items()}
+
+
+def test_basin_sizes(spark):
+    from rastertiler_rs_spark.operators.watershed import basin_sizes
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5).astype(np.int64)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    succ = _brute_successors(band)
+    want = {}
+    for v in succ:
+        p = v
+        while succ[p] != p:
+            p = succ[p]
+        want[p] = want.get(p, 0) + 1
+    got = {r["pit"]: r["n_px"] for r in basin_sizes(tiles, ts).collect()}
+    assert got == want
+    assert sum(got.values()) == len(succ)

@@ -299,7 +299,25 @@ def cmd_tileop(args) -> None:
         sys.exit(f"ERROR: input does not exist: {args.src}")
     spark = get_spark("rastertiler-tileop", cpus=args.workers)
     spark.sparkContext.setLogLevel("ERROR")
-    tiles = spark.read.parquet(args.src)
+    if os.path.isdir(args.src) and os.path.exists(
+            os.path.join(args.src, "tilejson.json")):
+        # XYZ tree input (render --xyz-dir output): pick one zoom level
+        # as the (tx, ty) grid
+        from pyspark.sql import functions as F
+
+        from .operators.xyz_sink import read_xyz_tree
+
+        tree = read_xyz_tree(spark, args.src)
+        zoom = args.zoom
+        if zoom is None:
+            zoom = tree.agg(F.max("zoom")).collect()[0][0]
+            if zoom is None:
+                sys.exit(f"ERROR: empty XYZ tree: {args.src}")
+        tiles = (tree.filter(F.col("zoom") == int(zoom))
+                 .select(F.col("x").alias("tx"), F.col("y").alias("ty"),
+                         "png"))
+    else:
+        tiles = spark.read.parquet(args.src)
     missing = {"tx", "ty", "png"} - set(tiles.columns)
     if missing:
         sys.exit(f"ERROR: input table lacks columns {sorted(missing)}")
@@ -414,6 +432,9 @@ def main(argv=None) -> None:
     t.add_argument("--altitude", type=float, default=45.0)
     t.add_argument("--zfactor", type=float, default=1.0)
     t.add_argument("--cellsize", type=float, default=1.0)
+    t.add_argument("--zoom", type=int, default=None,
+                   help="when SRC is an XYZ tree: the zoom level to "
+                        "process (default: the deepest present)")
     t.add_argument("--levels", type=int, default=1,
                    help="overzoom levels (children per parent = 4^levels)")
     t.set_defaults(fn=cmd_tileop)

@@ -395,3 +395,29 @@ def test_xyz_tree_roundtrip(spark, tmp_path):
     want = {(r["zoom"], r["x"], r["y"]): bytes(r["png"])
             for r in fused.collect()}
     assert back == want and st["n_tiles"] == len(want)
+
+
+def test_cli_tileop_on_xyz_tree(spark, tmp_path):
+    """tileop consumes an XYZ tree directly (deepest zoom by default):
+    render → tree → hillshade composes from the CLI alone."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.halo import tile_halo_shade_tiles
+
+    src = images_parquet(8, "u8")
+    xyz = str(tmp_path / "tree")
+    main(["render", src, "-", "--minzoom", "7", "--maxzoom", "8",
+          "--tilesize", "128", "--xyz-dir", xyz, "--disable-overviews"])
+    out = str(tmp_path / "shade.parquet")
+    main(["tileop", xyz, out, "--op", "hillshade", "--tilesize", "128"])
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.xyz_sink import read_xyz_tree
+
+    base = (read_xyz_tree(spark, xyz).filter(F.col("zoom") == 8)
+            .select(F.col("x").alias("tx"), F.col("y").alias("ty"),
+                    "png"))
+    want = {(r["tx"], r["ty"]): bytes(r["png"])
+            for r in tile_halo_shade_tiles(base, 128).collect()}
+    got = {(r["tx"], r["ty"]): bytes(r["png"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == want and len(got) > 0

@@ -1135,6 +1135,13 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                         relief_stats)
 
     rel = relief_stats(color_relief_tiles(tiles, 128))
+    # srelief = shaded relief (halo.tile_halo_shaded_relief): ONE
+    # fused halo pass computes ramp colors AND hillshade, ceiling
+    # blend (ch·shade+254)//255 keeps valid pixels off the nodata
+    # black — decode-back channel sums like the relief leg
+    from rastertiler_rs_spark.operators.halo import tile_halo_shaded_relief
+
+    srel = relief_stats(tile_halo_shaded_relief(tiles, 128))
 
     return _union_variants(
         ("grad", tile_halo_gradient(tiles, 128)),
@@ -1147,6 +1154,7 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("zoomin", oz),
         ("eq", eqz),
         ("relief", rel),
+        ("srelief", srel),
         ("morph", tile_halo_morph(tiles, 128)),
         ("median", tile_halo_median(tiles, 128)),
         ("fmean", tile_halo_mean(tiles, 128)),
@@ -4520,17 +4528,17 @@ def _equalize_oracle_sql(w: int = 1024, h: int = 768,
     """
 
 
-def _relief_channel_case(ramp, ch: int) -> str:
-    """Nested CASE restating relief_rgb for one channel: the same
-    weighted-average integer segments (non-negative numerators — the
-    // truncation-vs-floor trap never fires)."""
+def _relief_channel_case(ramp, ch: int, var: str = "v") -> str:
+    """Nested CASE restating relief_rgb for one channel over column
+    ``var``: the same weighted-average integer segments (non-negative
+    numerators — the // truncation-vs-floor trap never fires)."""
     vs = [s[0] for s in ramp]
     cs = [s[1 + ch] for s in ramp]
-    parts = [f"WHEN v < {vs[0]} THEN {cs[0]}"]
+    parts = [f"WHEN {var} < {vs[0]} THEN {cs[0]}"]
     for i in range(len(ramp) - 1):
         v0, v1, c0, c1 = vs[i], vs[i + 1], cs[i], cs[i + 1]
-        parts.append(f"WHEN v < {v1} THEN "
-                     f"({c0} * ({v1} - v) + {c1} * (v - {v0})) "
+        parts.append(f"WHEN {var} < {v1} THEN "
+                     f"({c0} * ({v1} - {var}) + {c1} * ({var} - {v0})) "
                      f"// {v1 - v0}")
     parts.append(f"ELSE {cs[-1]}")
     return "CASE " + " ".join(parts) + " END"
@@ -4706,6 +4714,84 @@ def _halo_flowdir_oracle_sql(w: int = 1024, h: int = 768,
                CAST({lo} AS BIGINT) AS sum_g2,
                CAST({hi} AS BIGINT) AS max_g2
         FROM g GROUP BY tx, ty
+    """
+
+
+def _shaded_relief_oracle_sql(w: int = 1024, h: int = 768,
+                              ts: int = 128, seed: int = 5) -> str:
+    """Twin of the srelief leg: bounds-checked full-canvas window
+    (outside = nodata), shade = hillshade chain where the whole
+    9-window is valid else the flat constant, color = the relief
+    CASEs, ceiling blend (ch·shade + 254) // 255 — channel sums
+    packed like relief_stats."""
+    import math
+
+    from rastertiler_rs_spark.fixtures import canvas_params
+    from rastertiler_rs_spark.operators.algebra import DEFAULT_RELIEF_RAMP
+    from rastertiler_rs_spark.operators.halo import hillshade_constants
+
+    ph, all_nd, hr0, hr1, hc0, hc1 = canvas_params(w, h, seed)
+    sa, bx, cy, d = (repr(v) for v in hillshade_constants())
+    flat = int(math.floor(1.0 + 254.0 * math.sin(math.radians(45.0))
+                          + 0.5))
+
+    def vb(r, c):
+        inner = _PIXEL_VALUE_CASE.format(r=r, c=c)
+        return (f"(CASE WHEN ({r}) < 0 OR ({r}) >= {h} OR ({c}) < 0 "
+                f"OR ({c}) >= {w} THEN 0 ELSE ({inner}) END)")
+
+    cols = {(0, 1): "ve", (1, 1): "vse", (1, 0): "vs", (1, -1): "vsw",
+            (0, -1): "vw", (-1, -1): "vnw", (-1, 0): "vn", (-1, 1): "vne"}
+    nb_selects = ",\n                 ".join(
+        f"{vb(f'(rs.r + {dr})', f'(cs.c + {dc})')} AS {name}"
+        for (dr, dc), name in cols.items())
+    r_, g_, b_ = (_relief_channel_case(DEFAULT_RELIEF_RAMP, ch, "vv")
+                  for ch in range(3))
+    return f"""
+        WITH img(ph, all_nd, hr0, hr1, hc0, hc1) AS (VALUES
+              ({ph}, {all_nd}, {hr0}, {hr1}, {hc0}, {hc1})),
+        px AS (
+          SELECT rs.r AS r, cs.c AS c,
+                 ({_PIXEL_VALUE_CASE.format(r="rs.r", c="cs.c")}) AS vc,
+                 {nb_selects}
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, {h - 1})) AS r) rs(r),
+               LATERAL (SELECT UNNEST(generate_series(0, {w - 1})) AS c) cs(c)),
+        gsh AS (
+          SELECT r, c, vc,
+                 ((vne + 2 * ve + vse) - (vnw + 2 * vw + vsw)) AS gx,
+                 ((vsw + 2 * vs + vse) - (vnw + 2 * vn + vne)) AS gy,
+                 (vc <> 0 AND ve <> 0 AND vw <> 0 AND vs <> 0 AND vn <> 0
+                  AND vnw <> 0 AND vne <> 0 AND vsw <> 0 AND vse <> 0)
+                   AS ok9
+          FROM px WHERE vc <> 0),
+        sh AS (
+          SELECT r, c, vc,
+                 CASE WHEN NOT ok9 THEN {flat} ELSE (
+                   CASE WHEN (({sa} + {bx} * CAST(gx AS DOUBLE))
+                              + {cy} * CAST(gy AS DOUBLE))
+                             / SQRT(1.0 + {d} * CAST(gx * gx + gy * gy
+                                                     AS DOUBLE)) <= 0.0
+                        THEN 1
+                        ELSE CAST(FLOOR((1.0 + 254.0 *
+                               ((({sa} + {bx} * CAST(gx AS DOUBLE))
+                                 + {cy} * CAST(gy AS DOUBLE))
+                                / SQRT(1.0 + {d} * CAST(gx * gx + gy * gy
+                                                        AS DOUBLE))))
+                               + 0.5) AS BIGINT) END) END AS shade
+          FROM gsh),
+        blend AS (
+          SELECT r, c,
+                 (({r_}) * shade + 254) // 255 AS cr,
+                 (({g_}) * shade + 254) // 255 AS cg,
+                 (({b_}) * shade + 254) // 255 AS cb
+          FROM (SELECT r, c, vc AS vv, shade FROM sh))
+        SELECT CAST(c // {ts} AS BIGINT) AS tx,
+               CAST(r // {ts} AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(cr) AS BIGINT) AS sum_g2,
+               CAST(SUM(cg) * {1 << 23} + SUM(cb) AS BIGINT) AS max_g2
+        FROM blend GROUP BY tx, ty
     """
 
 
@@ -6924,6 +7010,7 @@ def oracle_sql() -> dict[str, str]:
             ("zoomin", _overzoom_oracle_sql()),
             ("eq", _equalize_oracle_sql()),
             ("relief", _relief_oracle_sql()),
+            ("srelief", _shaded_relief_oracle_sql()),
             ("morph", _halo_window9_oracle_sql(_MORPH_EXPR)),
             ("median", _halo_window9_oracle_sql(_MEDIAN_EXPR)),
             ("fmean", _halo_window9_oracle_sql(_FMEAN_EXPR)),

@@ -331,6 +331,11 @@ def cmd_tileop(args) -> None:
         from .operators.algebra import color_relief_tiles
 
         out = color_relief_tiles(tiles, ts)
+    elif args.op == "shadedrelief":
+        out = halo.tile_halo_shaded_relief(
+            tiles, ts, azimuth_deg=args.azimuth,
+            altitude_deg=args.altitude, z_factor=args.zfactor,
+            cellsize=args.cellsize)
     elif args.op == "hillshade":
         out = halo.tile_halo_shade_tiles(
             tiles, ts, azimuth_deg=args.azimuth,
@@ -425,7 +430,8 @@ def main(argv=None) -> None:
     t.add_argument("--op", required=True,
                    choices=["hillshade", "equalize", "overzoom", "slope",
                             "aspect", "gradient", "sobel", "morph",
-                            "median", "tri", "tpi", "relief", "fmean", "flowdir"])
+                            "median", "tri", "tpi", "relief", "fmean", "flowdir",
+                            "shadedrelief"])
     t.add_argument("--tilesize", type=int, default=256)
     t.add_argument("--workers", type=int, default=4)
     t.add_argument("--azimuth", type=float, default=315.0)

@@ -527,6 +527,70 @@ def tile_halo_shade_tiles(tiles: DataFrame, tile_size: int,
         assemble, "tx long, ty long, png binary")
 
 
+def tile_halo_shaded_relief(tiles: DataFrame, tile_size: int,
+                            nodata: int = 0, azimuth_deg: float = 315.0,
+                            altitude_deg: float = 45.0,
+                            z_factor: float = 1.0,
+                            cellsize: float = 1.0,
+                            ramp=None) -> DataFrame:
+    """SHADED RELIEF — the classic cartographic product: the color
+    ramp (algebra.relief_rgb) multiplied by the Horn hillshade,
+    channel-wise with a CEILING blend: out = (ramp_ch·shade + 254)
+    // 255 — any nonzero ramp channel stays ≥ 1 however dark the
+    shade, so a valid pixel can never collide with the (0,0,0) nodata
+    color (every default-ramp color keeps a channel ≥ 40). ONE fused
+    halo pass computes both (no second decode); pixels with
+    incomplete 8-neighborhoods take shade = the flat value (their
+    ramp color still shows — matching gdaldem compositing at edges).
+    Output (tx, ty, png RGB); nodata renders (0,0,0)/transparent."""
+    import math
+
+    from ..png import encode_rgb
+    from .algebra import DEFAULT_RELIEF_RAMP, relief_rgb
+
+    if ramp is None:
+        ramp = DEFAULT_RELIEF_RAMP
+    consts = hillshade_constants(azimuth_deg, altitude_deg, z_factor,
+                                 cellsize)
+    flat_shade = int(math.floor(
+        1.0 + 254.0 * math.sin(math.radians(altitude_deg)) + 0.5))
+    ts = int(tile_size)
+    base = _halo_unified(tiles, ts, corners=True)
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        pad = _pad_from_group(pdf, ts, nodata)
+        if pad is None:
+            return pd.DataFrame({"tx": pd.Series([], dtype="int64"),
+                                 "ty": pd.Series([], dtype="int64"),
+                                 "png": pd.Series([], dtype=object)})
+        c = pad[1:-1, 1:-1]
+        n_, s_ = pad[:-2, 1:-1], pad[2:, 1:-1]
+        w_, e_ = pad[1:-1, :-2], pad[1:-1, 2:]
+        nw, ne = pad[:-2, :-2], pad[:-2, 2:]
+        sw, se = pad[2:, :-2], pad[2:, 2:]
+        gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+        gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+        full = (c != nodata)
+        for nb in (n_, s_, w_, e_, nw, ne, sw, se):
+            full &= nb != nodata
+        valid = c != nodata
+        if not valid.any():
+            return pd.DataFrame({"tx": pd.Series([], dtype="int64"),
+                                 "ty": pd.Series([], dtype="int64"),
+                                 "png": pd.Series([], dtype=object)})
+        shade = np.full(c.shape, np.int64(flat_shade))
+        shade[full] = shade_u8(gx[full], gy[full], consts)
+        rgb = relief_rgb(c.astype(np.uint8), ramp, nodata).astype(np.int64)
+        out = (rgb * shade[:, :, None] + 254) // 255
+        out[~valid] = 0
+        return pd.DataFrame({"tx": [tx], "ty": [ty],
+                             "png": [encode_rgb(out.astype(np.uint8), 0)]})
+
+    return base.groupBy("tx", "ty").applyInPandas(
+        assemble, "tx long, ty long, png binary")
+
+
 def slope_permille(gx: np.ndarray, gy: np.ndarray,
                    k: float) -> np.ndarray:
     """gdaldem-slope (percent, ×1000 fixed point) from integer Horn

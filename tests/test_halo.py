@@ -457,3 +457,40 @@ def test_halo_flowdir_equals_global(spark):
     got = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
            for r in tile_halo_flowdir(tiles, ts).collect()}
     assert got == wantp
+
+
+def test_shaded_relief_equals_global(spark):
+    """Fused shaded relief == ramp(canvas) x shade (flat where the
+    9-window is incomplete), ceiling blend; valid pixels never hit
+    the nodata black."""
+    import math
+
+    from rastertiler_rs_spark.operators.algebra import relief_rgb
+    from rastertiler_rs_spark.operators.halo import (
+        hillshade_constants, shade_u8, tile_halo_shaded_relief)
+    from rastertiler_rs_spark.png import decode_png
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    gx, gy, full = _horn_gradients(band)
+    flat = int(math.floor(1.0 + 254.0 * math.sin(math.radians(45.0))
+                          + 0.5))
+    shade = np.full(band.shape, np.int64(flat))
+    inner = np.full(full.shape, np.int64(flat))
+    inner[full] = shade_u8(gx[full], gy[full], hillshade_constants())
+    shade[1:-1, 1:-1] = inner
+    rgb = relief_rgb(band).astype(np.int64)
+    want = (rgb * shade[:, :, None] + 254) // 255
+    want[band == NODATA] = 0
+    got = {(r["tx"], r["ty"]): decode_png(bytes(r["png"]))["pixels"]
+           for r in tile_halo_shaded_relief(tiles, ts).collect()}
+    h, w = band.shape
+    for ty in range(h // ts):
+        for tx in range(w // ts):
+            sub = want[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            np.testing.assert_array_equal(got[(tx, ty)], sub,
+                                          err_msg=str((tx, ty)))
+            vm = band[ty * ts:(ty + 1) * ts,
+                      tx * ts:(tx + 1) * ts] != NODATA
+            assert (sub[vm].sum(axis=-1) > 0).all()

@@ -130,6 +130,13 @@ def main() -> None:
         "eagerly): shuffle-free mapInPandas with the broadcast LUT "
         "closed over",
         plan_text(equalize_tiles(tc, 64))))
+    from rastertiler_rs_spark.operators.watershed import pixel_successors
+
+    sections.append((
+        "watershed pixel_successors: halo transport -> ONE exchange on "
+        "the owning tile -> D8 argmax applyInPandas (the pointer-"
+        "doubling rounds above it are one self-join + one count each)",
+        plan_text(pixel_successors(tc, 64))))
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plans (generated by tools/dump_plans.py)\n\n"

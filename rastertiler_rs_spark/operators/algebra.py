@@ -185,6 +185,10 @@ def equalize_tiles(tiles: DataFrame, tile_size: int,
     pass 2, a shuffle-free remap+re-encode of each tile. At 100 TB
     the histogram agg is a scan with a 256-key combine and the remap
     is embarrassingly parallel."""
+    if nodata != 0:
+        raise ValueError(
+            "equalize_tiles requires nodata == 0: the LUT reserves "
+            "slot 0 as the sentinel and shifts output into [1, 255]")
     ts = int(tile_size)
 
     def hist_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -303,6 +307,12 @@ def relief_stats(relief: DataFrame) -> DataFrame:
                    "max_g2": []}
             for row in pdf.itertuples(index=False):
                 packed = decode_band(bytes(row.png), "png;u32")
+                ts_ = packed.shape[0]
+                if 255 * ts_ * packed.shape[1] >= (1 << 23):
+                    raise ValueError(
+                        f"relief_stats packing overflows at tile shape "
+                        f"{packed.shape} (channel sums must stay < 2^23; "
+                        f"ts <= 181)")
                 m = packed != 0
                 if not m.any():
                     continue

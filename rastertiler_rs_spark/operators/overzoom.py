@@ -84,18 +84,28 @@ def overzoom_tiles(tiles: DataFrame, levels: int, tile_size: int,
 
 def overzoom_pyramid(fused: DataFrame, levels: int, tile_size: int,
                      dtype_tag: str = "u8", nodata: int = 0,
-                     colormap_str: str | None = None) -> DataFrame:
+                     colormap_str: str | None = None,
+                     persisted: list | None = None) -> DataFrame:
     """Fused-pyramid form: take the DEEPEST zoom present in `fused`
     (zoom, x, y, png) and append the overzoomed levels maxz+1 …
-    maxz+levels in the same schema. The deepest level is resolved
-    with one tiny aggregate; each overzoom level upsamples directly
-    from the rendered base (levels = k against the base beats
-    chaining 1-level hops: one decode per parent per level, no
-    re-encode cascade)."""
-    maxz = fused.agg(F.max("zoom")).collect()[0][0]
+    maxz+levels in the same schema. Each overzoom level upsamples
+    directly from the rendered base (levels = k against the base
+    beats chaining 1-level hops: one decode per parent per level, no
+    re-encode cascade). The max-zoom aggregate and every level are
+    separate consumers, so `fused` is PERSISTED here (forks below a
+    python stage re-execute the producer — CLAUDE.md); pass
+    ``persisted`` to receive the handle and unpersist after your
+    action, matching the render_pyramid contract (without it the
+    cache lives until the session ends)."""
+    shared = fused.select("zoom", "x", "y", "png").persist()
+    if persisted is not None:
+        persisted.append(shared)
+    maxz = shared.agg(F.max("zoom")).collect()[0][0]
     if maxz is None:
+        if persisted is None:
+            shared.unpersist()
         return fused.select("zoom", "x", "y", "png").filter(F.lit(False))
-    base = (fused.filter(F.col("zoom") == int(maxz))
+    base = (shared.filter(F.col("zoom") == int(maxz))
             .select(F.col("x").alias("tx"), F.col("y").alias("ty"), "png"))
     out = []
     for k in range(1, levels + 1):

@@ -433,6 +433,10 @@ def doc_chunks(docs: DataFrame, size: int = 32, stride: int = 24,
     amplification, ~n/stride rows per doc."""
     if size < 1 or stride < 1:
         raise ValueError("size and stride must be >= 1")
+    if stride > size:
+        raise ValueError(
+            f"stride ({stride}) > size ({size}) would skip tokens — "
+            "full coverage requires stride <= size")
     base = (docs.select("doc_id",
                         F.split(F.trim(F.col(text_col)), r"\s+")
                         .alias("toks"))

@@ -43,10 +43,11 @@ def write_xyz_tree(fused: DataFrame, metadata: DataFrame,
 
         n = 0
         sample = None
+        lo = hi = None
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                d = os.path.join(out_dir, str(int(row.zoom)),
-                                 str(int(row.x)))
+                z = int(row.zoom)
+                d = os.path.join(out_dir, str(z), str(int(row.x)))
                 os.makedirs(d, exist_ok=True)
                 final = os.path.join(d, f"{int(row.y)}.png")
                 tmp = os.path.join(d, f".{int(row.y)}.{uuid.uuid4().hex}")
@@ -54,12 +55,19 @@ def write_xyz_tree(fused: DataFrame, metadata: DataFrame,
                     fh.write(bytes(row.png))
                 os.replace(tmp, final)
                 n += 1
+                lo = z if lo is None else min(lo, z)
+                hi = z if hi is None else max(hi, z)
                 if sample is None:
                     sample = final
-        yield pd.DataFrame({"n": [n], "sample": [sample]})
+        # zoom range rides the write pass — a separate agg on `fused`
+        # would FORK the lazy producer and re-run the whole render
+        # (CLAUDE.md: forks below a python stage re-execute)
+        yield pd.DataFrame({"n": [n], "sample": [sample],
+                            "lo": [lo], "hi": [hi]})
 
     parts = (fused.select("zoom", "x", "y", "png")
-             .mapInPandas(write_partition, "n long, sample string")
+             .mapInPandas(write_partition,
+                          "n long, sample string, lo int, hi int")
              .collect())
     n_tiles = sum(int(r["n"]) for r in parts)
     for r in parts:
@@ -68,10 +76,10 @@ def write_xyz_tree(fused: DataFrame, metadata: DataFrame,
                 f"executor-written tile {r['sample']!r} is not visible "
                 f"driver-side — write_xyz_tree requires a filesystem "
                 f"shared by driver and executors")
-    zr = fused.agg(F.min("zoom").alias("lo"),
-                   F.max("zoom").alias("hi")).collect()[0]
-    minzoom = int(zr["lo"]) if zr["lo"] is not None else 0
-    maxzoom = int(zr["hi"]) if zr["hi"] is not None else 0
+    los = [int(r["lo"]) for r in parts if r["lo"] is not None]
+    his = [int(r["hi"]) for r in parts if r["hi"] is not None]
+    minzoom = min(los) if los else 0
+    maxzoom = max(his) if his else 0
     tilejson = {
         "tilejson": "3.0.0",
         "name": meta.get("name", "tiles"),

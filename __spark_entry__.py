@@ -1114,7 +1114,8 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage); the twin reads the canvas formula at (R>>1, C>>1) over
     # the child grid — the integer-shift form of the +0.5-floor rule
     from rastertiler_rs_spark.operators.overzoom import overzoom_tiles
-    from rastertiler_rs_spark.operators.watershed import watershed_stats
+    from rastertiler_rs_spark.operators.watershed import (
+        flow_accumulation_stats, watershed_stats)
 
     oz = tile_stats(overzoom_tiles(tiles, 1, 128)).select(
         "tx", "ty", "n_valid", F.col("vsum").alias("sum_g2"),
@@ -1160,6 +1161,9 @@ def q_tile_halo_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fmean", tile_halo_mean(tiles, 128)),
         ("flow", tile_halo_flowdir(tiles, 128)),
         ("basin", watershed_stats(
+            spark.read.parquet(tiled_canvas_parquet(256, 192, 64, 5)),
+            64)),
+        ("accum", flow_accumulation_stats(
             spark.read.parquet(tiled_canvas_parquet(256, 192, 64, 5)),
             64)),
         ("algebra", alg),
@@ -4608,14 +4612,11 @@ def _d8_case_sql(results: list[str] | None = None,
     return "CASE " + " ".join(whens) + f" ELSE {default} END"
 
 
-def _watershed_oracle_sql(w: int = 256, h: int = 192,
-                          ts: int = 64, seed: int = 5) -> str:
-    """Twin of watershed_stats (operators/watershed.py): D8
-    successors from the bounds-checked canvas formula (outside = 
-    nodata, drops masked to −1 like the operator), then a recursive
-    walk to the terminal pit — the chain row whose pointer is a
-    self-loop — grouped per tile (n_valid, Σ pit id, distinct
-    basins)."""
+def _d8_walk_prefix_sql(w: int, h: int, seed: int) -> str:
+    """Shared prefix of the watershed/accumulation twins: D8
+    successors from the bounds-checked canvas formula (outside =
+    nodata, drops masked to −1 like the operator) + the recursive
+    walk CTE (every (u, succ^k(u)) chain row, stopping at pits)."""
     from rastertiler_rs_spark.fixtures import canvas_params
     from rastertiler_rs_spark.operators.halo import _D8_OFFSETS
 
@@ -4655,7 +4656,15 @@ def _watershed_oracle_sql(w: int = 256, h: int = 192,
           SELECT v, p FROM succ
           UNION ALL
           SELECT wk.v, s.p FROM walk wk
-          JOIN succ s ON s.v = wk.p AND s.p <> wk.p),
+          JOIN succ s ON s.v = wk.p AND s.p <> wk.p)"""
+
+
+def _watershed_oracle_sql(w: int = 256, h: int = 192,
+                          ts: int = 64, seed: int = 5) -> str:
+    """Twin of watershed_stats: the walk's terminal rows (pointer is
+    a self-loop) grouped per tile (n_valid, Σ pit id, distinct
+    basins)."""
+    return _d8_walk_prefix_sql(w, h, seed) + f""",
         final AS (
           SELECT wk.v, wk.p AS pit FROM walk wk
           JOIN succ s ON s.v = wk.p AND s.p = s.v)
@@ -4665,6 +4674,28 @@ def _watershed_oracle_sql(w: int = 256, h: int = 192,
                CAST(SUM(pit) AS BIGINT) AS sum_g2,
                CAST(COUNT(DISTINCT pit) AS BIGINT) AS max_g2
         FROM final GROUP BY tx, ty
+    """
+
+
+def _flow_accum_oracle_sql(w: int = 256, h: int = 192,
+                           ts: int = 64, seed: int = 5) -> str:
+    """Twin of flow_accumulation: acc(v) = 1 + the number of chain
+    rows landing on v from OTHER pixels (walk rows with w.v = w.p are
+    the pit base rows, not upstream arrivals), grouped per tile
+    (n_valid, Σacc, max acc)."""
+    return _d8_walk_prefix_sql(w, h, seed) + f""",
+        arrivals AS (
+          SELECT p AS v, COUNT(*) AS up FROM walk
+          WHERE v <> p GROUP BY p),
+        acc AS (
+          SELECT s.v, 1 + COALESCE(a.up, 0) AS acc
+          FROM succ s LEFT JOIN arrivals a ON a.v = s.v)
+        SELECT CAST((v % {w}) // {ts} AS BIGINT) AS tx,
+               CAST((v // {w}) // {ts} AS BIGINT) AS ty,
+               COUNT(*) AS n_valid,
+               CAST(SUM(acc) AS BIGINT) AS sum_g2,
+               CAST(MAX(acc) AS BIGINT) AS max_g2
+        FROM acc GROUP BY tx, ty
     """
 
 
@@ -7016,6 +7047,7 @@ def oracle_sql() -> dict[str, str]:
             ("fmean", _halo_window9_oracle_sql(_FMEAN_EXPR)),
             ("flow", _halo_flowdir_oracle_sql()),
             ("basin", _watershed_oracle_sql()),
+            ("accum", _flow_accum_oracle_sql()),
             ("algebra", _raster_algebra_oracle_sql()),
             ("iso", _isolines_oracle_sql()),
             ("stack", _raster_stack_oracle_sql()),

@@ -128,3 +128,72 @@ def basin_sizes(tiles: DataFrame, tile_size: int,
     accumulation AT the outlets (one groupBy over the labels)."""
     return (watershed_labels(tiles, tile_size, nodata)
             .groupBy("pit").agg(F.count("*").alias("n_px")))
+
+
+def flow_accumulation(tiles: DataFrame, tile_size: int,
+                      nodata: int = 0,
+                      max_rounds: int = 512) -> DataFrame:
+    """(v, acc): D8 flow accumulation — the number of pixels draining
+    THROUGH each pixel, itself included (acc = 1 on ridges, the basin
+    size at its pit). Iterates A_{k+1}(v) = 1 + Σ_{u→v} A_k(u): after
+    k rounds A_k counts upstream pixels within distance k, so
+    convergence takes LONGEST-FLOW-PATH rounds (each ONE join + ONE
+    groupBy + a 1-row convergence sum — the components.py loop
+    shape). Depth-bounded by design: flow paths shorten as terrain
+    roughens (strictly-downhill steps) but a long river channel is a
+    long chain — for such DEMs raise ``max_rounds`` (it raises
+    rather than returning partial counts) or use basin_sizes /
+    watershed_labels (log-depth pointer doubling) when only outlet or
+    basin aggregates are needed."""
+    spark = tiles.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    succ = (pixel_successors(tiles, tile_size, nodata)
+            .repartition(n_parts, "v").persist())
+    try:
+        edges = (succ.filter(F.col("v") != F.col("p"))
+                 .repartition(n_parts, "p").persist())
+        acc = (succ.select("v", F.lit(1).cast("long").alias("acc"))
+               .repartition(n_parts, "v").localCheckpoint())
+        prev = acc.agg(F.sum("acc")).first()[0]
+        try:
+            for _ in range(max_rounds):
+                contrib = (edges.join(acc, "v")
+                           .groupBy("p").agg(F.sum("acc").alias("up")))
+                acc = (succ.select("v")
+                       .join(contrib.withColumnRenamed("p", "v"), "v",
+                             "left")
+                       .select("v", (F.lit(1)
+                                     + F.coalesce(F.col("up"), F.lit(0)))
+                               .cast("long").alias("acc"))
+                       .repartition(n_parts, "v")
+                       .localCheckpoint(eager=False))
+                cur = acc.agg(F.sum("acc")).first()[0]
+                if cur == prev:
+                    return acc
+                prev = cur
+        finally:
+            edges.unpersist()
+    finally:
+        succ.unpersist()
+    raise ValueError(
+        f"flow_accumulation did not converge in {max_rounds} rounds — "
+        "the longest flow path exceeds the bound; raise max_rounds")
+
+
+def flow_accumulation_stats(tiles: DataFrame, tile_size: int,
+                            nodata: int = 0) -> DataFrame:
+    """Per-tile accumulation summary in the halo stats schema:
+    n_valid, Σacc (= total drained-through counts, the stream-power
+    mass of the tile), max acc (the tile's largest channel)."""
+    ts = int(tile_size)
+    ext = tiles.agg(F.max("tx").alias("mx")).collect()[0]
+    width = (int(ext["mx"]) + 1) * ts if ext["mx"] is not None else ts
+    acc = flow_accumulation(tiles, ts, nodata)
+    return (acc.select(
+        F.expr(f"(v % {width}) div {ts}").alias("tx"),
+        F.expr(f"(v div {width}) div {ts}").alias("ty"),
+        "acc")
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n_valid"),
+             F.sum("acc").alias("sum_g2"),
+             F.max("acc").alias("max_g2")))

@@ -91,3 +91,34 @@ def test_basin_sizes(spark):
     got = {r["pit"]: r["n_px"] for r in basin_sizes(tiles, ts).collect()}
     assert got == want
     assert sum(got.values()) == len(succ)
+
+
+def test_flow_accumulation_matches_walk_count(spark):
+    """acc(v) == 1 + number of upstream pixels whose chain passes v
+    (scalar walk counting); Σacc == Σ path lengths + n; max acc at a
+    pit equals that pit's basin contribution along its deepest
+    inflow... verified exactly."""
+    from rastertiler_rs_spark.operators.watershed import (
+        flow_accumulation, flow_accumulation_stats)
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5).astype(np.int64)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    succ = _brute_successors(band)
+    want = {v: 1 for v in succ}
+    for v in succ:
+        p = v
+        while succ[p] != p:
+            p = succ[p]
+            want[p] += 1
+    got = {r["v"]: r["acc"] for r in flow_accumulation(tiles, ts).collect()}
+    assert got == want
+    h, w = band.shape
+    stats = {(r["tx"], r["ty"]): (r["n_valid"], r["sum_g2"], r["max_g2"])
+             for r in flow_accumulation_stats(tiles, ts).collect()}
+    agg = {}
+    for v, a in want.items():
+        key = ((v % w) // ts, (v // w) // ts)
+        n, s, m = agg.get(key, (0, 0, 0))
+        agg[key] = (n + 1, s + a, max(m, a))
+    assert stats == agg

@@ -1291,14 +1291,19 @@ def q_embedding_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus batch + tiny candidate shuffle (dot_topk_int_blocked) — same
     oracle as the declarative crossJoin twin because integer dots are
     associative and the per-batch top-k uses the global tie rule."""
-    from rastertiler_rs_spark.operators.embedding import dot_topk_int_blocked
+    from rastertiler_rs_spark.operators.embedding import (
+        dot_topk_int_blocked, sq8_topk)
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
-    return dot_topk_int_blocked(
+    fixed = dot_topk_int_blocked(
         emb.select("vec_id", "embedding"), queries, k=10).select(
         "qid", "vec_id", "dot", "rank")
+    # sq8 = per-vector max-abs int8 codes + asymmetric rescaled
+    # ranking (the SQ compression beside PQ) — same column shape
+    sq8 = sq8_topk(emb.select("vec_id", "embedding"), queries, k=10)
+    return _union_variants(("fixed", fixed), ("sq8", sq8))
 
 
 # ---- rows-only queries (not SQL-expressible / engine-hash-dependent) ----
@@ -7202,7 +7207,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.doc_b
             WHERE 100 * i.inter >= 20 * (sa.sz + sb.sz - i.inter)
         """,
-        "embedding_topk_int": """
+        "embedding_topk_int": _variant_union_sql(
+            ("fixed", """
             WITH q AS (SELECT vec_id AS qid, embedding AS qemb
                        FROM embeddings WHERE vec_id % 100 = 0),
             scored AS (
@@ -7215,5 +7221,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT qid, vec_id, dot,
                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 10
-        """,
+            """),
+            ("sq8", """
+            WITH vm AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding,
+                              x -> ABS(CAST(x AS DOUBLE)))) AS m,
+                     embedding FROM embeddings),
+            vq AS (
+              SELECT vec_id, m,
+                     list_transform(embedding, x -> CASE WHEN m > 0
+                       THEN CAST(FLOOR((CAST(x AS DOUBLE) * 127.0) / m
+                                       + 0.5) AS BIGINT)
+                       ELSE 0 END) AS codes
+              FROM vm),
+            q AS (SELECT vec_id AS qid, m AS qm, codes AS qcodes
+                  FROM vq WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.qid, v.vec_id,
+                     CAST(list_sum(list_transform(
+                          list_zip(v.codes, q.qcodes),
+                          z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT)))
+                       AS BIGINT) AS dot,
+                     (CAST(list_sum(list_transform(
+                          list_zip(v.codes, q.qcodes),
+                          z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT)))
+                       AS DOUBLE) * v.m) * q.qm AS score
+              FROM vq v, q)
+            SELECT qid, vec_id, dot, rank FROM (
+              SELECT qid, vec_id, dot,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 10
+            """)),
     }

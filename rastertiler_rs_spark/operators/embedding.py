@@ -649,3 +649,54 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, n_planes: int = 6,
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq8_topk(vectors: DataFrame, queries: DataFrame,
+             k: int) -> DataFrame:
+    """SQ8 (per-vector max-abs scalar quantization) asymmetric top-k —
+    the standard 4× ANN compression beside PQ: each vector stores
+    int8 codes q_i = floor((x_i·127)/m + 0.5) with its own scale
+    m = max|x_i|; scoring decompresses nothing — the integer code
+    dot is rescaled by (dot·m_v)·m_q for ranking. All ops crossing
+    the engines are exact ints or correctly-rounded doubles over
+    identical inputs (max/·/÷/floor), so the DuckDB twin is
+    bit-identical — the embedding_cosine fold discipline. Exact/small
+    broadcast shape like dot_topk_int; the blocked-matmul pattern
+    (dot_topk_int_blocked) is the drop-in scale path for the code
+    scan. Output (qid, vec_id, dot, rank); zero vectors (m = 0) carry
+    all-zero codes."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def maxabs(col):
+        return F.array_max(
+            F.transform(col, lambda x: F.abs(x.cast("double"))))
+
+    def q8(col, m):
+        return F.transform(
+            col, lambda x: F.when(
+                m > 0,
+                F.floor((x.cast("double") * 127.0) / m + 0.5))
+            .otherwise(F.lit(0)).cast("long"))
+
+    v = vectors.select(
+        "vec_id", F.col("embedding").alias("ve"),
+        maxabs(F.col("embedding")).alias("vm"))
+    v = v.select("vec_id", "vm", q8(F.col("ve"), F.col("vm")).alias("vq"))
+    q = queries.select(
+        "qid", F.col("qemb").alias("qe"),
+        maxabs(F.col("qemb")).alias("qm"))
+    q = q.select("qid", "qm", q8(F.col("qe"), F.col("qm")).alias("qq"))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id", "vm", "qm",
+        F.aggregate(F.zip_with("vq", "qq", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("dot"))
+    scored = scored.select(
+        "qid", "vec_id", "dot",
+        ((F.col("dot").cast("double") * F.col("vm")) * F.col("qm"))
+        .alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id", "dot", "rank"))

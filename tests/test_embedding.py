@@ -349,3 +349,49 @@ def test_neardup_no_int64_wrap_at_scale_1024(spark):
     # sanity: the naive int64 product would have wrapped
     dot = sum(a * a for a in vi)
     assert 10000 * dot * dot >= 2 ** 63
+
+
+def test_sq8_topk_bruteforce(spark):
+    """SQ8 codes + asymmetric ranking vs a python float loop: codes
+    are the exact max-abs rule, ranks agree with the rescaled-dot
+    ordering, zero vectors rank last with dot 0."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from rastertiler_rs_spark.operators.embedding import sq8_topk
+
+    rng = np.random.default_rng(9)
+    vecs = [(int(i), [float(x) for x in rng.normal(0, 1, 8)])
+            for i in range(40)]
+    vecs.append((40, [0.0] * 8))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, vecs[3][1]), (1, vecs[17][1])],
+        "qid long, qemb array<float>")
+    got = {}
+    for r in sq8_topk(df, queries, k=5).collect():
+        got[(r["qid"], r["rank"])] = (r["vec_id"], r["dot"])
+
+    def codes(v):
+        v = [float(np.float32(x)) for x in v]
+        m = max(abs(x) for x in v)
+        if m == 0:
+            return [0] * len(v), 0.0
+        return [int(math.floor((x * 127.0) / m + 0.5)) for x in v], m
+
+    want = {}
+    for qid, qv in [(0, vecs[3][1]), (1, vecs[17][1])]:
+        qc, qm = codes(qv)
+        rows = []
+        for vid, vv in vecs:
+            vc, vm = codes(vv)
+            dot = sum(a * b for a, b in zip(vc, qc))
+            rows.append((-(float(dot) * vm) * qm, vid, dot))
+        rows.sort()
+        for rank, (_, vid, dot) in enumerate(rows[:5], start=1):
+            want[(qid, rank)] = (vid, dot)
+    assert got == want
+    with pytest.raises(ValueError, match="k must be"):
+        sq8_topk(df, queries, k=0)

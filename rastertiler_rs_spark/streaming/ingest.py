@@ -566,3 +566,68 @@ def stream_render(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_tiles(spark: SparkSession, out_dir: str,
+                  min_files: int = 2) -> dict:
+    """Compact fragmented partitions of a streamed tile table — the
+    SMALL-FILE remedy for long-running ingestion: every (zoom, xb)
+    partition holding ≥ ``min_files`` parquet files is rewritten as
+    ONE file and swapped in with the same crash-safe per-directory
+    rename protocol the stream's own commits use (_swap_partitions —
+    a crash mid-compaction leaves either the old or the new copy,
+    never neither, and the next reader/batch repairs via
+    _recover_swap).
+
+    Single-writer contract like the stream itself: refuses to run
+    when the commit-pending marker is present (a batch is mid-commit
+    or died mid-commit — drain or inspect first). Row counts are
+    footers-verified unchanged; raises on any delta.
+
+    Returns {"partitions", "files_before", "files_after",
+    "rows"}."""
+    tiles_path = os.path.join(out_dir, "tiles")
+    if os.path.exists(_pending_marker(out_dir)):
+        raise RuntimeError(
+            "tile table has a pending commit (active or crashed batch) "
+            "— drain the stream before compacting")
+    _recover_swap(tiles_path)
+    stats = {"partitions": 0, "files_before": 0, "files_after": 0,
+             "rows": 0}
+    if not os.path.isdir(tiles_path):
+        return stats
+    todo = []
+    for rel in _partition_dirs(tiles_path):
+        p = os.path.join(tiles_path, rel)
+        n = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+        if n >= int(min_files):
+            todo.append(rel)
+            stats["files_before"] += n
+    if not todo:
+        return stats
+    keys = [(int(rel.split("/")[0].split("=", 1)[1]),
+             int(rel.split("/")[1].split("=", 1)[1])) for rel in todo]
+    df = open_tiles(spark, out_dir)
+    pred = None
+    for z, b in keys:
+        cond = (F.col("zoom") == z) & (F.col("xb") == b)
+        pred = cond if pred is None else (pred | cond)
+    staged = tiles_path + ".compact-staged"
+    shutil.rmtree(staged, ignore_errors=True)
+    n_parts = max(1, min(len(keys),
+                         spark.sparkContext.defaultParallelism * 2))
+    (df.filter(pred)
+       .repartition(n_parts, "zoom", "xb")
+       .write.partitionBy("zoom", "xb").mode("overwrite").parquet(staged))
+    delta = _swap_partitions(staged, tiles_path)
+    if delta != 0:
+        raise RuntimeError(
+            f"compaction changed the table row count by {delta} — "
+            f"aborting (partition contents must be byte-stable)")
+    for rel in todo:
+        p = os.path.join(tiles_path, rel)
+        stats["files_after"] += sum(
+            1 for f in os.listdir(p) if f.endswith(".parquet"))
+        stats["rows"] += _dir_parquet_rows(p)
+    stats["partitions"] = len(todo)
+    return stats

@@ -346,3 +346,61 @@ def test_pyramid_zero_tile_first_batch_does_not_wedge(spark, tmp_path):
                                     dtype_tag="u8", overview_below=7)
             .select("zoom", "x", "y", "tile_hash").collect()}
     assert got == want
+
+
+def test_compact_tiles(spark, tmp_path):
+    """Compaction rewrites fragmented partitions to one file each,
+    preserves every row byte-for-byte, and refuses to run under a
+    pending commit marker."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.streaming.ingest import (_dir_parquet_rows,
+                                                       _partition_dirs,
+                                                       _pending_marker,
+                                                       _xb_col,
+                                                       compact_tiles,
+                                                       open_tiles)
+
+    out = str(tmp_path / "table")
+    tiles_path = os.path.join(out, "tiles")
+    rows = [(8, x, y, (1 << 8) - 1 - y, x * 1000 + y,
+             bytearray(b"png%d" % (x * 100 + y)))
+            for x in range(6) for y in range(40)]
+    df = spark.createDataFrame(
+        rows, "zoom int, x long, y long, tile_row long, tile_hash long, "
+              "png binary")
+    # fragment: 8 shuffled writers -> several files per partition
+    (df.withColumn("xb", _xb_col()).repartition(8)
+       .write.partitionBy("zoom", "xb").mode("overwrite")
+       .parquet(tiles_path))
+    frag = {rel: sum(1 for f in os.listdir(os.path.join(tiles_path, rel))
+                     if f.endswith(".parquet"))
+            for rel in _partition_dirs(tiles_path)}
+    assert any(n > 1 for n in frag.values())
+    before = sorted((r["zoom"], r["x"], r["y"], r["tile_row"],
+                     r["tile_hash"], bytes(r["png"]))
+                    for r in open_tiles(spark, out).collect())
+
+    marker = _pending_marker(out)
+    open(marker, "w").close()
+    with pytest.raises(RuntimeError, match="pending"):
+        compact_tiles(spark, out)
+    os.remove(marker)
+
+    stats = compact_tiles(spark, out)
+    assert stats["partitions"] == sum(1 for n in frag.values() if n >= 2)
+    assert stats["files_after"] == stats["partitions"]
+    after = sorted((r["zoom"], r["x"], r["y"], r["tile_row"],
+                    r["tile_hash"], bytes(r["png"]))
+                   for r in open_tiles(spark, out).collect())
+    assert after == before
+    for rel in _partition_dirs(tiles_path):
+        p = os.path.join(tiles_path, rel)
+        assert sum(1 for f in os.listdir(p)
+                   if f.endswith(".parquet")) == 1
+        assert _dir_parquet_rows(p) > 0
+    # idempotent: a second run finds nothing to do
+    assert compact_tiles(spark, out)["partitions"] == 0

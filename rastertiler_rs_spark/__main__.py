@@ -364,6 +364,23 @@ def cmd_tileop(args) -> None:
     print(f"wrote {n} rows to {args.out}")
 
 
+def cmd_compact(args) -> None:
+    from .session import get_spark
+    from .streaming.ingest import compact_tiles
+
+    if not os.path.isdir(args.out_dir):
+        sys.exit(f"ERROR: not a directory: {args.out_dir}")
+    spark = get_spark("rastertiler-compact", cpus=args.workers)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        st = compact_tiles(spark, args.out_dir, min_files=args.min_files)
+    except RuntimeError as e:
+        sys.exit(f"ERROR: {e}")
+    print(f"compacted {st['partitions']} partitions "
+          f"({st['files_before']} -> {st['files_after']} files, "
+          f"{st['rows']} rows)")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="rastertiler_rs_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -444,6 +461,14 @@ def main(argv=None) -> None:
     t.add_argument("--levels", type=int, default=1,
                    help="overzoom levels (children per parent = 4^levels)")
     t.set_defaults(fn=cmd_tileop)
+
+    c = sub.add_parser(
+        "compact", help="compact a streamed tile table's fragmented "
+                        "partitions (crash-safe swap)")
+    c.add_argument("out_dir")
+    c.add_argument("--min-files", type=int, default=2)
+    c.add_argument("--workers", type=int, default=4)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     args.fn(args)

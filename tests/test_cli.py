@@ -421,3 +421,31 @@ def test_cli_tileop_on_xyz_tree(spark, tmp_path):
     got = {(r["tx"], r["ty"]): bytes(r["png"])
            for r in spark.read.parquet(out).collect()}
     assert got == want and len(got) > 0
+
+
+def test_cli_compact(spark, tmp_path):
+    """`compact` CLI: fragmented stream table -> one file per
+    partition, rows preserved."""
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.streaming.ingest import (_partition_dirs,
+                                                       _xb_col,
+                                                       open_tiles)
+
+    out = str(tmp_path / "table")
+    tiles_path = os.path.join(out, "tiles")
+    rows = [(6, x, y, 63 - y, x * 100 + y, bytearray(b"p%d" % y))
+            for x in range(3) for y in range(20)]
+    df = spark.createDataFrame(
+        rows, "zoom int, x long, y long, tile_row long, tile_hash long, "
+              "png binary")
+    (df.withColumn("xb", _xb_col()).repartition(6)
+       .write.partitionBy("zoom", "xb").mode("overwrite")
+       .parquet(tiles_path))
+    n_before = open_tiles(spark, out).count()
+    main(["compact", out])
+    assert open_tiles(spark, out).count() == n_before
+    for rel in _partition_dirs(tiles_path):
+        p = os.path.join(tiles_path, rel)
+        assert sum(1 for f in os.listdir(p)
+                   if f.endswith(".parquet")) == 1

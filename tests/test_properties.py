@@ -132,3 +132,97 @@ def test_kernel_block_within_canvas(w, h, z, fx, fy):
         assert block.shape == (bh, bw)
         canvas = mosaic([("img", left, top, bw, bh, block)], ts, 0, np.uint8)
         assert canvas is None or canvas.shape == (ts, ts)
+
+
+@given(st.integers(1, 3),
+       st.integers(0, 7), st.integers(0, 7),
+       st.integers(2, 5).map(lambda p: 1 << p))
+@settings(max_examples=60, deadline=None)
+def test_overzoom_child_floor_rule(levels, dx, dy, ts):
+    """upsample_child == the +0.5-floor nearest rule for every
+    child/pixel at every level."""
+    from rastertiler_rs_spark.operators.overzoom import upsample_child
+
+    n = 1 << levels
+    dx, dy = dx % n, dy % n
+    parent = (np.arange(ts * ts, dtype=np.int64).reshape(ts, ts)
+              * 31 % 251).astype(np.uint8)
+    child = upsample_child(parent, dx, dy, levels)
+    for i in range(0, ts, max(1, ts // 7)):
+        for j in range(0, ts, max(1, ts // 7)):
+            r = int(math.floor((dy * ts + i + 0.5) / n))
+            c = int(math.floor((dx * ts + j + 0.5) / n))
+            assert child[i, j] == parent[r, c]
+
+
+@given(st.lists(st.tuples(st.integers(1, 255), st.integers(1, 5000)),
+                min_size=1, max_size=30, unique_by=lambda t: t[0]))
+@settings(max_examples=80, deadline=None)
+def test_equalize_lut_properties(hist):
+    """Monotone on present values, endpoints pinned (rarest→1 iff
+    more than one value... always ≥1; densest tail→255), absent
+    values and nodata → 0."""
+    from rastertiler_rs_spark.operators.algebra import equalize_lut
+
+    counts = np.zeros(256, dtype=np.int64)
+    for v, c in hist:
+        counts[v] = c
+    lut = equalize_lut(counts)
+    present = np.nonzero(counts)[0]
+    vals = lut[present]
+    assert (np.diff(vals) >= 0).all()
+    assert vals.min() >= 1 and vals.max() <= 255
+    assert lut[0] == 0
+    assert (lut[counts == 0] == 0).all()
+    assert vals[-1] == 255 or len(present) == 1
+
+
+@given(st.lists(st.integers(-30, 30), min_size=8, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_d8_direction_scalar(drops):
+    """d8_direction vs an exact-Fraction slope argmax with first-wins
+    ties — no float anywhere in the reference computation."""
+    from fractions import Fraction
+
+    from rastertiler_rs_spark.operators.halo import (_D8_OFFSETS,
+                                                     d8_direction)
+
+    arr = [np.array([d], dtype=np.int64) for d in drops]
+    got = int(d8_direction(arr)[0])
+    best, best_s = -1, Fraction(0)
+    for i, (_, _, d2) in enumerate(_D8_OFFSETS):
+        d = drops[i]
+        if d <= 0:
+            continue
+        s = Fraction(d * d, d2)     # slope² — order-equivalent for d>0
+        if s > best_s:
+            best, best_s = i, s
+    assert got == best
+
+
+@given(st.integers(0, 255), st.integers(0, 7))
+@settings(max_examples=120, deadline=None)
+def test_relief_rgb_segment_bounds(v, _salt):
+    """Every relief channel lies between its segment's endpoint
+    colors (weighted average property), and stop values map to the
+    stop colors exactly."""
+    from rastertiler_rs_spark.operators.algebra import (
+        DEFAULT_RELIEF_RAMP, relief_rgb)
+
+    band = np.full((1, 1), v, dtype=np.uint8)
+    rgb = relief_rgb(band)[0, 0]
+    if v == 0:
+        assert tuple(rgb) == (0, 0, 0)
+        return
+    vs = [s[0] for s in DEFAULT_RELIEF_RAMP]
+    x = min(max(v, vs[0]), vs[-1])
+    i = max(j for j in range(len(vs) - 1) if vs[j] <= x or j == 0)
+    for ch in range(3):
+        lo = min(DEFAULT_RELIEF_RAMP[i][1 + ch],
+                 DEFAULT_RELIEF_RAMP[i + 1][1 + ch])
+        hi = max(DEFAULT_RELIEF_RAMP[i][1 + ch],
+                 DEFAULT_RELIEF_RAMP[i + 1][1 + ch])
+        assert lo - 1 <= rgb[ch] <= hi
+    for stop in DEFAULT_RELIEF_RAMP:
+        if v == stop[0]:
+            assert tuple(rgb) == stop[1:]

@@ -364,6 +364,95 @@ def cmd_tileop(args) -> None:
     print(f"wrote {n} rows to {args.out}")
 
 
+def cmd_convert(args) -> None:
+    """Convert between tile containers: .mbtiles / .pmtiles / XYZ
+    z-x-y.png tree (any direction). Sources normalize to the fused
+    tile schema; metadata carries over when the source has it, else
+    minimal rows are synthesized from the data."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+
+    if not os.path.exists(args.src):
+        sys.exit(f"ERROR: input does not exist: {args.src}")
+    spark = get_spark("rastertiler-convert", cpus=args.workers)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    meta_rows = None
+    if args.src.endswith(".mbtiles"):
+        tiles, blobs, meta_rows = _read_mbtiles(args.src)
+        rows = [(z, x, (1 << z) - 1 - r, r, tid, bytearray(blobs[tid]))
+                for z, x, r, tid in tiles]
+        fused = spark.createDataFrame(
+            rows, "zoom int, x long, y long, tile_row long, "
+                  "tile_hash long, png binary")
+    elif args.src.endswith(".pmtiles"):
+        from .operators.pmtiles_sink import tiles_from_pmtiles
+
+        fused = (tiles_from_pmtiles(spark, args.src)
+                 .withColumn("tile_hash", F.xxhash64("png"))
+                 .persist())
+    elif os.path.isdir(args.src) and os.path.exists(
+            os.path.join(args.src, "tilejson.json")):
+        from .operators.xyz_sink import read_xyz_tree
+
+        tj = json.load(open(os.path.join(args.src, "tilejson.json")))
+        fused = (read_xyz_tree(spark, args.src)
+                 .withColumn("tile_row",
+                             F.expr("cast(shiftleft(1L, zoom) - 1 - y "
+                                    "as long)"))
+                 .withColumn("tile_hash", F.xxhash64("png"))
+                 .persist())
+        meta_rows = [("name", str(tj.get("name", "tiles"))),
+                     ("format", str(tj.get("format", "png")))]
+        if "bounds" in tj:
+            meta_rows.append(
+                ("bounds", ",".join(f"{round(v, 5)}" for v in tj["bounds"])))
+    else:
+        sys.exit("ERROR: SRC must be .mbtiles, .pmtiles, or an XYZ "
+                 "tree directory (with tilejson.json)")
+
+    if meta_rows is None or not meta_rows:
+        meta_rows = [("name",
+                      os.path.splitext(os.path.basename(args.src))[0]),
+                     ("format", "png")]
+    names = {k for k, _ in meta_rows}
+    if "minzoom" not in names or "maxzoom" not in names:
+        zr = fused.agg(F.min("zoom"), F.max("zoom")).collect()[0]
+        meta_rows = [r for r in meta_rows
+                     if r[0] not in ("minzoom", "maxzoom")]
+        meta_rows += [("minzoom", str(int(zr[0]))),
+                      ("maxzoom", str(int(zr[1])))]
+    meta = spark.createDataFrame(meta_rows, "name string, value string")
+
+    if args.out.endswith(".mbtiles"):
+        from .operators.mbtiles_sink import materialize_mbtiles
+
+        try:
+            materialize_mbtiles(fused, meta, args.out,
+                                max_tiles=args.max_tiles)
+        except ValueError as e:
+            sys.exit(f"ERROR: {e}")
+        print(f"wrote {args.out}")
+    elif args.out.endswith(".pmtiles"):
+        from .operators.pmtiles_sink import write_pmtiles_distributed
+
+        try:
+            stats = write_pmtiles_distributed(
+                fused, args.out, metadata=dict(meta_rows))
+        except ValueError as e:
+            sys.exit(f"ERROR: {e}")
+        print(f"wrote {args.out} ({stats['n_addressed']} tiles)")
+    else:
+        from .operators.xyz_sink import write_xyz_tree
+
+        st = write_xyz_tree(fused, meta, args.out)
+        print(f"wrote {st['n_tiles']} tiles (z{st['minzoom']}-"
+              f"z{st['maxzoom']}) to {args.out}")
+
+
 def cmd_compact(args) -> None:
     from .session import get_spark
     from .streaming.ingest import compact_tiles
@@ -461,6 +550,15 @@ def main(argv=None) -> None:
     t.add_argument("--levels", type=int, default=1,
                    help="overzoom levels (children per parent = 4^levels)")
     t.set_defaults(fn=cmd_tileop)
+
+    v = sub.add_parser(
+        "convert", help="convert between .mbtiles / .pmtiles / XYZ "
+                        "tree containers")
+    v.add_argument("src")
+    v.add_argument("out")
+    v.add_argument("--workers", type=int, default=4)
+    v.add_argument("--max-tiles", type=int, default=5_000_000)
+    v.set_defaults(fn=cmd_convert)
 
     c = sub.add_parser(
         "compact", help="compact a streamed tile table's fragmented "

@@ -449,3 +449,28 @@ def test_cli_compact(spark, tmp_path):
         p = os.path.join(tiles_path, rel)
         assert sum(1 for f in os.listdir(p)
                    if f.endswith(".parquet")) == 1
+
+
+def test_cli_convert_roundtrip_chain(spark, tmp_path):
+    """mbtiles -> pmtiles -> xyz -> mbtiles: the per-(z, x, y) PNG
+    bytes survive the whole chain."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+
+    src = images_parquet(8, "u8")
+    mb1 = str(tmp_path / "a.mbtiles")
+    main(["render", src, mb1, "--minzoom", "7", "--maxzoom", "8",
+          "--tilesize", "128", "--disable-overviews"])
+    pm = str(tmp_path / "b.pmtiles")
+    main(["convert", mb1, pm])
+    xyz = str(tmp_path / "tree")
+    main(["convert", pm, xyz])
+    mb2 = str(tmp_path / "c.mbtiles")
+    main(["convert", xyz, mb2])
+
+    t1, b1, m1 = _mb(mb1)
+    t2, b2, m2 = _mb(mb2)
+    want = {k: bytes(b1[h]) for k, h in t1.items()}
+    got = {k: bytes(b2[h]) for k, h in t2.items()}
+    assert got == want and len(got) > 0
+    assert m2["format"] == "png"
+    assert int(m2["minzoom"]) == 7 and int(m2["maxzoom"]) == 8

@@ -395,6 +395,16 @@ def cmd_convert(args) -> None:
                  .withColumn("tile_hash", F.xxhash64("png"))
                  .persist())
     elif os.path.isdir(args.src) and os.path.exists(
+            os.path.join(args.src, "manifest.json")):
+        # sharded .mbtiles set: distributed ingest, no driver bytes
+        import json as _json
+
+        from .operators.mbtiles_sink import tiles_from_mbtiles_shards
+
+        man = _json.load(open(os.path.join(args.src, "manifest.json")))
+        fused = tiles_from_mbtiles_shards(spark, args.src).persist()
+        meta_rows = sorted(man.get("metadata", {}).items())
+    elif os.path.isdir(args.src) and os.path.exists(
             os.path.join(args.src, "tilejson.json")):
         from .operators.xyz_sink import read_xyz_tree
 
@@ -411,8 +421,8 @@ def cmd_convert(args) -> None:
             meta_rows.append(
                 ("bounds", ",".join(f"{round(v, 5)}" for v in tj["bounds"])))
     else:
-        sys.exit("ERROR: SRC must be .mbtiles, .pmtiles, or an XYZ "
-                 "tree directory (with tilejson.json)")
+        sys.exit("ERROR: SRC must be .mbtiles, .pmtiles, a shard dir "
+                 "(manifest.json), or an XYZ tree (tilejson.json)")
 
     if meta_rows is None or not meta_rows:
         meta_rows = [("name",

@@ -391,3 +391,55 @@ def materialize_mbtiles(fused: DataFrame, metadata: DataFrame, path: str,
     blobs = {r["tile_hash"]: bytes(r["png"]) for r in rows}
     meta = [(r["name"], r["value"]) for r in metadata.collect()]
     write_mbtiles(path, sorted(tiles), blobs, meta)
+
+
+def tiles_from_mbtiles_shards(spark, in_dir: str) -> "DataFrame":
+    """Distributed ingest of a SHARDED .mbtiles set: the driver reads
+    only manifest.json (shard names + counts), plans one row per
+    shard, and executors open their shard's SQLite and emit its
+    joined map⋈images rows — no tile byte ever crosses the driver.
+    Returns the fused schema (zoom, x, y, tile_row, tile_hash, png);
+    y is the XYZ flip of the stored TMS tile_row. The inverse of
+    write_mbtiles_shards (same shared-filesystem contract)."""
+    from typing import Iterator
+
+    with open(os.path.join(in_dir, "manifest.json")) as f:
+        man = json.load(f)
+    # manifest "shards" is a dict keyed by shard id; files follow the
+    # writer's shard-%05d naming
+    shards = [f"shard-{int(k):05d}.mbtiles" for k in man["shards"]]
+    if not shards:
+        return spark.createDataFrame(
+            [], "zoom int, x long, y long, tile_row long, "
+                "tile_hash long, png binary")
+    plan = spark.createDataFrame([(os.path.join(in_dir, s),)
+                                  for s in shards], "path string")
+    plan = plan.repartition(min(len(shards),
+                                spark.sparkContext.defaultParallelism))
+
+    def fetch(batches: Iterator) -> Iterator:
+        import sqlite3
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"zoom": [], "x": [], "y": [], "tile_row": [],
+                   "tile_hash": [], "png": []}
+            for row in pdf.itertuples(index=False):
+                conn = sqlite3.connect(row.path)
+                for z, xc, tr, tid, png in conn.execute(
+                        "SELECT m.zoom_level, m.tile_column, m.tile_row,"
+                        " m.tile_id, i.tile_data FROM map m "
+                        "JOIN images i ON i.tile_id = m.tile_id"):
+                    out["zoom"].append(int(z))
+                    out["x"].append(int(xc))
+                    out["y"].append((1 << int(z)) - 1 - int(tr))
+                    out["tile_row"].append(int(tr))
+                    out["tile_hash"].append(int(tid))
+                    out["png"].append(bytes(png))
+                conn.close()
+            yield pd.DataFrame(out)
+
+    return plan.mapInPandas(
+        fetch, "zoom int, x long, y long, tile_row long, "
+               "tile_hash long, png binary")

@@ -474,3 +474,26 @@ def test_cli_convert_roundtrip_chain(spark, tmp_path):
     assert got == want and len(got) > 0
     assert m2["format"] == "png"
     assert int(m2["minzoom"]) == 7 and int(m2["maxzoom"]) == 8
+
+
+def test_cli_convert_from_shards(spark, tmp_path):
+    """Sharded .mbtiles set -> pmtiles via the distributed shard
+    source: bytes equal the single-file render."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.pmtiles_sink import \
+        tiles_from_pmtiles
+
+    src = images_parquet(8, "u8")
+    mb = str(tmp_path / "a.mbtiles")
+    shards = str(tmp_path / "shards")
+    main(["render", src, mb, "--minzoom", "7", "--maxzoom", "8",
+          "--tilesize", "128", "--disable-overviews",
+          "--shards-dir", shards])
+    pm = str(tmp_path / "b.pmtiles")
+    main(["convert", shards, pm])
+    tiles, blobs, _ = _mb(mb)
+    want = {k: bytes(blobs[h]) for k, h in tiles.items()}
+    got = {}
+    for r in tiles_from_pmtiles(spark, pm).collect():
+        got[(r["zoom"], r["x"], r["tile_row"])] = bytes(r["png"])
+    assert got == want and len(got) > 0

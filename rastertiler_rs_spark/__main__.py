@@ -299,7 +299,25 @@ def cmd_tileop(args) -> None:
         sys.exit(f"ERROR: input does not exist: {args.src}")
     spark = get_spark("rastertiler-tileop", cpus=args.workers)
     spark.sparkContext.setLogLevel("ERROR")
-    if os.path.isdir(args.src) and os.path.exists(
+    if args.src.endswith(".mbtiles"):
+        # single-file MBTiles input: driver-side read (SQLite is
+        # single-node anyway), one zoom as the (tx, ty) grid (XYZ y)
+        from pyspark.sql import functions as F
+
+        tiles_rows, blobs, _meta = _read_mbtiles(args.src)
+        rows = [(z, x, (1 << z) - 1 - r, bytearray(blobs[tid]))
+                for z, x, r, tid in tiles_rows]
+        tree = spark.createDataFrame(
+            rows, "zoom int, x long, y long, png binary")
+        zoom = args.zoom
+        if zoom is None:
+            zoom = max((r[0] for r in rows), default=None)
+            if zoom is None:
+                sys.exit(f"ERROR: empty MBTiles: {args.src}")
+        tiles = (tree.filter(F.col("zoom") == int(zoom))
+                 .select(F.col("x").alias("tx"), F.col("y").alias("ty"),
+                         "png"))
+    elif os.path.isdir(args.src) and os.path.exists(
             os.path.join(args.src, "tilejson.json")):
         # XYZ tree input (render --xyz-dir output): pick one zoom level
         # as the (tx, ty) grid

@@ -497,3 +497,18 @@ def test_cli_convert_from_shards(spark, tmp_path):
     for r in tiles_from_pmtiles(spark, pm).collect():
         got[(r["zoom"], r["x"], r["tile_row"])] = bytes(r["png"])
     assert got == want and len(got) > 0
+
+
+def test_cli_tileop_on_mbtiles(spark, tmp_path):
+    """tileop consumes a single-file MBTiles (deepest zoom default)."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+
+    src = images_parquet(8, "u8")
+    mb = str(tmp_path / "a.mbtiles")
+    main(["render", src, mb, "--minzoom", "7", "--maxzoom", "8",
+          "--tilesize", "128", "--disable-overviews"])
+    out = str(tmp_path / "slope.parquet")
+    main(["tileop", mb, out, "--op", "slope", "--tilesize", "128"])
+    sl = spark.read.parquet(out)
+    assert sl.count() > 0
+    assert set(sl.columns) == {"tx", "ty", "n_valid", "sum_g2", "max_g2"}

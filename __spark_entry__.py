@@ -3038,10 +3038,19 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     u16 = q_image_features_u16(spark, sf_dir)
     bil = q_image_resize_bilinear(spark, sf_dir)
     avg = q_image_resize_average(spark, sf_dir)
+    # ahash = perceptual average-hash FROM bytes (decode -> 8x8 box
+    # mean -> threshold vs the cell mean): the from-pixels companion
+    # to the precomputed phash column, twin rederives bits from the
+    # pixel formula
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.multimodal import image_ahash
+
+    ah = image_ahash(spark.read.parquet(images_parquet(64, "u8")))
     return _union_variants(("features", feats), ("resize", resized),
                            ("vp8", vp8), ("adam7", adam7),
                            ("mode", mode), ("u16", u16),
-                           ("bil", bil), ("avg", avg))
+                           ("bil", bil), ("avg", avg),
+                           ("ahash", ah))
 
 
 _HEAT_Z, _HEAT_ZMIN, _HEAT_N = 6, 4, 40000
@@ -5302,6 +5311,54 @@ def _image_features_oracle_sql(n: int = 64, prefix: str = "img") -> str:
     """
 
 
+def _image_ahash_oracle_sql(n: int = 64, prefix: str = "img") -> str:
+    """Twin of the ahash leg: 8x8 box cells from the pixel formula
+    ((r*8)//h grid, nodata-excluded round-half-up means), cell mean,
+    strict-greater bits, 32-bit halves + popcount + position sum."""
+    v = _PIXEL_VALUE_CASE.format(r="r", c="c")
+    return f"""
+        WITH img({_IMG_COLS}) AS (VALUES
+              {_image_consts_values(n)}),
+        px AS (
+          SELECT i, w, h, r, c, {v} AS v
+          FROM img,
+               LATERAL (SELECT UNNEST(generate_series(0, img.h - 1))) tr(r),
+               LATERAL (SELECT UNNEST(generate_series(0, img.w - 1))) tc(c)),
+        cells AS (
+          SELECT i, (r * 8) // h AS br, (c * 8) // w AS bc,
+                 COUNT(*) FILTER (WHERE v <> 0) AS cnt,
+                 COALESCE(SUM(v) FILTER (WHERE v <> 0), 0) AS s
+          FROM px GROUP BY i, br, bc),
+        cv AS (
+          SELECT i, br * 8 + bc AS idx,
+                 CASE WHEN cnt = 0 THEN 0
+                      ELSE (2 * s + cnt) // (2 * cnt) END AS cell
+          FROM cells),
+        mm AS (
+          SELECT i, SUM(cell) AS total,
+                 (2 * SUM(cell) + 64) // 128 AS m
+          FROM cv GROUP BY i),
+        bits AS (
+          SELECT cv.i, cv.idx,
+                 CASE WHEN cv.cell > mm.m THEN 1 ELSE 0 END AS b,
+                 mm.m, mm.total
+          FROM cv JOIN mm ON mm.i = cv.i)
+        SELECT '{prefix}' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+               CAST(64 AS BIGINT) AS n_pixels,
+               CAST(SUM(b) AS BIGINT) AS n_data,
+               CAST(SUM(CASE WHEN idx < 32
+                             THEN b * (CAST(1 AS BIGINT) << idx)
+                             ELSE 0 END) AS BIGINT) AS vmin,
+               CAST(SUM(CASE WHEN idx >= 32
+                             THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                             ELSE 0 END) AS BIGINT) AS vmax,
+               CAST(MAX(m) AS BIGINT) AS vsum,
+               CAST(MAX(total) AS BIGINT) AS mean_x100,
+               CAST(SUM(b * idx) AS BIGINT) AS pos_sum
+        FROM bits GROUP BY i
+    """
+
+
 def _image_features_vp8_oracle_sql() -> str:
     """Closed-form twin of q_image_features_vp8: solid-gray frames at
     VP8 qi=0 reconstruct bit-exactly (tests/test_vp8.py pins all 256
@@ -6603,7 +6660,8 @@ def oracle_sql() -> dict[str, str]:
             ("mode", _image_resize_mode_oracle_sql()),
             ("u16", _image_features_u16_oracle_sql()),
             ("bil", _image_resize_bilinear_oracle_sql()),
-            ("avg", _image_resize_average_oracle_sql())),
+            ("avg", _image_resize_average_oracle_sql()),
+            ("ahash", _image_ahash_oracle_sql())),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "doc_fingerprint": _variant_union_sql(

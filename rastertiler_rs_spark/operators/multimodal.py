@@ -843,3 +843,49 @@ def audio_spectral_stats(audio: DataFrame) -> DataFrame:
     return audio.select("audio_id", "bytes", "fmt").mapInPandas(
         fn, "audio_id string, frame_no long, granule long, channel long, "
             "n_nonzero long, sum_is long, pos_sum long, xr_sum long")
+
+
+def image_ahash(images: DataFrame, fake_codecs: bool = False) -> DataFrame:
+    """Perceptual AVERAGE-HASH computed FROM the image bytes (the
+    from-pixels companion to the table's precomputed phash column):
+    decode → 8×8 box-mean resample (_average_resample — the exact
+    round-half-up rule the `avg` resize leg pins) → 64-bit hash with
+    bit_i = cell_i > m, m = round-half-up mean of the 64 cells
+    ((2·Σ + 64) // 128), strict >, ties → 0. Exact integers
+    throughout — engine-independent by construction.
+
+    Output coerced into the shared image-stats schema so it unions
+    under the gate: n_pixels = 64 (the grid), n_data = popcount,
+    vmin/vmax = hash lo/hi 32-bit halves, vsum = m,
+    mean_x100 = Σcells (the raw pre-mean pin), pos_sum = Σ i·bit_i
+    (position-weighted bit placement)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "n_pixels": [], "n_data": [],
+                   "vmin": [], "vmax": [], "vsum": [], "mean_x100": [],
+                   "pos_sum": []}
+            for row in pdf.itertuples(index=False):
+                band = _decode_any(bytes(row.bytes), row.fmt, row.w,
+                                   row.h, fake_codecs)
+                cells = _average_resample(
+                    band.astype(np.int64), 8, 0).astype(np.int64)
+                total = int(cells.sum())
+                m = (2 * total + 64) // 128
+                bits = (cells > m).astype(np.int64).ravel()
+                idx = np.arange(64, dtype=np.int64)
+                lo = int((bits[:32] << idx[:32]).sum())
+                hi = int((bits[32:] << idx[:32]).sum())
+                out["image_id"].append(row.image_id)
+                out["n_pixels"].append(64)
+                out["n_data"].append(int(bits.sum()))
+                out["vmin"].append(lo)
+                out["vmax"].append(hi)
+                out["vsum"].append(m)
+                out["mean_x100"].append(total)
+                out["pos_sum"].append(int((bits * idx).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        fn, "image_id string, n_pixels long, n_data long, vmin long, "
+            "vmax long, vsum long, mean_x100 long, pos_sum long")

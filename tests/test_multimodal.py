@@ -367,3 +367,38 @@ def test_audio_resample_matches_bruteforce(spark):
             assert r.peak_u == int(w.max())
             assert r.sum_u == int(w.sum())
             assert r.pos_sum == int((w * (np.arange(n_out) + 1)).sum())
+
+
+def test_image_ahash_bruteforce(spark):
+    """aHash vs a scalar recomputation from decoded pixels (8x8 box
+    means with the avg-resample rule, strict-> threshold); identical
+    images hash identically and the popcount/position stats agree."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.multimodal import image_ahash
+    from rastertiler_rs_spark.png import decode_band
+
+    images = spark.read.parquet(images_parquet(16, "u8"))
+    got = {r["image_id"]: (r["n_data"], r["vmin"], r["vmax"], r["vsum"],
+                           r["mean_x100"], r["pos_sum"])
+           for r in image_ahash(images).collect()}
+    for row in images.collect():
+        band = decode_band(bytes(row["bytes"]), row["fmt"]).astype(np.int64)
+        h, w = band.shape
+        cells = np.zeros((8, 8), dtype=np.int64)
+        for br in range(8):
+            for bc in range(8):
+                rs = [r for r in range(h) if (r * 8) // h == br]
+                cs = [c for c in range(w) if (c * 8) // w == bc]
+                vals = band[np.ix_(rs, cs)].ravel()
+                vals = vals[vals != 0]
+                if vals.size:
+                    cells[br, bc] = (2 * int(vals.sum()) + vals.size) \
+                        // (2 * vals.size)
+        total = int(cells.sum())
+        m = (2 * total + 64) // 128
+        bits = (cells > m).astype(np.int64).ravel()
+        lo = sum(int(bits[i]) << i for i in range(32))
+        hi = sum(int(bits[i + 32]) << i for i in range(32))
+        want = (int(bits.sum()), lo, hi, m, total,
+                int(sum(i * int(bits[i]) for i in range(64))))
+        assert got[row["image_id"]] == want, row["image_id"]

@@ -1479,9 +1479,48 @@ def q_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.phash").alias("ph_a"), F.col("b.phash").alias("ph_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.withColumn(
+    derived = pairs.withColumn(
         "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
     ).filter(F.col("hamming") <= 8).select("id_a", "id_b", "hamming")
+    # ahash leg: the SAME banded-hamming machinery over hashes COMPUTED
+    # from pixels (image_ahash) — ids duplicated (+10000, identical
+    # hash) so hamming-0 pairs are planted; the twin rederives the
+    # hashes from the pixel formula end to end
+    from rastertiler_rs_spark.fixtures import images_parquet
+    from rastertiler_rs_spark.operators.multimodal import image_ahash
+
+    ah = image_ahash(spark.read.parquet(images_parquet(64, "u8")))
+    hs = ah.select(
+        F.substring("image_id", 4, 8).cast("long").alias("iid"),
+        F.col("vmin").alias("lo"), F.col("vmax").alias("hi"))
+    dup2 = hs.unionByName(hs.select((F.col("iid") + 10000).alias("iid"),
+                                    "lo", "hi"))
+    abands = dup2.select(
+        "iid", "lo", "hi",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright(F.col("lo") if i < 2 else F.col("hi"),
+                                  16 * (i % 2))
+                     .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for i in range(4)
+        ])).alias("b")).select("iid", "lo", "hi", "b.band", "b.val")
+    aa, bb = abands.alias("a"), abands.alias("b")
+    apairs = (
+        aa.join(bb, (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.iid") < F.col("b.iid")))
+        .select(F.col("a.iid").alias("id_a"), F.col("b.iid").alias("id_b"),
+                F.col("a.lo").alias("lo_a"), F.col("a.hi").alias("hi_a"),
+                F.col("b.lo").alias("lo_b"), F.col("b.hi").alias("hi_b"))
+        .dropDuplicates(["id_a", "id_b"]))
+    ahash_leg = (apairs.withColumn(
+        "hamming",
+        (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+         + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
+        .cast("int"))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming"))
+    return _union_variants(("derived", derived), ("ahash", ahash_leg))
 
 
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5311,10 +5350,9 @@ def _image_features_oracle_sql(n: int = 64, prefix: str = "img") -> str:
     """
 
 
-def _image_ahash_oracle_sql(n: int = 64, prefix: str = "img") -> str:
-    """Twin of the ahash leg: 8x8 box cells from the pixel formula
-    ((r*8)//h grid, nodata-excluded round-half-up means), cell mean,
-    strict-greater bits, 32-bit halves + popcount + position sum."""
+def _ahash_bits_ctes(n: int) -> str:
+    """Shared CTE chain deriving per-image ahash BITS from the pixel
+    formula (through table `bits(i, idx, b, m, total)`)."""
     v = _PIXEL_VALUE_CASE.format(r="r", c="c")
     return f"""
         WITH img({_IMG_COLS}) AS (VALUES
@@ -5343,19 +5381,73 @@ def _image_ahash_oracle_sql(n: int = 64, prefix: str = "img") -> str:
                  CASE WHEN cv.cell > mm.m THEN 1 ELSE 0 END AS b,
                  mm.m, mm.total
           FROM cv JOIN mm ON mm.i = cv.i)
+        SELECT 1"""  # placeholder select; finals append below
+
+
+_AHASH_LOHI = """
+        hs AS (
+          SELECT i,
+                 CAST(SUM(CASE WHEN idx < 32
+                               THEN b * (CAST(1 AS BIGINT) << idx)
+                               ELSE 0 END) AS BIGINT) AS lo,
+                 CAST(SUM(CASE WHEN idx >= 32
+                               THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                               ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(SUM(b) AS BIGINT) AS popcnt,
+                 CAST(MAX(m) AS BIGINT) AS m,
+                 CAST(MAX(total) AS BIGINT) AS total,
+                 CAST(SUM(b * idx) AS BIGINT) AS possum
+          FROM bits GROUP BY i)"""
+
+
+def _image_ahash_oracle_sql(n: int = 64, prefix: str = "img") -> str:
+    """Twin of the ahash leg: 8x8 box cells from the pixel formula
+    ((r*8)//h grid, nodata-excluded round-half-up means), cell mean,
+    strict-greater bits, 32-bit halves + popcount + position sum."""
+    body = _ahash_bits_ctes(n)
+    body = body[: body.rindex("SELECT 1")]
+    return body + "," + _AHASH_LOHI + f"""
         SELECT '{prefix}' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
                CAST(64 AS BIGINT) AS n_pixels,
-               CAST(SUM(b) AS BIGINT) AS n_data,
-               CAST(SUM(CASE WHEN idx < 32
-                             THEN b * (CAST(1 AS BIGINT) << idx)
-                             ELSE 0 END) AS BIGINT) AS vmin,
-               CAST(SUM(CASE WHEN idx >= 32
-                             THEN b * (CAST(1 AS BIGINT) << (idx - 32))
-                             ELSE 0 END) AS BIGINT) AS vmax,
-               CAST(MAX(m) AS BIGINT) AS vsum,
-               CAST(MAX(total) AS BIGINT) AS mean_x100,
-               CAST(SUM(b * idx) AS BIGINT) AS pos_sum
-        FROM bits GROUP BY i
+               popcnt AS n_data, lo AS vmin, hi AS vmax,
+               m AS vsum, total AS mean_x100, possum AS pos_sum
+        FROM hs
+    """
+
+
+def _ahash_pairs_oracle_sql(n: int = 64, offset: int = 10_000,
+                            max_hamming: int = 8) -> str:
+    """Twin of the ahash leg of phash_near: hashes from the FULL
+    pixel-formula derivation, duplicated id set (+offset, identical
+    hash — planted hamming-0 pairs), 16-bit band bucket join, XOR
+    popcount verify."""
+    body = _ahash_bits_ctes(n)
+    body = body[: body.rindex("SELECT 1")]
+    return body + "," + _AHASH_LOHI + f""",
+        dup2 AS (
+          SELECT i AS iid, lo, hi FROM hs
+          UNION ALL
+          SELECT i + {offset}, lo, hi FROM hs),
+        bands AS (
+          SELECT iid, lo, hi, t.band,
+                 CASE t.band
+                   WHEN 0 THEN lo & 65535
+                   WHEN 1 THEN (lo >> 16) & 65535
+                   WHEN 2 THEN hi & 65535
+                   ELSE (hi >> 16) & 65535 END AS val
+          FROM dup2, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS band) t),
+        pairs AS (
+          SELECT DISTINCT a.iid AS id_a, b.iid AS id_b,
+                 a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.val = b.val AND a.iid < b.iid)
+        SELECT id_a, id_b,
+               CAST(bit_count(CAST(xor(lo_a, lo_b) AS BIGINT))
+                    + bit_count(CAST(xor(hi_a, hi_b) AS BIGINT))
+                 AS INT) AS hamming
+        FROM pairs
+        WHERE bit_count(CAST(xor(lo_a, lo_b) AS BIGINT))
+              + bit_count(CAST(xor(hi_a, hi_b) AS BIGINT)) <= {max_hamming}
     """
 
 
@@ -6736,7 +6828,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS dims_match
             FROM (SELECT UNNEST(generate_series(0, 15)) AS i) t5(i)
         """,
-        "phash_near": f"""
+        "phash_near": _variant_union_sql(("derived", f"""
             WITH base AS (
               SELECT o_orderkey AS iid,
                      ((o_orderkey * {_PH_MUL1}) % {_PH_MOD32}) * {_PH_MOD16}
@@ -6757,7 +6849,7 @@ def oracle_sql() -> dict[str, str]:
                 ON a.band = b.band AND a.val = b.val AND a.iid < b.iid)
             SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
             FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 8
-        """,
+        """), ("ahash", _ahash_pairs_oracle_sql())),
         "tile_cover": f"""
             WITH boxes AS ({part_boxes_300}),
             rng AS (

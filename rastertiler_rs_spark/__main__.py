@@ -119,9 +119,10 @@ def cmd_render(args) -> None:
                  ("attribution", args.attribution or "")]
         extra = [(k, v) for k, v in extra if v]
         meta = meta.unionByName(spark.createDataFrame(extra, meta.schema))
-    if args.out == "-" and not (args.shards_dir or args.xyz_dir):
+    if args.out == "-" and not (args.shards_dir or args.xyz_dir
+                                or args.tiles_dir):
         sys.exit("ERROR: OUT='-' (skip single-file output) requires "
-                 "--shards-dir or --xyz-dir")
+                 "--shards-dir, --xyz-dir, or --tiles-dir")
     n_sinks = sum(1 for v in (args.shards_dir, args.xyz_dir,
                               args.out != "-") if v)
     if n_sinks > 1:
@@ -422,6 +423,13 @@ def cmd_convert(args) -> None:
         man = _json.load(open(os.path.join(args.src, "manifest.json")))
         fused = tiles_from_mbtiles_shards(spark, args.src).persist()
         meta_rows = sorted(man.get("metadata", {}).items())
+    elif os.path.isdir(args.src) and os.path.isdir(
+            os.path.join(args.src, "tiles")) and any(
+            n.startswith("zoom=")
+            for n in os.listdir(os.path.join(args.src, "tiles"))):
+        # --tiles-dir parquet tile table (the at-scale sink boundary):
+        # already the fused schema, zoom-partition-pruned scans
+        fused = spark.read.parquet(os.path.join(args.src, "tiles"))
     elif os.path.isdir(args.src) and os.path.exists(
             os.path.join(args.src, "tilejson.json")):
         from .operators.xyz_sink import read_xyz_tree
@@ -440,7 +448,8 @@ def cmd_convert(args) -> None:
                 ("bounds", ",".join(f"{round(v, 5)}" for v in tj["bounds"])))
     else:
         sys.exit("ERROR: SRC must be .mbtiles, .pmtiles, a shard dir "
-                 "(manifest.json), or an XYZ tree (tilejson.json)")
+                 "(manifest.json), a --tiles-dir parquet table "
+                 "(tiles/zoom=*), or an XYZ tree (tilejson.json)")
 
     if meta_rows is None or not meta_rows:
         meta_rows = [("name",

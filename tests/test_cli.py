@@ -512,3 +512,24 @@ def test_cli_tileop_on_mbtiles(spark, tmp_path):
     sl = spark.read.parquet(out)
     assert sl.count() > 0
     assert set(sl.columns) == {"tx", "ty", "n_valid", "sum_g2", "max_g2"}
+
+
+def test_cli_convert_from_tiles_dir(spark, tmp_path):
+    """--tiles-dir parquet table -> mbtiles via convert equals the
+    direct render."""
+    from rastertiler_rs_spark.fixtures import images_parquet
+
+    src = images_parquet(8, "u8")
+    td = str(tmp_path / "table")
+    mb_direct = str(tmp_path / "a.mbtiles")
+    main(["render", src, mb_direct, "--minzoom", "7", "--maxzoom", "8",
+          "--tilesize", "128", "--disable-overviews"])
+    main(["render", src, "-", "--minzoom", "7", "--maxzoom", "8",
+          "--tilesize", "128", "--disable-overviews",
+          "--tiles-dir", td, "--shards-dir", str(tmp_path / "sh")])
+    mb2 = str(tmp_path / "b.mbtiles")
+    main(["convert", td, mb2])
+    t1, b1, _ = _mb(mb_direct)
+    t2, b2, _ = _mb(mb2)
+    assert {k: bytes(b2[h]) for k, h in t2.items()} == \
+        {k: bytes(b1[h]) for k, h in t1.items()}

@@ -1446,6 +1446,7 @@ _PH_MOD32, _PH_MOD16 = 1 << 32, 1 << 16
 _PH_MUL1, _PH_MUL2 = 2654435761, 40503
 _PH_MASK = 0x25
 _PH_VARIANT_OFFSET = 100_000_000
+_SESS_GAP_US = 1_800_000_000  # 30 min in microseconds
 
 
 def q_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2933,8 +2934,64 @@ def q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("n"),
         F.col("k").alias("v"))
     fun = q_stream_funnel(spark, sf_dir)
+    sess = q_stream_sess(spark, sf_dir)
     return (ded.unionByName(win).unionByName(asof).unionByName(rng)
-            .unionByName(heat).unionByName(quant).unionByName(fun))
+            .unionByName(heat).unionByName(quant).unionByName(fun)
+            .unionByName(sess))
+
+
+def q_stream_sess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap sessionization under the value gate: events drain
+    in THREE time-tertile micro-batches (availableNow, fresh
+    checkpoint), so sessions genuinely span batches and close from
+    carried applyInPandasWithState state; the emitted CLOSED sessions
+    must equal the batch gap rule minus each user's final session.
+    ekey = user#seq, n = n_events, v = duration_us."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from rastertiler_rs_spark.streaming.events import stream_sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).first()
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    inp, out = f"{work}/in", f"{work}/out"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        os.makedirs(inp, exist_ok=True)
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * (hi - lo) // 3
+        conds = [us <= cut1, (us > cut1) & (us <= cut2), us > cut2]
+        for k, cond in enumerate(conds):
+            tmp = f"{work}/w{k}"
+            ev.where(cond).coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            os.replace(part, f"{inp}/{k:03d}.parquet")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = stream_sessionize(spark, inp, out, _SESS_GAP_US,
+                                  max_files_per_trigger=1)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "stream_sessionize did not drain within 300s — "
+                    "refusing to read partial output as a result")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        rows = (spark.read.parquet(f"{out}/sessions")
+                .select(F.lit("sess").alias("variant"),
+                        F.concat(F.col("user").cast("string"), F.lit("#"),
+                                 F.col("seq").cast("string")).alias("ekey"),
+                        F.col("n_events").alias("n"),
+                        (F.col("end_us") - F.col("start_us")).alias("v"))
+                .collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "variant string, ekey string, n long, v long")
 
 
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6148,6 +6205,35 @@ def oracle_sql() -> dict[str, str]:
                         + SUM(CASE WHEN etype = '{_FUNNEL_STEPS[0]}'
                                    THEN 1 ELSE 0 END) AS BIGINT) AS v
             FROM r GROUP BY 2
+            UNION ALL
+            -- sess = streaming gap sessionization: CLOSED sessions
+            -- (a later event proved the gap) == batch gap rule minus
+            -- each user's final session; microsecond arithmetic
+            SELECT 'sess' AS variant,
+                   CAST(user_id AS VARCHAR) || '#' ||
+                     CAST(sid AS VARCHAR) AS ekey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MAX(us) - MIN(us) AS BIGINT) AS v
+            FROM (
+              SELECT user_id, us, sid,
+                     MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+              FROM (
+                SELECT user_id, us,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+                FROM (
+                  SELECT user_id, us,
+                         CASE WHEN prev_us IS NULL
+                                   OR us - prev_us > {_SESS_GAP_US}
+                              THEN 1 ELSE 0 END AS brk
+                  FROM (
+                    SELECT user_id, epoch_us(ts) AS us,
+                           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY epoch_us(ts))
+                             AS prev_us
+                    FROM events) l) b) c) g
+            GROUP BY user_id, sid
+            HAVING sid < MIN(last_sid)
         """,
         "star_rollup": """
             SELECT n.n_name,

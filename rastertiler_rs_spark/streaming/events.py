@@ -326,3 +326,103 @@ def stream_funnel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SESSIONIZATION — stateful session windows with a gap rule.
+# Per-user state is (open-session start, last event, count, next seq):
+# constant size. A session CLOSES — and is emitted exactly once — when
+# a LATER event arrives more than `gap_us` after the session's last
+# event; the user's final session therefore never emits (the stream
+# cannot prove it closed), which is precisely the batch twin's
+# "drop each user's last session" restriction. Sessions genuinely span
+# micro-batches via the carried state. Reader contract like the
+# funnel: files arrive in event-time order per user (same-ts
+# permutations cannot move a session boundary — diffs of equal stamps
+# are zero). NoTimeout keeps the bounded gate exact; production would
+# add EventTimeTimeout eviction like stream_dedup's TTL form.
+# ---------------------------------------------------------------------------
+
+_SESS_OUT = StructType([
+    StructField("user", LongType()),
+    StructField("seq", LongType()),
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+_SESS_STATE = StructType([
+    StructField("start", LongType()),
+    StructField("last", LongType()),
+    StructField("cnt", LongType()),
+    StructField("seq", LongType()),
+])
+
+
+def _sess_fn_factory(gap_us: int):
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf["us"])
+        if not ts:
+            return
+        ts.sort()
+        if state.exists:
+            start, last, cnt, seq = (int(v) for v in state.get)
+        else:
+            start = last = -1
+            cnt, seq = 0, 0
+        out = {"user": [], "seq": [], "start_us": [], "end_us": [],
+               "n_events": []}
+        for t in ts:
+            if start < 0:
+                start, last, cnt = t, t, 1
+            elif t - last > gap_us:
+                out["user"].append(user)
+                out["seq"].append(seq)
+                out["start_us"].append(start)
+                out["end_us"].append(last)
+                out["n_events"].append(cnt)
+                seq += 1
+                start, last, cnt = t, t, 1
+            else:
+                last = t
+                cnt += 1
+        state.update((start, last, cnt, seq))
+        if out["user"]:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    gap_us: int,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming gap-rule sessionization (see module comment above):
+    emits each CLOSED session once as (user, seq, start_us, end_us,
+    n_events); output parquet at out_dir/sessions, restart-safe via
+    the checkpoint."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    keyed = stream.select(
+        F.col("user_id").alias("user"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    out = keyed.groupBy("user").applyInPandasWithState(
+        _sess_fn_factory(int(gap_us)), _SESS_OUT, _SESS_STATE, "append",
+        GroupStateTimeout.NoTimeout)
+    return (
+        out.writeStream.outputMode("append").format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -222,3 +222,57 @@ def test_stream_funnel_matches_batch_across_batches(spark, tmp_path):
     # tie did not chain; user 4 completed only because the DP keeps the
     # LATEST start (a@30, not a@1 — 80−1 would blow the window)
     assert (want[1][0], want[2][0], want[3][0], want[4][0]) == (3, 1, 1, 3)
+
+
+def test_stream_sessionize_cross_batch(spark, tmp_path):
+    """Sessions spanning micro-batches close from carried state; the
+    final session per user is withheld; a crafted timeline matches
+    the hand-computed sessions exactly."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.streaming.events import stream_sessionize
+
+    gap = 1_000_000  # 1s
+    base = 1_700_000_000_000_000
+    # user 1: [0, 0.5s] | gap | [3s, 3.2s, 3.9s] | gap | [10s]  (batch
+    # cut between 0.5s and 3s, and inside the second session at 3.2s)
+    # user 2: single long session crossing both files -> never emits
+    ev1 = [(1, 1, base + 0), (2, 1, base + 500_000),
+           (3, 1, base + 3_000_000), (4, 2, base + 0),
+           (5, 2, base + 900_000)]
+    ev2 = [(6, 1, base + 3_200_000), (7, 1, base + 3_900_000),
+           (8, 1, base + 10_000_000), (9, 2, base + 1_700_000)]
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(inp)
+    for k, evs in enumerate((ev1, ev2)):
+        pdf = pd.DataFrame({
+            "event_id": [e[0] for e in evs],
+            "ts": [pd.Timestamp(e[2], unit="us") for e in evs],
+            "user_id": [e[1] for e in evs],
+            "event_type": ["view"] * len(evs),
+            "value": [1.0] * len(evs),
+        })
+        sdf = spark.createDataFrame(pdf).select(
+            "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value")
+        tmp = str(tmp_path / f"w{k}")
+        sdf.coalesce(1).write.parquet(tmp)
+        import glob
+        os.replace(glob.glob(f"{tmp}/part-*.parquet")[0],
+                   f"{inp}/{k:03d}.parquet")
+    q = stream_sessionize(spark, inp, out, gap, max_files_per_trigger=1)
+    assert q.awaitTermination(120)
+    got = {(r["user"], r["seq"]): (r["start_us"], r["end_us"],
+                                   r["n_events"])
+           for r in spark.read.parquet(f"{out}/sessions").collect()}
+    # user 1 closed sessions: seq 0 = [0, 0.5s] n=2;
+    # seq 1 = [3s, 3.9s] n=3 (SPANS the file boundary); the [10s]
+    # session stays open. user 2: one session, never closes.
+    assert got == {
+        (1, 0): (base + 0, base + 500_000, 2),
+        (1, 1): (base + 3_000_000, base + 3_900_000, 3),
+    }

@@ -458,6 +458,8 @@ def cmd_convert(args) -> None:
     names = {k for k, _ in meta_rows}
     if "minzoom" not in names or "maxzoom" not in names:
         zr = fused.agg(F.min("zoom"), F.max("zoom")).collect()[0]
+        if zr[0] is None:
+            sys.exit(f"ERROR: source holds no tiles: {args.src}")
         meta_rows = [r for r in meta_rows
                      if r[0] not in ("minzoom", "maxzoom")]
         meta_rows += [("minzoom", str(int(zr[0]))),

@@ -533,3 +533,17 @@ def test_cli_convert_from_tiles_dir(spark, tmp_path):
     t2, b2, _ = _mb(mb2)
     assert {k: bytes(b2[h]) for k, h in t2.items()} == \
         {k: bytes(b1[h]) for k, h in t1.items()}
+
+
+def test_cli_convert_empty_source(tmp_path):
+    """Empty source fails fast instead of crashing on the zoom agg."""
+    import sqlite3
+
+    from rastertiler_rs_spark.oracle import MBTILES_DDL
+
+    mb = str(tmp_path / "empty.mbtiles")
+    conn = sqlite3.connect(mb)
+    conn.executescript(MBTILES_DDL)
+    conn.close()
+    with pytest.raises(SystemExit):
+        main(["convert", mb, str(tmp_path / "o.pmtiles")])

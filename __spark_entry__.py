@@ -5437,8 +5437,7 @@ def _ahash_bits_ctes(n: int) -> str:
           SELECT cv.i, cv.idx,
                  CASE WHEN cv.cell > mm.m THEN 1 ELSE 0 END AS b,
                  mm.m, mm.total
-          FROM cv JOIN mm ON mm.i = cv.i)
-        SELECT 1"""  # placeholder select; finals append below
+          FROM cv JOIN mm ON mm.i = cv.i)"""
 
 
 _AHASH_LOHI = """
@@ -5461,9 +5460,7 @@ def _image_ahash_oracle_sql(n: int = 64, prefix: str = "img") -> str:
     """Twin of the ahash leg: 8x8 box cells from the pixel formula
     ((r*8)//h grid, nodata-excluded round-half-up means), cell mean,
     strict-greater bits, 32-bit halves + popcount + position sum."""
-    body = _ahash_bits_ctes(n)
-    body = body[: body.rindex("SELECT 1")]
-    return body + "," + _AHASH_LOHI + f"""
+    return _ahash_bits_ctes(n) + "," + _AHASH_LOHI + f"""
         SELECT '{prefix}' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
                CAST(64 AS BIGINT) AS n_pixels,
                popcnt AS n_data, lo AS vmin, hi AS vmax,
@@ -5478,9 +5475,7 @@ def _ahash_pairs_oracle_sql(n: int = 64, offset: int = 10_000,
     pixel-formula derivation, duplicated id set (+offset, identical
     hash — planted hamming-0 pairs), 16-bit band bucket join, XOR
     popcount verify."""
-    body = _ahash_bits_ctes(n)
-    body = body[: body.rindex("SELECT 1")]
-    return body + "," + _AHASH_LOHI + f""",
+    return _ahash_bits_ctes(n) + "," + _AHASH_LOHI + f""",
         dup2 AS (
           SELECT i AS iid, lo, hi FROM hs
           UNION ALL

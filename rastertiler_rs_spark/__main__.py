@@ -302,22 +302,18 @@ def cmd_tileop(args) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if args.src.endswith(".mbtiles"):
         # single-file MBTiles input: driver-side read (SQLite is
-        # single-node anyway), one zoom as the (tx, ty) grid (XYZ y)
-        from pyspark.sql import functions as F
-
+        # single-node anyway); resolve the target zoom FIRST so only
+        # that level's blobs are built and shipped (XYZ y)
         tiles_rows, blobs, _meta = _read_mbtiles(args.src)
-        rows = [(z, x, (1 << z) - 1 - r, bytearray(blobs[tid]))
-                for z, x, r, tid in tiles_rows]
-        tree = spark.createDataFrame(
-            rows, "zoom int, x long, y long, png binary")
         zoom = args.zoom
         if zoom is None:
-            zoom = max((r[0] for r in rows), default=None)
+            zoom = max((r[0] for r in tiles_rows), default=None)
             if zoom is None:
                 sys.exit(f"ERROR: empty MBTiles: {args.src}")
-        tiles = (tree.filter(F.col("zoom") == int(zoom))
-                 .select(F.col("x").alias("tx"), F.col("y").alias("ty"),
-                         "png"))
+        rows = [(x, (1 << z) - 1 - r, bytearray(blobs[tid]))
+                for z, x, r, tid in tiles_rows if z == int(zoom)]
+        tiles = spark.createDataFrame(
+            rows, "tx long, ty long, png binary")
     elif os.path.isdir(args.src) and os.path.exists(
             os.path.join(args.src, "tilejson.json")):
         # XYZ tree input (render --xyz-dir output): pick one zoom level
@@ -402,11 +398,19 @@ def cmd_convert(args) -> None:
     meta_rows = None
     if args.src.endswith(".mbtiles"):
         tiles, blobs, meta_rows = _read_mbtiles(args.src)
-        rows = [(z, x, (1 << z) - 1 - r, r, tid, bytearray(blobs[tid]))
-                for z, x, r, tid in tiles]
-        fused = spark.createDataFrame(
-            rows, "zoom int, x long, y long, tile_row long, "
-                  "tile_hash long, png binary")
+        # ship each DISTINCT blob once; the map->blob expansion happens
+        # as a Spark join, not as per-row driver copies (content-deduped
+        # pyramids would otherwise blow up the driver list)
+        mrows = [(z, x, (1 << z) - 1 - r, r, tid)
+                 for z, x, r, tid in tiles]
+        mdf = spark.createDataFrame(
+            mrows, "zoom int, x long, y long, tile_row long, "
+                   "tile_hash long")
+        bdf = spark.createDataFrame(
+            [(tid, bytearray(b)) for tid, b in blobs.items()],
+            "tile_hash long, png binary")
+        fused = mdf.join(bdf, "tile_hash").select(
+            "zoom", "x", "y", "tile_row", "tile_hash", "png")
     elif args.src.endswith(".pmtiles"):
         from .operators.pmtiles_sink import tiles_from_pmtiles
 
@@ -427,9 +431,12 @@ def cmd_convert(args) -> None:
             os.path.join(args.src, "tiles")) and any(
             n.startswith("zoom=")
             for n in os.listdir(os.path.join(args.src, "tiles"))):
-        # --tiles-dir parquet tile table (the at-scale sink boundary):
-        # already the fused schema, zoom-partition-pruned scans
-        fused = spark.read.parquet(os.path.join(args.src, "tiles"))
+        # --tiles-dir parquet tile table (the at-scale sink boundary) or
+        # a streamed table: open_tiles repairs any crashed partition
+        # swap BEFORE reading (the ingest module's reader contract)
+        from .streaming.ingest import open_tiles
+
+        fused = open_tiles(spark, args.src)
     elif os.path.isdir(args.src) and os.path.exists(
             os.path.join(args.src, "tilejson.json")):
         from .operators.xyz_sink import read_xyz_tree

@@ -426,18 +426,27 @@ def tiles_from_mbtiles_shards(spark, in_dir: str) -> "DataFrame":
             out = {"zoom": [], "x": [], "y": [], "tile_row": [],
                    "tile_hash": [], "png": []}
             for row in pdf.itertuples(index=False):
-                conn = sqlite3.connect(row.path)
-                for z, xc, tr, tid, png in conn.execute(
-                        "SELECT m.zoom_level, m.tile_column, m.tile_row,"
-                        " m.tile_id, i.tile_data FROM map m "
-                        "JOIN images i ON i.tile_id = m.tile_id"):
-                    out["zoom"].append(int(z))
-                    out["x"].append(int(xc))
-                    out["y"].append((1 << int(z)) - 1 - int(tr))
-                    out["tile_row"].append(int(tr))
-                    out["tile_hash"].append(int(tid))
-                    out["png"].append(bytes(png))
-                conn.close()
+                if not os.path.exists(row.path):
+                    raise FileNotFoundError(
+                        f"manifest-listed shard missing: {row.path}")
+                # mode=ro: a plain connect() would CREATE an empty db
+                # at a missing path, masking the real failure
+                conn = sqlite3.connect(f"file:{row.path}?mode=ro",
+                                       uri=True)
+                try:
+                    for z, xc, tr, tid, png in conn.execute(
+                            "SELECT m.zoom_level, m.tile_column,"
+                            " m.tile_row, m.tile_id, i.tile_data"
+                            " FROM map m"
+                            " JOIN images i ON i.tile_id = m.tile_id"):
+                        out["zoom"].append(int(z))
+                        out["x"].append(int(xc))
+                        out["y"].append((1 << int(z)) - 1 - int(tr))
+                        out["tile_row"].append(int(tr))
+                        out["tile_hash"].append(int(tid))
+                        out["png"].append(bytes(png))
+                finally:
+                    conn.close()
             yield pd.DataFrame(out)
 
     return plan.mapInPandas(

@@ -7016,12 +7016,15 @@ def oracle_sql() -> dict[str, str]:
             FROM hil WHERE s = 0
             UNION ALL
             SELECT 'quad' AS variant, o_orderkey, zoom, x, y,
-                   (1::BIGINT << (2 * zoom)) + COALESCE(
+                   -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which would
+                   -- positionally promote the whole unioned v column (r5
+                   -- driver hash-red); values are < 2^30 so BIGINT is exact
+                   (1::BIGINT << (2 * zoom)) + CAST(COALESCE(
                      (SELECT SUM((((src.x >> g.i) & 1)
                                   + 2 * ((src.y >> g.i) & 1))
                                  * (1::BIGINT << (2 * g.i)))
                       FROM (SELECT UNNEST(generate_series(0, src.zoom - 1))
-                            AS i) g), 0) AS v
+                            AS i) g), 0) AS BIGINT) AS v
             FROM src
         """,
         "cell_pack": """

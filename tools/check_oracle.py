@@ -47,6 +47,48 @@ def df_to_multiset(cols, rows):
     return [cols[i] for i in order], out
 
 
+# The driver's hasher is TYPE-sensitive where this gate's repr()
+# normalization is not: r5's tms_flip went driver-red on a DuckDB
+# HUGEINT (SUM over BIGINT) promoting the unioned column while every
+# value matched.  Calibration from CORRECTNESS_r05: signed-int WIDTH
+# mixes (spark int vs duckdb BIGINT and vice versa — knn.rank,
+# doc_stats counts, vector_tiles fid...) all hashed GREEN, so plain
+# widths are equivalent; only out-of-int64 types (HUGEINT, DECIMAL,
+# unsigned) flip the driver hash.  Fail those even when values agree.
+_SIGNED_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_DUCK_OK = {
+    "bigint": _SIGNED_INTS,
+    "int": _SIGNED_INTS,
+    "smallint": _SIGNED_INTS,
+    "tinyint": _SIGNED_INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "binary": {"BLOB"},
+    "date": {"DATE"},
+}
+
+
+def type_mismatches(spark_dtypes, dcols, dtypes):
+    duck = {c: str(t) for c, t in zip(dcols, dtypes)}
+    bad = []
+    for col, sdt in spark_dtypes:
+        ddt = duck.get(col)
+        if ddt is None:
+            continue  # schema check reports missing columns
+        ok = _DUCK_OK.get(sdt)
+        if ok is None:
+            # timestamps/arrays/structs: values check covers; only flag
+            # the known-poisonous integer widenings
+            if ddt in ("HUGEINT", "UHUGEINT") or ddt.startswith("DECIMAL"):
+                bad.append((col, sdt, ddt))
+            continue
+        if ddt not in ok:
+            bad.append((col, sdt, ddt))
+    return bad
+
+
 def main():
     import duckdb
 
@@ -82,11 +124,19 @@ def main():
                 print(f"      WARNING: {name} returned 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
+            res = con.sql(oracles[name])
+            dcols = list(res.columns)
+            dtypes = list(res.types)
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name:22s} duckdb error: {e}")
+            failures.append(name)
+            continue
+        bad_types = type_mismatches(sdf.dtypes, dcols, dtypes)
+        if bad_types:
+            print(f"FAIL  {name:22s} types: "
+                  + ", ".join(f"{c}: spark={s} duckdb={d}"
+                              for c, s, d in bad_types))
             failures.append(name)
             continue
         sc, sm = df_to_multiset(scols, srows)

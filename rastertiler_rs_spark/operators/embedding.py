@@ -30,16 +30,25 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     (qid, vec_id, score, rank); ties broken by vec_id."""
     ve = F.col("embedding").cast("array<double>")
     qe = F.col("qemb").cast("array<double>")
+    # hoist the norm folds OUT of the crossJoin: each is a 64-element
+    # fold recomputed per (vector, query) pair when written inline —
+    # computing them once per row/query cuts the per-pair work to the
+    # dot fold alone. Bit-identical: the same IEEE fold over the same
+    # inputs yields the same double, and the product/compare/sqrt are
+    # correctly rounded, so scores (and the tie-broken ranking the
+    # oracle hashes) cannot move.
     # broadcast hint: queries are the small side by contract; without it
     # AQE usually picks the same plan, but the hint removes the risk of a
     # shuffled BNLJ on a big corpus
     # zero-norm guard: 0/0 is NaN and Spark sorts NaN ABOVE every real
     # double, so an all-zero padding vector would take rank 1 for every
     # query — score it -inf instead (identity for nonzero norms)
-    nrm = _norm2(ve) * _norm2(qe)
-    scored = vectors.crossJoin(F.broadcast(queries)).select(
+    vn = vectors.select("vec_id", ve.alias("_ve"), _norm2(ve).alias("_vn"))
+    qn = queries.select("qid", qe.alias("_qe"), _norm2(qe).alias("_qn"))
+    nrm = F.col("_vn") * F.col("_qn")
+    scored = vn.crossJoin(F.broadcast(qn)).select(
         "qid", "vec_id",
-        F.when(nrm > 0, _dot(ve, qe) / F.sqrt(nrm))
+        F.when(nrm > 0, _dot(F.col("_ve"), F.col("_qe")) / F.sqrt(nrm))
         .otherwise(F.lit(float("-inf"))).alias("score"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")

@@ -66,11 +66,27 @@ def frequent_items(rows: DataFrame, key_col: str, k: int) -> DataFrame:
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         n_p = 0
+        # accumulate Arrow batches to ~64k keys before each
+        # value_counts+merge: per-merge cost is amortized over the
+        # chunk, so the sketch's python overhead is independent of the
+        # session's Arrow batch sizing (the MG summary is a superset
+        # of heavy keys for ANY chunking; the exact verify pass makes
+        # the final result identical either way)
+        chunks: list[pd.Series] = []
+        buffered = 0
         for pdf in batches:
             # total counts every row (null keys included, matching the
             # SQL COUNT(*)); null keys can never become candidates
             n_p += len(pdf)
-            counters = mg_merge(counters, pdf["key"].value_counts().to_dict(), k)
+            chunks.append(pdf["key"])
+            buffered += len(pdf)
+            if buffered >= 65536:
+                counters = mg_merge(
+                    counters, pd.concat(chunks).value_counts().to_dict(), k)
+                chunks, buffered = [], 0
+        if chunks:
+            counters = mg_merge(
+                counters, pd.concat(chunks).value_counts().to_dict(), k)
         # sentinel row (key NULL) carries the partition's row count so
         # the exact total needs no extra job
         yield pd.DataFrame({

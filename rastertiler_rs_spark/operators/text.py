@@ -50,7 +50,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold_pct: int = 30,
     VERIFICATION twin. At corpus scale use minhash_lsh_pairs as the
     candidate generator and verify only its candidate pairs.
     """
-    sh = char_shingles(docs, n)
+    # sh feeds FOUR consumers (the hot-shingle df count, sizes, and both
+    # self-join sides); without a materialization boundary each consumer
+    # re-executes the shingle explode+distinct from the scan (8 scans in
+    # the r5 physical plan) — the lightweight (doc_id, shingle) proxy is
+    # what to store once, not re-derive per consumer
+    sh = char_shingles(docs, n).localCheckpoint(eager=False)
     if max_df_pct is not None:
         totals = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
         hot = (
@@ -59,6 +64,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold_pct: int = 30,
             .filter(F.lit(100) * F.col("df") > F.lit(max_df_pct) * F.col("n_docs"))
             .select("shingle")
         )
+        # the drop set is tiny by construction (few shingles are hot) —
+        # broadcast anti-join keeps the cap map-side at any scale
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -68,6 +75,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold_pct: int = 30,
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
+    # sizes joins: AQE sees the true (post-checkpoint) sizes and picks
+    # broadcast when the per-doc table fits — no hint, so the exact twin
+    # still degrades to a shuffle join instead of failing past the
+    # broadcast cap on a huge corpus
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -95,14 +106,26 @@ def lsh_candidate_pairs(docs: DataFrame, num_perms: int = 16, band_size: int = 4
             "silently dropped (weaker recall with no warning)")
 
     sig = minhash_signatures(docs, num_perms, n)
-    bands = []
-    for b in range(num_perms // band_size):
-        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sig.select("doc_id", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")))
-    buckets = bands[0]
-    for extra in bands[1:]:
-        buckets = buckets.unionByName(extra)
+    # ONE posexplode over an array of per-band buckets, NOT a union of
+    # per-band selects: each union leg embedded the full signature
+    # subtree (scan -> shingle distinct -> 16-way min agg), so the 4-band
+    # plan re-executed that aggregation once per leg AND per join side —
+    # 8 scans in the physical plan (plans/r06/minhash_lsh_before.txt).
+    # The exploded form computes the signature once per side and lets
+    # exchange reuse collapse the two identical sides.
+    band_buckets = F.array(*[
+        F.xxhash64(*[F.col(f"h{b * band_size + j}") for j in range(band_size)])
+        for b in range(num_perms // band_size)])
+    # lazy localCheckpoint: the self-join references buckets twice, and
+    # exchange reuse cannot be relied on across join sides — without a
+    # materialization boundary the signature aggregation (the corpus
+    # pass) runs once PER SIDE. The checkpointed table is (doc_id,
+    # band, bucket) — ~24 bytes/doc/band, the lightweight proxy of the
+    # corpus (guide §8 discipline), so one pass + a tiny store beats
+    # two passes at every scale.
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_buckets).alias("band", "bucket")
+    ).localCheckpoint(eager=False)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
@@ -143,7 +166,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                      F.expr(f"(simhash >> {16 * i}) & 65535").alias("val"))
             for i in range(4)
         ])).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    ).select("doc_id", "simhash", "c.chunk", "c.val").localCheckpoint(
+        eager=False)  # two join sides, one 64-vote aggregation pass
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val"))
@@ -203,15 +227,23 @@ def lsh_candidate_pairs_int(docs: DataFrame, num_perms: int = 16,
             "silently dropped (weaker recall with no warning)")
 
     sig = minhash_signatures_int(docs, num_perms, n)
-    bands = []
-    for b in range(num_perms // band_size):
+    # single posexplode over per-band bucket folds (see the engine-hash
+    # variant above): the union-of-selects form re-executed the whole
+    # signature aggregation once per band per join side
+    def _fold(b):
         bucket = F.lit(0).cast("long")
         for j in range(band_size):
-            bucket = (bucket * F.lit(1000003) + F.col(f"h{b * band_size + j}")) % F.lit(HM)
-        bands.append(sig.select("doc_id", F.lit(b).alias("band"), bucket.alias("bucket")))
-    buckets = bands[0]
-    for extra in bands[1:]:
-        buckets = buckets.unionByName(extra)
+            bucket = (bucket * F.lit(1000003)
+                      + F.col(f"h{b * band_size + j}")) % F.lit(HM)
+        return bucket
+
+    band_buckets = F.array(*[_fold(b)
+                             for b in range(num_perms // band_size)])
+    # one materialization, two join-side consumers (see engine-hash
+    # variant above for the rationale)
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_buckets).alias("band", "bucket")
+    ).localCheckpoint(eager=False)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
@@ -253,7 +285,8 @@ def simhash_near_pairs_int(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                      F.expr(f"(simhash >> {16 * i}) & 65535").alias("val"))
             for i in range(4)
         ])).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    ).select("doc_id", "simhash", "c.chunk", "c.val").localCheckpoint(
+        eager=False)  # two join sides, one 62-vote aggregation pass
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val"))

@@ -73,9 +73,20 @@ def get_spark(app: str = "rastertiler_rs_spark", cpus: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # tile rows carry pixel blocks (up to ~tilesize^2 bytes each):
-        # keep Arrow batches memory-bounded
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Python-boundary batching (guide §4.2): bound batches by BYTES
+        # (Spark 4's direct knob — 16m ≈ the old 256-record cap at the
+        # worst-case 64 KB tile row, so fat-row stages keep the same
+        # peak memory) and let NARROW rows batch at the 10k default.
+        # The previous blanket maxRecordsPerBatch=256 — sized for tile
+        # rows — starved every narrow-row python stage (Misra-Gries
+        # sketch over single tokens, stratified-sample prune, blocked
+        # matmul) with 256-row batches: ~40x more per-batch python+Arrow
+        # overhead than needed, and it UNDER-bounded fat image rows
+        # (256 x ~500 KB source images = way past the intended 16 MB).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(env_int("SPARK_GRAFT_ARROW_MAX_RECORDS", 10000)))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                _env_size("SPARK_GRAFT_ARROW_MAX_BYTES", "16m"))
         # split scans finer than the 128m default (sf-dir parquet is
         # small; 8m keeps small-query task counts sane while still
         # splitting multi-file tables). The render pipeline no longer

@@ -281,8 +281,16 @@ def cmd_merge(args) -> None:
     merged_meta = merge_metadata(spark.createDataFrame(lm, meta_schema),
                                  spark.createDataFrame(rm, meta_schema))
 
+    # single-file SQLite output is inherently driver-side (reference
+    # semantics) — bound the collect like materialize_mbtiles does
+    map_rows = merged_map.limit(args.max_tiles + 1).collect()
+    if len(map_rows) > args.max_tiles:
+        sys.exit(
+            f"ERROR: merged tile count exceeds --max-tiles="
+            f"{args.max_tiles}; merge shard DIRECTORIES instead "
+            f"(distributed, no driver bytes) or raise the limit knowingly")
     tiles = [(r["zoom_level"], r["tile_column"], r["tile_row"], r["tile_id"])
-             for r in merged_map.collect()]
+             for r in map_rows]
     blobs = {r["tile_id"]: bytes(r["tile_data"]) for r in merged_img.collect()}
     meta = [(r["name"], r["value"]) for r in merged_meta.collect()]
     write_mbtiles(args.out, sorted(tiles), blobs, meta, finalize=True)
@@ -310,10 +318,21 @@ def cmd_tileop(args) -> None:
             zoom = max((r[0] for r in tiles_rows), default=None)
             if zoom is None:
                 sys.exit(f"ERROR: empty MBTiles: {args.src}")
-        rows = [(x, (1 << z) - 1 - r, bytearray(blobs[tid]))
-                for z, x, r, tid in tiles_rows if z == int(zoom)]
-        tiles = spark.createDataFrame(
-            rows, "tx long, ty long, png binary")
+        # ship each DISTINCT blob once and expand via a Spark join
+        # (convert's shape): a content-deduped zoom level would
+        # otherwise multiply driver memory by its duplication factor
+        # with one bytearray copy per map row
+        level = [(x, r, tid) for z, x, r, tid in tiles_rows
+                 if z == int(zoom)]
+        need = {tid for _, _, tid in level}
+        mdf = spark.createDataFrame(
+            [(x, (1 << int(zoom)) - 1 - r, tid) for x, r, tid in level],
+            "tx long, ty long, tile_hash long")
+        bdf = spark.createDataFrame(
+            [(tid, bytearray(b)) for tid, b in blobs.items()
+             if tid in need],
+            "tile_hash long, png binary")
+        tiles = mdf.join(bdf, "tile_hash").select("tx", "ty", "png")
     elif os.path.isdir(args.src) and os.path.exists(
             os.path.join(args.src, "tilejson.json")):
         # XYZ tree input (render --xyz-dir output): pick one zoom level
@@ -572,6 +591,10 @@ def main(argv=None) -> None:
     m.add_argument("right")
     m.add_argument("out")
     m.add_argument("--workers", type=int, default=4)
+    m.add_argument("--max-tiles", type=int, default=5_000_000,
+                   help="driver-side guard for the single-file merge "
+                        "(mirrors render's materialize limit); shard "
+                        "directories merge distributed and ignore this")
     m.set_defaults(fn=cmd_merge)
 
     t = sub.add_parser(

@@ -113,8 +113,16 @@ def write_cog_distributed(tiles: DataFrame, path: str, tile_size: int,
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        tmp = os.path.join(parts_dir, f".part-{pid:05d}.tmp")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # attempt-unique temp name: with speculative execution (or a
+        # zombie first attempt) two attempts of the same partition
+        # would otherwise interleave writes into ONE .tmp on the shared
+        # filesystem; per-attempt temps write disjoint files and the
+        # final os.replace is atomic — last rename wins with complete
+        # content either way
+        tmp = os.path.join(
+            parts_dir, f".part-{pid:05d}-{ctx.taskAttemptId()}.tmp")
         ents, by_hash, pos, last = [], {}, 0, -1
         with open(tmp, "wb") as f:
             for pdf in batches:

@@ -219,7 +219,7 @@ def knn_join(
                     F.max(F.when(is_kth, final_r_expr)).alias("r"),
                     F.count(F.when(is_kth & (final_r_expr > F.col("_r")), 1)
                             ).alias("n_widen"))
-                .crossJoin(pending.agg(F.count("*").alias("n_in")))
+                .crossJoin(F.broadcast(pending.agg(F.count("*").alias("n_in"))))
             ).collect()[0]
             topk_parts.append(ranked_all.filter("_done").select(
                 query_id, point_id, "d2", "rank"))

@@ -619,11 +619,28 @@ def compact_tiles(spark: SparkSession, out_dir: str,
     (df.filter(pred)
        .repartition(n_parts, "zoom", "xb")
        .write.partitionBy("zoom", "xb").mode("overwrite").parquet(staged))
+    # verify BEFORE swapping: once _swap_partitions has replaced live
+    # dirs the old copies are gone and nothing can roll back — so any
+    # count mismatch (e.g. a writer that raced past the pending-marker
+    # check) must abort while the live table is still intact
+    for rel in todo:
+        staged_rows = _dir_parquet_rows(os.path.join(staged, rel))
+        live_rows = _dir_parquet_rows(os.path.join(tiles_path, rel))
+        if staged_rows != live_rows:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction staged {staged_rows} rows for {rel} but the "
+                f"live partition holds {live_rows} — aborted BEFORE the "
+                f"swap; live table unchanged (concurrent writer?)")
     delta = _swap_partitions(staged, tiles_path)
     if delta != 0:
+        # belt-and-braces: the pre-swap check above makes this
+        # unreachable unless a writer mutated the table DURING the
+        # swap — partitions already replaced cannot be restored
         raise RuntimeError(
-            f"compaction changed the table row count by {delta} — "
-            f"aborting (partition contents must be byte-stable)")
+            f"table row count moved by {delta} while swapping — a writer "
+            f"raced the compaction; already-swapped partitions were "
+            f"replaced and are NOT rolled back (recover from lineage)")
     for rel in todo:
         p = os.path.join(tiles_path, rel)
         stats["files_after"] += sum(

@@ -377,7 +377,7 @@ def _cell_stream_fn(pz: int, zlo: int, zhi: int, tile_size: int,
     return fn
 
 
-def _fold_partial(contribs, tile_size: int, np_dtype):
+def _fold_partial(contribs, tile_size: int, np_dtype, nodata=NODATA):
     """Fold one salt bucket's contributions into a (canvas, winner)
     partial: paste ascending by img_ord so winner[p] is the MAX img_ord
     with data at p — associative+commutative, so partials from any
@@ -385,13 +385,13 @@ def _fold_partial(contribs, tile_size: int, np_dtype):
     only nodata. ONE copy of the winner rule, shared by the explicit
     salt path and the auto router (a drifted duplicate would break the
     salted-vs-plain byte parity on only one path)."""
-    canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
+    canvas = np.full((tile_size, tile_size), nodata, dtype=np_dtype)
     winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
     for c in sorted(contribs, key=lambda c: int(c["img_ord"])):
         left, top = int(c["left"]), int(c["top"])
         bw, bh = int(c["bw"]), int(c["bh"])
         block = np.frombuffer(c["block"], dtype=np_dtype).reshape(bh, bw)
-        mask = block != NODATA
+        mask = block != nodata
         if not mask.any():
             continue
         canvas[top:top + bh, left:left + bw][mask] = block[mask]
@@ -401,11 +401,11 @@ def _fold_partial(contribs, tile_size: int, np_dtype):
     return canvas, winner
 
 
-def _argmax_merge(parts, tile_size: int, np_dtype):
+def _argmax_merge(parts, tile_size: int, np_dtype, nodata=NODATA):
     """Pixelwise argmax-merge of (canvas, winner) partials (the other
     half of the _fold_partial contract). Returns None when every partial
     pixel is nodata."""
-    canvas = np.full((tile_size, tile_size), NODATA, dtype=np_dtype)
+    canvas = np.full((tile_size, tile_size), nodata, dtype=np_dtype)
     winner = np.full((tile_size, tile_size), -1, dtype=np.int64)
     for p in parts:
         c = np.frombuffer(p["canvas"], dtype=np_dtype).reshape(
@@ -447,7 +447,7 @@ def _partial_mosaic_fn(tile_size: int, np_dtype):
 
 
 def _route_mosaic_fn(tile_size: int, dtype_tag: str,
-                     colormap_str: str | None):
+                     colormap_str: str | None, nodata=NODATA):
     """Unified stage B of the hot-routed mosaic: rows are (zoom, x, y,
     salt, is_hot, contribs). COLD groups (salt 0, not hot) hold their
     tile's ENTIRE contribution list — mosaic + encode to a finished
@@ -458,7 +458,7 @@ def _route_mosaic_fn(tile_size: int, dtype_tag: str,
     np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        colormap = Colormap.parse(colormap_str, NODATA) if colormap_str else None
+        colormap = Colormap.parse(colormap_str, nodata) if colormap_str else None
         for pdf in batches:
             out = {"zoom": [], "x": [], "y": [], "png": [],
                    "canvas": [], "winner": []}
@@ -471,18 +471,19 @@ def _route_mosaic_fn(tile_size: int, dtype_tag: str,
                          .reshape(int(c["bh"]), int(c["bw"])))
                         for c in row.contribs
                     ]
-                    canvas = mosaic(contribs, tile_size, NODATA, np_dtype)
+                    canvas = mosaic(contribs, tile_size, nodata, np_dtype)
                     if canvas is None:
                         continue
                     out["zoom"].append(int(row.zoom))
                     out["x"].append(int(row.x))
                     out["y"].append(int(row.y))
                     out["png"].append(
-                        encode_tile(canvas, dtype_tag, NODATA, colormap))
+                        encode_tile(canvas, dtype_tag, nodata, colormap))
                     out["canvas"].append(None)
                     out["winner"].append(None)
                     continue
-                folded = _fold_partial(row.contribs, tile_size, np_dtype)
+                folded = _fold_partial(row.contribs, tile_size, np_dtype,
+                                       nodata)
                 if folded is None:
                     continue
                 canvas, winner = folded
@@ -498,13 +499,13 @@ def _route_mosaic_fn(tile_size: int, dtype_tag: str,
 
 
 def _merge_or_pass_fn(tile_size: int, dtype_tag: str,
-                      colormap_str: str | None):
+                      colormap_str: str | None, nodata=NODATA):
     """Unified stage C: finished cold PNGs pass straight through;
     hot tiles argmax-merge their salt partials and encode."""
     np_dtype = np.uint8 if dtype_tag == "u8" else np.uint32
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        colormap = Colormap.parse(colormap_str, NODATA) if colormap_str else None
+        colormap = Colormap.parse(colormap_str, nodata) if colormap_str else None
         for pdf in batches:
             out = {"zoom": [], "x": [], "y": [], "png": []}
             for row in pdf.itertuples(index=False):
@@ -515,14 +516,14 @@ def _merge_or_pass_fn(tile_size: int, dtype_tag: str,
                     out["y"].append(int(row.y))
                     out["png"].append(bytes(parts[0]["png"]))
                     continue
-                canvas = _argmax_merge(parts, tile_size, np_dtype)
+                canvas = _argmax_merge(parts, tile_size, np_dtype, nodata)
                 if canvas is None:
                     continue
                 out["zoom"].append(int(row.zoom))
                 out["x"].append(int(row.x))
                 out["y"].append(int(row.y))
                 out["png"].append(
-                    encode_tile(canvas, dtype_tag, NODATA, colormap))
+                    encode_tile(canvas, dtype_tag, nodata, colormap))
             yield pd.DataFrame(out)
 
     return fn

@@ -18,10 +18,13 @@ index — no per-pixel python.
 Scale shape: stage 1 is the blocks-path pattern (decode each image
 once, emit its per-tile warped canvases), stage 2 one tile-key shuffle
 + mosaic/encode. A pathologically global footprint (one image covering
-z0) concentrates on one tile key like any low-zoom render — at scale
-build low zooms with the overview cascade or the salted two-phase
-mosaic (operators/render.py salt_buckets); this operator keeps the
-plain path and documents the same guidance.
+z0) would concentrate on one tile key like any low-zoom render —
+render_warp's default ``salt_buckets="auto"`` detects hot keys from
+the pure-JVM footprint cover counts and routes them through the SHARED
+two-phase salted mosaic (render._route_mosaic_fn/_merge_or_pass_fn —
+one copy of the (canvas, winner) fold + argmax-merge rule), while the
+long tail encodes in a single pass; salted and plain output is
+byte-identical (tests/test_warp.py).
 
 Cross-engine contract (the DuckDB twin re-derives warped pixels from
 fixture constants): every float op mirrors tilemath.mercator_to_geo /
@@ -43,7 +46,7 @@ from .. import tilemath as tm
 from ..kernel import encode_tile, mosaic
 from ..png import decode_band
 
-_WARP_BLOCK_SCHEMA = "zoom int, x long, y long, image_id string, canvas binary"
+_WARP_BLOCK_SCHEMA = "zoom int, x long, y long, img_ord long, canvas binary"
 
 
 def warp_tile(band: np.ndarray, minlon: float, minlat: float,
@@ -86,7 +89,7 @@ def warp_tile(band: np.ndarray, minlon: float, minlat: float,
 def _warp_kernel_fn(minzoom: int, maxzoom: int, tile_size: int, nodata):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("zoom", "x", "y", "image_id", "canvas")}
+            out = {k: [] for k in ("zoom", "x", "y", "img_ord", "canvas")}
             for row in pdf.itertuples(index=False):
                 band = decode_band(bytes(row.bytes), row.fmt)
                 # projected cover bounds: forward mercator of the geo
@@ -107,7 +110,7 @@ def _warp_kernel_fn(minzoom: int, maxzoom: int, tile_size: int, nodata):
                         out["zoom"].append(zoom)
                         out["x"].append(txx)
                         out["y"].append(tyy)
-                        out["image_id"].append(row.image_id)
+                        out["img_ord"].append(int(row.img_ord))
                         out["canvas"].append(
                             np.ascontiguousarray(canvas).tobytes())
             yield pd.DataFrame(out)
@@ -128,7 +131,7 @@ def _warp_encode_fn(tile_size: int, dtype_tag: str, nodata,
             out = {k: [] for k in ("zoom", "x", "y", "png")}
             for row in pdf.itertuples(index=False):
                 contribs = [
-                    (c["image_id"], 0, 0, tile_size, tile_size,
+                    (int(c["img_ord"]), 0, 0, tile_size, tile_size,
                      np.frombuffer(bytes(c["canvas"]), dtype=np_dtype)
                      .reshape(tile_size, tile_size))
                     for c in row.contribs
@@ -149,7 +152,8 @@ def _warp_encode_fn(tile_size: int, dtype_tag: str, nodata,
 def render_warp(images: DataFrame, minzoom: int, maxzoom: int,
                 tile_size: int = 256, dtype_tag: str = "u8",
                 colormap_str: str | None = None,
-                nodata: int = 0, n_parts: int | None = None) -> DataFrame:
+                nodata: int = 0, n_parts: int | None = None,
+                salt_buckets: str | None = "auto") -> DataFrame:
     """Render geographic (EPSG:4326) images into the mercator pyramid.
 
     ``images`` carries the input_hint schema PLUS its geographic
@@ -159,21 +163,104 @@ def render_warp(images: DataFrame, minzoom: int, maxzoom: int,
     the ascending-image_id overwrite rule shared with the native-3857
     render. Output (zoom, x, y, png) in XYZ rows; feed through
     render._finish / tiles_table for the TMS sink shape.
+
+    ``salt_buckets="auto"`` (default) routes HOT tile keys — detected
+    from a pure-JVM footprint cover count, the native render's router
+    — through the shared two-phase salted mosaic (render._route_mosaic
+    fold to (canvas, winner) partials + argmax merge), so one
+    global-footprint 4326 image (a z0 world map) cannot single-task a
+    low-zoom tile; the long tail encodes in one pass exactly like the
+    plain path. ``None`` forces the plain single-pass mosaic. Salted
+    and plain output is byte-identical (tests/test_warp.py parity).
+    Paste order is an order-preserving int (distinct image_ids sorted
+    once), so the winner-argmax rule matches ascending-image_id
+    pasting for ANY id scheme.
     """
+    from ..functions.columns import geo_to_mercator_cols
+    from .render import (_AUTO_SALT_MAX_KEYS, _AUTO_SALT_THRESHOLD,
+                         _merge_or_pass_fn, _route_mosaic_fn,
+                         tile_manifest)
+
     spark = images.sparkSession
     cores = spark.sparkContext.defaultParallelism
     n_parts = n_parts or max(cores, 1)
 
-    blocks = images.repartition(n_parts, "image_id").mapInPandas(
+    # order-preserving integer paste key (the native render's
+    # general-ids discipline): monotonically_increasing_id over the
+    # distinct-sorted ids follows range-partition order — order is all
+    # the winner/paste rules need
+    ord_map = (images.select("image_id").distinct().orderBy("image_id")
+               .withColumn("img_ord", F.monotonically_increasing_id()))
+    src = images.join(ord_map, "image_id")
+
+    blocks = src.repartition(n_parts, "image_id").mapInPandas(
         _warp_kernel_fn(minzoom, maxzoom, tile_size, nodata),
         _WARP_BLOCK_SCHEMA)
-    return (blocks.repartition(n_parts, "zoom", "x", "y")
-            .groupBy("zoom", "x", "y")
-            .agg(F.collect_list(F.struct("image_id", "canvas"))
-                 .alias("contribs"))
-            .mapInPandas(_warp_encode_fn(tile_size, dtype_tag, nodata,
-                                         colormap_str),
-                         "zoom int, x long, y long, png binary"))
+
+    hot_rows = []
+    if salt_buckets == "auto":
+        # hot keys from the projected footprint cover counts — pure JVM
+        # (forward mercator of the geo corners + tile_manifest explode),
+        # no decode, no python; a superset of the kernel's emitted
+        # tiles, which is exactly right for routing
+        mx0, my0 = geo_to_mercator_cols(F.col("minlon"), F.col("minlat"))
+        mx1, my1 = geo_to_mercator_cols(F.col("maxlon"), F.col("maxlat"))
+        fp = images.select(mx0.alias("minx"), my0.alias("miny"),
+                           mx1.alias("maxx"), my1.alias("maxy"))
+        hot_rows = (
+            tile_manifest(fp, minzoom, maxzoom)
+            .groupBy("zoom", "tx", "ty").count()
+            .filter(F.col("count") >= _AUTO_SALT_THRESHOLD)
+            .orderBy(F.desc("count"), "zoom", "tx", "ty")
+            .limit(_AUTO_SALT_MAX_KEYS)
+            .select("zoom", F.col("tx").alias("x"), F.col("ty").alias("y"))
+        ).collect()
+
+    if not hot_rows:
+        return (blocks.repartition(n_parts, "zoom", "x", "y")
+                .groupBy("zoom", "x", "y")
+                .agg(F.collect_list(F.struct("img_ord", "canvas"))
+                     .alias("contribs"))
+                .mapInPandas(_warp_encode_fn(tile_size, dtype_tag, nodata,
+                                             colormap_str),
+                             "zoom int, x long, y long, png binary"))
+
+    # two-phase routed mosaic (shared stage fns with the native render —
+    # ONE copy of the winner rule): warp canvases are full tiles, so
+    # they enter the shared contribs contract as left=0, top=0,
+    # bw=bh=tile_size blocks
+    hot_keys = spark.createDataFrame(
+        [(int(r["zoom"]), int(r["x"]), int(r["y"])) for r in hot_rows],
+        "zoom int, x long, y long")
+    marked = blocks.join(
+        F.broadcast(hot_keys.withColumn("_h", F.lit(True))),
+        ["zoom", "x", "y"], "left")
+    salted = marked.select(
+        "zoom", "x", "y", "img_ord", "canvas",
+        F.coalesce("_h", F.lit(False)).alias("is_hot"),
+        F.when(F.coalesce("_h", F.lit(False)),
+               F.pmod(F.col("img_ord"), F.lit(cores)))
+        .otherwise(F.lit(0)).cast("int").alias("salt"))
+    contrib = F.struct(
+        F.col("img_ord"), F.lit(0).alias("left"), F.lit(0).alias("top"),
+        F.lit(tile_size).alias("bw"), F.lit(tile_size).alias("bh"),
+        F.col("canvas").alias("block"))
+    stage_b = salted.repartition(
+        n_parts, "zoom", "x", "y", "salt").groupBy(
+        "zoom", "x", "y", "salt", "is_hot").agg(
+        F.collect_list(contrib).alias("contribs")
+    ).mapInPandas(
+        _route_mosaic_fn(tile_size, dtype_tag, colormap_str, nodata),
+        "zoom int, x long, y long, png binary, "
+        "canvas binary, winner binary")
+    return stage_b.repartition(
+        n_parts, "zoom", "x", "y").groupBy(
+        "zoom", "x", "y").agg(
+        F.collect_list(F.struct("png", "canvas", "winner"))
+        .alias("partials")
+    ).mapInPandas(
+        _merge_or_pass_fn(tile_size, dtype_tag, colormap_str, nodata),
+        "zoom int, x long, y long, png binary")
 
 
 def render_warp_pyramid(images: DataFrame, minzoom: int, maxzoom: int,

@@ -277,3 +277,25 @@ def test_render_warp_spark_parity(spark):
     assert set(got) == set(want)
     for key, png in got.items():
         np.testing.assert_array_equal(decode_canvas(png, "u8"), want[key])
+
+
+def test_render_warp_salted_parity(spark, monkeypatch):
+    """Hot-tile router (salt_buckets="auto"): with the threshold forced
+    to 1 every covered tile routes through the two-phase salted mosaic
+    (fold to (canvas, winner) partials + argmax merge) — output must be
+    byte-identical to the plain single-pass path, the native render's
+    salted-vs-plain contract applied to warp."""
+    from rastertiler_rs_spark.operators import render as render_mod
+
+    images = spark.read.parquet(images_geo_parquet(N))
+    plain = {(r["zoom"], r["x"], r["y"]): bytes(r["png"])
+             for r in render_warp(images, ZMIN, ZMAX, tile_size=TS,
+                                  dtype_tag="u8",
+                                  salt_buckets=None).collect()}
+    monkeypatch.setattr(render_mod, "_AUTO_SALT_THRESHOLD", 1)
+    salted = {(r["zoom"], r["x"], r["y"]): bytes(r["png"])
+              for r in render_warp(images, ZMIN, ZMAX, tile_size=TS,
+                                   dtype_tag="u8",
+                                   salt_buckets="auto").collect()}
+    assert plain.keys() == salted.keys()
+    assert all(plain[k] == salted[k] for k in plain)

@@ -705,22 +705,25 @@ def render(
     # distinct ids sorted distributively, monotonically_increasing_id
     # follows range-partition order (non-dense but order-preserving —
     # order is all the winner/paste rules need), joined back on id.
-    # One narrow-column check job; never runs when only the cell path
-    # executes (that path pastes by image_id directly).
-    general_ids = not src.filter(
-        ~F.col("image_id").rlike("^img[0-9]{8}$")).isEmpty()
-    if general_ids:
-        ord_map = (src.select("image_id").distinct().orderBy("image_id")
-                   .withColumn("ord64", F.monotonically_increasing_id()))
-        blocks_src = src.join(ord_map, "image_id")
-    else:
-        blocks_src = src
+    # The check itself is a full image_id scan; on the default auto
+    # path it rides the hot-count job (one collect, two concurrent
+    # subtrees — see below) instead of paying its own driver action.
+    _GENERAL_ID_PRED = ~F.col("image_id").rlike("^img[0-9]{8}$")
 
-    def _blocks(zlo: int, zhi: int) -> DataFrame:
+    def _blocks_src(general_ids: bool) -> DataFrame:
+        if general_ids:
+            ord_map = (src.select("image_id").distinct()
+                       .orderBy("image_id")
+                       .withColumn("ord64", F.monotonically_increasing_id()))
+            return src.join(ord_map, "image_id")
+        return src
+
+    def _blocks(zlo: int, zhi: int, general_ids: bool) -> DataFrame:
         # the repartition costs one pass of source bytes but balances
         # the decode+kernel across tasks (scan splits alone are skewed
         # by row-group byte sizes); measured faster than scan-aligned
-        return blocks_src.repartition(n_parts_map, "image_id").mapInPandas(
+        return _blocks_src(general_ids).repartition(
+            n_parts_map, "image_id").mapInPandas(
             _kernel_all_zooms_fn(zlo, zhi, tile_size,
                                  use_input_ord=general_ids),
             _KERNEL_SCHEMA)
@@ -791,19 +794,35 @@ def render(
         # per pass at 32c); a persist+count router serializes a full
         # kernel pre-pass before the main job (~7 s at 32c/65k — more
         # than the serial tail it removes).
-        hot_rows = (
+        # ONE collect, TWO concurrent subtrees: the hot-key top-K and
+        # the general-id flag (a full image_id scan either way) union
+        # into a single driver action — their stages run in parallel
+        # inside one job instead of costing two serial job round-trips
+        # (the flag rides as a sentinel zoom=-1 row)
+        hot_q = (
             tile_manifest(src, minzoom, maxzoom)
             .groupBy("zoom", "tx", "ty").count()
             .filter(F.col("count") >= _AUTO_SALT_THRESHOLD)
             .orderBy(F.desc("count"), "zoom", "tx", "ty")  # deterministic
             .limit(_AUTO_SALT_MAX_KEYS)
-            .select("zoom", F.col("tx").alias("x"), F.col("ty").alias("y"))
-        ).collect()  # bounded: top-K of the aggregated counts (TakeOrdered)
+            .select("zoom", F.col("tx").alias("x"), F.col("ty").alias("y"),
+                    F.lit(0).alias("gen"))
+        )  # bounded: top-K of the aggregated counts (TakeOrdered)
+        gen_q = src.agg(
+            F.max(F.when(_GENERAL_ID_PRED, 1).otherwise(0)).alias("g")
+        ).select(F.lit(-1).alias("zoom"),
+                 F.lit(0).cast("long").alias("x"),
+                 F.lit(0).cast("long").alias("y"),
+                 F.coalesce(F.col("g"), F.lit(0)).alias("gen"))
+        fused_rows = hot_q.unionByName(gen_q).collect()
+        general_ids = any(r["zoom"] == -1 and r["gen"] == 1
+                          for r in fused_rows)
+        hot_rows = [r for r in fused_rows if r["zoom"] >= 0]
         if hot_rows:
             hot_keys = spark.createDataFrame(
                 [(int(r["zoom"]), int(r["x"]), int(r["y"])) for r in hot_rows],
                 "zoom int, x long, y long")
-            marked = _blocks(minzoom, maxzoom).join(
+            marked = _blocks(minzoom, maxzoom, general_ids).join(
                 F.broadcast(hot_keys.withColumn("_h", F.lit(True))),
                 ["zoom", "x", "y"], "left")
             salted = marked.select(
@@ -833,10 +852,15 @@ def render(
                 "zoom int, x long, y long, png binary",
             )
         else:
-            tiles = _plain_mosaic(_blocks(minzoom, maxzoom))
+            tiles = _plain_mosaic(_blocks(minzoom, maxzoom, general_ids))
         if cell_tiles is not None:
             tiles = tiles.unionByName(cell_tiles)
         return _finish(tiles)
+
+    # non-auto branches: the id-scheme check pays its own (narrow-column)
+    # driver action — only the default auto path fuses it into the
+    # routing job
+    general_ids = not src.filter(_GENERAL_ID_PRED).isEmpty()
     if salt_buckets and salt_buckets > 1 and salt_threshold is not None \
             and salt_threshold != "auto":
         # DATA-DEPENDENT routing — per-key counts split hot tiles from
@@ -844,7 +868,7 @@ def render(
         # bytes — pure overhead on 1-2-contribution keys). Costs one
         # extra action (the hot count) that doubles as the persist
         # materialization of the shared block stream.
-        blocks = _blocks(minzoom, maxzoom).persist()
+        blocks = _blocks(minzoom, maxzoom, general_ids).persist()
         if persisted is not None:
             # the block cache must outlive the returned lazy DataFrame;
             # callers unpersist after materializing (render_pyramid's
@@ -868,10 +892,11 @@ def render(
             tiles = _plain_mosaic(blocks)
     elif salt_buckets and salt_buckets > 1:
         # explicit buckets, no threshold: every key two-phase
-        tiles = _salted_mosaic(_blocks(minzoom, maxzoom), salt_buckets,
+        tiles = _salted_mosaic(_blocks(minzoom, maxzoom, general_ids),
+                               salt_buckets,
                                n_salt=n_parts, n_merge=n_parts)
     else:
-        tiles = _plain_mosaic(_blocks(minzoom, maxzoom))
+        tiles = _plain_mosaic(_blocks(minzoom, maxzoom, general_ids))
 
     if cell_tiles is not None:
         tiles = tiles.unionByName(cell_tiles)

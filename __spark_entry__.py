@@ -330,13 +330,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = exact_dup_groups(docs)
     lehmer = (F.col("doc_id") * F.lit(48271) + F.lit(11)) % F.lit(
         (1 << 31) - 1)
-    sampled = sample_bottom_k(docs, "doc_id", _SAMPLE_K, hash_expr=lehmer)
-    sample = (docs.select("doc_id", "text")
-              .join(F.broadcast(sampled.select("id", "rank")),
-                    F.col("doc_id") == F.col("id"))
-              .select(F.md5("text").alias("content_md5"),
-                      F.col("rank").alias("n_docs"),
-                      F.col("doc_id").alias("keep_doc_id")))
+    # text rides THROUGH the top-k heaps (keep_cols) — one corpus scan,
+    # no join-back to fetch the sampled docs' content
+    sampled = sample_bottom_k(docs, "doc_id", _SAMPLE_K, hash_expr=lehmer,
+                              keep_cols=("text",))
+    sample = sampled.select(F.md5("text").alias("content_md5"),
+                            F.col("rank").alias("n_docs"),
+                            F.col("id").alias("keep_doc_id"))
     # strat: deterministic per-language quota sample — the training-
     # data mix-balancing primitive (sketch.stratified_bottom_k: local
     # per-partition prune bounds the stratum shuffle to k·strata rows

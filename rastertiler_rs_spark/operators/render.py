@@ -644,17 +644,35 @@ def render(
     # compute is large), serializing the pipeline. Measured 3.5x on the
     # cell stage at local[32].
     #
-    # Multiplier 8 (not 4): cell-group costs are uneven (images/cell
-    # varies), and with only cores*4 tasks the stage ends in a straggler
-    # drain — event-log profiling at local[32] showed the final wave
-    # trickling 32→1 active tasks for whole seconds. cores*8 halves the
-    # per-task cost so the tail packs tighter; measured ~5-10% off the
-    # 65k-image render wall at local[32], and it is the main reason the
-    # stage's N→4N scaling holds (more waves ⇒ tail waste amortizes at
-    # high core counts the way it naturally does at low ones).
+    # Cell-stage task count is SCALE-ADAPTIVE between cores*2 and
+    # cores*MULT (default 8), derived from the input's plan-statistics
+    # size (parquet footer file sizes — metadata only, no job):
+    # - the CEILING is r4's 65k-image evidence: cell-group costs are
+    #   uneven, and at cores*4 the stage ends in a straggler drain
+    #   (event-log profiling showed the last wave trickling 32→1 active
+    #   tasks); cores*8 halves per-task cost so the tail packs tighter
+    #   — ~5-10% off the 65k render wall, and the main reason N→4N
+    #   scaling holds. 65k fixture ≈ 46 MB source → the byte target
+    #   reproduces ~cores*8 there.
+    # - the FLOOR is the python dispatch tax: each task pays ~5-10 ms
+    #   of serial driver handshake, so a small input (bench's 2048
+    #   images ≈ 1.5 MB) at 256 tasks burns 1.5-2.5 s of wall on
+    #   dispatch alone — measured 6.1-8.0 s → 4.7-5.5 s for the same
+    #   render at cores*2.
+    # A constant multiplier tuned for either end loses at the other;
+    # deriving from bytes keeps both measured optima (guide §2).
     from ..session import env_int
 
-    n_parts = max(spark.sparkContext.defaultParallelism * env_int("SPARK_GRAFT_CELL_MULT", 8), 8)
+    cores_ = spark.sparkContext.defaultParallelism
+    mult_cap = env_int("SPARK_GRAFT_CELL_MULT", 8)
+    n_parts = max(cores_ * mult_cap, 8)
+    try:
+        size_b = int(images._jdf.queryExecution().optimizedPlan()
+                     .stats().sizeInBytes())
+        est = size_b // env_int("SPARK_GRAFT_CELL_TASK_BYTES", 196608)
+        n_parts = int(max(min(est, cores_ * mult_cap), cores_ * 2, 8))
+    except Exception:
+        pass  # no stats (unusual plan): keep the ceiling
     # The kernel MAP stage (decode+window-read per image) pays a measured
     # ~20-30 ms/task python-stage overhead while its per-image work is
     # small — fewer, larger tasks win (128→64 tasks saved ~2.4 s of a

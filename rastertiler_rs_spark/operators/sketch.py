@@ -181,7 +181,7 @@ def hll_estimate(registers: dict[int, int], p: int) -> float:
 
 
 def sample_bottom_k(rows: DataFrame, id_col: str, k: int,
-                    hash_expr=None) -> DataFrame:
+                    hash_expr=None, keep_cols: tuple = ()) -> DataFrame:
     """BOTTOM-K (KMV) deterministic sample: the k rows whose hashed ids
     are smallest, ties broken by id — a uniform-without-replacement
     sample that is DETERMINISTIC (re-runs and re-partitions agree),
@@ -194,17 +194,26 @@ def sample_bottom_k(rows: DataFrame, id_col: str, k: int,
 
     hash_expr defaults to the engine's JVM xxhash64 of the id column;
     pass an explicit Column (e.g. the Lehmer hash) for a SQL-twinnable
-    variant. Output: (id, h, rank) with rank 1..k in hash order."""
+    variant. Output: (id, h, rank, *keep_cols) with rank 1..k in hash
+    order.
+
+    ``keep_cols`` rides payload columns THROUGH the top-k heaps so the
+    caller never joins back to fetch them: without it, materializing
+    the sampled rows' content costs a SECOND full corpus scan + a
+    broadcast join — per-partition heap memory grows by k x payload,
+    which is the cheap side of that trade at every scale."""
     if k < 1:
         raise ValueError("k must be >= 1")
     from pyspark.sql import Window
 
     h = F.xxhash64(F.col(id_col)) if hash_expr is None else hash_expr
-    top = (rows.select(F.col(id_col).alias("id"), h.alias("h"))
+    top = (rows.select(F.col(id_col).alias("id"), h.alias("h"),
+                       *[F.col(c) for c in keep_cols])
            .orderBy("h", "id").limit(k))
     w = Window.orderBy("h", "id")
     return top.select("id", "h",
-                      F.row_number().over(w).cast("long").alias("rank"))
+                      F.row_number().over(w).cast("long").alias("rank"),
+                      *keep_cols)
 
 
 def kmv_distinct_estimate(kth_hash_unit: float, k: int) -> float:

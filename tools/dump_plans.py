@@ -138,6 +138,46 @@ def main() -> None:
         "doubling rounds above it are one self-join + one count each)",
         plan_text(pixel_successors(tc, 64))))
 
+    # r6 additions — the newest operators' plan-as-contract snapshots
+    from rastertiler_rs_spark.fixtures import images_geo_parquet
+    from rastertiler_rs_spark.operators.heatmap import heatmap_pyramid
+    from rastertiler_rs_spark.operators.quantiles import exact_quantiles
+    from rastertiler_rs_spark.operators.rasterize import burn_polygons
+    from rastertiler_rs_spark.operators.warp import render_warp
+
+    geo = spark.read.parquet(images_geo_parquet(8))
+    sections.append((
+        "render_warp (plain tail): kernel map on image_id -> ONE "
+        "exchange on (zoom,x,y) -> mosaic/encode; the auto hot-tile "
+        "router (salt_buckets='auto') adds the two-phase salted fold "
+        "ONLY when the JVM footprint cover count crosses the threshold",
+        plan_text(render_warp(geo, 2, 4, tile_size=64,
+                              salt_buckets=None))))
+    pts = ev.select((F.col("value") * 1000).alias("px"),
+                    (F.col("value") * 700).alias("py"))
+    sections.append((
+        "heatmap_pyramid: JVM pixel binning -> explode k levels -> ONE "
+        "(zoom,pixel) hash aggregate (map-side combine collapses the "
+        "4^k fan-in) -> per-tile paint; one extra exchange TOTAL for "
+        "the whole pyramid, hot tiles bounded by ts^2 rows",
+        plan_text(heatmap_pyramid(pts, 0, 3, tile_size=64))))
+    sections.append((
+        "exact_quantiles (final assembly; the distinct-value counts + "
+        "per-range offsets ran eagerly): shuffle bounded by DISTINCT "
+        "values, no global single-task window",
+        plan_text(exact_quantiles(
+            ev.select((F.floor(F.col("value") * 100)).alias("cents")),
+            "cents", [2500, 5000, 7500]))))
+    polys = spark.createDataFrame(
+        [(1, [(4, 4), (60, 4), (60, 60), (4, 60)], 7),
+         (2, [(70, 10), (120, 10), (95, 50)], 9)],
+        "poly_id long, pts array<struct<x:long, y:long>>, value long")
+    sections.append((
+        "rasterize burn_polygons: JVM bbox->tile-range explode -> ONE "
+        "exchange on the owning tile -> even-odd fill applyInPandas "
+        "(no per-pixel python rows; nested-loop-free)",
+        plan_text(burn_polygons(polys, 128, 128, 64))))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plans (generated by tools/dump_plans.py)\n\n"
                 "What to look for: `PushedFilters`/`ReadSchema` on scans "

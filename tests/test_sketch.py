@@ -234,3 +234,26 @@ def test_stratified_bottom_k_bruteforce(spark):
     with pytest.raises(ValueError, match="k must be"):
         stratified_bottom_k(spark.createDataFrame(pdf), "lang",
                             "doc_id", 0)
+
+
+def test_sample_bottom_k_keep_cols(spark):
+    """keep_cols rides payload through the heaps: result equals the
+    no-payload sample joined back to the source (the two-pass shape it
+    replaces)."""
+    from pyspark.sql import functions as F
+
+    from rastertiler_rs_spark.operators.sketch import sample_bottom_k
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("text"))
+    h = (F.col("doc_id") * 48271 + 11) % ((1 << 31) - 1)
+    got = [(r["id"], r["h"], r["rank"], r["text"])
+           for r in sample_bottom_k(df, "doc_id", 8, hash_expr=h,
+                                    keep_cols=("text",))
+           .orderBy("rank").collect()]
+    base = sample_bottom_k(df, "doc_id", 8, hash_expr=h)
+    want = [(r["id"], r["h"], r["rank"], r["text"])
+            for r in base.join(df, base["id"] == df["doc_id"])
+            .orderBy("rank").collect()]
+    assert got == want and len(got) == 8

@@ -157,3 +157,40 @@ def test_doc_chunks_bruteforce(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="size and stride"):
         doc_chunks(docs, size=0)
+
+
+def test_lsh_posexplode_matches_per_band_buckets(spark):
+    """r6 rewrote the banding as ONE posexplode over per-band bucket
+    arrays (the union-of-selects form re-planned the signature
+    aggregation per band per join side). Pin the rewrite against a
+    driver-side recomputation of the banded buckets from the signature
+    table: candidate pairs = pairs sharing >= 1 band bucket, with
+    n_bands_shared the exact shared-band count."""
+    from itertools import combinations
+
+    from rastertiler_rs_spark.operators.text import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    docs = _docs(spark)
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands_shared"]
+             for r in lsh_candidate_pairs(docs, num_perms=16,
+                                          band_size=4).collect()}
+    sig = {r["doc_id"]: [r[f"h{k}"] for k in range(16)]
+           for r in minhash_signatures(docs, 16, 3).collect()}
+    import pyspark.sql.functions as F
+    # band bucket = xxhash64 of the 4-slice; recompute via the engine
+    # for hash parity, one tiny local table
+    rows = [(d, b, *sig[d][b * 4:(b + 1) * 4])
+            for d in sig for b in range(4)]
+    bdf = spark.createDataFrame(
+        rows, "doc_id long, band int, a long, b long, c long, d long")
+    buck = {(r["doc_id"], r["band"]): r["bucket"]
+            for r in bdf.select("doc_id", "band",
+                                F.xxhash64("a", "b", "c", "d")
+                                .alias("bucket")).collect()}
+    want = {}
+    for x, y in combinations(sorted(sig), 2):
+        n = sum(buck[(x, b)] == buck[(y, b)] for b in range(4))
+        if n:
+            want[(x, y)] = n
+    assert pairs == want

@@ -122,3 +122,24 @@ def test_flow_accumulation_matches_walk_count(spark):
         n, s, m = agg.get(key, (0, 0, 0))
         agg[key] = (n + 1, s + a, max(m, a))
     assert stats == agg
+
+
+def test_flow_accumulation_doubling_path_matches(spark):
+    """iterate_rounds=0 forces the r6 Euler-tour/list-ranking path —
+    must equal the iterative result (and the scalar walk count)."""
+    from rastertiler_rs_spark.operators.watershed import flow_accumulation
+
+    ts = 64
+    band = canvas_band(256, 192, seed=5).astype(np.int64)
+    tiles = spark.read.parquet(tiled_canvas_parquet(256, 192, ts, seed=5))
+    succ = _brute_successors(band)
+    want = {v: 1 for v in succ}
+    for v in succ:
+        p = v
+        while succ[p] != p:
+            p = succ[p]
+            want[p] += 1
+    got = {r["v"]: r["acc"]
+           for r in flow_accumulation(tiles, ts,
+                                      iterate_rounds=0).collect()}
+    assert got == want
